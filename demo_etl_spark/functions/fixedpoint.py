@@ -1,0 +1,66 @@
+"""Engine-independent exact rounding (oracle-parity discipline).
+
+Two sources of cross-engine float divergence exist for money metrics:
+
+1. **Partial-sum ordering** — Spark's shuffle order vs any other engine's
+   scan order make ``SUM(double)`` differ in final ulps. Fixed by summing
+   exact integer fixed-point longs (``money_fixed``): source money values
+   are exact multiples of 1e-4, so the scaled longs are exact.
+
+2. **Rounding-mode on shortest-repr** — Java's ``round(x, 2)`` rounds the
+   *shortest decimal representation* of the double (BigDecimal.valueOf →
+   Double.toString → HALF_UP) while DuckDB/C++ round the *binary value*
+   (std::round(x*100)/100). For a quotient like 1398694250/10000 both
+   engines hold the identical double ≈139869.42499999999 but Spark prints
+   "139869.425" and rounds it to .43 while DuckDB rounds the binary to .42.
+
+   Fixed by rounding in integer space before ever leaving fixed point:
+
+       round_half_up(p / q, s) = (p·10^s·2 + q) div (2·q) / 10^s
+
+   with p, q BIGINT. Both engines then divide the *same* integer by the
+   same power of ten — bit-identical doubles out.
+
+``div`` (Spark) and ``//`` (DuckDB) both truncate toward zero; all engine
+quantities rounded this way are non-negative, so truncation == floor and
+the formula is exact HALF_UP. Overflow headroom: p·10^s·2 must stay below
+2^63 ≈ 9.2e18 — with money fixed-point p ≤ 1e13 (1e9 money units/group)
+and s=6 the worst case is ~2e19; callers with ratio-scale rounding must
+keep p below ~4.6e12, which every per-key group satisfies by orders of
+magnitude (grand totals at 100 TB should use DECIMAL paths instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DIV = {"spark": "div", "duckdb": "//"}
+
+
+def round_div_expr(num: str, den: str, scale: int, dialect: str) -> str:
+    """SQL text for exact HALF_UP(num/den, scale) → DOUBLE.
+
+    ``num`` and ``den`` are integer-typed SQL expressions (BIGINT-safe).
+    """
+    ps = 10**scale
+    d = _DIV[dialect]
+    # divide by an *integer* literal: int/int is DOUBLE true-division in
+    # both Spark SQL and DuckDB, while `x / 100.0` would be DECIMAL math
+    # in Spark (decimal-point literals parse as DecimalType).
+    return f"CAST(((({num}) * {2 * ps} + ({den})) {d} (2 * ({den}))) / {ps} AS DOUBLE)"
+
+
+def round_div(num: str, den: str, scale: int) -> Column:
+    """Spark Column for exact HALF_UP(num/den, scale); args are SQL
+    fragments referencing in-scope column names."""
+    return F.expr(round_div_expr(num, den, scale, "spark"))
+
+
+def unfix_expr(fixed: str, scale: int, dialect: str, fp: int = 10_000) -> str:
+    """Fixed-point long (1e-4 units) → money DOUBLE rounded to ``scale``."""
+    return round_div_expr(fixed, str(fp), scale, dialect)
+
+
+def unfix(fixed: str, scale: int = 2) -> Column:
+    return F.expr(unfix_expr(fixed, scale, "spark"))

@@ -1,0 +1,111 @@
+"""Sources and sinks (SURVEY.md §2.1 S1-S11).
+
+Thin, explicit wrappers over ``spark.read`` / ``df.write`` so every scan
+carries an explicit schema and every sink records enough metadata for
+lineage. HDFS-specific ops in the reference (S12) are out of scope — the
+local filesystem (or any Hadoop-compatible FS URI) replaces them; the
+``_SUCCESS``-file completion convention is preserved by Spark's committer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from demo_etl_spark import schemas
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# S1: parquet scan (reference generate-asset.scala:38-40).
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver star-schema table; Catalyst prunes columns/filters.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as long (runtime-settable legacy conf)
+    and truncate to microseconds — identical to DuckDB's µs semantics.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_star_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+# S2: CSV scan with explicit schema (never inference in production paths).
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+# S4: parquet sink. At scale, pass partition_by (e.g. a date column) so
+# downstream reads get partition pruning; the reference writes flat
+# (generate-asset.scala:327-330) which does not survive 100 TB.
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+# S5: CSV sink (header, overwrite). coalesce(1) is a test-data convenience
+# in the reference (generate-test-data.scala:232) — never used at scale.
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False
+) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.csv(path, header=True, mode=mode)
+
+
+# S6-S9: table DDL + table sinks (reference generate-asset.scala:293-324,
+# 350,367-370). Uses the session catalog; tests point the warehouse at a
+# temp dir.
+def save_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# S11: external-table handoff verification (reference run-all.sh:129-139).
+def verify_output(spark: SparkSession, path: str, min_rows: int = 1) -> int:
+    """Re-read a written dataset and assert non-emptiness; returns count."""
+    n = spark.read.parquet(path).count()
+    if n < min_rows:
+        raise RuntimeError(f"output at {path} has {n} rows (< {min_rows})")
+    return n

@@ -1,0 +1,171 @@
+"""Customer analytics — the flagship branch (SURVEY.md §2.4 A1 + §2.8).
+
+Re-expresses the reference's customer aggregation (generate-asset.scala:57-88)
+over the star schema: order lines joined to orders and customers, grouped per
+customer, with the reference's derived metrics — days-since-last-purchase,
+purchase frequency, multiplicative customer-value score
+(generate-asset.scala:72-84), weekend/weekday conditional sums
+(generate-asset.scala:67-68) and weekend-shopper ratio (generate-asset.scala:84).
+
+Money aggregates use exact fixed-point longs and integer-space rounding
+(functions.fixedpoint) so results are bit-identical across engines and
+partial-aggregation orders.
+
+Scale notes:
+  * lineitem⋈orders is a key-colocated shuffle join at 100 TB (both sides
+    huge) — AQE picks sort-merge; bucketing both by orderkey removes the
+    shuffle entirely when the warehouse supports it.
+  * customer is small relative to facts; Catalyst broadcast-joins it under
+    the threshold, AQE converts at runtime otherwise.
+  * groupBy(c_custkey) does one shuffle with map-side partial aggregation;
+    the two countDistincts expand the agg — at extreme scale swap to
+    approx_count_distinct via the ``exact_distinct=False`` knob (A5 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions import final_price, is_weekend
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.io import load_star
+
+
+def customer_analytics(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    weekend = is_weekend(F.col("o_orderdate"))
+    cnt_distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+    )
+
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        cnt_distinct(F.col("o_orderkey")).alias("total_orders"),
+        cnt_distinct(F.col("l_partkey")).alias("unique_products_purchased"),
+        F.sum(money_fixed(fp)).alias("_spent_c"),
+        F.min(F.to_date("o_orderdate")).alias("first_purchase_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_purchase_date"),
+        F.sum(money_fixed(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "_unit_c"
+        ),
+        F.count(F.lit(1)).alias("_n_lines"),
+        F.sum(F.when(weekend, money_fixed(fp)).otherwise(F.lit(0))).alias("_we_c"),
+        F.sum(F.when(~weekend, money_fixed(fp)).otherwise(F.lit(0))).alias("_wd_c"),
+    )
+
+    enriched = agg.withColumns(
+        {
+            "days_since_last_purchase": F.datediff(
+                F.lit(ctx.anchor_date), F.col("last_purchase_date")
+            ),
+            "_span_days": F.datediff(
+                F.col("last_purchase_date"), F.col("first_purchase_date")
+            ),
+            # Reference score factors (generate-asset.scala:79-83), scaled
+            # ×1000 to stay in integer space:
+            # (1 + if(days<30, .5, −.2)) × if(orders>10, 1.2, 1.0)
+            "_k1000": F.when(F.col("days_since_last_purchase") < 30, F.lit(150))
+            .otherwise(F.lit(80))
+            * F.when(F.col("total_orders") > 10, F.lit(12)).otherwise(F.lit(10)),
+        }
+    )
+
+    return enriched.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        "total_orders",
+        "unique_products_purchased",
+        round_div("_spent_c", "10000", 2).alias("total_spent"),
+        "first_purchase_date",
+        "last_purchase_date",
+        round_div("_unit_c", "_n_lines * 10000", 2).alias("avg_unit_price"),
+        round_div("_we_c", "10000", 2).alias("weekend_spending"),
+        round_div("_wd_c", "10000", 2).alias("weekday_spending"),
+        "days_since_last_purchase",
+        F.expr(
+            "CASE WHEN total_orders > 1 THEN "
+            + round_div_expr("_span_days", "total_orders - 1", 2, "spark")
+            + " END"
+        ).alias("purchase_frequency_days"),
+        round_div("_spent_c * _k1000", "1000000000", 2).alias("customer_value_score"),
+        F.expr(
+            "CASE WHEN _we_c + _wd_c <> 0 THEN "
+            + round_div_expr("_we_c", "_we_c + _wd_c", 6, "spark")
+            + " END"
+        ).alias("weekend_shopper_ratio"),
+    )
+
+
+def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return customer_analytics(t["lineitem"], t["orders"], t["customer"], ctx)
+
+
+def _oracle(scale_anchor: str = "DATE '2002-01-01'") -> str:
+    rd = lambda n, d, s: round_div_expr(n, d, s, "duckdb")  # noqa: E731
+    return f"""
+WITH j AS (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         l.l_partkey,
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c,
+         CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT) AS unit_c,
+         isodow(o.o_orderdate) IN (6, 7) AS weekend
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), a AS (
+  SELECT c_custkey, c_name,
+         COUNT(DISTINCT o_orderkey) AS total_orders,
+         COUNT(DISTINCT l_partkey) AS unique_products_purchased,
+         SUM(fp_c) AS spent_c,
+         MIN(CAST(o_orderdate AS DATE)) AS first_purchase_date,
+         MAX(CAST(o_orderdate AS DATE)) AS last_purchase_date,
+         SUM(unit_c) AS unit_c,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN weekend THEN fp_c ELSE 0 END) AS we_c,
+         SUM(CASE WHEN NOT weekend THEN fp_c ELSE 0 END) AS wd_c
+  FROM j GROUP BY c_custkey, c_name
+), e AS (
+  SELECT *,
+         CAST(DATEDIFF('day', last_purchase_date, {scale_anchor}) AS INTEGER)
+           AS days_since,
+         CAST(DATEDIFF('day', first_purchase_date, last_purchase_date) AS BIGINT)
+           AS span_days,
+         (CASE WHEN DATEDIFF('day', last_purchase_date, {scale_anchor}) < 30
+               THEN 150 ELSE 80 END
+          * CASE WHEN total_orders > 10 THEN 12 ELSE 10 END) AS k1000
+  FROM a
+)
+SELECT
+  c_custkey AS customer_id,
+  c_name AS customer_name,
+  total_orders,
+  unique_products_purchased,
+  {rd("spent_c", "10000", 2)} AS total_spent,
+  first_purchase_date,
+  last_purchase_date,
+  {rd("unit_c", "n_lines * 10000", 2)} AS avg_unit_price,
+  {rd("we_c", "10000", 2)} AS weekend_spending,
+  {rd("wd_c", "10000", 2)} AS weekday_spending,
+  days_since AS days_since_last_purchase,
+  CASE WHEN total_orders > 1 THEN {rd("span_days", "total_orders - 1", 2)} END
+    AS purchase_frequency_days,
+  {rd("spent_c * k1000", "1000000000", 2)} AS customer_value_score,
+  CASE WHEN we_c + wd_c <> 0 THEN {rd("we_c", "we_c + wd_c", 6)} END
+    AS weekend_shopper_ratio
+FROM e
+"""
+
+
+ORACLE_SQL = _oracle()

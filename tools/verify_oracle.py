@@ -1,0 +1,120 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB against the same parquet tables, then
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values normalized). Run:
+
+    python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style normalization: strip float repr noise
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import duckdb
+    from demo_etl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify-oracle")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(srows):7d} (rows-only, no oracle) "
+                  f"[{spark_s:.1f}s]")
+            if len(srows) == 0:
+                print(f"    !! EMPTY RESULT")
+                failures += 1
+            continue
+        rel = con.sql(oracles[name])
+        ocols = rel.columns
+        orows = rel.fetchall()
+        ok_count = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        sh = value_hash(scols, srows)
+        oh = value_hash(ocols, orows)
+        ok_hash = sh == oh
+        status = "OK " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        print(f"  {name:32s} {status} rows={len(srows)}/{len(orows)} "
+              f"hash={'=' if ok_hash else f'{sh}!={oh}'} [{spark_s:.1f}s]")
+        if not ok_cols:
+            print(f"    spark cols:  {sorted(scols)}")
+            print(f"    oracle cols: {sorted(ocols)}")
+            failures += 1
+            continue
+        if not (ok_count and ok_hash):
+            failures += 1
+            # print a few mismatching normalized rows for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sset = sorted("|".join(_norm(r[i]) for i in order_s) for r in srows)
+            oset = sorted("|".join(_norm(r[i]) for i in order_o) for r in orows)
+            sonly = [x for x in sset if x not in set(oset)][:3]
+            oonly = [x for x in oset if x not in set(sset)][:3]
+            print(f"    cols sorted: {sorted(scols)}")
+            for x in sonly:
+                print(f"    spark-only:  {x}")
+            for x in oonly:
+                print(f"    oracle-only: {x}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
