@@ -12,21 +12,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from demo_etl_spark.operators import asset as _asset
 from demo_etl_spark.operators import customer as _customer
+from demo_etl_spark.operators import product as _product
+from demo_etl_spark.operators import star as _star
+from demo_etl_spark.operators import timeseries as _timeseries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _customer.build(spark, "/root/testdata/sf0.001")
+    """Flagship query (the 23-column unified analytics asset) on sf0.001."""
+    return _asset.build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "customer_analytics": _customer.build,
+        "product_analytics": _product.build,
+        "product_ranking": _product.build_ranking,
+        "time_analytics": _timeseries.build_time,
+        "revenue_trend": _timeseries.build_trend,
+        "date_dim_join": _timeseries.build_date_dim_join,
+        "star_join_detail": _star.build_detail,
+        "detail_summary_union": _star.build_union,
+        "sales_asset_union": _asset.build,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "customer_analytics": _customer.ORACLE_SQL,
+        "product_analytics": _product.ORACLE_SQL,
+        "product_ranking": _product.ORACLE_SQL_RANKING,
+        "time_analytics": _timeseries.ORACLE_SQL_TIME,
+        "revenue_trend": _timeseries.ORACLE_SQL_TREND,
+        "date_dim_join": _timeseries.ORACLE_SQL_DATE_DIM_JOIN,
+        "star_join_detail": _star.ORACLE_SQL_DETAIL,
+        "detail_summary_union": _star.ORACLE_SQL_UNION,
+        "sales_asset_union": _asset.ORACLE_SQL,
     }

@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and reports per-query wall seconds. Each query is
+forced to full execution with a `noop` write (computes every column, no
+collect-to-driver cost, no disk cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from demo_etl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once with the cheapest action.
+    spark.range(1).count()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching even if one query breaks
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Product analytics + category ranking (SURVEY.md §2.4 A2, §2.5 W1).
+
+Re-expresses the reference's product aggregation (generate-asset.scala:98-109)
+and per-category revenue ranking window (generate-asset.scala:112-116) over
+the star schema: parts rank within ``p_type`` by net revenue; ``rank()``,
+``percent_rank()`` and the top-3 ``is_top_seller`` flag follow the reference.
+
+Scale notes:
+  * part is a dimension (broadcast join); lineitem⋈orders co-locates on
+    orderkey (sort-merge / bucketed).
+  * W1's window partitions by category — parallel across categories, no
+    global sort. Rank ordering uses the exact fixed-point revenue long, so
+    ordering (and therefore ranks) is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions import final_price
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.io import load_star
+
+# DuckDB twin of _product_agg (fixed-point longs kept for exact rounding).
+_AGG_SQL = """
+  SELECT p.p_partkey, p.p_name, p.p_type,
+         COUNT(DISTINCT l.l_orderkey) AS order_count,
+         SUM(l.l_quantity) AS total_quantity,
+         SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
+         SUM(CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)) AS unit_c,
+         SUM(CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)) AS disc_c,
+         COUNT(*) AS n_lines,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_name, p.p_type
+"""
+
+
+def _product_agg(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Grouped product metrics with fixed-point intermediates kept."""
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(part, lineitem["l_partkey"] == part["p_partkey"])
+    )
+    return joined.groupBy("p_partkey", "p_name", "p_type").agg(
+        F.countDistinct("l_orderkey").alias("order_count"),
+        F.sum("l_quantity").alias("total_quantity"),
+        F.sum(money_fixed(fp)).alias("rev_c"),
+        F.sum(money_fixed(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "unit_c"
+        ),
+        F.sum(money_fixed(F.col("l_discount"))).alias("disc_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+    )
+
+
+def product_analytics(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    agg = _product_agg(lineitem, orders, part)
+    return agg.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_type").alias("category"),
+        F.col("order_count"),
+        F.col("total_quantity"),
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        round_div("unit_c", "n_lines * 10000", 2).alias("avg_price"),
+        round_div("disc_c", "n_lines * 10000", 6).alias("avg_discount_rate"),
+        F.col("unique_customers"),
+        round_div("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2).alias(
+            "revenue_per_unit"
+        ),
+    )
+
+
+def product_ranking(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    top_k: int = 3,
+) -> DataFrame:
+    """W1: rank/percent_rank over revenue within category + top-k flag.
+
+    Ordering key is the exact revenue long (rev_c), so ranks (and rank
+    ties) are deterministic and engine-independent.
+    """
+    agg = _product_agg(lineitem, orders, part)
+    w = Window.partitionBy("p_type").orderBy(F.desc("rev_c"))
+    ranked = agg.withColumns(
+        {
+            "revenue_rank_in_category": F.rank().over(w),
+            "revenue_percentile": F.percent_rank().over(w),
+        }
+    )
+    return ranked.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_type").alias("category"),
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        F.col("revenue_rank_in_category"),
+        F.col("revenue_percentile"),
+        (F.col("revenue_rank_in_category") <= top_k).alias("is_top_seller"),
+    )
+
+
+def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return product_analytics(t["lineitem"], t["orders"], t["part"], ctx)
+
+
+def build_ranking(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return product_ranking(t["lineitem"], t["orders"], t["part"], ctx)
+
+
+def _rd(n: str, d: str, s: int) -> str:
+    return round_div_expr(n, d, s, "duckdb")
+
+
+ORACLE_SQL = f"""
+WITH a AS ({_AGG_SQL})
+SELECT
+  p_partkey AS product_id,
+  p_name AS product_name,
+  p_type AS category,
+  order_count,
+  total_quantity,
+  {_rd("rev_c", "10000", 2)} AS total_revenue,
+  {_rd("unit_c", "n_lines * 10000", 2)} AS avg_price,
+  {_rd("disc_c", "n_lines * 10000", 6)} AS avg_discount_rate,
+  unique_customers,
+  {_rd("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2)} AS revenue_per_unit
+FROM a
+"""
+
+ORACLE_SQL_RANKING = f"""
+WITH a AS ({_AGG_SQL}),
+r AS (
+  SELECT *,
+         CAST(RANK() OVER (PARTITION BY p_type ORDER BY rev_c DESC) AS INTEGER)
+           AS revenue_rank_in_category,
+         PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY rev_c DESC)
+           AS revenue_percentile
+  FROM a
+)
+SELECT
+  p_partkey AS product_id,
+  p_name AS product_name,
+  p_type AS category,
+  {_rd("rev_c", "10000", 2)} AS total_revenue,
+  revenue_rank_in_category,
+  revenue_percentile,
+  revenue_rank_in_category <= 3 AS is_top_seller
+FROM r
+"""

@@ -1,0 +1,196 @@
+"""Star join + filters + detail/summary union (SURVEY.md §2.3 J2, §2.2
+P1-P9, §2.4 A7 / §2.7 U2).
+
+Job-1-equivalent semantics (inferred surface, SURVEY §0 Caveat A): filter
+each input (equality filter on a categorical status column, date-range
+"recent" filter, theta predicate — README.md:36-38), star-join facts to
+dimensions (README.md:39), add derived per-row columns (README.md:40), and
+combine detail rows with NULL-keyed summary rows (README.md:41-42).
+
+Star-schema realization (FIXTURES.md §B): customer.c_mktsegment stands in
+for customer status, o_orderdate recency for "recent orders",
+p_retailprice > threshold for product availability.
+
+Scale notes: both filters and the 4-way join are fully declarative — the
+segment/date/price predicates push into the parquet scans (PushedFilters),
+dimension sides broadcast, and the fact-fact join co-locates on orderkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions import (
+    day_name_upper,
+    final_price,
+    is_weekend,
+    month_name_upper,
+)
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.io import load_star
+
+SEGMENT = "BUILDING"
+RECENT_DAYS = 365
+MIN_RETAIL_PRICE = 905.0
+
+
+def star_join_detail(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    segment: str = SEGMENT,
+    recent_days: int = RECENT_DAYS,
+    min_retail_price: float = MIN_RETAIL_PRICE,
+) -> DataFrame:
+    cutoff = F.date_sub(F.lit(ctx.anchor_date), recent_days)
+    active_customers = customer.filter(F.col("c_mktsegment") == segment)
+    recent_orders = orders.filter(F.col("o_orderdate") >= cutoff)
+    available_parts = part.filter(F.col("p_retailprice") > min_retail_price)
+
+    joined = (
+        lineitem.join(
+            recent_orders, lineitem["l_orderkey"] == recent_orders["o_orderkey"]
+        )
+        .join(
+            active_customers,
+            recent_orders["o_custkey"] == active_customers["c_custkey"],
+        )
+        .join(available_parts, lineitem["l_partkey"] == available_parts["p_partkey"])
+        .filter(F.col("o_custkey").isNotNull())  # P1 idiom (trivially true here)
+    )
+
+    enriched = joined.withColumns(
+        {
+            "_price_c": money_fixed(F.col("l_extendedprice") / F.col("l_quantity")),
+            "_disc_c": money_fixed(F.col("l_extendedprice") * F.col("l_discount")),
+            "_fp_c": money_fixed(
+                final_price(F.col("l_extendedprice"), F.col("l_discount"))
+            ),
+        }
+    )
+    return enriched.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_type").alias("category"),
+        F.col("l_quantity").alias("quantity"),
+        round_div("_price_c", "10000", 2).alias("price"),
+        F.col("l_extendedprice").alias("extended_price"),
+        round_div("_disc_c", "10000", 2).alias("discount_amount"),
+        round_div("_fp_c", "10000", 2).alias("final_price"),
+        F.col("o_orderdate").alias("order_date"),
+        is_weekend(F.col("o_orderdate")).alias("is_weekend"),
+        day_name_upper(F.col("o_orderdate")).alias("day_of_week"),
+        month_name_upper(F.col("o_orderdate")).alias("month"),
+        F.year(F.col("o_orderdate")).alias("year"),
+    )
+
+
+def detail_summary_union(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """U2/A7: per-line detail rows UNION ALL NULL-keyed per-category summary
+    rows, discriminated by ``row_type`` — the reference's wide-union table
+    pattern (README.md:41-42; null filters generate-asset.scala:58,99,131)."""
+    base = star_join_detail(lineitem, orders, customer, part, ctx)
+    detail = base.select(
+        "customer_id",
+        "order_id",
+        "product_id",
+        "category",
+        "quantity",
+        "final_price",
+        F.lit("detail").alias("row_type"),
+    )
+    summary = (
+        base.withColumn("_fp_c", money_fixed(F.col("final_price")))
+        .groupBy("category")
+        .agg(
+            F.sum("quantity").alias("quantity"),
+            F.sum("_fp_c").alias("_sum_fp_c"),
+        )
+        .select(
+            F.lit(None).cast("bigint").alias("customer_id"),
+            F.lit(None).cast("bigint").alias("order_id"),
+            F.lit(None).cast("bigint").alias("product_id"),
+            "category",
+            "quantity",
+            round_div("_sum_fp_c", "10000", 2).alias("final_price"),
+            F.lit("summary").alias("row_type"),
+        )
+    )
+    return detail.unionByName(summary)
+
+
+def build_detail(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return star_join_detail(t["lineitem"], t["orders"], t["customer"], t["part"], ctx)
+
+
+def build_union(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return detail_summary_union(
+        t["lineitem"], t["orders"], t["customer"], t["part"], ctx
+    )
+
+
+def _rd(n: str, d: str, s: int) -> str:
+    return round_div_expr(n, d, s, "duckdb")
+
+
+# o_orderdate >= anchor(2002-01-01) − 365d = 2001-01-01.
+_DETAIL_SQL = f"""
+  SELECT
+    o.o_orderkey AS order_id,
+    c.c_custkey AS customer_id,
+    c.c_name AS customer_name,
+    p.p_partkey AS product_id,
+    p.p_name AS product_name,
+    p.p_type AS category,
+    l.l_quantity AS quantity,
+    {_rd("CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)", "10000", 2)} AS price,
+    l.l_extendedprice AS extended_price,
+    {_rd("CAST(ROUND((l.l_extendedprice * l.l_discount) * 10000, 0) AS BIGINT)", "10000", 2)} AS discount_amount,
+    {_rd("CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)", "10000", 2)} AS final_price,
+    o.o_orderdate AS order_date,
+    isodow(o.o_orderdate) IN (6, 7) AS is_weekend,
+    upper(dayname(o.o_orderdate)) AS day_of_week,
+    upper(monthname(o.o_orderdate)) AS month,
+    CAST(year(o.o_orderdate) AS INTEGER) AS year
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate >= DATE '2001-01-01'
+    AND p.p_retailprice > 905.0
+"""
+
+ORACLE_SQL_DETAIL = f"SELECT * FROM ({_DETAIL_SQL})"
+
+ORACLE_SQL_UNION = f"""
+WITH d AS ({_DETAIL_SQL})
+SELECT customer_id, order_id, product_id, category, quantity, final_price,
+       'detail' AS row_type
+FROM d
+UNION ALL
+SELECT NULL, NULL, NULL, category, SUM(quantity),
+       {_rd("SUM(CAST(ROUND(final_price * 10000, 0) AS BIGINT))", "10000", 2)},
+       'summary'
+FROM d GROUP BY category
+"""

@@ -1,0 +1,283 @@
+"""Time analytics, moving averages, date dimension (SURVEY.md §2.4 A3,
+§2.5 W2-W4, §2.3 J1).
+
+Re-expresses the reference's time-grouped aggregation
+(generate-asset.scala:130-143), the global 7/30-day RANGE-frame moving
+averages + trend flag (generate-asset.scala:146-161), and the 365-row
+generated date-dimension join (generate-asset.scala:176-188).
+
+RANGE-over-date semantics (SURVEY §7 risk 1): the frame is a *calendar*
+window including gaps, not a row window. Spark expresses it as
+``orderBy(unix_date(date)).rangeBetween(-6, 0)``; the DuckDB twin is
+``RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW`` — identical on
+day-granular keys. Window averages are computed as exact fixed-point
+SUM/COUNT pairs so rounding is engine-independent; the trend comparison
+``avg7 > 1.1 × avg30`` is done entirely in integer space
+(``s7·c30·10 > s30·c7·11``) — no float comparison at all.
+
+Scale notes (SURVEY §4 hazards, documented by design):
+  * The reference's W2/W3 window is UNPARTITIONED — a single task at scale.
+    Daily aggregates are tiny (one row per date) so this is safe even at
+    100 TB of raw data (≤ a few thousand rows reach the window); the heavy
+    lifting happened in the partial-aggregated groupBy below it. For
+    finer-grain keys, partition by year with boundary overlap instead.
+  * The date dimension is generated with ``spark.range`` (distributed,
+    S3-style) and broadcast into the join — never a driver-side collect.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import (
+    DATE_DIM_END,
+    DATE_DIM_START,
+    DEFAULT_CONTEXT,
+    RunContext,
+)
+from demo_etl_spark.functions import day_name_upper, final_price, month_name_upper
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.scalars import is_weekend, money_fixed
+from demo_etl_spark.io import load_star
+
+# DuckDB twin of the per-date aggregate core.
+_DAILY_SQL = """
+  SELECT CAST(l.l_shipdate AS DATE) AS date,
+         upper(dayname(CAST(l.l_shipdate AS DATE))) AS day_of_week,
+         upper(monthname(CAST(l.l_shipdate AS DATE))) AS month_name,
+         CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS year,
+         COUNT(DISTINCT l.l_orderkey) AS order_count,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers,
+         SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
+         COUNT(*) AS n_lines,
+         SUM(l.l_quantity) AS total_quantity,
+         COUNT(DISTINCT l.l_partkey) AS unique_products
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3, 4
+"""
+
+
+def _daily_agg(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-ship-date aggregate with fixed-point revenue kept exact."""
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    date = F.to_date("l_shipdate")
+    joined = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+    return (
+        joined.withColumns(
+            {
+                "date": date,
+                "day_of_week": day_name_upper(date),
+                "month_name": month_name_upper(date),
+                "year": F.year(date),
+            }
+        )
+        .groupBy("date", "day_of_week", "month_name", "year")
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.sum(money_fixed(fp)).alias("rev_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("total_quantity"),
+            F.countDistinct("l_partkey").alias("unique_products"),
+        )
+    )
+
+
+def time_analytics(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    agg = _daily_agg(lineitem, orders)
+    return agg.select(
+        "date",
+        "day_of_week",
+        "month_name",
+        "year",
+        "order_count",
+        "unique_customers",
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        round_div("rev_c", "n_lines * 10000", 2).alias("avg_line_value"),
+        "total_quantity",
+        "unique_products",
+        round_div("rev_c", "unique_customers * 10000", 2).alias(
+            "revenue_per_customer"
+        ),
+        round_div("CAST(total_quantity AS BIGINT)", "order_count", 2).alias(
+            "items_per_order"
+        ),
+    )
+
+
+def revenue_trend(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """W2-W4: 7/30-day calendar moving averages + integer-exact trend flag."""
+    daily = _daily_agg(lineitem, orders).select(
+        "date", "order_count", "rev_c"
+    )
+    # unix_date gives days-since-epoch: an integer ordering key on which
+    # rangeBetween(-6, 0) is exactly the 7-calendar-day frame.
+    w7 = Window.orderBy(F.unix_date(F.col("date"))).rangeBetween(-6, 0)
+    w30 = Window.orderBy(F.unix_date(F.col("date"))).rangeBetween(-29, 0)
+    framed = daily.withColumns(
+        {
+            "_s7": F.sum("rev_c").over(w7),
+            "_c7": F.count(F.lit(1)).over(w7),
+            "_o7": F.sum("order_count").over(w7),
+            "_s30": F.sum("rev_c").over(w30),
+            "_c30": F.count(F.lit(1)).over(w30),
+            "_o30": F.sum("order_count").over(w30),
+        }
+    )
+    return framed.select(
+        "date",
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        "order_count",
+        round_div("_s7", "_c7 * 10000", 2).alias("revenue_7day_avg"),
+        round_div("_s30", "_c30 * 10000", 2).alias("revenue_30day_avg"),
+        round_div("_o7", "_c7", 2).alias("order_count_7day_avg"),
+        round_div("_o30", "_c30", 2).alias("order_count_30day_avg"),
+        # avg7 > 1.1·avg30  ⟺  s7·c30·10 > s30·c7·11 (exact integers)
+        F.expr("_s7 * _c30 * 10 > _s30 * _c7 * 11").alias(
+            "is_revenue_trending_up"
+        ),
+    )
+
+
+def date_dimension(
+    spark: SparkSession,
+    start: _dt.date = DATE_DIM_START,
+    end: _dt.date = DATE_DIM_END,
+) -> DataFrame:
+    """Generated date dimension (reference builds 365 driver-side rows,
+    generate-asset.scala:176-183; we generate distributed via range)."""
+    n_days = (end - start).days
+    d = F.date_add(F.lit(start), F.col("id").cast("int"))
+    return spark.range(n_days).select(
+        d.alias("date"),
+        day_name_upper(d).alias("day_of_week"),
+        F.month(d).alias("month_num"),
+        month_name_upper(d).alias("month_name"),
+        F.year(d).alias("year"),
+        is_weekend(d).alias("is_weekend_day"),
+    )
+
+
+def date_dim_join(
+    spark: SparkSession,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """J1: 4-key equi join of time analytics onto the generated date dim.
+
+    Keeps the reference's 4-key USING-join form (date, day_of_week,
+    month_name, year — generate-asset.scala:186-188) for fidelity; the
+    name keys are redundant with `date` but must agree (Java enum casing,
+    SURVEY §7 risk 6). The dim is explicitly broadcast.
+    """
+    daily = _daily_agg(lineitem, orders)
+    dim = date_dimension(spark)
+    joined = daily.join(
+        F.broadcast(dim),
+        on=["date", "day_of_week", "month_name", "year"],
+        how="inner",
+    )
+    return joined.select(
+        "date",
+        "day_of_week",
+        "month_num",
+        "month_name",
+        "year",
+        "is_weekend_day",
+        "order_count",
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+    )
+
+
+def build_time(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return time_analytics(t["lineitem"], t["orders"], ctx)
+
+
+def build_trend(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return revenue_trend(t["lineitem"], t["orders"], ctx)
+
+
+def build_date_dim_join(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return date_dim_join(spark, t["lineitem"], t["orders"], ctx)
+
+
+def _rd(n: str, d: str, s: int) -> str:
+    return round_div_expr(n, d, s, "duckdb")
+
+
+ORACLE_SQL_TIME = f"""
+WITH a AS ({_DAILY_SQL})
+SELECT
+  date, day_of_week, month_name, year, order_count, unique_customers,
+  {_rd("rev_c", "10000", 2)} AS total_revenue,
+  {_rd("rev_c", "n_lines * 10000", 2)} AS avg_line_value,
+  total_quantity,
+  unique_products,
+  {_rd("rev_c", "unique_customers * 10000", 2)} AS revenue_per_customer,
+  {_rd("CAST(total_quantity AS BIGINT)", "order_count", 2)} AS items_per_order
+FROM a
+"""
+
+ORACLE_SQL_TREND = f"""
+WITH a AS ({_DAILY_SQL}),
+f AS (
+  SELECT date, order_count, rev_c,
+    SUM(rev_c) OVER w7 AS s7, COUNT(*) OVER w7 AS c7,
+    SUM(order_count) OVER w7 AS o7,
+    SUM(rev_c) OVER w30 AS s30, COUNT(*) OVER w30 AS c30,
+    SUM(order_count) OVER w30 AS o30
+  FROM a
+  WINDOW
+    w7 AS (ORDER BY date RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+    w30 AS (ORDER BY date RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+)
+SELECT
+  date,
+  {_rd("rev_c", "10000", 2)} AS total_revenue,
+  order_count,
+  {_rd("s7", "c7 * 10000", 2)} AS revenue_7day_avg,
+  {_rd("s30", "c30 * 10000", 2)} AS revenue_30day_avg,
+  {_rd("o7", "c7", 2)} AS order_count_7day_avg,
+  {_rd("o30", "c30", 2)} AS order_count_30day_avg,
+  s7 * c30 * 10 > s30 * c7 * 11 AS is_revenue_trending_up
+FROM f
+"""
+
+ORACLE_SQL_DATE_DIM_JOIN = f"""
+WITH a AS ({_DAILY_SQL}),
+dim AS (
+  SELECT CAST(gs AS DATE) AS date,
+         upper(dayname(CAST(gs AS DATE))) AS day_of_week,
+         CAST(month(CAST(gs AS DATE)) AS INTEGER) AS month_num,
+         upper(monthname(CAST(gs AS DATE))) AS month_name,
+         CAST(year(CAST(gs AS DATE)) AS INTEGER) AS year,
+         isodow(CAST(gs AS DATE)) IN (6, 7) AS is_weekend_day
+  FROM generate_series(DATE '{DATE_DIM_START.isoformat()}',
+                       DATE '{DATE_DIM_END.isoformat()}' - INTERVAL 1 DAY,
+                       INTERVAL 1 DAY) t(gs)
+)
+SELECT a.date, a.day_of_week, dim.month_num, a.month_name, a.year,
+       dim.is_weekend_day, a.order_count,
+       {_rd("a.rev_c", "10000", 2)} AS total_revenue
+FROM a
+JOIN dim ON a.date = dim.date AND a.day_of_week = dim.day_of_week
+        AND a.month_name = dim.month_name AND a.year = dim.year
+"""

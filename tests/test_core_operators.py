@@ -1,0 +1,119 @@
+"""Invariant tests for the reference-surface operators (SURVEY.md §5).
+
+The oracle harness (tools/verify_oracle.py) checks exact cross-engine
+equality; these tests pin *semantic invariants* that would survive a
+refactor of the oracle itself — the reference's documented relationships
+(weekend+weekday=total, rank≤3 per category, union sizing, calendar frames).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_customer_weekend_plus_weekday_equals_total(tables):
+    from demo_etl_spark.operators.customer import customer_analytics
+
+    df = customer_analytics(tables["lineitem"], tables["orders"], tables["customer"])
+    bad = df.filter(
+        F.abs(
+            F.col("weekend_spending") + F.col("weekday_spending")
+            - F.col("total_spent")
+        )
+        > 0.011  # two independent cent-roundings
+    )
+    assert bad.count() == 0
+
+
+def test_customer_score_sign_and_dates(tables):
+    from demo_etl_spark.operators.customer import customer_analytics
+
+    df = customer_analytics(
+        tables["lineitem"], tables["orders"], tables["customer"]
+    ).cache()
+    assert df.filter(F.col("first_purchase_date") > F.col("last_purchase_date")).count() == 0
+    assert df.filter(F.col("days_since_last_purchase") < 0).count() == 0
+    # anchor is after all data: every customer gets the −0.2 recency factor
+    assert df.filter(F.col("customer_value_score") < 0).count() == 0
+
+
+def test_product_ranking_top3_flag(tables):
+    from demo_etl_spark.operators.product import product_ranking
+
+    df = product_ranking(tables["lineitem"], tables["orders"], tables["part"]).cache()
+    # is_top_seller ⟺ rank ≤ 3 (modulo ties, count per category ≥ 3 possible)
+    mismatch = df.filter(
+        (F.col("revenue_rank_in_category") <= 3) != F.col("is_top_seller")
+    )
+    assert mismatch.count() == 0
+    # percent_rank bounded [0, 1]
+    assert df.filter(
+        (F.col("revenue_percentile") < 0) | (F.col("revenue_percentile") > 1)
+    ).count() == 0
+
+
+def test_trend_moving_avg_calendar_frame(spark):
+    """RANGE frame must be calendar days (gaps count), not 7 rows."""
+    from demo_etl_spark.operators.timeseries import revenue_trend
+
+    rows = [
+        # one order/line per date; 10-day gap between 2nd and 3rd date
+        (1, datetime.datetime(2001, 1, 1), 100.0),
+        (2, datetime.datetime(2001, 1, 2), 200.0),
+        (3, datetime.datetime(2001, 1, 12), 400.0),
+    ]
+    lineitem = spark.createDataFrame(
+        [(k, 1, 1.0, v, 0.0, d) for k, d, v in rows],
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(k, k) for k, _, _ in rows], "o_orderkey long, o_custkey long"
+    )
+    out = {r["date"]: r for r in revenue_trend(lineitem, orders).collect()}
+    # Jan 2: window covers Jan 1-2 → avg 150
+    assert out[datetime.date(2001, 1, 2)]["revenue_7day_avg"] == 150.0
+    # Jan 12: 10-day gap → window covers only Jan 12 → avg 400 (NOT 3-row avg)
+    assert out[datetime.date(2001, 1, 12)]["revenue_7day_avg"] == 400.0
+
+
+def test_asset_union_size_and_null_padding(spark, tables, sf_dir):
+    from demo_etl_spark.operators import asset, customer, product
+    from demo_etl_spark.schemas import SALES_ANALYTICS_ASSET
+
+    df = asset.build(spark, sf_dir).cache()
+    # schema is exactly the 23-column asset DDL
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in SALES_ANALYTICS_ASSET.fields
+    ]
+    n_cust = customer.build(spark, sf_dir).count()
+    n_prod = product.build_ranking(spark, sf_dir).count()
+    by_type = {r["asset_type"]: r["n"] for r in df.groupBy("asset_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type["customer"] == n_cust
+    assert by_type["product"] == n_prod
+    assert by_type.get("time", 0) > 0
+    # null padding: product rows have no customer_id; customer rows no category
+    assert df.filter((F.col("asset_type") == "product") & F.col("customer_id").isNotNull()).count() == 0
+    assert df.filter((F.col("asset_type") == "customer") & F.col("category").isNotNull()).count() == 0
+
+
+def test_detail_summary_union_null_keys(spark, sf_dir):
+    from demo_etl_spark.operators import star
+
+    df = star.build_union(spark, sf_dir).cache()
+    summaries = df.filter(F.col("row_type") == "summary")
+    details = df.filter(F.col("row_type") == "detail")
+    assert summaries.filter(F.col("customer_id").isNotNull()).count() == 0
+    # P1: null-rejecting filter recovers exactly the detail rows
+    assert df.filter(F.col("customer_id").isNotNull()).count() == details.count()
+
+
+def test_date_dimension_java_enum_casing(spark):
+    from demo_etl_spark.operators.timeseries import date_dimension
+
+    row = date_dimension(spark).filter(F.col("date") == "2001-01-01").first()
+    assert row["day_of_week"] == "MONDAY"
+    assert row["month_name"] == "JANUARY"
+    assert row["month_num"] == 1 and row["year"] == 2001
