@@ -14,8 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from demo_etl_spark.operators import asset as _asset
 from demo_etl_spark.operators import customer as _customer
+from demo_etl_spark.operators import dedup as _dedup
+from demo_etl_spark.operators import events as _events
+from demo_etl_spark.operators import multimodal as _multimodal
 from demo_etl_spark.operators import product as _product
+from demo_etl_spark.operators import similarity as _similarity
 from demo_etl_spark.operators import star as _star
+from demo_etl_spark.operators import text as _text
 from demo_etl_spark.operators import timeseries as _timeseries
 
 
@@ -35,6 +40,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_detail": _star.build_detail,
         "detail_summary_union": _star.build_union,
         "sales_asset_union": _asset.build,
+        "dedup_exact": _dedup.build_exact,
+        "dedup_ngram_jaccard": _dedup.build_ngram,
+        "dedup_minhash_lsh": _dedup.build_minhash,
+        "text_stats": _text.build_stats,
+        "lang_id": _text.build_lang_id,
+        "lang_profile": _text.build_profile,
+        "similarity_topk_cosine": _similarity.build_topk,
+        "similarity_lsh_bucketed": _similarity.build_lsh,
+        "events_tumbling": _events.build_tumbling,
+        "events_sliding": _events.build_sliding,
+        "events_session": _events.build_session,
+        # rows-only (mapInPandas plumbing — decode is a deterministic stub)
+        "multimodal_features": _multimodal.build_features,
     }
 
 
@@ -49,4 +67,15 @@ def oracle_sql() -> dict[str, str]:
         "star_join_detail": _star.ORACLE_SQL_DETAIL,
         "detail_summary_union": _star.ORACLE_SQL_UNION,
         "sales_asset_union": _asset.ORACLE_SQL,
+        "dedup_exact": _dedup.ORACLE_SQL_EXACT,
+        "dedup_ngram_jaccard": _dedup.ORACLE_SQL_NGRAM,
+        "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
+        "text_stats": _text.ORACLE_SQL_STATS,
+        "lang_id": _text.ORACLE_SQL_LANG_ID,
+        "lang_profile": _text.ORACLE_SQL_PROFILE,
+        "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,
+        # similarity_lsh_bucketed: bucketing is engine-specific → rows-only
+        "events_tumbling": _events.ORACLE_SQL_TUMBLING,
+        "events_sliding": _events.ORACLE_SQL_SLIDING,
+        "events_session": _events.ORACLE_SQL_SESSION,
     }

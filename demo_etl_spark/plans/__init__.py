@@ -1,0 +1,3 @@
+from demo_etl_spark.plans.pipeline import Pipeline, Stage
+
+__all__ = ["Pipeline", "Stage"]

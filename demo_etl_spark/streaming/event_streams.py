@@ -1,0 +1,123 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — north-star extension).
+
+The reference has no streaming; this module gives the engine the standard
+Spark streaming shapes over the same ``events`` schema used by the batch
+operators (operators.events): file-source ``readStream`` → watermarked
+windowed aggregation → sink. Batch and stream share window semantics
+(``F.window`` / ``F.session_window``), so the batch oracles double as the
+semantic spec for the streaming path; tests run the stream with an
+``availableNow`` trigger into a memory sink and compare against batch.
+
+Streaming-specific deltas vs the batch builders:
+  * watermark required before any stateful aggregation (late-data bound);
+  * exact ``countDistinct`` is not supported in streaming — the
+    ``unique_users`` metric becomes ``approx_count_distinct`` (HLL), the
+    documented 100 TB-scale substitution (SURVEY §2.4 A5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.functions.fixedpoint import round_div
+from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.schemas import EVENTS
+
+WATERMARK = "2 hours"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos → µs like io.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # The file-stream source requires its path to be a directory (its
+    # basePath check rejects bare files); stage a symlink dir pointing at
+    # the single events.parquet file.
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    stream_dir = os.path.join(
+        "/tmp", "demo_etl_spark_streams", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    df = spark.readStream.schema(nanos_schema).parquet(stream_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    win = F.window("ts", "1 hour")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_unique_users"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_unique_users",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def sliding_stream(events: DataFrame) -> DataFrame:
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    win = F.session_window("ts", SESSION_GAP)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_c"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            round_div("_val_c", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, timeout_s: int = 120) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink;
+    returns the sink contents as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(table_name)

@@ -1,0 +1,112 @@
+"""Tests for the training-data-pipeline extensions: dedup recall,
+similarity ranking, streaming/batch parity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_minhash_is_subset_of_exact_ngram(spark, sf_dir):
+    """LSH may lose recall but must never fabricate a pair (precision=1
+    after exact verification)."""
+    from demo_etl_spark.operators import dedup
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.build_ngram(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.build_minhash(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:  # report recall when near-dups exist at this SF
+        assert len(lsh) / len(exact) > 0.5
+
+
+def test_exact_dedup_partitions_documents(spark, sf_dir, tables):
+    from demo_etl_spark.operators import dedup
+
+    out = dedup.build_exact(spark, sf_dir)
+    n_docs = tables["documents"].count()
+    agg = out.agg(F.sum("n_copies").alias("s"), F.count("*").alias("k")).first()
+    assert agg["s"] == n_docs  # every doc in exactly one group
+    assert agg["k"] <= n_docs
+
+
+def test_cosine_topk_ranks(spark, sf_dir):
+    from demo_etl_spark.operators import similarity
+
+    out = similarity.build_topk(spark, sf_dir).cache()
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_q.filter((F.col("n") != 5) | (F.col("mx") != 5)).count() == 0
+    assert out.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count() == 0
+    # ranks strictly ordered by cosine within each query
+    bad = (
+        out.alias("a")
+        .join(
+            out.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.rank") < F.col("b.rank"))
+            & (F.col("a.cosine") < F.col("b.cosine")),
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_streaming_matches_batch_tumbling(spark, sf_dir):
+    from demo_etl_spark.operators.events import tumbling_window
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.streaming import read_events_stream, run_available_now, tumbling_stream
+
+    stream_out = run_available_now(
+        tumbling_stream(read_events_stream(spark, sf_dir)), "t_tumble"
+    )
+    batch_out = tumbling_window(load_star(spark, sf_dir)["events"])
+    s = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in stream_out.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in batch_out.collect()
+    }
+    assert s == b
+
+
+def test_streaming_session_matches_batch(spark, sf_dir):
+    from demo_etl_spark.operators.events import session_window
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.streaming import read_events_stream, run_available_now, session_stream
+
+    stream_out = run_available_now(
+        session_stream(read_events_stream(spark, sf_dir)), "t_session"
+    )
+    batch_out = session_window(load_star(spark, sf_dir)["events"])
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"])  # noqa: E731
+    assert {key(r) for r in stream_out.collect()} == {
+        key(r) for r in batch_out.collect()
+    }
+
+
+def test_multimodal_plumbing(spark, sf_dir, tables):
+    from demo_etl_spark.operators import multimodal
+
+    out = multimodal.build_features(spark, sf_dir).cache()
+    n_docs = tables["documents"].count()
+    assert out.count() == n_docs
+    row = out.first()
+    assert 16 <= row["width"] <= 255 and 16 <= row["height"] <= 255
+    assert len(row["feature_hash"]) == 32
+    # deterministic across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, multimodal.build_features(spark, sf_dir).collect()))
+    assert a == b
+    # byte_len equals utf-8 length of source text (ascii corpus)
+    joined = out.join(
+        tables["documents"], out["media_id"] == tables["documents"]["doc_id"]
+    )
+    assert joined.filter(F.col("byte_len") != F.length("text")).count() == 0

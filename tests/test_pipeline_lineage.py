@@ -1,0 +1,126 @@
+"""End-to-end reference-pipeline, lineage, and framework tests
+(SURVEY.md §5.3 invariants)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    from demo_etl_spark.context import RunContext
+    from demo_etl_spark.plans.reference_pipeline import run_reference_pipeline
+
+    work = str(tmp_path_factory.mktemp("refpipe"))
+    ctx = RunContext(job_id="job-test-0001")
+    return run_reference_pipeline(spark, work, ctx), work, ctx
+
+
+def test_asset_schema_matches_reference_ddl(spark, pipeline_result):
+    from demo_etl_spark.schemas import SALES_ANALYTICS_ASSET
+
+    result, _, _ = pipeline_result
+    asset = spark.read.parquet(result["asset_path"])
+    assert [f.name for f in asset.schema.fields] == [
+        f.name for f in SALES_ANALYTICS_ASSET.fields
+    ]
+
+
+def test_asset_union_invariants(spark, pipeline_result):
+    result, _, _ = pipeline_result
+    asset = spark.read.parquet(result["asset_path"]).cache()
+    by_type = {
+        r["asset_type"]: r["n"]
+        for r in asset.groupBy("asset_type").agg(F.count("*").alias("n")).collect()
+    }
+    # union size = customers-with-orders + products-with-orders + dates
+    assert result["asset_rows"] == sum(by_type.values())
+    assert set(by_type) == {"customer", "product", "time"}
+    # weekend+weekday ≈ total per customer is enforced upstream; here check
+    # per-category rank starts at 1 and percent_rank/top-seller coherence
+    prod = asset.filter(F.col("asset_type") == "product")
+    min_ranks = (
+        prod.groupBy("category").agg(F.min("revenue_rank_in_category").alias("m"))
+    )
+    assert min_ranks.filter(F.col("m") != 1).count() == 0
+    # time rows restricted to the 365-day dimension before the anchor
+    times = asset.filter(F.col("asset_type") == "time")
+    assert times.filter(
+        (F.col("date") < datetime.date(2001, 1, 1))
+        | (F.col("date") >= datetime.date(2002, 1, 1))
+    ).count() == 0
+
+
+def test_lineage_registry_and_dot(spark, pipeline_result):
+    from demo_etl_spark.schemas import DATA_LINEAGE_REGISTRY
+
+    result, _, ctx = pipeline_result
+    reg = spark.read.parquet(result["registry_path"])
+    assert [f.name for f in reg.schema.fields] == [
+        f.name for f in DATA_LINEAGE_REGISTRY.fields
+    ]
+    row = reg.first()
+    assert row["job_id"] == "job-test-0001"
+    assert row["record_count"] == result["asset_rows"]
+    assert row["transformation_count"] == len(result["tracker"].events)
+    dot = open(result["dot_path"]).read()
+    assert dot.startswith("digraph") and "sales_analytics_asset" in dot
+
+
+def test_pipeline_framework_stage_verification(spark, tmp_path):
+    from demo_etl_spark.plans import Pipeline, Stage
+
+    pipe = Pipeline(str(tmp_path))
+    pipe.add_source("nums", lambda s: s.range(100).withColumnRenamed("id", "n"))
+    pipe.add_stage(
+        Stage(
+            name="evens",
+            description="keep even numbers",
+            transform=lambda s, ins: ins["nums"].filter(F.col("n") % 2 == 0),
+            inputs=["nums"],
+        )
+    )
+    pipe.add_stage(
+        Stage(
+            name="sum",
+            description="sum them",
+            transform=lambda s, ins: ins["evens"].agg(F.sum("n").alias("total")),
+            inputs=["evens"],
+        )
+    )
+    results = pipe.run(spark)
+    assert results["evens"].rows == 50
+    assert spark.read.parquet(results["sum"].path).first()["total"] == 2450
+    assert len(pipe.tracker.events) == 2
+
+
+def test_pipeline_fails_on_empty_stage(spark, tmp_path):
+    from demo_etl_spark.plans import Pipeline, Stage
+
+    pipe = Pipeline(str(tmp_path))
+    pipe.add_source("nums", lambda s: s.range(10))
+    pipe.add_stage(
+        Stage(
+            name="none",
+            description="filter everything",
+            transform=lambda s, ins: ins["nums"].filter(F.col("id") < 0),
+            inputs=["nums"],
+        )
+    )
+    with pytest.raises(RuntimeError, match="rows"):
+        pipe.run(spark)
+
+
+def test_fixtures_deterministic(spark):
+    from demo_etl_spark.fixtures import FixtureConfig, generate_fixtures
+
+    a = generate_fixtures(spark, FixtureConfig(n_customers=20, n_products=10, n_orders=50))
+    b = generate_fixtures(spark, FixtureConfig(n_customers=20, n_products=10, n_orders=50))
+    assert sorted(map(tuple, a["orders"].collect())) == sorted(
+        map(tuple, b["orders"].collect())
+    )
+    status = {r["status"] for r in a["customers"].collect()}
+    assert status <= {"active", "inactive"}
