@@ -19,6 +19,7 @@ from demo_etl_spark.operators import events as _events
 from demo_etl_spark.operators import multimodal as _multimodal
 from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import similarity as _similarity
+from demo_etl_spark.operators import sql_interface as _sql
 from demo_etl_spark.operators import star as _star
 from demo_etl_spark.operators import text as _text
 from demo_etl_spark.operators import timeseries as _timeseries
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": _events.build_session,
         # rows-only (mapInPandas plumbing — decode is a deterministic stub)
         "multimodal_features": _multimodal.build_features,
+        "pricing_summary_sql": _sql.build,
     }
 
 
@@ -78,4 +80,5 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,
+        "pricing_summary_sql": _sql.ORACLE_SQL,
     }

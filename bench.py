@@ -32,10 +32,12 @@ def main() -> None:
     # Warm the JVM/codegen once with the cheapest action.
     spark.range(1).count()
     for name, fn in qs.items():
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep benching even if one query breaks
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)

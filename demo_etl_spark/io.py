@@ -30,6 +30,14 @@ STAR_TABLES = (
     "embeddings",
 )
 
+# Tables whose downstream operators do scan-side heavy lifting (joins,
+# explodes, expands). The driver test data ships each table as ONE parquet
+# row group, so the scan is a single task no matter how many cores exist;
+# an explicit round-robin repartition after load restores parallelism.
+# (Real 100 TB inputs arrive as thousands of files and skip this path —
+# see read_star_table.)
+_FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
 
 # S1: parquet scan (reference generate-asset.scala:38-40).
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -48,8 +56,16 @@ def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _FACT_TABLES and df.rdd.getNumPartitions() < (
+        spark.sparkContext.defaultParallelism // 2
+    ):
+        # single-row-group input: unsplittable scan → fan out for the
+        # scan-side heavy operators (filters still push into the scan;
+        # Catalyst moves them below the repartition)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -74,10 +74,23 @@ def ngram_jaccard_pairs(
     Jaccard is compared in exact integer space:
     common / (|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common).
     """
-    sh = _shingles(documents)
+    # the shingle set feeds three consumers (sizes, join-left, join-right):
+    # persist so the split/explode runs once (C1 discipline, the reference's
+    # fan-out persist — generate-asset.scala:47)
+    sh = _shingles(documents).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # singleton shingles (document frequency 1) cannot contribute a pair —
+    # prune them before the self-join; results are identical, join input
+    # shrinks by the unique-shingle mass (most of it, on real corpora)
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    sh_shared = sh.join(shared, "shingle")
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -114,7 +127,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """LSH candidates (8 bands × 4 rows) verified with exact Jaccard."""
-    sh = _shingles(documents)
+    sh = _shingles(documents).persist()  # consumed by sig, sizes, verify-join ×2
     sig = _minhash_signatures(sh)
     rows_per_band = NUM_HASHES // NUM_BANDS
     bands = F.array(

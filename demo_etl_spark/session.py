@@ -30,10 +30,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep AQE from coalescing small shuffles below core count: inputs
+        # here are tiny but operators amplify (explode/expand/join) — a
+        # 2 MB shuffle input can fan out to 100M join rows, and with the
+        # default 1 MB minPartitionSize those rows land on 1-2 tasks.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver == executor; size the heap for all cores'
+        # concurrent task buffers or full GCs serialize the whole session
+        # (observed: 8g/32 threads → queries degrade 14s → 474s)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_WAREHOUSE_DIR", "/tmp/demo_etl_spark_warehouse"))
