@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.build_exact,
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_minhash_lsh": _dedup.build_minhash,
+        "dedup_simhash": _dedup.build_simhash,
+        "dedup_embedding_cosine": _similarity.build_near_dup,
+        "regional_sales": _star.build_regional,
         "text_stats": _text.build_stats,
         "lang_id": _text.build_lang_id,
         "lang_profile": _text.build_profile,
@@ -72,6 +75,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup.ORACLE_SQL_EXACT,
         "dedup_ngram_jaccard": _dedup.ORACLE_SQL_NGRAM,
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
+        "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
+        "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
+        "regional_sales": _star.ORACLE_SQL_REGIONAL,
         "text_stats": _text.ORACLE_SQL_STATS,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,

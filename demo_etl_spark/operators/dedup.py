@@ -283,3 +283,118 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE common * 100 >= {_T100} * (sa.n + sb.n - common)
 """
+
+
+# ------------------------------------------------------------- SimHash ----
+# 32-bit SimHash with 4×8-bit band LSH + exact Hamming verification.
+# Token hashes are md5-derived (deterministic), so the DuckDB oracle
+# reproduces signatures bit-for-bit.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band
+HAMMING_MAX = 3
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): per-doc 32-bit SimHash over tokens.
+
+    Tokens are NOT deduplicated — bit votes are weighted by term
+    frequency, which is what separates documents drawn from a small
+    shared vocabulary (distinct-token SimHash collapses them)."""
+    tokens = F.split(F.col("text"), " ")
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    d = documents.select("doc_id", hashes.alias("_hashes"))
+
+    def bit_vote(i: int):
+        mask = 1 << i
+        return F.aggregate(
+            F.col("_hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(bit_vote(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via band-LSH candidates."""
+    sig = simhash_signatures(documents)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", "simhash", F.posexplode(bands).alias("band", "val"))
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+def build_simhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return simhash_pairs(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _simhash_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    bands = ", ".join(
+        f"({b}, (simhash >> {8 * b}) & 255)" for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+  FROM documents
+),
+sig AS (SELECT doc_id, {votes} AS simhash FROM d),
+buckets AS (
+  SELECT doc_id, simhash, b.band, b.val
+  FROM sig, LATERAL (VALUES {bands}) AS b(band, val)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sim_a, y.simhash AS sim_b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, sim_a, sim_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+"""
+
+
+ORACLE_SQL_SIMHASH = _simhash_sql()

@@ -185,3 +185,74 @@ SELECT query_id, candidate_id, rank,
        CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------- embedding near-dup ----
+NEAR_DUP_THRESHOLD = 0.45  # cosine; data max is ~0.51 (random vectors)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ τ over all vector pairs.
+
+    Brute-force O(n²/2) — the exact baseline; the bucketed variant
+    (lsh_bucket_topk's plane-sign buckets) is the 100 TB path. The
+    a<b predicate makes this a broadcast nested-loop join: correct here
+    because one side always fits in memory per partition; at cluster
+    scale block-partition the pair space instead.
+    """
+    emb = embeddings.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    t_e6 = int(round(threshold * 1_000_000))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn(
+        "_cos_e6",
+        F.round(_dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")) * 1_000_000)
+        .cast("long"),
+    )
+    return (
+        scored.filter(F.col("_cos_e6") >= t_e6)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+        )
+    )
+
+
+def build_near_dup(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return embedding_near_dup(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+ORACLE_SQL_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM pairs WHERE cos_e6 >= {int(round(NEAR_DUP_THRESHOLD * 1_000_000))}
+"""

@@ -194,3 +194,80 @@ SELECT NULL, NULL, NULL, category, SUM(quantity),
        'summary'
 FROM d GROUP BY category
 """
+
+
+# ------------------------------------------------------ regional rollup ----
+def regional_sales(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """TPC-H-Q5-shaped deep star join: revenue by customer region/nation
+    where the supplying nation equals the customer nation (local supply).
+
+    Exercises the full dimension chain (region→nation→customer) plus a
+    second fact-dimension arm (supplier); every dimension broadcast-joins,
+    the fact-fact join co-locates on orderkey.
+    """
+    j = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    agg = j.groupBy("r_name", "n_name").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.sum(
+            money_fixed(
+                final_price(F.col("l_extendedprice"), F.col("l_discount"))
+            )
+        ).alias("_rev_c"),
+        F.count(F.lit(1)).alias("_n_lines"),
+    )
+    return agg.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "n_orders",
+        "n_customers",
+        round_div("_rev_c", "10000", 2).alias("total_revenue"),
+        round_div("_rev_c", "_n_lines * 10000", 2).alias("avg_line_revenue"),
+    )
+
+
+def build_regional(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return regional_sales(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"],
+        t["nation"], t["region"], ctx,
+    )
+
+
+ORACLE_SQL_REGIONAL = f"""
+WITH j AS (
+  SELECT r.r_name, n.n_name, o.o_orderkey, c.c_custkey,
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE s.s_nationkey = c.c_nationkey
+)
+SELECT r_name AS region, n_name AS nation,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       {_rd("CAST(SUM(fp_c) AS BIGINT)", "10000", 2)} AS total_revenue,
+       {_rd("CAST(SUM(fp_c) AS BIGINT)", "COUNT(*) * 10000", 2)} AS avg_line_revenue
+FROM j
+GROUP BY r_name, n_name
+"""

@@ -52,7 +52,24 @@ def text_stats(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataF
             "_n_stop": F.size(
                 F.expr(f"filter(_tokens, t -> t IN ({stop_list}))")
             ),
+            # BPE-ish subword count: alnum runs (a crude stand-in for a
+            # subword vocab; the regex is identical in Java and RE2)
+            "_n_subtokens": F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")),
+            # rolling polynomial fingerprint over token values, mod 1e9+7
+            "_roll_vals": F.transform(
+                tokens,
+                lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))).cast(
+                    "long"
+                ),
+            ),
         }
+    ).withColumn(
+        "_rolling_fp",
+        F.aggregate(
+            F.col("_roll_vals"),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 131 + v) % 1_000_000_007,
+        ),
     )
     return d.select(
         "doc_id",
@@ -70,6 +87,8 @@ def text_stats(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataF
         round_div("CAST(_n_stop AS BIGINT)", "_n_tokens", 6).alias(
             "stopword_ratio"
         ),
+        F.col("_n_subtokens").cast("int").alias("n_subtokens"),
+        F.col("_rolling_fp").alias("rolling_fp"),
         F.md5(F.trim(F.lower(F.col("text")))).alias("fingerprint"),
     )
 
@@ -133,7 +152,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 ORACLE_SQL_STATS = f"""
 WITH d AS (
-  SELECT doc_id, lang, source, n_chars,
+  SELECT doc_id, lang, source, n_chars, text,
          string_split(text, ' ') AS toks,
          md5(trim(lower(text))) AS fingerprint
   FROM documents
@@ -142,13 +161,21 @@ WITH d AS (
          CAST(len(toks) AS INTEGER) AS n_tokens,
          CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
-         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_subtokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+           (acc, v) -> (acc * 131 + v) % 1000000007
+         ) AS rolling_fp
   FROM d
 )
 SELECT doc_id, lang, source, n_chars, n_tokens, n_unique_tokens,
        {round_div_expr("token_chars", "n_tokens", 2, "duckdb")} AS avg_token_len,
        {round_div_expr("CAST(n_unique_tokens AS BIGINT)", "n_tokens", 6, "duckdb")} AS type_token_ratio,
        {round_div_expr("n_stop", "n_tokens", 6, "duckdb")} AS stopword_ratio,
+       n_subtokens,
+       rolling_fp,
        fingerprint
 FROM e
 """

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.storagelevel import StorageLevel
+from pyspark.storagelevel import StorageLevel
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions import (
