@@ -48,18 +48,53 @@ _FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddin
 # scan's pushdown + pruning, not a full materialization.
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", 4 << 30))
+_PATH_BYTES_MEMO: dict[str, int] = {}
+
+# Operator-internal persists (e.g. dedup's shingle index) register here so
+# they can be released together with the scan cache — nothing pinned leaks
+# past an explicit clear_scan_cache() call.
+_PERSISTED: list[DataFrame] = []
+
+
+def register_persist(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """Persist ``df`` and track it for release via clear_scan_cache()."""
+    df = df.persist(level)
+    _PERSISTED.append(df)
+    return df
+
+
+def clear_scan_cache() -> None:
+    """Unpersist and forget every cached scan / registered persist.
+
+    Call between logical runs sharing one process (tests, bench variants)
+    so pinned DataFrames from stopped sessions don't pin executor memory
+    for the process lifetime.
+    """
+    for df in list(_SCAN_CACHE.values()) + _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SCAN_CACHE.clear()
+    _PERSISTED.clear()
+    _PATH_BYTES_MEMO.clear()
 
 
 def _path_bytes(path: str) -> int:
+    cached = _PATH_BYTES_MEMO.get(path)
+    if cached is not None:
+        return cached
     if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
+        total = os.path.getsize(path)
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    _PATH_BYTES_MEMO[path] = total
     return total
 
 

@@ -1,38 +1,65 @@
 """Document deduplication (north-star extension; BASELINE.json).
 
-Three scale-designed strategies over the ``documents`` table:
+Four scale-designed strategies over the ``documents`` table:
 
 * **Exact** — hash-groupBy on md5(text): one shuffle on a 32-byte key,
   map-side partial agg. At 100 TB this is the canonical first pass.
 * **Exact n-gram Jaccard** — all pairs with 3-shingle Jaccard ≥ τ via an
-  inverted shingle index (explode → self-join on shingle → count common →
-  |A∪B| from per-doc set sizes). No O(n²) pair enumeration: only docs
-  sharing ≥1 shingle meet. Still quadratic in the worst case (a shingle
-  shared by k docs yields k² join rows) — the LSH variant below is the
-  100 TB path.
-* **MinHash LSH** — k=32 minhashes (min over md5(seed|shingle)), banded
-  8×4; docs sharing a band bucket become candidates; candidates are
-  verified with the exact Jaccard. Shuffle volume is O(docs × bands), not
-  O(pairs). Deterministic md5 hashing makes even this oracle-checkable in
-  SQL — both engines compute identical signatures.
+  inverted shingle index (explode → self-join on shingle-hash → count
+  common → |A∪B| from per-doc set sizes). No O(n²) pair enumeration:
+  only docs sharing ≥1 shingle meet. Worst-case quadratic blowup from
+  boilerplate shingles is bounded by a **document-frequency cap**
+  (``max_df``, default 1000): a shingle shared by k docs contributes k²
+  join rows, so real pipelines drop ultra-common shingles — they carry
+  no near-dup signal. The cap defines the *effective shingle set* used
+  consistently for sizes, signatures and verification (mirrored in the
+  oracle, so both engines agree at any scale).
+* **MinHash LSH** — the 100 TB path. One 40-bit hash per shingle
+  (md5-prefix → int; swap for ``xxhash64`` when cross-engine oracle
+  parity is not needed) + 32 affine permutations
+  ``(aᵢ·h + bᵢ) mod p`` (p = 2⁴⁰+15 prime; constants fixed at module
+  import) — integer multiply-adds instead of 32 md5s per shingle row,
+  ~10× cheaper. Signatures are banded 8×4; docs sharing a band bucket
+  become candidates; candidates are verified with exact Jaccard over the
+  hashed-shingle index. Shuffle volume is O(docs × bands), not O(pairs).
+* **SimHash** — 32-bit TF-weighted signatures, 4×8-bit band LSH,
+  Hamming-distance verify.
 
-All variants are pure built-in expression pipelines (split / transform /
-explode / groupBy) — no Python UDFs, whole-stage codegen throughout.
+Everything is deterministic and built from integer/md5 arithmetic, so the
+DuckDB oracle reproduces signatures bit-for-bit. All variants are pure
+built-in expression pipelines (split / transform / explode / groupBy) —
+no Python UDFs, whole-stage codegen throughout.
 """
 
 from __future__ import annotations
+
+import random as _random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import load_star, register_persist
 
 SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.8
 NUM_HASHES = 32
 NUM_BANDS = 8  # 4 rows/band
+HASH_HEX = 10  # 40-bit shingle hash: md5 prefix → int
+MAX_SHINGLE_DF = 1000  # document-frequency cap for the inverted index
+
+# Affine minhash permutations over Z_p, p the smallest prime > 2^40.
+# a < 2^22 bounds a·h + b < 2^63 (no signed-64 overflow in Spark, no
+# checked-overflow error in DuckDB). Constants are drawn once from a
+# fixed-seed PRNG so both engines (and every run) agree.
+MINHASH_PRIME = 1099511627791  # 2^40 + 15
+_rng = _random.Random(20260813)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 22), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(NUM_HASHES)
+]
+del _rng
 
 
 def exact_dedup(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
@@ -64,39 +91,70 @@ def _shingles(documents: DataFrame) -> DataFrame:
     )
 
 
+def _indexed_shingles(
+    documents: DataFrame, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_id, h, df): the hashed inverted shingle index.
+
+    ``h`` is the 40-bit md5-prefix hash of the shingle — an 8-byte join
+    key instead of a ~20-byte string (collision odds at 1M distinct
+    shingles: ~5e-4; collisions merge identically in both engines, so
+    the oracle still matches). ``df`` is the shingle's document
+    frequency; rows with df > ``max_df`` are dropped — the bounded
+    effective shingle set all downstream math uses.
+    """
+    h = F.conv(F.substring(F.md5("shingle"), 1, HASH_HEX), 16, 10).cast("long")
+    sh = _shingles(documents).select("doc_id", h.alias("h")).distinct()
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    return sh.join(dfreq, "h").select("doc_id", "h", "df")
+
+
+def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Join per-pair common counts to per-doc sizes; integer-space filter:
+    common/(|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common)."""
+    t100 = int(round(threshold * 100))
+    return (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
+        .filter(F.expr(f"common * 100 >= {t100} * (na + nb - common)"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round_div("common", "na + nb - common", 6).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold.
-
-    Jaccard is compared in exact integer space:
-    common / (|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common).
-    """
-    # the shingle set feeds three consumers (sizes, join-left, join-right):
+    """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold (df-capped set)."""
+    # the shingle index feeds three consumers (sizes, join-left, join-right):
     # persist so the split/explode runs once (C1 discipline, the reference's
     # fan-out persist — generate-asset.scala:47)
-    sh = _shingles(documents).persist()
+    sh = register_persist(_indexed_shingles(documents, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # singleton shingles (document frequency 1) cannot contribute a pair —
-    # prune them before the self-join; results are identical, join input
-    # shrinks by the unique-shingle mass (most of it, on real corpora)
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("shingle")
-    )
-    sh_shared = sh.join(shared, "shingle")
-    a = sh_shared.alias("a")
-    b = sh_shared.alias("b")
+    # singleton shingles (df = 1) cannot contribute a pair — prune them
+    # before the self-join; results identical, join input shrinks by the
+    # unique-shingle mass (most of it, on real corpora)
+    shared = sh.filter(F.col("df") >= 2)
+    a = shared.alias("a")
+    b = shared.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    return _jaccard_with_union(common, sizes, threshold)
+
+
+def _jaccard_with_union(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     t100 = int(round(threshold * 100))
     return (
         common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
@@ -113,10 +171,15 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """32 md5-minhashes per doc in one grouped pass."""
+    """32 affine-permutation minhashes per doc in one grouped pass.
+
+    min((aᵢ·h + bᵢ) mod p) over the doc's shingle hashes — pure integer
+    multiply-add-mod inside a single hash-aggregate; ~10× cheaper than
+    per-seed md5 hashing (the classic one-hash-many-permutations trick).
+    """
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"s{s}")
-        for s in range(NUM_HASHES)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -125,25 +188,27 @@ def minhash_lsh_pairs(
     documents: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """LSH candidates (8 bands × 4 rows) verified with exact Jaccard."""
-    sh = _shingles(documents).persist()  # consumed by sig, sizes, verify-join ×2
+    sh = register_persist(_indexed_shingles(documents, max_df))
     sig = _minhash_signatures(sh)
     rows_per_band = NUM_HASHES // NUM_BANDS
+    # band bucket = the 4 signature values joined textually — a plain
+    # equality key; no extra hashing needed (and none in the oracle)
     bands = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"s{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(NUM_BANDS)
         ]
     )
-    buckets = sig.select(
-        "doc_id", F.posexplode(bands).alias("band", "bucket")
-    )
+    buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
     cand = (
         buckets.alias("x")
         .join(
@@ -152,35 +217,19 @@ def minhash_lsh_pairs(
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # verify candidates with the exact Jaccard (shingle intersection count)
+    # verify candidates with the exact Jaccard — the intersection join runs
+    # on the 8-byte hashed index (df-capped), not raw shingle strings
     common = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    t100 = int(round(threshold * 100))
-    return (
-        common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
-        .filter(F.expr(f"common * 100 >= {t100} * (na + nb - common)"))
-        .select(
-            "doc_a",
-            "doc_b",
-            round_div("common", "na + nb - common", 6).alias("jaccard"),
-        )
-    )
+    return _jaccard_from_common(common, sizes, threshold)
 
 
 def build_exact(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
@@ -214,14 +263,28 @@ _SHINGLE_SQL = f"""
   FROM documents
 """
 
+# hashed + df-capped inverted index — the shared CTE body for both
+# ngram and minhash oracles (mirrors _indexed_shingles exactly)
+_INDEXED_SH_SQL = f"""
+raw AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, {HASH_HEX}) AS BIGINT) AS h
+  FROM ({_SHINGLE_SQL})
+),
+dfreq AS (
+  SELECT h, COUNT(*) AS df FROM raw GROUP BY h HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+sh AS (SELECT raw.doc_id, raw.h, dfreq.df FROM raw JOIN dfreq USING (h)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
 _T100 = int(round(JACCARD_THRESHOLD * 100))
 
 ORACLE_SQL_NGRAM = f"""
-WITH sh AS ({_SHINGLE_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_INDEXED_SH_SQL},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common,
@@ -236,25 +299,25 @@ WHERE common * 100 >= {_T100} * (sa.n + sb.n - common)
 
 def _sig_cols_sql() -> str:
     return ",\n         ".join(
-        f"MIN(md5('{s}|' || shingle)) AS s{s}" for s in range(NUM_HASHES)
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
     )
 
 
 def _band_exprs_sql() -> list[str]:
     rpb = NUM_HASHES // NUM_BANDS
     return [
-        "md5(" + " || '|' || ".join(f"s{b * rpb + r}" for r in range(rpb)) + ")"
+        "CONCAT_WS('|', "
+        + ", ".join(f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")"
         for b in range(NUM_BANDS)
     ]
 
 
-_BANDS_SQL = ", ".join(
-    f"({b}, {e})" for b, e in enumerate(_band_exprs_sql())
-)
+_BANDS_SQL = ", ".join(f"({b}, {e})" for b, e in enumerate(_band_exprs_sql()))
 
 ORACLE_SQL_MINHASH = f"""
-WITH sh AS ({_SHINGLE_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_INDEXED_SH_SQL},
 sig AS (
   SELECT doc_id,
          {_sig_cols_sql()}
@@ -273,7 +336,7 @@ common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS common
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

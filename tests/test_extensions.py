@@ -25,6 +25,43 @@ def test_minhash_is_subset_of_exact_ngram(spark, sf_dir):
         assert len(lsh) / len(exact) > 0.5
 
 
+def test_shingle_df_cap_bounds_hot_shingles(spark):
+    """A boilerplate shingle shared by k docs yields k² candidate rows; the
+    document-frequency cap drops it from the effective shingle set while
+    true near-dup pairs (built from low-df shingles) survive."""
+    from demo_etl_spark.operators import dedup
+
+    rows = [
+        (i, f"the same boiler plate intro tail{i} x{i} y{i} z{i}")
+        for i in range(20)
+    ]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long",
+    )
+    uncapped = dedup._indexed_shingles(docs, max_df=None)
+    capped = dedup._indexed_shingles(docs, max_df=10)
+    assert uncapped.filter("df > 10").count() > 0  # the hot shingles exist
+    assert capped.filter("df > 10").count() == 0  # ...and the cap drops them
+    # candidate-join input shrinks from the boilerplate mass (df>=2 rows)
+    assert capped.filter("df >= 2").count() < uncapped.filter("df >= 2").count()
+    # the true near-dup pair is still found by both strategies
+    got_ngram = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, max_df=10).collect()
+    }
+    got_minhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, max_df=10).collect()
+    }
+    assert got_ngram == {(100, 101)}
+    assert got_minhash == {(100, 101)}
+
+
 def test_exact_dedup_partitions_documents(spark, sf_dir, tables):
     from demo_etl_spark.operators import dedup
 
