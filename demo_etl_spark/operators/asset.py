@@ -29,6 +29,12 @@ from demo_etl_spark.schemas import SALES_ANALYTICS_ASSET
 
 TIME_BRANCH_DAYS = 365  # the reference's 365-row date dimension
 
+# The reference stamps EVERY asset row with the same two lineage values:
+# the external source-table location and the job id
+# (generate-asset.scala:277-278). The star surface has no Hive external
+# table, so the reference's path is kept as the logical source label.
+SOURCE_LOCATION = "/user/hive/external/processed_sales"
+
 
 def sales_asset_union(
     spark: SparkSession,
@@ -41,7 +47,8 @@ def sales_asset_union(
     meta = {
         "asset_created_date": F.lit(ctx.anchor_date),
         "asset_job_id": F.lit(ctx.job_id),
-        "asset_lineage_job": F.lit("job2_asset_generation"),
+        "asset_lineage_source": F.lit(SOURCE_LOCATION),
+        "asset_lineage_job": F.lit(ctx.job_id),
     }
 
     cust = _customer.customer_analytics(lineitem, orders, customer, ctx)
@@ -50,7 +57,6 @@ def sales_asset_union(
             "asset_type": F.lit("customer"),
             "asset_id": tagged_id("CUST_", F.col("customer_id")),
             "asset_name": F.col("customer_name"),
-            "asset_lineage_source": F.lit("customer_analytics"),
             **meta,
         }
     )
@@ -61,7 +67,6 @@ def sales_asset_union(
             "asset_type": F.lit("product"),
             "asset_id": tagged_id("PROD_", F.col("product_id")),
             "asset_name": F.col("product_name"),
-            "asset_lineage_source": F.lit("product_analytics"),
             **meta,
         }
     )
@@ -72,6 +77,8 @@ def sales_asset_union(
         start=ctx.anchor_date.replace(year=ctx.anchor_date.year - 1),
         end=ctx.anchor_date,
     )
+    # Time asset fidelity (generate-asset.scala:208-210,261): asset_name
+    # is the bare yyyy-MM-dd date; order_count feeds the total_orders slot.
     time_branch = (
         trend.join(F.broadcast(dim), on=["date"], how="inner")
         .withColumns(
@@ -80,10 +87,8 @@ def sales_asset_union(
                 "asset_id": F.concat(
                     F.lit("DATE_"), F.date_format("date", "yyyyMMdd")
                 ),
-                "asset_name": F.concat(
-                    F.lit("Daily Sales "), F.date_format("date", "yyyy-MM-dd")
-                ),
-                "asset_lineage_source": F.lit("time_analytics"),
+                "asset_name": F.date_format("date", "yyyy-MM-dd"),
+                "total_orders": F.col("order_count"),
                 **meta,
             }
         )
@@ -107,7 +112,7 @@ def _oracle(ctx: RunContext = DEFAULT_CONTEXT) -> str:
     meta_cols = f"""
       DATE '{anchor}' AS asset_created_date,
       '{ctx.job_id}' AS asset_job_id,
-      'job2_asset_generation' AS asset_lineage_job
+      '{ctx.job_id}' AS asset_lineage_job
     """
     return f"""
 WITH cust AS ({_customer.ORACLE_SQL}),
@@ -134,7 +139,7 @@ SELECT
   CAST(NULL AS INTEGER) AS year,
   CAST(NULL AS DOUBLE) AS total_revenue,
   CAST(NULL AS BOOLEAN) AS is_revenue_trending_up,
-  'customer_analytics' AS asset_lineage_source
+  '{SOURCE_LOCATION}' AS asset_lineage_source
 FROM cust
 UNION ALL
 SELECT
@@ -158,16 +163,16 @@ SELECT
   CAST(NULL AS INTEGER),
   total_revenue,
   CAST(NULL AS BOOLEAN),
-  'product_analytics'
+  '{SOURCE_LOCATION}'
 FROM prod
 UNION ALL
 SELECT
   'time',
   'DATE_' || strftime(t.date, '%Y%m%d'),
-  'Daily Sales ' || strftime(t.date, '%Y-%m-%d'),
+  strftime(t.date, '%Y-%m-%d'),
   {meta_cols},
   CAST(NULL AS BIGINT),
-  CAST(NULL AS BIGINT),
+  t.order_count,
   CAST(NULL AS DOUBLE),
   CAST(NULL AS DOUBLE),
   CAST(NULL AS DATE),
@@ -182,7 +187,7 @@ SELECT
   CAST(year(t.date) AS INTEGER),
   t.total_revenue,
   t.is_revenue_trending_up,
-  'time_analytics'
+  '{SOURCE_LOCATION}'
 FROM trend t
 WHERE t.date >= DATE '{year_ago}' AND t.date < DATE '{anchor}'
 """

@@ -69,8 +69,11 @@ def customer_analytics(
             "days_since_last_purchase": F.datediff(
                 F.lit(ctx.anchor_date), F.col("last_purchase_date")
             ),
-            "_span_days": F.datediff(
-                F.col("last_purchase_date"), F.col("first_purchase_date")
+            # reference: days_as_customer = datediff(current_date,
+            # first_purchase_date) — generate-asset.scala:73; the anchor
+            # date stands in for current_date (SURVEY §0 Caveat C)
+            "days_as_customer": F.datediff(
+                F.lit(ctx.anchor_date), F.col("first_purchase_date")
             ),
             # Reference score factors (generate-asset.scala:79-83), scaled
             # ×1000 to stay in integer space:
@@ -93,9 +96,12 @@ def customer_analytics(
         round_div("_we_c", "10000", 2).alias("weekend_spending"),
         round_div("_wd_c", "10000", 2).alias("weekday_spending"),
         "days_since_last_purchase",
+        "days_as_customer",
+        # reference: days_as_customer / (total_orders − 1), NULL for
+        # single-order customers — generate-asset.scala:75-78
         F.expr(
             "CASE WHEN total_orders > 1 THEN "
-            + round_div_expr("_span_days", "total_orders - 1", 2, "spark")
+            + round_div_expr("days_as_customer", "total_orders - 1", 2, "spark")
             + " END"
         ).alias("purchase_frequency_days"),
         round_div("_spent_c * _k1000", "1000000000", 2).alias("customer_value_score"),
@@ -140,8 +146,8 @@ WITH j AS (
   SELECT *,
          CAST(DATEDIFF('day', last_purchase_date, {scale_anchor}) AS INTEGER)
            AS days_since,
-         CAST(DATEDIFF('day', first_purchase_date, last_purchase_date) AS BIGINT)
-           AS span_days,
+         CAST(DATEDIFF('day', first_purchase_date, {scale_anchor}) AS INTEGER)
+           AS days_cust,
          (CASE WHEN DATEDIFF('day', last_purchase_date, {scale_anchor}) < 30
                THEN 150 ELSE 80 END
           * CASE WHEN total_orders > 10 THEN 12 ELSE 10 END) AS k1000
@@ -159,7 +165,8 @@ SELECT
   {rd("we_c", "10000", 2)} AS weekend_spending,
   {rd("wd_c", "10000", 2)} AS weekday_spending,
   days_since AS days_since_last_purchase,
-  CASE WHEN total_orders > 1 THEN {rd("span_days", "total_orders - 1", 2)} END
+  days_cust AS days_as_customer,
+  CASE WHEN total_orders > 1 THEN {rd("days_cust", "total_orders - 1", 2)} END
     AS purchase_frequency_days,
   {rd("spent_c * k1000", "1000000000", 2)} AS customer_value_score,
   CASE WHEN we_c + wd_c <> 0 THEN {rd("we_c", "we_c + wd_c", 6)} END

@@ -139,15 +139,19 @@ def job2_asset(
     days_since = F.datediff(
         F.lit(ctx.anchor_date), F.to_date("last_purchase_date")
     )
+    # generate-asset.scala:73-78: days_as_customer anchors on "today"
+    # (anchor_date stands in for current_date, SURVEY §0 Caveat C) and is
+    # the purchase-frequency numerator.
+    days_as_customer = F.datediff(
+        F.lit(ctx.anchor_date), F.to_date("first_purchase_date")
+    )
     cust = cust.withColumns(
         {
+            "days_as_customer": days_as_customer,
             "days_since_last_purchase": days_since,
             "purchase_frequency_days": F.when(
                 F.col("total_orders") > 1,
-                F.datediff(
-                    F.to_date("last_purchase_date"), F.to_date("first_purchase_date")
-                )
-                / (F.col("total_orders") - 1),
+                days_as_customer / (F.col("total_orders") - 1),
             ),
             # generate-asset.scala:79-83
             "customer_value_score": (F.col("total_spent") / 100)
@@ -244,12 +248,14 @@ def job2_asset(
     )
     t.log("Date dimension enrichment join", ["time_analytics"], "time_enriched")
 
-    # Asset decoration (generate-asset.scala:191-212) + 23-col union
+    # Asset decoration (generate-asset.scala:191-212) + 23-col union.
+    # The two lineage columns are constants for EVERY row: the external
+    # table location and the job id (generate-asset.scala:277-278).
     meta = {
         "asset_created_date": F.lit(ctx.anchor_date),
         "asset_job_id": F.lit(ctx.job_id),
         "asset_lineage_source": F.lit("sales_data_external"),
-        "asset_lineage_job": F.lit("job2_asset_generation"),
+        "asset_lineage_job": F.lit(ctx.job_id),
     }
     cust_b = cust.withColumns(
         {
@@ -272,13 +278,14 @@ def job2_asset(
             **meta,
         }
     )
+    # Time asset fidelity (generate-asset.scala:208-210,261): asset_name is
+    # the bare yyyy-MM-dd date; order_count feeds the total_orders slot.
     time_b = time_joined.withColumns(
         {
             "asset_type": F.lit("time"),
             "asset_id": F.concat(F.lit("DATE_"), F.date_format("date", "yyyyMMdd")),
-            "asset_name": F.concat(
-                F.lit("Daily Sales "), F.date_format("date", "yyyy-MM-dd")
-            ),
+            "asset_name": F.date_format("date", "yyyy-MM-dd"),
+            "total_orders": F.col("order_count"),
             "total_revenue": money_round(F.col("total_revenue")),
             **meta,
         }

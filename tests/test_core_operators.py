@@ -40,6 +40,33 @@ def test_customer_score_sign_and_dates(tables):
     assert df.filter(F.col("customer_value_score") < 0).count() == 0
 
 
+def test_purchase_frequency_anchored_on_first_purchase(spark):
+    """Pins the reference's definition (generate-asset.scala:73-78):
+    purchase_frequency_days = datediff(anchor, first_purchase) /
+    (total_orders − 1) — anchor−first, NOT last−first."""
+    import datetime as dt
+
+    from demo_etl_spark.context import RunContext
+    from demo_etl_spark.operators.customer import customer_analytics
+
+    ctx = RunContext(anchor_date=dt.date(2002, 1, 1))
+    orders = spark.createDataFrame(
+        [(1, 10, dt.datetime(2001, 1, 1)), (2, 10, dt.datetime(2001, 12, 22))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 5, 1.0, 100.0, 0.0), (2, 5, 1.0, 100.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    customer = spark.createDataFrame([(10, "c10")], "c_custkey long, c_name string")
+    row = customer_analytics(lineitem, orders, customer, ctx).first()
+    assert row["days_as_customer"] == 365  # 2001-01-01 → 2002-01-01
+    assert row["days_since_last_purchase"] == 10
+    # anchor−first = 365 over (2−1) orders; last−first would give 355
+    assert row["purchase_frequency_days"] == 365.0
+
+
 def test_product_ranking_top3_flag(tables):
     from demo_etl_spark.operators.product import product_ranking
 
