@@ -55,8 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": _events.build_tumbling,
         "events_sliding": _events.build_sliding,
         "events_session": _events.build_session,
-        # rows-only (mapInPandas plumbing — decode is a deterministic stub)
-        "multimodal_features": _multimodal.build_features,
+        # oracle-checked projection of the mapInPandas feature pipeline
+        # (byte_len/feature_hash are computed IN the Python worker; the
+        # stub-derived width/height stay pytest-only)
+        "multimodal_features": _multimodal.build_features_checked,
         "pricing_summary_sql": _sql.build,
     }
 
@@ -82,9 +84,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,
         "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,
-        # similarity_lsh_bucketed: bucketing is engine-specific → rows-only
+        # integer-space plane signs make the LSH buckets engine-portable,
+        # so even the bucketed ANN query has an exact SQL twin
+        "similarity_lsh_bucketed": _similarity.ORACLE_SQL_LSH,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,
+        "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "pricing_summary_sql": _sql.ORACLE_SQL,
     }

@@ -111,13 +111,27 @@ def build_features(
     return extract_features(synthesize_media(docs))
 
 
+def build_features_checked(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """The oracle-checked projection of the feature pipeline: the columns a
+    SQL engine can reproduce (md5 + byte length of the payload). The stub-
+    derived width/height are excluded here (pytest covers them) — but the
+    values below still flow through the real mapInPandas path, so the
+    driver check genuinely exercises the Arrow-batched Python plumbing."""
+    return build_features(spark, sf_dir, ctx).select(
+        "media_id", "media_type", "byte_len", "feature_hash"
+    )
+
+
 # Engine-parity oracle: byte_len and feature_hash of a utf-8 payload are
-# SQL-expressible (md5 over the text; octet_length == n_chars for this
-# ascii corpus is NOT assumed — length is computed from the encoded blob).
+# SQL-expressible. DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —
+# exactly the payload the Python worker hashes; octet_length(encode(...))
+# measures the same bytes (n_chars == byte_len is NOT assumed).
 ORACLE_SQL_FEATURES = """
 SELECT doc_id AS media_id,
        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
        CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       md5(encode(text)) AS feature_hash
+       md5(text) AS feature_hash
 FROM documents
 """

@@ -9,19 +9,34 @@ Approximate-nearest-neighbor surface over the ``embeddings`` table
   no Python). O(Q×N) — the exact baseline every ANN variant is measured
   against. Results are rank-deterministic: candidates order by the
   1e6-scaled integer cosine with id tie-break.
-* ``lsh_bucket_topk`` — the scale path: random-hyperplane (SimHash-style)
-  signs computed from deterministic md5-derived pseudo-weights bucket the
-  vectors; top-k is computed only within the query's bucket. Recall<1 by
-  construction; rows-only check (bucketing is engine-specific).
+* ``lsh_bucket_topk`` — the sub-linear path: random-hyperplane
+  (SimHash-style) signs bucket the vectors; top-k is computed only
+  within the query's bucket. Plane weights are md5-derived integers and
+  the sign sum runs in **exact fixed-point integer space** (embedding
+  ×1e6 as BIGINT × integer weight), so buckets are bit-identical across
+  engines — the whole query is DuckDB-oracle-checkable despite recall<1
+  vs the unbucketed top-k (the oracle reproduces the same buckets).
+* ``embedding_near_dup`` — all pairs with cosine ≥ τ, computed over a
+  **block-partitioned pair space**: vectors land in B blocks by
+  ``vec_id mod B``; each of the B(B+1)/2 block-cells compares its two
+  blocks with one vectorized numpy matmul (Arrow-batched
+  ``applyInPandas``). Exact (recall = 1) with no full-table broadcast
+  and no O(n²) row explosion through the shuffle — each vector is
+  replicated exactly B+1 times regardless of pair count. At cluster
+  scale B grows with √executors; the numpy kernel stays the same. The
+  brute-force DataFrame variant is kept as the oracle twin / small-data
+  baseline.
 
-At 100 TB: broadcast the query set (it is the small side by definition),
-partition candidates evenly (no key skew — round-robin on vec_id), and
-compute per-partition local top-k before the global k-way merge — exactly
-what Spark's window-over-partition + filter plan does here.
+At 100 TB: broadcast the query set (small side by definition), partition
+candidates evenly (no key skew — hash on vec_id), per-partition local
+top-k before the global k-way merge — exactly what Spark's
+window-over-partition + filter plan does here.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +45,8 @@ from demo_etl_spark.io import load_star
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+N_PLANES = 8  # LSH hyperplanes → 2^8 sign buckets
+WEIGHT_OFFSET = 1 << 31  # md5-uint32 − offset → signed 32-bit plane weight
 
 
 def _dot(a, b):
@@ -80,48 +97,59 @@ def cosine_topk(
     )
 
 
+def _bucket_expr(n_planes: int = N_PLANES):
+    """Sign-pattern bucket from integer-space hyperplane projections.
+
+    Per (plane, dim), the pseudo-weight is md5-derived: first 8 hex chars
+    → uint32 − 2³¹ (a signed 32-bit integer). The projection sums
+    round(x·1e6)·w in BIGINT — exact integer arithmetic, so the sign (and
+    hence the bucket) is bit-identical in any engine. Bounds: |x_e6| ≤
+    ~1e7, |w| < 2³¹, 64 dims → |sum| < 1.4e18 < 2⁶³.
+    """
+    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def plane_sign(p: int):
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    dims,
+                    lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long")
+                    * (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{p}|"), i.cast("string"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        - F.lit(WEIGHT_OFFSET)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        )
+
+    return F.concat(
+        *[plane_sign(p).cast("int").cast("string") for p in range(n_planes)]
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
-    n_planes: int = 8,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """SimHash-bucketed ANN: deterministic pseudo-random hyperplanes.
-
-    Plane weights come from md5(plane|dim) mapped to [-0.5, 0.5); the
-    bucket is the sign pattern. Same-bucket candidates only → recall < 1
-    (rows-only correctness check), shuffle O(N), compare O(N·Q/2^planes).
-    """
-    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
-
-    def plane_sign(p: int):
-        # deterministic pseudo-weight per (plane, dim): first 8 hex chars
-        # of md5 → uint32 → [-0.5, 0.5)
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                dims,
-                lambda x, i: x.cast("double")
-                * (
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{p}|"), i.cast("string"))), 1, 8),
-                        16,
-                        10,
-                    ).cast("double")
-                    / F.lit(4294967296.0)
-                    - F.lit(0.5)
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) >= 0
-
-    bucket = F.concat(*[plane_sign(p).cast("int").cast("string") for p in range(n_planes)])
+    """SimHash-bucketed ANN: same-bucket candidates only → recall < 1 vs
+    the exact top-k, shuffle O(N), compare O(N·Q/2^planes)."""
     emb = embeddings.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
+        _bucket_expr(n_planes).alias("bucket"),
         F.sqrt(_dot("embedding", "embedding")).alias("_norm"),
     )
     q = emb.select(
@@ -160,6 +188,24 @@ def build_lsh(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEX
     return lsh_bucket_topk(load_star(spark, sf_dir)["embeddings"], ctx)
 
 
+def _weight_sql(p: int) -> str:
+    # DuckDB twin of the (plane, dim) integer weight; i is 1-based there.
+    return (
+        f"(CAST('0x' || substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) - {WEIGHT_OFFSET})"
+    )
+
+
+def _bucket_sql(n_planes: int = N_PLANES) -> str:
+    signs = " || ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+                  * {_weight_sql(p)})) >= 0 THEN '1' ELSE '0' END)"""
+        for p in range(n_planes)
+    )
+    return signs
+
+
 ORACLE_SQL_TOPK = f"""
 WITH e AS (
   SELECT vec_id, embedding,
@@ -186,24 +232,119 @@ SELECT query_id, candidate_id, rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+ORACLE_SQL_LSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql()} AS bucket,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+  FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e6 DESC, candidate_id ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT query_id, candidate_id, bucket, rank,
+       CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
 
 # ------------------------------------------------- embedding near-dup ----
 NEAR_DUP_THRESHOLD = 0.45  # cosine; data max is ~0.51 (random vectors)
+NEAR_DUP_BLOCKS = 8  # pair-space grid: B(B+1)/2 cells; scale with cluster
 
 
 def embedding_near_dup(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = NEAR_DUP_THRESHOLD,
+    n_blocks: int = NEAR_DUP_BLOCKS,
 ) -> DataFrame:
-    """Semantic near-dup pairs: cosine ≥ τ over all vector pairs.
-
-    Brute-force O(n²/2) — the exact baseline; the bucketed variant
-    (lsh_bucket_topk's plane-sign buckets) is the 100 TB path. The
-    a<b predicate makes this a broadcast nested-loop join: correct here
-    because one side always fits in memory per partition; at cluster
-    scale block-partition the pair space instead.
+    """Semantic near-dup pairs: cosine ≥ τ over ALL vector pairs — exact,
+    via the block-partitioned pair space (module docstring). Each block
+    cell compares its two blocks with one numpy matmul; cosines are
+    rounded to 1e-6 fixed point exactly like the SQL oracle (HALF_UP on
+    positive values), so the result is hash-identical to brute force.
     """
+    t_e6 = int(round(threshold * 1_000_000))
+    spark = embeddings.sparkSession
+    emb = embeddings.select("vec_id", "embedding")
+    tagged = emb.withColumn(
+        "block", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    # every vector visits each cell that references its block: once as the
+    # row side (bi) and once as the column side (bj); diagonal cells get
+    # one tagged copy per side and the kernel deduplicates.
+    a_side = tagged.join(F.broadcast(grid), F.col("block") == F.col("bi")).withColumn(
+        "side", F.lit(0)
+    )
+    b_side = tagged.join(F.broadcast(grid), F.col("block") == F.col("bj")).withColumn(
+        "side", F.lit(1)
+    )
+    both = a_side.unionByName(b_side)
+
+    def cell_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a = pdf[pdf["side"] == 0]
+        b = a if bi == bj else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = ma if bi == bj else np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = na if bi == bj else np.linalg.norm(mb, axis=1)
+        cos = (ma @ mb.T) / np.outer(na, nb)
+        # fixed-point HALF_UP for positive values (threshold > 0 ⇒ only
+        # positive cosines survive): floor(x·1e6 + 0.5)
+        cos_e6 = np.floor(cos * 1_000_000 + 0.5)
+        ia, ib = np.nonzero(cos_e6 >= t_e6)
+        va, vb = ids_a[ia], ids_b[ib]
+        if bi == bj:
+            keep = va < vb  # upper triangle, once per unordered pair
+        else:
+            keep = np.ones(len(va), dtype=bool)
+        lo = np.minimum(va[keep], vb[keep])
+        hi = np.maximum(va[keep], vb[keep])
+        return pd.DataFrame(
+            {
+                "vec_a": lo.astype("int64"),
+                "vec_b": hi.astype("int64"),
+                "cosine": cos_e6[ia[keep], ib[keep]] / 1_000_000.0,
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        cell_kernel, "vec_a long, vec_b long, cosine double"
+    )
+
+
+def embedding_near_dup_bruteforce(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Brute-force O(n²/2) twin of ``embedding_near_dup`` in pure column
+    expressions — the small-data baseline the blocked kernel is verified
+    against (and the shape of the SQL oracle)."""
     emb = embeddings.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )

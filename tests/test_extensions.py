@@ -94,6 +94,25 @@ def test_cosine_topk_ranks(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_blocked_near_dup_matches_bruteforce(spark, tables):
+    """The block-partitioned numpy kernel is EXACT: identical pairs and
+    fixed-point cosines as the brute-force column-expression twin."""
+    from demo_etl_spark.operators import similarity
+
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup(tables["embeddings"]).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup_bruteforce(
+            tables["embeddings"]
+        ).collect()
+    }
+    assert blocked == brute
+    assert blocked  # sf0.001 corpus has near-dup pairs — non-vacuous
+
+
 def test_streaming_matches_batch_tumbling(spark, sf_dir):
     from demo_etl_spark.operators.events import tumbling_window
     from demo_etl_spark.io import load_star
