@@ -174,7 +174,9 @@ def write_csv(
 
 # S6-S9: table DDL + table sinks (reference generate-asset.scala:293-324,
 # 350,367-370). Uses the session catalog; tests point the warehouse at a
-# temp dir.
+# temp dir. With get_spark(hive_support=True) the catalog is a real Hive
+# metastore (embedded Derby locally) and the Hive-flavored syntax below
+# is used; the in-memory catalog gets the equivalent `USING PARQUET` DDL.
 def save_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).format("parquet").saveAsTable(table)
 
@@ -185,6 +187,78 @@ def append_table(df: DataFrame, table: str) -> None:
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _is_hive_catalog(spark: SparkSession) -> bool:
+    return spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+
+
+def _ddl_cols(schema: StructType) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+
+# S7: CREATE TABLE ... (cols) STORED AS PARQUET LOCATION '...' — the
+# reference's external asset table (generate-asset.scala:294-324). On the
+# in-memory catalog the equivalent `USING PARQUET LOCATION` form is used
+# (same unmanaged-table semantics: DROP leaves the data files alone).
+def create_external_table(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    location: str,
+    if_not_exists: bool = False,
+) -> None:
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    storage = "STORED AS PARQUET" if _is_hive_catalog(spark) else "USING PARQUET"
+    spark.sql(
+        f"CREATE TABLE {ine}`{table}` ({_ddl_cols(schema)}) "
+        f"{storage} LOCATION '{location}'"
+    )
+
+
+# S8: create-if-not-exists managed table — the reference's lineage
+# registry DDL (generate-asset.scala:350). Under a Hive metastore the
+# table registration itself persists, so a plain managed CREATE IF NOT
+# EXISTS suffices. The in-memory catalog forgets registrations between
+# processes while the warehouse directory survives — so the table is
+# pinned to its warehouse LOCATION explicitly: re-creating over the
+# existing directory re-attaches the accumulated rows (the registry's
+# append-across-runs semantics) instead of failing LOCATION_ALREADY_EXISTS.
+def create_table_if_not_exists(
+    spark: SparkSession, table: str, schema: StructType
+) -> None:
+    if _is_hive_catalog(spark):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{table}` ({_ddl_cols(schema)}) "
+            "STORED AS PARQUET"
+        )
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    location = f"{warehouse.rstrip('/')}/{table}"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({_ddl_cols(schema)}) "
+        f"USING PARQUET LOCATION '{location}'"
+    )
+
+
+# S9: Hive-format append sink (generate-asset.scala:367-370). Under a Hive
+# catalog this is the literal format("hive") write; the in-memory catalog
+# appends through the parquet table provider (identical rows-on-read).
+def append_hive_table(df: DataFrame, table: str) -> None:
+    fmt = "hive" if _is_hive_catalog(df.sparkSession) else "parquet"
+    df.write.mode("append").format(fmt).saveAsTable(table)
+
+
+# Job-2's write-back verification idiom (generate-asset.scala:333-338):
+# re-read the written table through SQL, sample LIMIT rows, count rows.
+def verify_table_sql(
+    spark: SparkSession, table: str, limit: int = 10, min_rows: int = 1
+) -> int:
+    sample = spark.sql(f"SELECT * FROM `{table}` LIMIT {limit}").collect()
+    n = spark.sql(f"SELECT COUNT(*) AS n FROM `{table}`").first()["n"]
+    if n < min_rows or not sample:
+        raise RuntimeError(f"table {table} verification failed: {n} rows")
+    return n
 
 
 # S11: external-table handoff verification (reference run-all.sh:129-139).

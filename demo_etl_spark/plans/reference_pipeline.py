@@ -33,9 +33,20 @@ from demo_etl_spark.functions import (
     safe_ratio,
     tagged_id,
 )
+from demo_etl_spark.io import (
+    append_hive_table,
+    create_external_table,
+    create_table_if_not_exists,
+    drop_table,
+    verify_table_sql,
+)
 from demo_etl_spark.lineage import LineageTracker
 from demo_etl_spark.operators.union_util import union_all_by_name
-from demo_etl_spark.schemas import SALES_ANALYTICS_ASSET, SALES_DATA_EXTERNAL
+from demo_etl_spark.schemas import (
+    DATA_LINEAGE_REGISTRY,
+    SALES_ANALYTICS_ASSET,
+    SALES_DATA_EXTERNAL,
+)
 
 QTY_DISCOUNT_THRESHOLD = 5
 QTY_DISCOUNT_RATE = 0.05
@@ -320,8 +331,16 @@ def run_reference_pipeline(
     asset_path = f"{work_dir}/sales_analytics_asset"
     asset.write.mode("overwrite").parquet(asset_path)
 
-    asset_back = spark.read.parquet(asset_path)
-    n = asset_back.count()
+    # S6+S7: drop + register the written parquet as the external asset
+    # table, then verify through SQL — LIMIT sample + COUNT(*) re-read —
+    # exactly the reference's write-back idiom (generate-asset.scala:
+    # 293-324, 333-338).
+    drop_table(spark, "sales_analytics_asset")
+    create_external_table(
+        spark, "sales_analytics_asset", SALES_ANALYTICS_ASSET, asset_path
+    )
+    n = verify_table_sql(spark, "sales_analytics_asset")
+
     registry = tracker.to_registry_df(
         spark,
         source_path=sales_path,
@@ -332,11 +351,17 @@ def run_reference_pipeline(
     )
     registry_path = f"{work_dir}/data_lineage_registry"
     registry.write.mode("append").parquet(registry_path)
+    # S8+S9: catalog registry — create-if-not-exists + append
+    # (generate-asset.scala:350, 367-370)
+    create_table_if_not_exists(spark, "data_lineage_registry", DATA_LINEAGE_REGISTRY)
+    append_hive_table(registry, "data_lineage_registry")
     dot_path = tracker.write_dot(f"{work_dir}/lineage_graph_{ctx.job_id}.dot")
     return {
         "asset_path": asset_path,
+        "asset_table": "sales_analytics_asset",
         "asset_rows": n,
         "registry_path": registry_path,
+        "registry_table": "data_lineage_registry",
         "dot_path": dot_path,
         "tracker": tracker,
     }

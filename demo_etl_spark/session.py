@@ -16,7 +16,16 @@ def get_spark(
     app_name: str = "demo-etl-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    hive_support: bool = False,
 ) -> SparkSession:
+    """Build (or join) the local session.
+
+    ``hive_support=True`` backs the catalog with a real Hive metastore
+    (embedded Derby under the warehouse dir locally) — the reference's
+    S7-S9 DDL surface (``STORED AS PARQUET LOCATION``, ``format("hive")``
+    appends) then runs verbatim. Note: ``getOrCreate`` joins an existing
+    session as-is, so the flag only takes effect on a fresh JVM/session.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     if shuffle_partitions is None:
@@ -46,4 +55,12 @@ def get_spark(
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_WAREHOUSE_DIR", "/tmp/demo_etl_spark_warehouse"))
     )
+    if hive_support:
+        warehouse = os.environ.get(
+            "SPARK_WAREHOUSE_DIR", "/tmp/demo_etl_spark_warehouse"
+        )
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={warehouse}/derby",
+        ).enableHiveSupport()
     return builder.getOrCreate()

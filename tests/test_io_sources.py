@@ -53,3 +53,78 @@ def test_verify_output_raises_on_low_count(spark, tmp_path):
     io.write_parquet(spark.range(2), path)
     with pytest.raises(RuntimeError, match="rows"):
         io.verify_output(spark, path, min_rows=10)
+
+
+def test_external_table_ddl_location(spark, tmp_path):
+    """S7: CREATE ... LOCATION over already-written parquet; DROP must not
+    delete the files (unmanaged-table semantics, generate-asset.scala:294-324)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    path = str(tmp_path / "ext_loc")
+    io.write_parquet(df, path)
+    io.drop_table(spark, "t_ext_demo")
+    io.create_external_table(spark, "t_ext_demo", schema, path)
+    assert spark.table("t_ext_demo").count() == 2
+    # append through the table provider lands files in the LOCATION dir
+    io.append_hive_table(df, "t_ext_demo")
+    assert io.verify_table_sql(spark, "t_ext_demo", min_rows=4) == 4
+    io.drop_table(spark, "t_ext_demo")
+    assert spark.read.parquet(path).count() == 4  # data survived the DROP
+
+
+def test_registry_create_if_not_exists_and_append(spark):
+    """S8+S9: create-if-not-exists is idempotent; appends accumulate
+    (generate-asset.scala:350,367-370)."""
+    io.drop_table(spark, "t_registry_demo")
+    io.create_table_if_not_exists(spark, "t_registry_demo", schemas.DATA_LINEAGE_REGISTRY)
+    io.create_table_if_not_exists(spark, "t_registry_demo", schemas.DATA_LINEAGE_REGISTRY)
+    row = spark.createDataFrame(
+        [("j1", None, "s", "t", 3, 10, "f", "d")], schemas.DATA_LINEAGE_REGISTRY
+    )
+    io.append_hive_table(row, "t_registry_demo")
+    io.append_hive_table(row, "t_registry_demo")
+    assert spark.table("t_registry_demo").count() == 2
+    io.drop_table(spark, "t_registry_demo")
+
+
+def test_hive_metastore_end_to_end(tmp_path):
+    """The hive_support=True branch (real metastore, STORED AS PARQUET,
+    format('hive') append) — run in a subprocess because getOrCreate
+    would otherwise join the non-Hive test session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from demo_etl_spark.session import get_spark
+        from demo_etl_spark import io, schemas
+        spark = get_spark("hive-e2e", cpus=2, hive_support=True)
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+        df = spark.createDataFrame(
+            [("j1", None, "s", "t", 3, 10, "f", "d")], schemas.DATA_LINEAGE_REGISTRY
+        )
+        io.drop_table(spark, "t_hive_e2e")
+        io.create_table_if_not_exists(spark, "t_hive_e2e", schemas.DATA_LINEAGE_REGISTRY)
+        io.append_hive_table(df, "t_hive_e2e")
+        assert spark.table("t_hive_e2e").count() == 1
+        io.drop_table(spark, "t_hive_e2e")
+        spark.stop()
+        print("HIVE_E2E_OK")
+        """
+    )
+    env = dict(os.environ, SPARK_WAREHOUSE_DIR=str(tmp_path / "wh"))
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert "HIVE_E2E_OK" in out.stdout, out.stderr[-2000:]

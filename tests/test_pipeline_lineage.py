@@ -114,6 +114,24 @@ def test_pipeline_fails_on_empty_stage(spark, tmp_path):
         pipe.run(spark)
 
 
+def test_run_all_cli(spark, tmp_path):
+    """The workflow-driver CLI (run-all.sh equivalent): generate → job1 →
+    job2 with per-stage verification, registry append and DOT output."""
+    import run_all
+
+    rc = run_all.main(
+        ["--work-dir", str(tmp_path), "--job-id", "job-cli-test",
+         "--customers", "50", "--products", "20", "--orders", "300"]
+    )
+    assert rc == 0
+    assert (tmp_path / "sales_data_external" / "_SUCCESS").exists()
+    assert (tmp_path / "sales_analytics_asset" / "_SUCCESS").exists()
+    assert (tmp_path / "lineage_graph_job-cli-test.dot").exists()
+    reg = spark.table("data_lineage_registry").filter("job_id = 'job-cli-test'")
+    assert reg.count() >= 1
+    assert spark.table("sales_analytics_asset").count() > 0
+
+
 def test_fixtures_deterministic(spark):
     from demo_etl_spark.fixtures import FixtureConfig, generate_fixtures
 
