@@ -21,6 +21,7 @@ from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import similarity as _similarity
 from demo_etl_spark.operators import sql_interface as _sql
 from demo_etl_spark.operators import star as _star
+from demo_etl_spark.operators import temporal as _temporal
 from demo_etl_spark.operators import text as _text
 from demo_etl_spark.operators import timeseries as _timeseries
 
@@ -55,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": _events.build_tumbling,
         "events_sliding": _events.build_sliding,
         "events_session": _events.build_session,
+        "events_asof_join": _temporal.build_asof,
+        "events_range_join": _temporal.build_followups,
         # oracle-checked projection of the mapInPandas feature pipeline
         # (byte_len/feature_hash are computed IN the Python worker; the
         # stub-derived width/height stay pytest-only)
@@ -90,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,
+        "events_asof_join": _temporal.ORACLE_SQL_ASOF,
+        "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "pricing_summary_sql": _sql.ORACLE_SQL,
     }

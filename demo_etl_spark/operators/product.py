@@ -103,7 +103,7 @@ def product_ranking(
     ranked = agg.withColumns(
         {
             "revenue_rank_in_category": F.rank().over(w),
-            "revenue_percentile": F.percent_rank().over(w),
+            "percent_rank_in_category": F.percent_rank().over(w),
         }
     )
     return ranked.select(
@@ -112,7 +112,7 @@ def product_ranking(
         F.col("p_type").alias("category"),
         round_div("rev_c", "10000", 2).alias("total_revenue"),
         F.col("revenue_rank_in_category"),
-        F.col("revenue_percentile"),
+        F.col("percent_rank_in_category"),
         (F.col("revenue_rank_in_category") <= top_k).alias("is_top_seller"),
     )
 
@@ -156,7 +156,7 @@ r AS (
          CAST(RANK() OVER (PARTITION BY p_type ORDER BY rev_c DESC) AS INTEGER)
            AS revenue_rank_in_category,
          PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY rev_c DESC)
-           AS revenue_percentile
+           AS percent_rank_in_category
   FROM a
 )
 SELECT
@@ -165,7 +165,7 @@ SELECT
   p_type AS category,
   {_rd("rev_c", "10000", 2)} AS total_revenue,
   revenue_rank_in_category,
-  revenue_percentile,
+  percent_rank_in_category,
   revenue_rank_in_category <= 3 AS is_top_seller
 FROM r
 """

@@ -198,7 +198,7 @@ def job2_asset(
     prod = prod.withColumns(
         {
             "revenue_rank_in_category": F.rank().over(w),
-            "revenue_percentile": F.percent_rank().over(w),
+            "percent_rank_in_category": F.percent_rank().over(w),
         }
     ).withColumn("is_top_seller", F.col("revenue_rank_in_category") <= 3)
     t.log("Product analytics + category ranking", ["sales_data_external"], "product_analytics")

@@ -18,6 +18,7 @@ Streaming-specific deltas vs the batch builders:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,10 +37,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     # The file-stream source requires its path to be a directory (its
     # basePath check rejects bare files); stage a symlink dir pointing at
-    # the single events.parquet file.
+    # the single events.parquet file. Scoped per user+process so parallel
+    # test runs can't race on each other's staging dirs.
     src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
     stream_dir = os.path.join(
-        "/tmp", "demo_etl_spark_streams", src.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        f"demo_etl_spark_streams_{os.getuid()}_{os.getpid()}",
+        src.strip("/").replace("/", "_"),
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")

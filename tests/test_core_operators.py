@@ -78,7 +78,7 @@ def test_product_ranking_top3_flag(tables):
     assert mismatch.count() == 0
     # percent_rank bounded [0, 1]
     assert df.filter(
-        (F.col("revenue_percentile") < 0) | (F.col("revenue_percentile") > 1)
+        (F.col("percent_rank_in_category") < 0) | (F.col("percent_rank_in_category") > 1)
     ).count() == 0
 
 
@@ -135,6 +135,66 @@ def test_detail_summary_union_null_keys(spark, sf_dir):
     assert summaries.filter(F.col("customer_id").isNotNull()).count() == 0
     # P1: null-rejecting filter recovers exactly the detail rows
     assert df.filter(F.col("customer_id").isNotNull()).count() == details.count()
+
+
+def test_asof_join_tie_and_cutoff_semantics(spark):
+    """Pins as-of semantics: same-timestamp purchase IS matched (>=),
+    earlier events get NULLs, later purchases stay invisible."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.temporal import asof_last_purchase
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(10), 7, "purchase", 5.0, '{"k": 1}'),
+        (2, t(10), 7, "click", 1.0, '{"k": 2}'),  # tie → matched
+        (3, t(9), 7, "view", 1.0, None),  # before any purchase → NULL
+        (4, t(11), 7, "click", 1.0, None),
+        (5, t(12), 7, "purchase", 9.0, None),
+        (6, t(12, 30), 7, "click", 1.0, None),  # newest purchase wins
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in asof_last_purchase(events).collect()}
+    assert len(out) == 4  # purchases are not left rows
+    assert out[2]["last_purchase_event_id"] == 1
+    assert out[2]["secs_since_purchase"] == 0
+    assert out[2]["props_k"] == 2
+    assert out[3]["last_purchase_event_id"] is None
+    assert out[4]["last_purchase_event_id"] == 1
+    assert out[6]["last_purchase_event_id"] == 5
+    assert out[6]["secs_since_purchase"] == 1800
+    assert out[6]["last_purchase_value"] == 9.0
+
+
+def test_range_join_window_boundaries(spark):
+    """Bucketized range join: inclusive at +window, exclusive after, and
+    pairs crossing an hour-bucket boundary are found exactly once."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.temporal import purchase_followups
+
+    base = dt.datetime(2024, 1, 1, 10, 30)  # mid-bucket anchor
+    rows = [
+        (1, base, 7, "purchase", 5.0, None),
+        (2, base + dt.timedelta(seconds=3600), 7, "click", 1.0, None),  # in
+        (3, base + dt.timedelta(seconds=3601), 7, "view", 1.0, None),  # out
+        (4, base + dt.timedelta(minutes=45), 7, "click", 1.0, None),  # next bucket, in
+        (5, base + dt.timedelta(minutes=10), 8, "click", 1.0, None),  # other user
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    pairs = {
+        (r["purchase_event_id"], r["follow_event_id"], r["secs_after"])
+        for r in purchase_followups(events).collect()
+    }
+    assert pairs == {(1, 2, 3600), (1, 4, 2700)}
 
 
 def test_date_dimension_java_enum_casing(spark):
