@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": _text.build_profile,
         "similarity_topk_cosine": _similarity.build_topk,
         "similarity_lsh_bucketed": _similarity.build_lsh,
+        "similarity_ivf_topk": _similarity.build_ivf,
         "events_tumbling": _events.build_tumbling,
         "events_sliding": _events.build_sliding,
         "events_session": _events.build_session,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-space plane signs make the LSH buckets engine-portable,
         # so even the bucketed ANN query has an exact SQL twin
         "similarity_lsh_bucketed": _similarity.ORACLE_SQL_LSH,
+        "similarity_ivf_topk": _similarity.ORACLE_SQL_IVF,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,

@@ -249,6 +249,27 @@ def append_hive_table(df: DataFrame, table: str) -> None:
     df.write.mode("append").format(fmt).saveAsTable(table)
 
 
+# Bucketed tables: the 100 TB co-location lever. Writing both fact tables
+# bucketed (and sorted) by the join key lets sort-merge joins read
+# matching buckets directly — the per-query shuffle of BOTH fact sides
+# disappears (PERF_NOTES "levers"). Bucket count is a physical-layout
+# decision: pick ~(table size / 1 GB) at the target scale.
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 # Job-2's write-back verification idiom (generate-asset.scala:333-338):
 # re-read the written table through SQL, sample LIMIT rows, count rows.
 def verify_table_sql(

@@ -260,6 +260,134 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ----------------------------------------------------------- IVF ANN ----
+CENTROID_STRIDE = 50  # every 50th vec_id is a centroid (data-size adaptive)
+N_PROBES = 2  # cells searched per query
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    stride: int = CENTROID_STRIDE,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantize, then search n_probes cells.
+
+    The centroid set is deterministic — every ``stride``-th vector — so
+    the whole index is SQL-reproducible (a real system would k-means
+    these; the partition/probe machinery is identical). Build: one
+    n×K assignment join (centroids broadcast, K ≪ n) → each vector's
+    cell = argmax integer-cosine centroid. Query: probe the n_probes
+    nearest cells, exact top-k within their members. At 100 TB the
+    assignment is a map-side broadcast join and the probe join hits
+    only cells' partitions — never the full corpus.
+    """
+    emb = embeddings.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
+    )
+    cent = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("_cent_e"),
+        F.col("_norm").alias("_cent_n"),
+    )
+    cos_e6 = (
+        F.round(_dot("embedding", "_cent_e") / (F.col("_norm") * F.col("_cent_n")) * 1_000_000)
+        .cast("long")
+    )
+    scored = emb.join(F.broadcast(cent), how="cross").withColumn("_c_e6", cos_e6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("_c_e6"), F.asc("cent_id")
+    )
+    assign = (
+        scored.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "embedding", "_norm", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") <= n_probes)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qe"),
+            F.col("_norm").alias("_qn"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = assign.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    q_cos = (
+        F.round(_dot("_qe", "embedding") / (F.col("_qn") * F.col("_norm")) * 1_000_000)
+        .cast("long")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("_cos_e6"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_cos_e6", q_cos)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.col("cell"),
+            "rank",
+            F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+        )
+    )
+
+
+def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return ivf_topk(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+_COS_CENT_SQL = """CAST(ROUND(
+           list_sum(list_transform(range(1, len(v.embedding) + 1),
+                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (v.nrm * c.nrm) * 1000000, 0) AS BIGINT)"""
+
+ORACLE_SQL_IVF = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT * FROM e WHERE vec_id % {CENTROID_STRIDE} = 0),
+scored AS (
+  SELECT v.vec_id, c.vec_id AS cent_id, {_COS_CENT_SQL} AS c_e6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY {_COS_CENT_SQL} DESC, c.vec_id ASC) AS INTEGER) AS r
+  FROM e v CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell
+  FROM scored WHERE vec_id < {N_QUERIES} AND r <= {N_PROBES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS candidate_id, a.cell,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+           / (q.nrm * x.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+  FROM assign a
+  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e x ON x.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e6 DESC, candidate_id ASC) AS INTEGER) AS rank
+  FROM cand
+)
+SELECT query_id, candidate_id, cell, rank,
+       CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # ------------------------------------------------- embedding near-dup ----
 NEAR_DUP_THRESHOLD = 0.45  # cosine; data max is ~0.51 (random vectors)
 NEAR_DUP_BLOCKS = 8  # pair-space grid: B(B+1)/2 cells; scale with cluster

@@ -4,6 +4,7 @@ from demo_etl_spark.streaming.event_streams import (
     session_stream,
     sliding_stream,
     tumbling_stream,
+    user_totals_stateful_stream,
 )
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "tumbling_stream",
     "sliding_stream",
     "session_stream",
+    "user_totals_stateful_stream",
     "run_available_now",
 ]

@@ -112,13 +112,63 @@ def session_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, table_name: str, timeout_s: int = 120) -> DataFrame:
+def user_totals_stateful_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried in explicit group state across micro-batches.
+
+    This is the arbitrary-stateful-processing shape (the built-in
+    windowed aggs can't express, e.g., custom eviction or cross-batch
+    counters): state = (n_events, value in fixed-point ten-thousandths,
+    latest event µs). Money accumulates in integer space with the same
+    HALF_UP-away-from-zero rounding as ``money_fixed``, so the drained
+    stream equals the batch groupBy bit-for-bit (parity test).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value_c long, last_event_us long"
+    state_schema = "n long, val_c long, last_us long"
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+
+        n, val_c, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64") * 10_000
+            # HALF_UP away from zero — the money_fixed discipline
+            val_c += int(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum())
+            us = pdf["ts"].astype("int64") // 1_000  # ns → µs
+            last_us = max(last_us, int(us.max()))
+        state.update((n, val_c, last_us))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_c": [val_c],
+                "last_event_us": [last_us],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    table_name: str,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink;
-    returns the sink contents as a batch DataFrame."""
+    returns the sink contents as a batch DataFrame. Stateful operators
+    (applyInPandasWithState) require ``output_mode="update"``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

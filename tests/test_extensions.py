@@ -148,6 +148,45 @@ def test_streaming_session_matches_batch(spark, sf_dir):
     }
 
 
+def test_stateful_stream_matches_batch_totals(spark, sf_dir):
+    """applyInPandasWithState running totals drained with availableNow
+    must equal the batch groupBy bit-for-bit (fixed-point money)."""
+    from demo_etl_spark.functions.scalars import money_fixed
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        user_totals_stateful_stream,
+    )
+
+    out = run_available_now(
+        user_totals_stateful_stream(read_events_stream(spark, sf_dir)),
+        "t_stateful",
+        output_mode="update",
+    )
+    # update-mode memory sink may hold one row per micro-batch: keep the
+    # final state per user (max n_events)
+    stream = {}
+    for r in out.collect():
+        prev = stream.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            stream[r["user_id"]] = (
+                r["n_events"], r["total_value_c"], r["last_event_us"]
+            )
+    events = load_star(spark, sf_dir)["events"]
+    batch = {
+        r["user_id"]: (r["n"], r["val_c"], r["last_us"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money_fixed(F.col("value"))).alias("val_c"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
 def test_multimodal_plumbing(spark, sf_dir, tables):
     from demo_etl_spark.operators import multimodal
 

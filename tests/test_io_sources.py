@@ -94,6 +94,34 @@ def test_registry_create_if_not_exists_and_append(spark):
     io.drop_table(spark, "t_registry_demo")
 
 
+def test_bucketed_join_eliminates_shuffle(spark, tables):
+    """Both fact sides bucketed+sorted by the join key: the sort-merge
+    join plan must contain NO shuffle exchange (bucket co-location)."""
+    io.drop_table(spark, "b_lineitem")
+    io.drop_table(spark, "b_orders")
+    io.write_bucketed_table(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        "b_lineitem", ["l_orderkey"], 4,
+    )
+    io.write_bucketed_table(
+        tables["orders"].select("o_orderkey", "o_custkey"),
+        "b_orders", ["o_orderkey"], 4,
+    )
+    li, od = spark.table("b_lineitem"), spark.table("b_orders")
+    j = li.hint("merge").join(od, li["l_orderkey"] == od["o_orderkey"])
+    plan = j._jdf.queryExecution().sparkPlan().treeString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaced the shuffle
+    # un-bucketed control: same join DOES shuffle
+    li0 = tables["lineitem"].select("l_orderkey", "l_quantity")
+    od0 = tables["orders"].select("o_orderkey", "o_custkey")
+    j0 = li0.hint("merge").join(od0, li0["l_orderkey"] == od0["o_orderkey"])
+    assert "Exchange" in j0._jdf.queryExecution().sparkPlan().treeString()
+    assert j.count() == j0.count()
+    io.drop_table(spark, "b_lineitem")
+    io.drop_table(spark, "b_orders")
+
+
 def test_hive_metastore_end_to_end(tmp_path):
     """The hive_support=True branch (real metastore, STORED AS PARQUET,
     format('hive') append) — run in a subprocess because getOrCreate
