@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from demo_etl_spark.operators import asset as _asset
+from demo_etl_spark.operators import curation as _curation
 from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
 from demo_etl_spark.operators import events as _events
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.build_minhash,
         "dedup_simhash": _dedup.build_simhash,
         "dedup_embedding_cosine": _similarity.build_near_dup,
+        "corpus_curation": _curation.build,
         "regional_sales": _star.build_regional,
         "text_stats": _text.build_stats,
         "lang_id": _text.build_lang_id,
@@ -83,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
         "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
+        "corpus_curation": _curation.ORACLE_SQL_CURATION,
         "regional_sales": _star.ORACLE_SQL_REGIONAL,
         "text_stats": _text.ORACLE_SQL_STATS,
         "lang_id": _text.ORACLE_SQL_LANG_ID,

@@ -1,0 +1,111 @@
+"""Corpus curation — the end-to-end training-data filter pipeline
+(north-star extension; composes dedup + text quality + language policy).
+
+The canonical LLM-data shape: raw documents → exact dedup (keep the
+canonical copy) → near-dup removal (MinHash-LSH pairs, keep-first
+policy) → quality gate (length + stopword-density) → language selection.
+Every stage is a pure DataFrame transform over the same primitives the
+standalone queries use (operators.dedup, operators.text), so the whole
+pipeline remains one Catalyst plan — filters fuse, the only shuffles are
+the dedup groupBys/joins — and the DuckDB oracle reproduces it exactly.
+
+Quality thresholds compare in cross-multiplied integer space
+(``n_stop·100 ≥ τ·100·n_tokens``), never on rounded floats, so the
+keep/drop decision is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.io import load_star
+from demo_etl_spark.operators import dedup as _dedup
+from demo_etl_spark.operators.text import EN_STOPWORDS
+
+MIN_TOKENS = 20
+MIN_STOPWORD_PCT = 2  # n_stop/n_tokens >= 2%
+KEEP_LANGS = ("de", "en", "es", "fr")
+
+
+def curate_corpus(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    min_tokens: int = MIN_TOKENS,
+    min_stopword_pct: int = MIN_STOPWORD_PCT,
+    keep_langs: tuple[str, ...] = KEEP_LANGS,
+) -> DataFrame:
+    """The kept (curated) documents with their gate statistics."""
+    tokens = F.split(F.col("text"), " ")
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+    # stage 1 — exact dedup: canonical copy = min doc_id per text hash
+    w = Window.partitionBy(F.md5("text"))
+    canonical = (
+        documents.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+    # stage 2 — near-dup removal: keep-first (doc_b of every verified
+    # MinHash-LSH pair is dropped; pairs are a<b so the min id survives)
+    near_dups = (
+        _dedup.minhash_lsh_pairs(documents, ctx)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = canonical.join(near_dups, "doc_id", "left_anti")
+
+    # stages 3+4 — quality gate (integer-space) + language policy
+    lang_list = ", ".join(f"'{lang}'" for lang in keep_langs)
+    scored = survivors.withColumns(
+        {
+            "n_tokens": F.size(tokens),
+            "n_stop": F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))")),
+        }
+    )
+    return (
+        scored.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_stop") * 100 >= min_stopword_pct * F.col("n_tokens"))
+            & F.expr(f"lang IN ({lang_list})")
+        )
+        .select("doc_id", "lang", "source", "n_chars", "n_tokens", "n_stop")
+    )
+
+
+def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return curate_corpus(load_star(spark, sf_dir)["documents"], ctx)
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_LANG_SQL = ", ".join(f"'{lang}'" for lang in KEEP_LANGS)
+
+ORACLE_SQL_CURATION = f"""
+WITH pairs AS (
+  SELECT * FROM ({_dedup.ORACLE_SQL_MINHASH})
+),
+canonical AS (
+  SELECT * FROM (
+    SELECT d.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM documents d
+  ) WHERE doc_id = min_id
+),
+survivors AS (
+  SELECT c.* FROM canonical c
+  WHERE c.doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+),
+scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ({_STOP_SQL}))) AS INTEGER) AS n_stop
+  FROM survivors
+)
+SELECT doc_id, lang, source, n_chars, n_tokens, n_stop
+FROM scored
+WHERE n_tokens >= {MIN_TOKENS}
+  AND n_stop * 100 >= {MIN_STOPWORD_PCT} * n_tokens
+  AND lang IN ({_LANG_SQL})
+"""

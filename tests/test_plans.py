@@ -1,0 +1,87 @@
+"""Physical-plan regression tests (the 100 TB design contract).
+
+Correctness is the oracle harness's job; these tests pin the *plan-level*
+facts that make the operators survive scale — pushdown reaching the
+parquet scan, column pruning, dimension broadcast, partial aggregation,
+whole-stage codegen. A refactor that silently de-optimizes a plan fails
+here even though results stay correct. Scans are read with cache=False:
+the shared scan cache replaces FileScans with InMemoryTableScans, which
+would hide the scan-level facts being asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_etl_spark.io import read_star_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().treeString()
+
+
+def _spark_plan(df) -> str:  # pre-AQE physical plan (Exchange visible)
+    return df._jdf.queryExecution().sparkPlan().treeString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = read_star_table(spark, SF, "lineitem", cache=False)
+    q = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10" in plan
+    # ReadSchema pruned to exactly the consumed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dimension_join_broadcasts(spark):
+    from demo_etl_spark.operators.timeseries import date_dim_join
+
+    li = read_star_table(spark, SF, "lineitem", cache=False)
+    od = read_star_table(spark, SF, "orders", cache=False)
+    plan = _plan(date_dim_join(spark, li, od))
+    assert "BroadcastHashJoin" in plan  # 2556-row dim never shuffles the fact
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    li = read_star_table(spark, SF, "lineitem", cache=False)
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _spark_plan(q)
+    # map-side partial agg before the shuffle, final after
+    assert plan.count("HashAggregate") == 2
+    assert "partial_sum" in plan
+
+
+def test_text_stats_all_jvm_single_pass(spark):
+    from demo_etl_spark.operators.text import text_stats
+
+    docs = read_star_table(spark, SF, "documents", cache=False)
+    plan = _spark_plan(text_stats(docs))
+    # JVM expression evaluation only (higher-order functions are
+    # interpreted JVM exprs — still zero Python workers in the hot path)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-only: no shuffle beyond the scan-parallelism repartition
+    assert plan.count("Exchange") <= 1
+    assert "FileScan parquet" in plan
+
+
+def test_asof_join_single_key_shuffle_no_nested_loop(spark):
+    from demo_etl_spark.operators.temporal import asof_last_purchase
+
+    ev = read_star_table(spark, SF, "events", cache=False)
+    plan = _spark_plan(asof_last_purchase(ev))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the merge is one window over user_id — not a join at all
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    from demo_etl_spark.operators.temporal import purchase_followups
+
+    ev = read_star_table(spark, SF, "events", cache=False)
+    plan = _spark_plan(purchase_followups(ev))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # bucket equality keys make it a hash-joinable equi join
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
