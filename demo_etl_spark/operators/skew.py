@@ -1,0 +1,45 @@
+"""Skew mitigation: salted joins (SURVEY.md §7 Phase 6; build-brief
+"salting for skew").
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew by
+splitting oversized partitions of a sort-merge join. Salting is the
+*plan-level* complement for the pathological case AQE can't fix: one join
+key so hot that even a split partition re-concentrates on the same
+executor (e.g. a null-like sentinel key, a "default user" id). The big
+side spreads each key over ``n_salts`` sub-keys with a deterministic
+per-row hash; the small side is replicated ×n_salts. The join then runs
+on (key, salt) — the hot key's rows land on n_salts different reducers.
+
+Cost model: small side grows ×n_salts (must still broadcast/shuffle
+cheaply); big side is unchanged. Use ONLY on demonstrated skew — on
+uniform keys it is pure overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on`` with key salting.
+
+    The salt is a deterministic hash of the big side's whole row
+    (xxhash64 over all columns), so repeated runs produce identical
+    physical distributions. Result equals the plain join exactly — the
+    salt participates only in routing, never in the output.
+    """
+    salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt_b)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [on, "_salt"], how).drop("_salt")

@@ -77,6 +77,28 @@ def test_asof_join_single_key_shuffle_no_nested_loop(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes routing only — results must equal the plain join,
+    including a pathologically hot key."""
+    from demo_etl_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).select(
+        # 90% of rows share key 0 — the AQE-resistant hot-key shape
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    salted = salted_join(big, small, "k", n_salts=8)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    # the join really runs on (k, _salt)
+    plan = _spark_plan(salted_join(big, small, "k", n_salts=8))
+    assert "_salt" in plan
+
+
 def test_range_join_is_equi_join(spark):
     from demo_etl_spark.operators.temporal import purchase_followups
 
