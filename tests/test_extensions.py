@@ -133,6 +133,21 @@ def test_streaming_matches_batch_tumbling(spark, sf_dir):
     assert s == b
 
 
+def test_streaming_matches_batch_sliding(spark, sf_dir):
+    from demo_etl_spark.operators.events import sliding_window
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.streaming import read_events_stream, run_available_now, sliding_stream
+
+    stream_out = run_available_now(
+        sliding_stream(read_events_stream(spark, sf_dir)), "t_slide"
+    )
+    batch_out = sliding_window(load_star(spark, sf_dir)["events"])
+    key = lambda r: (r["window_start"], r["event_type"], r["n_events"], r["total_value"])  # noqa: E731
+    assert {key(r) for r in stream_out.collect()} == {
+        key(r) for r in batch_out.collect()
+    }
+
+
 def test_streaming_session_matches_batch(spark, sf_dir):
     from demo_etl_spark.operators.events import session_window
     from demo_etl_spark.io import load_star

@@ -77,6 +77,26 @@ def test_asof_join_single_key_shuffle_no_nested_loop(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dynamic_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Date-partitioned fact + filtered dim join: the fact scan must carry
+    a dynamic pruning subquery (only matching partitions are read)."""
+    from demo_etl_spark import io
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("part_year")
+    )
+    path = str(tmp_path / "fact_part")
+    io.write_parquet(fact, path, partition_by=["part_year"])
+    dim = spark.range(5).select(
+        F.col("id").alias("part_year"), F.lit("x").alias("tag")
+    ).filter(F.col("part_year") == 3)
+    back = spark.read.parquet(path)
+    j = back.join(dim, "part_year")
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 200
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting changes routing only — results must equal the plain join,
     including a pathologically hot key."""
