@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _similarity.build_near_dup,
         "corpus_curation": _curation.build,
         "regional_sales": _star.build_regional,
+        "sales_cube": _star.build_cube,
+        "order_value_distribution": _star.build_distribution,
         "text_stats": _text.build_stats,
         "lang_id": _text.build_lang_id,
         "lang_profile": _text.build_profile,
@@ -87,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
         "corpus_curation": _curation.ORACLE_SQL_CURATION,
         "regional_sales": _star.ORACLE_SQL_REGIONAL,
+        "sales_cube": _star.ORACLE_SQL_CUBE,
+        "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
         "text_stats": _text.ORACLE_SQL_STATS,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,

@@ -271,3 +271,132 @@ SELECT r_name AS region, n_name AS nation,
 FROM j
 GROUP BY r_name, n_name
 """
+
+
+# ------------------------------------------------ cube / distributions ----
+def sales_cube(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Revenue CUBE over (nation, order year): all four aggregation levels
+    (detail, per-nation, per-year, grand total) in ONE pass — Spark's
+    Expand produces every grouping set map-side, so the cost is one
+    shuffle regardless of level count. ``grouping()`` flags disambiguate
+    real NULL keys from subtotal rows (the cross-engine-safe idiom; the
+    reference has no grouping sets at all — SURVEY §2.4 "not present").
+    """
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    base = j.select(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+        money_fixed(fp).alias("_fp_c"),
+    )
+    return (
+        base.cube("nation", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_fp_c").alias("_rev_c"),
+            F.grouping("nation").cast("int").alias("is_nation_total"),
+            F.grouping("order_year").cast("int").alias("is_year_total"),
+        )
+        .select(
+            "nation",
+            "order_year",
+            "n_lines",
+            round_div("_rev_c", "10000", 2).alias("total_revenue"),
+            "is_nation_total",
+            "is_year_total",
+        )
+    )
+
+
+def order_value_distribution(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Per-nation exact order-value percentiles (p25/p50/p75/p95).
+
+    Exact ``percentile`` (interpolated) over fixed-point cents: both
+    engines interpolate (1−f)·a + f·b on the same sorted integers, so
+    the doubles agree bit-for-bit. At 100 TB swap in approx_percentile
+    (t-digest) — same API shape, documented error bound.
+    """
+    tp_c = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+    j = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    g = j.select(F.col("n_name").alias("nation"), tp_c.alias("_tp_c")).groupBy(
+        "nation"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(_tp_c, array(0.25, 0.5, 0.75, 0.95))").alias("_q"),
+    )
+    return g.select(
+        "nation",
+        "n_orders",
+        (F.col("_q")[0] / 100.0).alias("p25"),
+        (F.col("_q")[1] / 100.0).alias("p50"),
+        (F.col("_q")[2] / 100.0).alias("p75"),
+        (F.col("_q")[3] / 100.0).alias("p95"),
+    )
+
+
+def build_cube(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return sales_cube(t["lineitem"], t["orders"], t["customer"], t["nation"], ctx)
+
+
+def build_distribution(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return order_value_distribution(t["orders"], t["customer"], t["nation"], ctx)
+
+
+ORACLE_SQL_CUBE = f"""
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, order_year,
+       COUNT(*) AS n_lines,
+       {_rd("CAST(SUM(fp_c) AS BIGINT)", "10000", 2)} AS total_revenue,
+       CAST(GROUPING(nation) AS INTEGER) AS is_nation_total,
+       CAST(GROUPING(order_year) AS INTEGER) AS is_year_total
+FROM base
+GROUP BY CUBE(nation, order_year)
+"""
+
+ORACLE_SQL_DISTRIBUTION = """
+WITH j AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS tp_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), g AS (
+  SELECT nation, COUNT(*) AS n_orders,
+         quantile_cont(tp_c, [0.25, 0.5, 0.75, 0.95]) AS q
+  FROM j GROUP BY nation
+)
+SELECT nation, n_orders,
+       q[1] / 100.0 AS p25, q[2] / 100.0 AS p50,
+       q[3] / 100.0 AS p75, q[4] / 100.0 AS p95
+FROM g
+"""
