@@ -148,6 +148,16 @@ def read_csv(
     return spark.read.csv(path, header=header, schema=schema)
 
 
+# JSON-lines source/sink (not in the reference; standard engine surface —
+# the events.props column already carries JSON payloads).
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
 # S4: parquet sink. At scale, pass partition_by (e.g. a date column) so
 # downstream reads get partition pruning; the reference writes flat
 # (generate-asset.scala:327-330) which does not survive 100 TB.

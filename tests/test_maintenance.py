@@ -1,0 +1,84 @@
+"""Dataset-maintenance and extra-source coverage (maintenance.py, io JSON)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from demo_etl_spark import io, maintenance
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    merged = maintenance.merge_upsert(spark, path, updates, "k")
+    rows = {r["k"]: (r["name"], r["v"]) for r in merged.collect()}
+    assert rows == {
+        1: ("a", 10.0),   # untouched
+        2: ("b2", 99.0),  # updated in place
+        3: ("c", 30.0),   # untouched
+        4: ("d", 40.0),   # inserted
+    }
+    # in-place rewrite really landed on disk
+    again = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert again[2] == 99.0 and 4 in again
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 64
+    maintenance.compact_parquet(spark, path, target_mb=256)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after < before
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_clustered_write_sorts_within_files(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    maintenance.clustered_write(df, path, ["k"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # each file covers a narrow, sorted range: per-file sortedness holds
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    ooo = (
+        back.withColumn("_prev", F.lag("k").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("k") < F.col("_prev")))
+        .count()
+    )
+    assert ooo == 0
+    # and file ranges don't interleave much: max of file A <= min of file B or ranges disjoint
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # range partitioning: disjoint key ranges
+
+
+def test_json_round_trip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("tag", StringType())]
+    )
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    path = str(tmp_path / "json_rt")
+    io.write_json(df, path)
+    back = io.read_json(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
