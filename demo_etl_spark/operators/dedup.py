@@ -362,26 +362,37 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
     Tokens are NOT deduplicated — bit votes are weighted by term
     frequency, which is what separates documents drawn from a small
-    shared vocabulary (distinct-token SimHash collapses them)."""
+    shared vocabulary (distinct-token SimHash collapses them).
+
+    All 32 bit-votes accumulate in ONE pass over the token array (array
+    accumulator inside a single ``aggregate``) instead of 32 separate
+    traversals — same values, ~an order of magnitude fewer expression
+    evaluations per document."""
     tokens = F.split(F.col("text"), " ")
     hashes = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    d = documents.select("doc_id", hashes.alias("_hashes"))
-
-    def bit_vote(i: int):
-        mask = 1 << i
-        return F.aggregate(
-            F.col("_hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim + F.when(bit_vote(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return d.select("doc_id", sim.alias("simhash"))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return documents.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
