@@ -390,24 +390,34 @@ FROM ranked WHERE rank <= {TOP_K}
 
 # ------------------------------------------------- embedding near-dup ----
 NEAR_DUP_THRESHOLD = 0.45  # cosine; data max is ~0.51 (random vectors)
-NEAR_DUP_BLOCKS = 8  # pair-space grid: B(B+1)/2 cells; scale with cluster
+NEAR_DUP_ROWS_PER_BLOCK = 4000  # auto-sizing target for the pair-space grid
+NEAR_DUP_MAX_BLOCKS = 64
 
 
 def embedding_near_dup(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = NEAR_DUP_THRESHOLD,
-    n_blocks: int = NEAR_DUP_BLOCKS,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ τ over ALL vector pairs — exact,
     via the block-partitioned pair space (module docstring). Each block
     cell compares its two blocks with one numpy matmul; cosines are
     rounded to 1e-6 fixed point exactly like the SQL oracle (HALF_UP on
     positive values), so the result is hash-identical to brute force.
+
+    ``n_blocks`` defaults to auto: ~4k vectors per block, so tiny inputs
+    run as a handful of cells (no 36-way Python-worker fan-out for 2k
+    rows) while large inputs grow the grid — the result is identical for
+    ANY block count (exactness is block-independent), only the
+    parallelism changes. Size to the cluster at real scale.
     """
     t_e6 = int(round(threshold * 1_000_000))
     spark = embeddings.sparkSession
     emb = embeddings.select("vec_id", "embedding")
+    if n_blocks is None:
+        n = emb.count()  # cheap: scan is cached/columnar, count-only
+        n_blocks = max(1, min(NEAR_DUP_MAX_BLOCKS, -(-n // NEAR_DUP_ROWS_PER_BLOCK)))
     tagged = emb.withColumn(
         "block", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )

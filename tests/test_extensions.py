@@ -99,18 +99,23 @@ def test_blocked_near_dup_matches_bruteforce(spark, tables):
     fixed-point cosines as the brute-force column-expression twin."""
     from demo_etl_spark.operators import similarity
 
-    blocked = {
-        (r["vec_a"], r["vec_b"], r["cosine"])
-        for r in similarity.embedding_near_dup(tables["embeddings"]).collect()
-    }
     brute = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in similarity.embedding_near_dup_bruteforce(
             tables["embeddings"]
         ).collect()
     }
-    assert blocked == brute
-    assert blocked  # sf0.001 corpus has near-dup pairs — non-vacuous
+    # auto-sized grid (diagonal-only at this SF) AND an explicit 3-block
+    # grid (exercises off-diagonal cells): both must equal brute force
+    for blocks in (None, 3):
+        blocked = {
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in similarity.embedding_near_dup(
+                tables["embeddings"], n_blocks=blocks
+            ).collect()
+        }
+        assert blocked == brute
+    assert brute  # sf0.001 corpus has near-dup pairs — non-vacuous
 
 
 def test_streaming_matches_batch_tumbling(spark, sf_dir):
