@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stub-derived width/height stay pytest-only)
         "multimodal_features": _multimodal.build_features_checked,
         "pricing_summary_sql": _sql.build,
+        "shipping_priority_sql": _sql.build_shipping_priority,
+        "late_order_priority_sql": _sql.build_late_priority,
     }
 
 
@@ -106,4 +108,6 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "pricing_summary_sql": _sql.ORACLE_SQL,
+        "shipping_priority_sql": _sql.ORACLE_SQL_SHIPPING_PRIORITY,
+        "late_order_priority_sql": _sql.ORACLE_SQL_LATE_PRIORITY,
     }

@@ -119,6 +119,13 @@ def test_salted_join_equals_plain_join(spark):
     assert "_salt" in plan
 
 
+def test_exists_subquery_plans_as_semi_join(spark):
+    from demo_etl_spark.operators.sql_interface import build_late_priority
+
+    plan = _spark_plan(build_late_priority(spark, SF))
+    assert "LeftSemi" in plan  # correlated EXISTS → semi join, not a filter
+
+
 def test_range_join_is_equi_join(spark):
     from demo_etl_spark.operators.temporal import purchase_followups
 
