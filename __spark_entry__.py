@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": _events.build_session,
         "events_asof_join": _temporal.build_asof,
         "events_range_join": _temporal.build_followups,
+        "event_transitions": _temporal.build_transitions,
         # oracle-checked projection of the mapInPandas feature pipeline
         # (byte_len/feature_hash are computed IN the Python worker; the
         # stub-derived width/height stay pytest-only)
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_asof_join": _temporal.ORACLE_SQL_ASOF,
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
+        "event_transitions": _temporal.ORACLE_SQL_TRANSITIONS,
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "pricing_summary_sql": _sql.ORACLE_SQL,
         "shipping_priority_sql": _sql.ORACLE_SQL_SHIPPING_PRIORITY,

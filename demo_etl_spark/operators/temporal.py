@@ -160,12 +160,73 @@ def purchase_followups(
     )
 
 
+def event_transitions(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-user event-type transition matrix (lag/lead window family).
+
+    ``lag(event_type)`` over each user's timeline gives (prev → curr)
+    pairs; the rollup counts transitions and their share of each source
+    state's outgoing edges — the first-order Markov view of the event
+    stream. Ordering ties on identical timestamps break on event_id, so
+    the lag sequence (and the oracle) is fully deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_src = Window.partitionBy("prev_type")
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    return (
+        counts.withColumn("_src_total", F.sum("n_transitions").over(w_src))
+        .select(
+            "prev_type",
+            "curr_type",
+            "n_transitions",
+            round_div("n_transitions", "_src_total", 6).alias("share_of_source"),
+        )
+    )
+
+
 def build_asof(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return asof_last_purchase(load_star(spark, sf_dir)["events"], ctx)
 
 
 def build_followups(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return purchase_followups(load_star(spark, sf_dir)["events"], ctx)
+
+
+def build_transitions(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return event_transitions(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_TRANSITIONS = """
+WITH pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS curr_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, curr_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+)
+SELECT prev_type, curr_type, n_transitions,
+       CAST(((n_transitions * 2000000 + SUM(n_transitions) OVER (PARTITION BY prev_type))
+             // (2 * SUM(n_transitions) OVER (PARTITION BY prev_type))) / 1000000 AS DOUBLE)
+         AS share_of_source
+FROM counts
+"""
 
 
 ORACLE_SQL_ASOF = f"""
