@@ -2,6 +2,7 @@ from demo_etl_spark.lineage.tracker import (
     LineageEvent,
     LineageTracker,
     attach_query_listener,
+    column_lineage,
     detach_query_listener,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "LineageEvent",
     "LineageTracker",
     "attach_query_listener",
+    "column_lineage",
     "detach_query_listener",
 ]

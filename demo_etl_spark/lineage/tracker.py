@@ -136,6 +136,82 @@ class LineageTracker:
         return path
 
 
+# -- column-level lineage (SURVEY §7 Phase 4 stretch) ----------------------
+def column_lineage(df: DataFrame) -> dict[str, list[str]]:
+    """Map each output column to the source ``table.column`` set it derives
+    from, by a bottom-up walk of the ANALYZED logical plan.
+
+    Leaves (file relations) seed each attribute with its source name
+    (derived from the scanned file path); every named expression above
+    unions the provenance of the attributes it references, keyed by
+    Catalyst exprId — so aliases, aggregates, window functions and join
+    pass-throughs all resolve without per-node-type code. Runs entirely
+    on the driver over plan metadata (no job is triggered).
+    """
+
+    def seq_list(seq):
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def resolve_expr(e, env: dict[int, set[str]]) -> None:
+        try:
+            eid = e.exprId().id()
+        except Exception:
+            eid = None
+        if eid is not None and eid in env:
+            return  # a bare attribute reference — provenance already known
+        refs: set[str] = set()
+        it = e.references().iterator()
+        while it.hasNext():
+            a = it.next()
+            refs |= env.get(a.exprId().id(), set())
+        if eid is not None:
+            env[eid] = refs
+
+    def walk(node, env: dict[int, set[str]]) -> None:
+        for c in seq_list(node.children()):
+            walk(c, env)
+        cls = node.getClass().getSimpleName()
+        if cls in ("LogicalRelation", "LocalRelation", "Range"):
+            src = "<in-memory>"
+            if cls == "LogicalRelation":
+                try:
+                    files = node.relation().inputFiles()
+                    if len(files):
+                        parts = files[0].rsplit("/", 2)
+                        fname, parent = parts[-1], parts[-2]
+                        # dataset dir name for part-files, else the file name
+                        name = parent if fname.startswith("part-") else fname
+                        src = name.split(".")[0]
+                except Exception:
+                    src = "<relation>"
+            for a in seq_list(node.output()):
+                env[a.exprId().id()] = {f"{src}.{a.name()}"}
+            return
+        if cls == "Union":
+            # Union's output reuses the FIRST child's exprIds — merge the
+            # provenance of every child's corresponding (positional) column
+            # or the later branches' contributions are silently dropped
+            outs = seq_list(node.output())
+            kids = seq_list(node.children())
+            for i, a in enumerate(outs):
+                merged: set[str] = set()
+                for k in kids:
+                    ka = k.output().apply(i)
+                    merged |= env.get(ka.exprId().id(), set())
+                env[a.exprId().id()] = merged
+            return
+        for e in seq_list(node.expressions()):
+            resolve_expr(e, env)
+
+    plan = df._jdf.queryExecution().analyzed()
+    env: dict[int, set[str]] = {}
+    walk(plan, env)
+    return {
+        a.name(): sorted(env.get(a.exprId().id(), set()))
+        for a in [plan.output().apply(i) for i in range(plan.output().size())]
+    }
+
+
 # -- automatic plan-derived lineage (SURVEY §7 Phase 4 idiomatic upgrade) --
 class _QueryExecutionLineageListener:
     """Python proxy for ``org.apache.spark.sql.util.QueryExecutionListener``.
