@@ -141,6 +141,14 @@ def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_star_table(spark, sf_dir, t) for t in STAR_TABLES}
 
 
+def register_star_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every star table as a temp view so raw-SQL users can query
+    the warehouse by name (``spark.sql("SELECT ... FROM lineitem")``) —
+    the catalog face of the S10 SQL-string surface."""
+    for name, df in load_star(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
 # S2: CSV scan with explicit schema (never inference in production paths).
 def read_csv(
     spark: SparkSession, path: str, schema: StructType, header: bool = True

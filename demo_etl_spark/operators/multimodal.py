@@ -104,6 +104,85 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_TARGET = (32, 32)
+FRAME_SAMPLE_EVERY = 1024  # one sampled "frame" per KiB of payload
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize: STUB decode (see ``_fake_decode``) + a
+    deterministic downsample fake (payload truncated to w·h bytes — a
+    real impl swaps in ``PIL.Image.resize``). The Spark plumbing —
+    binary-in/binary-out Arrow batches, declared schema, no shuffle —
+    is the real thing."""
+    w_t, h_t = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": w_t,
+                    "height": h_t,
+                    "resized_payload": pdf["payload"].map(
+                        lambda b: bytes(b)[: w_t * h_t]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every: int = FRAME_SAMPLE_EVERY
+) -> DataFrame:
+    """mapInPandas frame sampling for video payloads: one output row per
+    ``every`` bytes (STUB for per-frame decode; a real impl samples
+    keyframes via libav). Demonstrates the 1→N exploding UDF shape —
+    output rows ≠ input rows, schema declared up front."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_index": [], "frame_offset": [], "frame_hash": []
+            }
+            vids = pdf[pdf["media_type"] == "video"]
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                raw = bytes(payload)
+                for i, off in enumerate(range(0, len(raw), every)):
+                    chunk = raw[off:off + every]
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            # explicit dtypes: a video-free batch yields 0 rows and pandas
+            # would otherwise infer object columns Arrow can't cast
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "frame_index": "int32", "frame_offset": "int32"}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def build_features(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:

@@ -168,6 +168,35 @@ def test_streaming_session_matches_batch(spark, sf_dir):
     }
 
 
+def test_stream_checkpoint_resume_no_duplicates(spark, sf_dir, tmp_path):
+    """File-sink exactly-once: draining the same source twice against one
+    checkpoint must not duplicate output (the restarted query sees the
+    source exhausted and writes nothing new)."""
+    from demo_etl_spark.streaming import read_events_stream, tumbling_stream
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            tumbling_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out_dir).count()
+    drain()  # same checkpoint: source already committed — no new rows
+    second = spark.read.parquet(out_dir).count()
+    assert first > 0
+    assert second == first
+
+
 def test_stateful_stream_matches_batch_totals(spark, sf_dir):
     """applyInPandasWithState running totals drained with availableNow
     must equal the batch groupBy bit-for-bit (fixed-point money)."""
@@ -205,6 +234,37 @@ def test_stateful_stream_matches_batch_totals(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir, tables):
+    from demo_etl_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(tables["documents"])
+    resized = multimodal.resize_media(media).cache()
+    n = media.count()
+    assert resized.count() == n
+    row = resized.first()
+    assert (row["width"], row["height"]) == multimodal.RESIZE_TARGET
+    assert len(row["resized_payload"]) <= 32 * 32
+    frames = multimodal.sample_frames(media, every=64).cache()
+    vids = media.filter(F.col("media_type") == "video")
+    # every video yields ceil(len/64) frames; frame 0 exists for each
+    assert frames.filter(F.col("frame_index") == 0).count() == vids.count()
+    assert frames.filter(F.col("frame_offset") % 64 != 0).count() == 0
+    # deterministic across runs
+    a = sorted(map(tuple, frames.collect()))
+    b = sorted(map(tuple, multimodal.sample_frames(media, every=64).collect()))
+    assert a == b
+
+
+def test_register_star_views_sql_access(spark, sf_dir):
+    from demo_etl_spark.io import register_star_views
+
+    register_star_views(spark, sf_dir)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).first()["n"]
+    assert n > 0
 
 
 def test_multimodal_plumbing(spark, sf_dir, tables):
