@@ -47,8 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_minhash_lsh": _dedup.build_minhash,
         "dedup_simhash": _dedup.build_simhash,
+        "dedup_clusters": _dedup.build_clusters,
         "dedup_embedding_cosine": _similarity.build_near_dup,
         "corpus_curation": _curation.build,
+        "corpus_sample": _curation.build_sample,
         "regional_sales": _star.build_regional,
         "sales_cube": _star.build_cube,
         "order_value_distribution": _star.build_distribution,
@@ -89,8 +91,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup.ORACLE_SQL_NGRAM,
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
         "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
+        "dedup_clusters": _dedup.ORACLE_SQL_CLUSTERS,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
         "corpus_curation": _curation.ORACLE_SQL_CURATION,
+        "corpus_sample": _curation.ORACLE_SQL_SAMPLE,
         "regional_sales": _star.ORACLE_SQL_REGIONAL,
         "sales_cube": _star.ORACLE_SQL_CUBE,
         "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,

@@ -79,8 +79,69 @@ def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -
     return curate_corpus(load_star(spark, sf_dir)["documents"], ctx)
 
 
+# ------------------------------------------- deterministic sampling ----
+#: per-language keep percentage — the mixture-rebalancing policy
+#: (downsample the dominant language, keep the rest whole)
+SAMPLE_RATES: dict[str, int] = {"en": 50}
+DEFAULT_SAMPLE_PCT = 100
+
+
+def stratified_sample(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rates: dict[str, int] = None,
+    default_pct: int = DEFAULT_SAMPLE_PCT,
+) -> DataFrame:
+    """Reproducible stratified sampling by hash bucket, not RNG.
+
+    ``sample()``/``sampleBy()`` draw from a seeded RNG whose stream is
+    engine- and partitioning-dependent — useless for a reproducible
+    training mixture. The deterministic idiom: bucket each doc by
+    ``md5(doc_id) mod 100`` and keep the first ``pct`` buckets for its
+    language. Same doc set on every run, every engine, every partition
+    layout; rates tune per-language mixture weights.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    pct = F.lit(default_pct)
+    for lang, p in sorted(rates.items()):
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    return (
+        documents.withColumn("sample_bucket", bucket.cast("int"))
+        .filter(F.col("sample_bucket") < pct)
+        .select("doc_id", "lang", "source", "n_chars", "sample_bucket")
+    )
+
+
+def build_sample(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return stratified_sample(load_star(spark, sf_dir)["documents"], ctx)
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 _LANG_SQL = ", ".join(f"'{lang}'" for lang in KEEP_LANGS)
+
+
+def _sample_oracle() -> str:
+    pct = str(DEFAULT_SAMPLE_PCT)
+    for lang, p in sorted(SAMPLE_RATES.items()):
+        pct = f"CASE WHEN lang = '{lang}' THEN {p} ELSE {pct} END"
+    return f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+            AS INTEGER) AS sample_bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < ({pct})
+"""
+
+
+ORACLE_SQL_SAMPLE = _sample_oracle()
 
 ORACLE_SQL_CURATION = f"""
 WITH pairs AS (

@@ -348,6 +348,117 @@ WHERE common * 100 >= {_T100} * (sa.n + sb.n - common)
 """
 
 
+# ------------------------------------------- duplicate-cluster labeling ----
+def dedup_clusters(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected-component labels over the near-dup pair graph.
+
+    Pairwise near-dup output is not enough to deduplicate a corpus —
+    transitive chains (a~b, b~c, a≁c) must collapse to ONE cluster, so
+    every doc in a component gets the component's min doc_id as
+    ``cluster_id``. Implemented as iterative min-label propagation over
+    the undirected edge list: each round joins labels across edges and
+    takes the min per node — a Pregel superstep as join+groupBy, the
+    canonical Spark shape for iterative graph algorithms (converges in
+    O(component diameter) rounds; near-dup clusters are shallow). The
+    driver loop only checks a scalar convergence count per round — no
+    data is collected. The oracle replays the same fixpoint with a
+    recursive CTE (reachability → min reachable id per node).
+
+    Output: one row per document that belongs to a non-trivial cluster
+    (cluster_id ≠ doc_id rows plus the cluster roots).
+    """
+    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df).select(
+        "doc_a", "doc_b"
+    )
+    edges = register_persist(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        # neighbor's current label, propagated across each edge
+        prop = (
+            edges.join(
+                labels.withColumnsRenamed(
+                    {"doc_id": "doc_b", "cluster_id": "_nbr_label"}
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("_nbr_label").alias("_min_nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_min_nbr"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = register_persist(new_labels)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_canonical")
+    )
+
+
+def build_clusters(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return dedup_clusters(load_star(spark, sf_dir)["documents"], ctx)
+
+
+# Recursive-CTE oracle: reachability closure over the undirected edges,
+# then min reachable id (including self) per node. Exponential blowup is
+# bounded because near-dup components are tiny; UNION (not UNION ALL)
+# deduplicates visited pairs so the recursion terminates.
+ORACLE_SQL_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_SQL_MINHASH})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach (src, dst) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.dst
+  FROM edges e JOIN reach r ON e.doc_b = r.src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM labels
+"""
+
+
 # ------------------------------------------------------------- SimHash ----
 # 32-bit SimHash with 4×8-bit band LSH + exact Hamming verification.
 # Token hashes are md5-derived (deterministic), so the DuckDB oracle
