@@ -63,6 +63,15 @@ def register_persist(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AN
     return df
 
 
+# Modules holding their own memoized DataFrames (e.g. dedup's shingle
+# index) register a clearer so one clear_scan_cache() call resets all.
+_CACHE_CLEARERS: list = []
+
+
+def register_cache_clearer(fn) -> None:
+    _CACHE_CLEARERS.append(fn)
+
+
 def clear_scan_cache() -> None:
     """Unpersist and forget every cached scan / registered persist.
 
@@ -78,6 +87,8 @@ def clear_scan_cache() -> None:
     _SCAN_CACHE.clear()
     _PERSISTED.clear()
     _PATH_BYTES_MEMO.clear()
+    for fn in _CACHE_CLEARERS:
+        fn()
 
 
 def _path_bytes(path: str) -> int:

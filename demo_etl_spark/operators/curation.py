@@ -35,6 +35,7 @@ def curate_corpus(
     min_tokens: int = MIN_TOKENS,
     min_stopword_pct: int = MIN_STOPWORD_PCT,
     keep_langs: tuple[str, ...] = KEEP_LANGS,
+    minhash_index: DataFrame | None = None,
 ) -> DataFrame:
     """The kept (curated) documents with their gate statistics."""
     tokens = F.split(F.col("text"), " ")
@@ -51,7 +52,7 @@ def curate_corpus(
     # stage 2 — near-dup removal: keep-first (doc_b of every verified
     # MinHash-LSH pair is dropped; pairs are a<b so the min id survives)
     near_dups = (
-        _dedup.minhash_lsh_pairs(documents, ctx)
+        _dedup.minhash_lsh_pairs(documents, ctx, index=minhash_index)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -76,7 +77,10 @@ def curate_corpus(
 
 
 def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return curate_corpus(load_star(spark, sf_dir)["documents"], ctx)
+    return curate_corpus(
+        load_star(spark, sf_dir)["documents"], ctx,
+        minhash_index=_dedup._cached_index(spark, sf_dir, _dedup.MAX_SHINGLE_DF),
+    )
 
 
 # ------------------------------------------- deterministic sampling ----

@@ -38,9 +38,18 @@ import random as _random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os as _os
+
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
-from demo_etl_spark.io import load_star, register_persist
+from demo_etl_spark.io import load_star, register_cache_clearer, register_persist
+
+# The hashed shingle index feeds four registered queries (ngram, minhash,
+# clusters, curation's near-dup stage) — memoize the persisted index per
+# (application, sf_dir, max_df) so the split/explode/hash work happens
+# once per bench/test run (C1 discipline at the operator layer).
+_INDEX_CACHE: dict[tuple[str, str, int | None], "DataFrame"] = {}
+register_cache_clearer(_INDEX_CACHE.clear)
 
 SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.8
@@ -127,17 +136,28 @@ def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) 
     )
 
 
+def _cached_index(spark: SparkSession, sf_dir: str, max_df: int | None) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), max_df)
+    sh = _INDEX_CACHE.get(key)
+    if sh is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        sh = register_persist(_indexed_shingles(docs, max_df))
+        _INDEX_CACHE[key] = sh
+    return sh
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold (df-capped set)."""
     # the shingle index feeds three consumers (sizes, join-left, join-right):
     # persist so the split/explode runs once (C1 discipline, the reference's
     # fan-out persist — generate-asset.scala:47)
-    sh = register_persist(_indexed_shingles(documents, max_df))
+    sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # singleton shingles (df = 1) cannot contribute a pair — prune them
     # before the self-join; results identical, join input shrinks by the
@@ -189,9 +209,10 @@ def minhash_lsh_pairs(
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates (8 bands × 4 rows) verified with exact Jaccard."""
-    sh = register_persist(_indexed_shingles(documents, max_df))
+    sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
     sig = _minhash_signatures(sh)
     rows_per_band = NUM_HASHES // NUM_BANDS
     # band bucket = the 4 signature values joined textually — a plain
@@ -237,11 +258,17 @@ def build_exact(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONT
 
 
 def build_ngram(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return ngram_jaccard_pairs(load_star(spark, sf_dir)["documents"], ctx)
+    return ngram_jaccard_pairs(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
 
 
 def build_minhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return minhash_lsh_pairs(load_star(spark, sf_dir)["documents"], ctx)
+    return minhash_lsh_pairs(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
 
 
 # --------------------------------------------------------------- oracles --
@@ -355,6 +382,7 @@ def dedup_clusters(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     max_iterations: int = 20,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Connected-component labels over the near-dup pair graph.
 
@@ -373,7 +401,7 @@ def dedup_clusters(
     Output: one row per document that belongs to a non-trivial cluster
     (cluster_id ≠ doc_id rows plus the cluster roots).
     """
-    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df).select(
+    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index).select(
         "doc_a", "doc_b"
     )
     edges = register_persist(
@@ -429,7 +457,10 @@ def dedup_clusters(
 def build_clusters(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return dedup_clusters(load_star(spark, sf_dir)["documents"], ctx)
+    return dedup_clusters(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
 
 
 # Recursive-CTE oracle: reachability closure over the undirected edges,

@@ -5,9 +5,11 @@ over the ``documents`` table — all as built-in column expressions (split /
 higher-order array functions / md5), no Python UDFs, so the hot path stays
 in whole-stage codegen and the semantics are oracle-checkable in SQL.
 
-* ``text_stats`` — token counting (whitespace tokenization), unique-token
-  ratio, average token length, punctuation/stopword ratios, a composite
-  quality score, and an md5 fingerprint of the normalized text.
+* ``text_stats`` — token counting (whitespace tokenization + a BPE-ish
+  subword regex), unique-token ratio, average token length, stopword
+  ratio, a rolling-hash fingerprint and an md5 fingerprint of the
+  normalized text. (The composite keep/drop quality gate composes these
+  in operators/curation.py.)
 * ``lang_id`` — marker-lexicon n-gram heuristic: counts hits against small
   per-language stopword lexicons and predicts the argmax (deterministic
   tie-break by language code). On the synthetic corpus every language

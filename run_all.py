@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--customers", type=int, default=200)
     ap.add_argument("--products", type=int, default=50)
     ap.add_argument("--orders", type=int, default=2000)
+    ap.add_argument("--hive", action="store_true",
+                    help="back the catalog with a Hive metastore "
+                         "(STORED AS PARQUET / format('hive') DDL paths)")
     args = ap.parse_args(argv)
 
     from demo_etl_spark import io, schemas
@@ -60,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     ctx = RunContext(job_id=job_id, anchor_date=anchor,
                      job_timestamp=dt.datetime.now())
     work = args.work_dir.rstrip("/")
-    spark = get_spark(f"run-all-{job_id[:8]}")
+    spark = get_spark(f"run-all-{job_id[:8]}", hive_support=args.hive)
     spark.sparkContext.setLogLevel("ERROR")
     tracker = LineageTracker(ctx)
     print(f"workflow id: {job_id}\nwork dir:    {work}")
