@@ -91,22 +91,32 @@ def clear_scan_cache() -> None:
         fn()
 
 
+def walk_bytes(path: str, suffix: str | None = None) -> int:
+    """Raw (un-memoized) recursive byte count; optional suffix filter.
+
+    Used directly where sizes CHANGE between calls (e.g. compaction
+    re-measuring a rewritten dataset); the scan cache goes through the
+    memoizing ``_path_bytes`` wrapper below.
+    """
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if suffix is not None and not f.endswith(suffix):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _path_bytes(path: str) -> int:
     cached = _PATH_BYTES_MEMO.get(path)
-    if cached is not None:
-        return cached
-    if os.path.isfile(path):
-        total = os.path.getsize(path)
-    else:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    _PATH_BYTES_MEMO[path] = total
-    return total
+    if cached is None:
+        cached = _PATH_BYTES_MEMO[path] = walk_bytes(path)
+    return cached
 
 
 # S1: parquet scan (reference generate-asset.scala:38-40).

@@ -200,8 +200,44 @@ def column_lineage(df: DataFrame) -> dict[str, list[str]]:
                     merged |= env.get(ka.exprId().id(), set())
                 env[a.exprId().id()] = merged
             return
+        if cls == "Generate":
+            # explode/posexplode: generator outputs derive from the
+            # generator expression's references
+            gen_refs: set[str] = set()
+            it = node.generator().references().iterator()
+            while it.hasNext():
+                gen_refs |= env.get(it.next().exprId().id(), set())
+            for a in seq_list(node.generatorOutput()):
+                env[a.exprId().id()] = gen_refs
+            return
+        if cls == "Expand":
+            # cube/rollup/grouping-sets: output position i takes the union
+            # of every projection's expression at position i
+            outs = seq_list(node.output())
+            projs = [seq_list(p) for p in seq_list(node.projections())]
+            for i, a in enumerate(outs):
+                merged = set()
+                for p in projs:
+                    it = p[i].references().iterator()
+                    while it.hasNext():
+                        merged |= env.get(it.next().exprId().id(), set())
+                eid = a.exprId().id()
+                env[eid] = env.get(eid) or merged
+            return
         for e in seq_list(node.expressions()):
             resolve_expr(e, env)
+        # safety net: any output attribute this node introduces that no
+        # branch above bound (an unmodeled node type) over-approximates to
+        # the union of its children's provenance — table-level rather than
+        # empty, so lineage never silently reports "no sources"
+        child_all: set[str] = set()
+        for c in seq_list(node.children()):
+            for a in seq_list(c.output()):
+                child_all |= env.get(a.exprId().id(), set())
+        for a in seq_list(node.output()):
+            eid = a.exprId().id()
+            if eid not in env:
+                env[eid] = child_all
 
     plan = df._jdf.queryExecution().analyzed()
     env: dict[int, set[str]] = {}

@@ -47,25 +47,23 @@ def merge_upsert(
     kept = target.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates)
     dest = out_path or target_path
-    if dest == target_path:
-        # overwriting an input path: sever the plan from the files first
-        # (localCheckpoint materializes on executors — nothing is
-        # collected to the driver)
+    # resolve aliases (trailing slash, relative form, symlink): writing
+    # over the input with an uncheckpointed plan deletes files the plan
+    # still reads
+    same_target = os.path.realpath(dest) == os.path.realpath(target_path)
+    if same_target:
+        # sever the plan from the files first (localCheckpoint
+        # materializes on executors — nothing is collected to the driver)
         merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest)
 
 
 def dataset_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    return total
+    # un-memoized on purpose: compaction re-measures after rewriting
+    from demo_etl_spark.io import walk_bytes
+
+    return walk_bytes(path, suffix=".parquet")
 
 
 def compact_parquet(

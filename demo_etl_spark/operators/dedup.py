@@ -120,10 +120,21 @@ def _indexed_shingles(
     return sh.join(dfreq, "h").select("doc_id", "h", "df")
 
 
-def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_from_common(
+    common: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    with_union: bool = False,
+) -> DataFrame:
     """Join per-pair common counts to per-doc sizes; integer-space filter:
-    common/(|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common)."""
+    common/(|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common).
+    ``with_union=True`` additionally exposes the raw common/union counts."""
     t100 = int(round(threshold * 100))
+    extra = (
+        ["common", (F.col("na") + F.col("nb") - F.col("common")).alias("union_size")]
+        if with_union
+        else []
+    )
     return (
         common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
@@ -131,6 +142,7 @@ def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) 
         .select(
             "doc_a",
             "doc_b",
+            *extra,
             round_div("common", "na + nb - common", 6).alias("jaccard"),
         )
     )
@@ -171,23 +183,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _jaccard_with_union(common, sizes, threshold)
-
-
-def _jaccard_with_union(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    t100 = int(round(threshold * 100))
-    return (
-        common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
-        .filter(F.expr(f"common * 100 >= {t100} * (na + nb - common)"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "common",
-            (F.col("na") + F.col("nb") - F.col("common")).alias("union_size"),
-            round_div("common", "na + nb - common", 6).alias("jaccard"),
-        )
-    )
+    return _jaccard_from_common(common, sizes, threshold, with_union=True)
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -404,18 +400,28 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index).select(
         "doc_a", "doc_b"
     )
-    edges = register_persist(
+    # localCheckpoint (eager) truncates the logical plan, not just the
+    # physical execution: labels_{n+1} references labels_n TWICE (via
+    # ``prop`` and via the join), so without lineage truncation Catalyst
+    # re-analyzes a plan that doubles every round — exponential driver
+    # time long before any executor work. persist() alone does NOT help
+    # (cache substitution happens after analysis). Local (executor-block)
+    # checkpointing is the right tradeoff here; on a shared cluster with
+    # dynamic allocation use spark.sparkContext.setCheckpointDir + a
+    # reliable checkpoint instead.
+    edges = (
         pairs.unionByName(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iterations):
         # neighbor's current label, propagated across each edge
         prop = (
@@ -437,7 +443,10 @@ def dedup_clusters(
                 ).alias("cluster_id"),
             )
         )
-        new_labels = register_persist(new_labels)
+        # eager lineage truncation: constant-size plan per round (see the
+        # edges comment above); superseded generations' blocks are freed
+        # by the ContextCleaner once unreferenced
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
@@ -447,7 +456,15 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent staleness would ship WRONG cluster ids (and diverge from
+        # the oracle's exact closure) — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds: "
+            "a component's diameter exceeds the bound; raise max_iterations"
+        )
     return (
         labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", "cluster_id", "is_canonical")

@@ -451,9 +451,14 @@ def embedding_near_dup(
         na = np.linalg.norm(ma, axis=1)
         nb = na if bi == bj else np.linalg.norm(mb, axis=1)
         cos = (ma @ mb.T) / np.outer(na, nb)
-        # fixed-point HALF_UP for positive values (threshold > 0 ⇒ only
-        # positive cosines survive): floor(x·1e6 + 0.5)
-        cos_e6 = np.floor(cos * 1_000_000 + 0.5)
+        # fixed-point HALF_UP away from zero — Spark's ROUND semantics for
+        # BOTH signs (np.rint would be banker's; floor(x+0.5) alone would
+        # round negative halves toward +inf and diverge from the oracle
+        # whenever the caller passes a negative threshold)
+        scaled = cos * 1_000_000
+        cos_e6 = np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        )
         ia, ib = np.nonzero(cos_e6 >= t_e6)
         va, vb = ids_a[ia], ids_b[ib]
         if bi == bj:

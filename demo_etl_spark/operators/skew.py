@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+#: join types where the replicated small side cannot leak duplicates:
+#: unmatched SMALL rows never appear in the output for these.
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                  "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -36,7 +42,17 @@ def salted_join(
     (xxhash64 over all columns), so repeated runs produce identical
     physical distributions. Result equals the plain join exactly — the
     salt participates only in routing, never in the output.
+
+    Only big-side-preserving join types are supported: under right/full
+    outer joins every unmatched replicated copy of a small row would
+    survive, duplicating output ``n_salts``-fold. Put the skewed relation
+    on the ``big`` side (that is what salting is for) or de-salt first.
     """
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_HOW)} joins; "
+            f"'{how}' would duplicate unmatched small-side rows ×{n_salts}"
+        )
     salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt_b)
     s = small.withColumn(

@@ -62,6 +62,66 @@ def test_shingle_df_cap_bounds_hot_shingles(spark):
     assert got_minhash == {(100, 101)}
 
 
+def test_dedup_clusters_chain_and_convergence_guard(spark):
+    """A transitive near-dup chain collapses to ONE cluster; a too-small
+    iteration bound raises instead of returning stale labels."""
+    import pytest
+
+    from demo_etl_spark.operators import dedup
+
+    words = [f"w{j}" for j in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i:i + 20]), 20) for i in range(8)],
+        "doc_id long, text string, n_chars long",
+    )
+    # threshold 0.85: adjacent docs (jaccard ~0.894) pair up, skip-one
+    # (0.8) does not → a pure chain of diameter 7
+    out = dedup.dedup_clusters(docs, threshold=0.85).collect()
+    assert {r["doc_id"] for r in out} == set(range(8))
+    assert {r["cluster_id"] for r in out} == {0}  # one component, min id 0
+    assert [r["doc_id"] for r in out if r["is_canonical"]] == [0]
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dedup_clusters(docs, threshold=0.85, max_iterations=2).collect()
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    import pytest
+
+    from demo_etl_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(big, small, "k", how="right")
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_blocked_near_dup_negative_threshold_parity(spark):
+    """HALF_UP-away-from-zero in the numpy kernel: negative cosines must
+    round exactly like the column-expression twin."""
+    from demo_etl_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), float((-1) ** i * 2), 1.0, 0.5]) for i in range(7)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup_bruteforce(
+            emb, threshold=-1.0
+        ).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup(
+            emb, threshold=-1.0, n_blocks=2
+        ).collect()
+    }
+    assert blocked == brute
+    assert any(c < 0 for _, _, c in brute)  # negatives actually exercised
+
+
 def test_exact_dedup_partitions_documents(spark, sf_dir, tables):
     from demo_etl_spark.operators import dedup
 

@@ -197,6 +197,18 @@ def test_column_lineage_traces_provenance(spark, sf_dir):
     # genuinely depends on them) alongside the carried payload column
     assert "events.value" in lin2["last_purchase_value"]
     assert "events.ts" in lin2["secs_since_purchase"]
+    # Generate (explode) and Expand (cube) nodes resolve too
+    import pyspark.sql.functions as _F
+
+    docs = read_star_table(spark, sf_dir, "documents", cache=False)
+    lin3 = column_lineage(
+        docs.select(_F.explode(_F.split("text", " ")).alias("tok"))
+    )
+    assert lin3["tok"] == ["documents.text"]
+    lin4 = column_lineage(
+        docs.cube("lang").agg(_F.count(_F.lit(1)).alias("n"))
+    )
+    assert lin4["lang"] == ["documents.lang"]
 
 
 def test_clear_scan_cache_releases_everything(spark, sf_dir):

@@ -11,11 +11,13 @@ would hide the scan-level facts being asserted.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from demo_etl_spark.io import read_star_table
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _plan(df) -> str:
