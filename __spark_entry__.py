@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary_sql": _sql.build,
         "shipping_priority_sql": _sql.build_shipping_priority,
         "late_order_priority_sql": _sql.build_late_priority,
+        "discount_revenue_sql": _sql.build_discount_revenue,
+        "promo_revenue_sql": _sql.build_promo_revenue,
+        "returned_items_sql": _sql.build_returned_items,
+        "large_orders_sql": _sql.build_large_orders,
+        "dedup_keep_best": _curation.build_keep_best,
     }
 
 
@@ -116,4 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary_sql": _sql.ORACLE_SQL,
         "shipping_priority_sql": _sql.ORACLE_SQL_SHIPPING_PRIORITY,
         "late_order_priority_sql": _sql.ORACLE_SQL_LATE_PRIORITY,
+        "discount_revenue_sql": _sql.ORACLE_SQL_DISCOUNT_REVENUE,
+        "promo_revenue_sql": _sql.ORACLE_SQL_PROMO_REVENUE,
+        "returned_items_sql": _sql.ORACLE_SQL_RETURNED_ITEMS,
+        "large_orders_sql": _sql.ORACLE_SQL_LARGE_ORDERS,
+        "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
     }

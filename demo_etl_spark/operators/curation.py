@@ -83,6 +83,46 @@ def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -
     )
 
 
+# ------------------------------------------- canonical-doc selection ----
+def keep_best_per_cluster(
+    documents: DataFrame,
+    clusters: DataFrame,
+) -> DataFrame:
+    """Quality-ranked canonical selection over near-dup clusters.
+
+    ``dedup_clusters`` picks the min doc_id as the component root — the
+    right *label*, but not the right *survivor*: a curation pipeline
+    keeps the best COPY (longest here; any deterministic quality key
+    slots in), not the earliest-crawled one. One row per clustered doc
+    with ``is_kept`` marking the winner (max ``n_chars``, tie → min
+    doc_id), a deterministic total order so every engine picks the same
+    survivor. Single window over the cluster label — no extra shuffle
+    beyond the clustering itself at scale.
+    """
+    scored = clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.col("_rn") == 1).alias("is_kept"),
+        )
+    )
+
+
+def build_keep_best(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return keep_best_per_cluster(
+        load_star(spark, sf_dir)["documents"],
+        _dedup._cached_clusters(spark, sf_dir, ctx),
+    )
+
+
 # ------------------------------------------- deterministic sampling ----
 #: per-language keep percentage — the mixture-rebalancing policy
 #: (downsample the dominant language, keep the rest whole)
@@ -146,6 +186,19 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
 
 
 ORACLE_SQL_SAMPLE = _sample_oracle()
+
+# The recursive-CTE cluster closure, re-scored: every clustered doc
+# joined to its length, winner = (n_chars DESC, doc_id) per cluster.
+ORACLE_SQL_KEEP_BEST = f"""
+WITH labels AS (
+  SELECT doc_id, cluster_id FROM ({_dedup.ORACLE_SQL_CLUSTERS})
+)
+SELECT l.doc_id, l.cluster_id, d.n_chars,
+       ROW_NUMBER() OVER (
+         PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id
+       ) = 1 AS is_kept
+FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+"""
 
 ORACLE_SQL_CURATION = f"""
 WITH pairs AS (

@@ -471,13 +471,32 @@ def dedup_clusters(
     )
 
 
+#: memoized cluster labels per (app, sf_dir) — the iterative fixpoint is
+#: the most expensive dedup stage, and two registered queries consume it
+#: (dedup_clusters, dedup_keep_best); the labels are already
+#: localCheckpointed so reuse costs only the final projection.
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_CLUSTERS_CACHE.clear)
+
+
+def _cached_clusters(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    labels = _CLUSTERS_CACHE.get(key)
+    if labels is None:
+        labels = dedup_clusters(
+            load_star(spark, sf_dir)["documents"], ctx,
+            index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        )
+        _CLUSTERS_CACHE[key] = labels
+    return labels
+
+
 def build_clusters(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return dedup_clusters(
-        load_star(spark, sf_dir)["documents"], ctx,
-        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
-    )
+    return _cached_clusters(spark, sf_dir, ctx)
 
 
 # Recursive-CTE oracle: reachability closure over the undirected edges,

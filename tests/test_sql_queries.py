@@ -1,0 +1,61 @@
+"""Invariant tests for the SQL-string query family (SURVEY §2.1 S10).
+
+Hash-exactness vs DuckDB is the driver gate (tools/verify_oracle.py);
+these tests pin the *semantic* contracts the hashes alone don't state:
+thresholds actually filter, limits actually order, shares stay in range.
+"""
+
+from __future__ import annotations
+
+from demo_etl_spark.operators import sql_interface as sql
+
+
+def test_discount_revenue_scalar_shape(spark, sf_dir):
+    rows = sql.build_discount_revenue(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["line_count"] > 0
+    assert r["discount_revenue"] > 0
+
+
+def test_promo_share_bounds_and_consistency(spark, sf_dir):
+    r = sql.build_promo_revenue(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["promo_share"] <= 1.0
+    assert 0.0 < r["promo_revenue"] <= r["total_revenue"]
+    # share is the fixed-point quotient of the two revenue columns
+    assert abs(r["promo_share"] - r["promo_revenue"] / r["total_revenue"]) < 1e-4
+
+
+def test_returned_items_topk_is_ordered(spark, sf_dir):
+    rows = sql.build_returned_items(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["line_count"] > 0 for r in rows)
+
+
+def test_large_orders_threshold_filters(spark, sf_dir):
+    rows = sql.build_large_orders(spark, sf_dir).collect()
+    assert rows
+    assert all(r["total_qty"] > 180 for r in rows)
+    assert all(r["total_price"] > 0 for r in rows)
+    # orderkey is the grain
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_keep_best_selects_one_winner_per_cluster(spark, sf_dir):
+    from collections import defaultdict
+
+    from demo_etl_spark.operators import curation
+
+    rows = curation.build_keep_best(spark, sf_dir).collect()
+    assert rows
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r["is_kept"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
