@@ -128,6 +128,52 @@ def test_exists_subquery_plans_as_semi_join(spark):
     assert "LeftSemi" in plan  # correlated EXISTS → semi join, not a filter
 
 
+def _register_uncached(spark, *tables):
+    # the shared scan cache would swap FileScan → InMemoryTableScan and
+    # hide the pushdown facts being asserted — and Spark's CacheManager
+    # substitutes ANY matching plan, so a cache=False re-read is not
+    # enough once another test has persisted the table: drop the cache
+    from demo_etl_spark.io import clear_scan_cache
+
+    clear_scan_cache()
+    for t in tables:
+        read_star_table(spark, SF, t, cache=False).createOrReplaceTempView(t)
+
+
+def test_discount_revenue_pushdown_and_pruning(spark):
+    from demo_etl_spark.operators.sql_interface import _discount_revenue_sql
+
+    _register_uncached(spark, "lineitem")
+    plan = _plan(spark.sql(_discount_revenue_sql("spark")))
+    # every predicate reaches the parquet scan
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters:")[1].split("]")[0], col
+    # scan reads only the 4 consumed columns of 11
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in schema and "l_extendedprice" in schema
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    from demo_etl_spark.operators.sql_interface import _promo_revenue_sql
+
+    _register_uncached(spark, "lineitem", "part")
+    plan = _plan(spark.sql(_promo_revenue_sql("spark")))
+    # part is dimension-sized: the fact side must never shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_no_nested_loop(spark):
+    from demo_etl_spark.operators.sql_interface import _returned_items_sql
+
+    _register_uncached(spark, "customer", "orders", "lineitem", "nation")
+    plan = _spark_plan(spark.sql(_returned_items_sql("spark")))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # top-20 runs as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_range_join_is_equi_join(spark):
     from demo_etl_spark.operators.temporal import purchase_followups
 
