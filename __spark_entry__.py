@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_cosine": _similarity.build_topk,
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
+        "events_pivot": _events.build_pivot,
+        "customer_retention": _customer.build_retention,
+        "similarity_ann_recall": _similarity.build_recall,
         "events_tumbling": _events.build_tumbling,
         "events_sliding": _events.build_sliding,
         "events_session": _events.build_session,
@@ -111,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         # so even the bucketed ANN query has an exact SQL twin
         "similarity_lsh_bucketed": _similarity.ORACLE_SQL_LSH,
         "similarity_ivf_topk": _similarity.ORACLE_SQL_IVF,
+        "events_pivot": _events.ORACLE_SQL_PIVOT,
+        "customer_retention": _customer.ORACLE_SQL_RETENTION,
+        "similarity_ann_recall": _similarity.ORACLE_SQL_RECALL,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,

@@ -176,3 +176,61 @@ FROM e
 
 
 ORACLE_SQL = _oracle()
+
+
+# ------------------------------------------- year-over-year set ops ----
+RETENTION_YEAR_A = "2000"
+RETENTION_YEAR_B = "2001"
+
+
+def _active_custkeys(orders: DataFrame, year: str) -> DataFrame:
+    return (
+        orders.filter(
+            F.expr(
+                f"o_orderdate >= TIMESTAMP '{year}-01-01 00:00:00' AND "
+                f"o_orderdate < TIMESTAMP '{int(year) + 1}-01-01 00:00:00'"
+            )
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+def customer_retention(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Year-over-year cohort split via the set-operator family (§2.7):
+    customers active in year A are either retained (INTERSECT with year
+    B) or churned (EXCEPT year B). Both set ops plan as hash
+    aggregations over the same shuffle key — no join needed — and the
+    distinct custkey sets are orders-of-magnitude smaller than the fact
+    table, so the union of the two labeled branches is dimension-sized.
+    """
+    a = _active_custkeys(orders, RETENTION_YEAR_A)
+    b = _active_custkeys(orders, RETENTION_YEAR_B)
+    retained = a.intersect(b).withColumn("status", F.lit("retained"))
+    churned = a.subtract(b).withColumn("status", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+def build_retention(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return customer_retention(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_RETENTION = f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{RETENTION_YEAR_A}-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '{int(RETENTION_YEAR_A) + 1}-01-01 00:00:00'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{RETENTION_YEAR_B}-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '{int(RETENTION_YEAR_B) + 1}-01-01 00:00:00'
+)
+SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""

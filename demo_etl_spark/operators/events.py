@@ -84,6 +84,37 @@ def session_window(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
     )
 
 
+#: the closed set of event types in the corpus — an EXPLICIT pivot value
+#: list. Omitting it would make Spark run a distinct-collect job on the
+#: driver to discover values AND make the output schema data-dependent;
+#: with the list the pivot is a single pass and the schema is stable.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Wide daily matrix: one row per day, one count column per event
+    type (the §2.7-adjacent reshaping operator — ``pivot`` compiles to a
+    single partial+final aggregate with no extra shuffle vs the long
+    groupBy; the type dimension is bounded so the row explosion is
+    bounded too)."""
+    piv = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_events")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def build_pivot(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    return daily_type_pivot(load_star(spark, sf_dir)["events"], ctx)
+
+
 def build_tumbling(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return tumbling_window(load_star(spark, sf_dir)["events"], ctx)
 
@@ -153,4 +184,18 @@ SELECT user_id,
        {_rd(f"CAST(SUM({_VAL_C}) AS BIGINT)", "10000", 2)} AS total_value
 FROM numbered
 GROUP BY user_id, session_id
+"""
+
+
+# conditional-sum pivot twin: CASE-per-type is the engine-portable
+# spelling of the same single-pass aggregate
+ORACLE_SQL_PIVOT = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS {t}_events"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
 """

@@ -540,3 +540,65 @@ pairs AS (
 SELECT vec_a, vec_b, CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
 FROM pairs WHERE cos_e6 >= {int(round(NEAR_DUP_THRESHOLD * 1_000_000))}
 """
+
+
+# ---------------------------------------------------- ANN recall audit ----
+def ann_recall(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Per-query recall@k of the LSH-bucketed ANN against the exact
+    brute-force top-k — the accuracy/​cost dial of the ANN family,
+    computed inside the engine (both sides are deterministic, so recall
+    itself is an oracle-checkable quantity, which is unusual and useful:
+    a quality regression in the ANN path fails the correctness gate, not
+    just a benchmark). At scale this is the standing audit you run on a
+    sampled query set after any re-bucketing."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    exact = cosine_topk(embeddings, ctx, n_queries, k).select(
+        "query_id", "candidate_id"
+    )
+    approx = (
+        lsh_bucket_topk(embeddings, ctx, n_queries, k)
+        .select("query_id", "candidate_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
+        .select(
+            "query_id", "k", "hits", round_div("hits", "k", 4).alias("recall_at_k")
+        )
+    )
+
+
+def build_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return ann_recall(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+def _recall_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    hits = "CAST(SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       {hits} AS hits,
+       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
+FROM ({ORACLE_SQL_TOPK}) e
+LEFT JOIN ({ORACLE_SQL_LSH}) a
+  ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
+GROUP BY e.query_id
+"""
+
+
+ORACLE_SQL_RECALL = _recall_oracle()

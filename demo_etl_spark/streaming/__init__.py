@@ -1,4 +1,6 @@
 from demo_etl_spark.streaming.event_streams import (
+    dedup_stream,
+    purchase_click_stream_join,
     read_events_stream,
     run_available_now,
     session_stream,
@@ -13,5 +15,7 @@ __all__ = [
     "sliding_stream",
     "session_stream",
     "user_totals_stateful_stream",
+    "dedup_stream",
+    "purchase_click_stream_join",
     "run_available_now",
 ]

@@ -31,8 +31,13 @@ WATERMARK = "2 hours"
 SESSION_GAP = "30 minutes"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → µs like io.py)."""
+def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (nanos → µs like io.py).
+
+    ``copies > 1`` stages the same file N times — the controlled way to
+    make the source REDELIVER every event (what an at-least-once bus
+    does), which is what the streaming dedup operator exists to absorb.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     # The file-stream source requires its path to be a directory (its
@@ -43,12 +48,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = os.path.join(
         tempfile.gettempdir(),
         f"demo_etl_spark_streams_{os.getuid()}_{os.getpid()}",
-        src.strip("/").replace("/", "_"),
+        src.strip("/").replace("/", "_") + (f"_x{copies}" if copies > 1 else ""),
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    for i in range(copies):
+        link = os.path.join(
+            stream_dir, "events.parquet" if i == 0 else f"events_copy{i}.parquet"
+        )
+        if not os.path.exists(link):
+            os.symlink(src, link)
     df = spark.readStream.schema(nanos_schema).parquet(stream_dir)
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
@@ -153,6 +161,59 @@ def user_totals_stateful_stream(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the
+    event key — the streaming twin of operators.dedup.dedup_exact's
+    hash-groupBy. State holds one entry per key only until the watermark
+    passes it (bounded, unlike plain ``dropDuplicates`` whose state
+    grows forever); at-least-once upstream delivery becomes exactly-once
+    downstream as long as redelivery lag stays inside the watermark."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+#: follow-up horizon for the stream-stream join (mirrors the batch
+#: purchase_followups interval shape)
+FOLLOW_WINDOW = "30 minutes"
+
+
+def purchase_click_stream_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: each purchase joined to the same user's
+    clicks within the next 30 minutes. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can size the
+    join state buffer and evict rows once the watermark passes — the
+    canonical bounded-state stream-join shape (an unbounded-condition
+    stream join would accumulate state forever)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts > p_ts "
+            f"AND c_ts <= p_ts + INTERVAL {FOLLOW_WINDOW}"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
     )
 
 

@@ -345,3 +345,62 @@ def test_multimodal_plumbing(spark, sf_dir, tables):
         tables["documents"], out["media_id"] == tables["documents"]["doc_id"]
     )
     assert joined.filter(F.col("byte_len") != F.length("text")).count() == 0
+
+
+def test_streaming_dedup_absorbs_redelivery(spark, sf_dir):
+    """At-least-once input (every event delivered twice) drains to
+    exactly the batch-distinct event set."""
+    from demo_etl_spark.io import read_star_table
+    from demo_etl_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(
+        dedup_stream(read_events_stream(spark, sf_dir, copies=2)),
+        "t_dedup_stream",
+        output_mode="append",
+    )
+    got = [r["event_id"] for r in out.collect()]
+    batch = read_star_table(spark, sf_dir, "events", cache=False)
+    assert len(got) == len(set(got))  # no duplicates survived
+    assert sorted(got) == sorted(r["event_id"] for r in batch.collect())
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked purchase↔click interval self-join == the same join
+    computed in batch."""
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.io import read_star_table
+    from demo_etl_spark.streaming import (
+        purchase_click_stream_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(
+        purchase_click_stream_join(read_events_stream(spark, sf_dir)),
+        "t_ss_join",
+        output_mode="append",
+    )
+    ev = read_star_table(spark, sf_dir, "events", cache=False)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        F.expr("p_user = c_user AND c_ts > p_ts AND c_ts <= p_ts + INTERVAL 30 MINUTES"),
+    )
+    s = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+    b = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert s == b
+    assert s  # non-trivial: the corpus actually produces follow-ups
