@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _star.build_cube,
         "order_value_distribution": _star.build_distribution,
         "text_stats": _text.build_stats,
+        "vocab_topk": _text.build_vocab,
+        "contamination_screen": _dedup.build_contamination,
         "lang_id": _text.build_lang_id,
         "lang_profile": _text.build_profile,
         "similarity_topk_cosine": _similarity.build_topk,
@@ -62,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _similarity.build_ivf,
         "events_pivot": _events.build_pivot,
         "customer_retention": _customer.build_retention,
+        "order_cadence": _customer.build_cadence,
         "similarity_ann_recall": _similarity.build_recall,
         "events_tumbling": _events.build_tumbling,
         "events_sliding": _events.build_sliding,
@@ -107,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         "sales_cube": _star.ORACLE_SQL_CUBE,
         "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
         "text_stats": _text.ORACLE_SQL_STATS,
+        "vocab_topk": _text.ORACLE_SQL_VOCAB,
+        "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,
         "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,
@@ -116,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _similarity.ORACLE_SQL_IVF,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "customer_retention": _customer.ORACLE_SQL_RETENTION,
+        "order_cadence": _customer.ORACLE_SQL_CADENCE,
         "similarity_ann_recall": _similarity.ORACLE_SQL_RECALL,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_sliding": _events.ORACLE_SQL_SLIDING,

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
@@ -233,4 +233,55 @@ b AS (
 SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
 UNION ALL
 SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""
+
+
+# ------------------------------------------- order-cadence windows ----
+def order_cadence(orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Per-customer order-sequence statistics — the sequential-window
+    family beyond rank/percent_rank (§2.5): ``lag`` (inter-order gap),
+    ``row_number`` (sequence), ``ntile`` (spend quartile) and
+    ``cume_dist`` (spend percentile). Both windows partition by customer
+    and order with a unique orderkey tie-break, so every value —
+    including the cume_dist double (k/n with no ties) — is deterministic
+    and engine-exact. One shuffle on o_custkey serves all four
+    functions; at 100 TB this is the same hash-partitioned single-pass
+    window any per-entity sessionization runs."""
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_spend = Window.partitionBy("o_custkey").orderBy("_price_c", "o_orderkey")
+    return (
+        orders.withColumn("_price_c", money_fixed(F.col("o_totalprice")))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.row_number().over(w_seq).alias("order_seq"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_seq))
+            .cast("int")
+            .alias("days_since_prev"),
+            F.ntile(4).over(w_spend).alias("spend_quartile"),
+            F.cume_dist().over(w_spend).alias("spend_cume"),
+        )
+    )
+
+
+def build_cadence(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return order_cadence(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_CADENCE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(ROW_NUMBER() OVER w_seq AS INTEGER) AS order_seq,
+       CAST(date_diff('day', lag(o_orderdate) OVER w_seq, o_orderdate)
+            AS INTEGER) AS days_since_prev,
+       CAST(ntile(4) OVER w_spend AS INTEGER) AS spend_quartile,
+       cume_dist() OVER w_spend AS spend_cume
+FROM orders
+WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_spend AS (PARTITION BY o_custkey
+                   ORDER BY CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT),
+                            o_orderkey)
 """

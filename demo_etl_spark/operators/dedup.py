@@ -650,3 +650,60 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 
 
 ORACLE_SQL_SIMHASH = _simhash_sql()
+
+
+# --------------------------------------------- contamination screen ----
+#: doc_ids below this bound play the held-out eval set in the registered
+#: query; real deployments pass their own eval corpus
+N_EVAL_DOCS = 10
+MIN_COMMON_SHINGLES = 3
+
+
+def contamination_screen(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_eval: int = N_EVAL_DOCS,
+    min_common: int = MIN_COMMON_SHINGLES,
+    max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Train/eval overlap detection — the decontamination pass every
+    training pipeline runs before a benchmark claim: flag (train, eval)
+    doc pairs sharing ≥ ``min_common`` 3-word shingles. Reuses the same
+    hashed, df-capped inverted index as the dedup family (one build per
+    session via the shared memo), so the screen is an equi-join on an
+    8-byte key + count — the eval side is tiny by construction, so at
+    cluster scale the eval shingle set broadcasts and the train side
+    never shuffles."""
+    sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
+    ev = sh.filter(F.col("doc_id") < n_eval).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    tr = sh.filter(F.col("doc_id") >= n_eval).select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def build_contamination(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return contamination_screen(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
+
+
+ORACLE_SQL_CONTAMINATION = f"""
+WITH {_INDEXED_SH_SQL}
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_common
+FROM sh t JOIN sh e ON t.h = e.h
+WHERE e.doc_id < {N_EVAL_DOCS} AND t.doc_id >= {N_EVAL_DOCS}
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_COMMON_SHINGLES}
+"""

@@ -229,3 +229,51 @@ SELECT lang, source,
 FROM d
 GROUP BY lang, source
 """
+
+
+# ------------------------------------------------- vocabulary top-k ----
+VOCAB_TOP_K = 100
+
+
+def vocab_topk(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, k: int = VOCAB_TOP_K
+) -> DataFrame:
+    """Corpus-wide token frequencies, top-k — the vocabulary-building
+    pass of a tokenizer pipeline. The heavy stage is the explode +
+    count (one shuffle on the token); the top-k itself plans as
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge of k
+    rows, NOT a global sort — the plan that survives a 1e8-token
+    vocabulary). The rank window runs over the k surviving rows only.
+    Deterministic: count DESC with token tie-break."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "n"
+    )
+
+
+def build_vocab(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return vocab_topk(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_VOCAB = f"""
+WITH counts AS (
+  SELECT t.token, COUNT(*) AS n
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+       token, n
+FROM counts
+ORDER BY n DESC, token
+LIMIT {VOCAB_TOP_K}
+"""

@@ -404,3 +404,45 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     b = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert s == b
     assert s  # non-trivial: the corpus actually produces follow-ups
+
+
+def test_order_cadence_sequence_invariants(spark, sf_dir):
+    from demo_etl_spark.operators import customer
+
+    out = customer.build_cadence(spark, sf_dir).cache()
+    # first order of each customer has no predecessor; later ones do
+    assert out.filter((F.col("order_seq") == 1) & F.col("days_since_prev").isNotNull()).count() == 0
+    assert out.filter((F.col("order_seq") > 1) & F.col("days_since_prev").isNull()).count() == 0
+    assert out.filter(F.col("days_since_prev") < 0).count() == 0
+    assert out.filter((F.col("spend_quartile") < 1) | (F.col("spend_quartile") > 4)).count() == 0
+    assert out.filter((F.col("spend_cume") <= 0) | (F.col("spend_cume") > 1)).count() == 0
+    out.unpersist()
+
+
+def test_vocab_topk_ranked_and_bounded(spark, sf_dir):
+    from demo_etl_spark.operators import text
+
+    rows = text.build_vocab(spark, sf_dir).collect()
+    assert 0 < len(rows) <= text.VOCAB_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_contamination_screen_flags_injected_overlap(spark):
+    """A train doc sharing an eval doc's text is flagged; disjoint docs
+    are not."""
+    from demo_etl_spark.operators import dedup
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text, len(eval_text)),  # eval set (doc_id < n_eval)
+            (100, eval_text + " extra tail words here", 60),  # contaminated
+            (101, "completely different content with no overlap at all", 51),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = dedup.contamination_screen(docs, n_eval=10).collect()
+    assert {(r["train_doc"], r["eval_doc"]) for r in out} == {(100, 0)}
+    assert all(r["n_common"] >= dedup.MIN_COMMON_SHINGLES for r in out)
