@@ -97,3 +97,64 @@ def clustered_write(
         else df.repartitionByRange(*cols)
     )
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    effective_date: str,
+    out_path: str | None = None,
+    end_of_time: str = "9999-12-31",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE over a plain-parquet dim.
+
+    History-preserving upsert: instead of replacing a matched row
+    (``merge_upsert``), the current version is CLOSED (``valid_to`` set
+    to the update's effective date, ``is_current`` false) and the update
+    is appended as the new open version (``valid_to`` = end-of-time).
+    Unmatched keys insert as open versions; closed history rows pass
+    through untouched. First-time targets (no SCD columns yet) are
+    bootstrapped as all-current.
+
+    Implementation is two branches of ONE shuffle on the key — a
+    broadcast-able updates side joins the current slice; history unions
+    back untouched — then the same checkpoint-before-overwrite discipline
+    as merge_upsert. ``updates`` must carry ``key``, ``effective_date``
+    and the payload columns of the target.
+    """
+    target = spark.read.parquet(target_path)
+    if "valid_from" not in target.columns:
+        target = (
+            target.withColumn("valid_from", F.to_date(F.lit("1900-01-01")))
+            .withColumn("valid_to", F.to_date(F.lit(end_of_time)))
+            .withColumn("is_current", F.lit(True))
+        )
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    upd_keys = updates.select(key, F.col(effective_date).alias("_new_from"))
+    # current rows whose key is updated → close them at the new version's
+    # effective date
+    closed = (
+        current.join(upd_keys, key, "inner")
+        .withColumn("valid_to", F.to_date(F.col("_new_from")))
+        .withColumn("is_current", F.lit(False))
+        .drop("_new_from")
+    )
+    untouched = current.join(upd_keys.select(key), key, "left_anti")
+    fresh = (
+        updates.withColumn("valid_from", F.to_date(F.col(effective_date)))
+        .withColumn("valid_to", F.to_date(F.lit(end_of_time)))
+        .withColumn("is_current", F.lit(True))
+        .drop(effective_date)
+    )
+    merged = history.unionByName(untouched).unionByName(closed).unionByName(
+        fresh, allowMissingColumns=False
+    )
+    dest = out_path or target_path
+    if os.path.realpath(dest) == os.path.realpath(target_path):
+        merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)

@@ -82,3 +82,46 @@ def test_json_round_trip(spark, tmp_path):
     io.write_json(df, path)
     back = io.read_json(spark, path, schema)
     assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_scd2_upsert_versions_history(spark, tmp_path):
+    from demo_etl_spark import maintenance
+
+    path = str(tmp_path / "dim_customer")
+    spark.createDataFrame(
+        [(1, "alice", "BUILDING"), (2, "bob", "MACHINERY")],
+        "custkey long, name string, segment string",
+    ).write.parquet(path)
+
+    # batch 1: update key 1, insert key 3
+    upd1 = spark.createDataFrame(
+        [(1, "alice", "AUTOMOBILE", "2024-03-01"), (3, "carol", "HOUSEHOLD", "2024-03-01")],
+        "custkey long, name string, segment string, eff string",
+    )
+    out = maintenance.scd2_upsert(spark, path, upd1, "custkey", "eff")
+    rows = {(r["custkey"], r["segment"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 4  # closed v1 of key1, current v2, bob, carol
+    closed = rows[(1, "BUILDING", False)]
+    assert str(closed["valid_to"]) == "2024-03-01"
+    assert rows[(1, "AUTOMOBILE", True)]["is_current"]
+    assert rows[(2, "MACHINERY", True)]["is_current"]
+    assert rows[(3, "HOUSEHOLD", True)]["is_current"]
+
+    # batch 2: update key 1 again — history accumulates, one current row
+    upd2 = spark.createDataFrame(
+        [(1, "alice", "FURNITURE", "2024-06-01")],
+        "custkey long, name string, segment string, eff string",
+    )
+    out2 = maintenance.scd2_upsert(spark, path, upd2, "custkey", "eff")
+    k1 = sorted(
+        ((str(r["valid_from"]), str(r["valid_to"]), r["is_current"], r["segment"])
+         for r in out2.collect() if r["custkey"] == 1)
+    )
+    assert k1 == [
+        ("1900-01-01", "2024-03-01", False, "BUILDING"),
+        ("2024-03-01", "2024-06-01", False, "AUTOMOBILE"),
+        ("2024-06-01", "9999-12-31", True, "FURNITURE"),
+    ]
+    # exactly one current version per key
+    cur = out2.filter("is_current").groupBy("custkey").count().collect()
+    assert all(r["count"] == 1 for r in cur)

@@ -174,6 +174,26 @@ def test_returned_items_no_nested_loop(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_topk_avoids_global_sort(spark):
+    from demo_etl_spark.operators.text import vocab_topk
+
+    docs = read_star_table(spark, SF, "documents", cache=False)
+    plan = _spark_plan(vocab_topk(docs))
+    # top-k = per-partition heaps + driver merge of k rows, never a
+    # full sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_screen_broadcasts_eval_side(spark):
+    from demo_etl_spark.operators.dedup import contamination_screen
+
+    docs = read_star_table(spark, SF, "documents", cache=False)
+    plan = _spark_plan(contamination_screen(docs))
+    # the tiny eval shingle set broadcasts; the train side never shuffles
+    # for the join
+    assert "BroadcastHashJoin" in plan
+
+
 def test_range_join_is_equi_join(spark):
     from demo_etl_spark.operators.temporal import purchase_followups
 
