@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_distribution": _star.build_distribution,
         "text_stats": _text.build_stats,
         "vocab_topk": _text.build_vocab,
+        "doc_repetition": _text.build_repetition,
         "contamination_screen": _dedup.build_contamination,
         "lang_id": _text.build_lang_id,
         "lang_profile": _text.build_profile,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
         "text_stats": _text.ORACLE_SQL_STATS,
         "vocab_topk": _text.ORACLE_SQL_VOCAB,
+        "doc_repetition": _text.ORACLE_SQL_REPETITION,
         "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,

@@ -277,3 +277,77 @@ FROM counts
 ORDER BY n DESC, token
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# -------------------------------------------- intra-doc repetition ----
+#: flag threshold: >30% duplicated 3-gram mass (the classic repetition
+#: quality gate for generated/boilerplate text)
+REPETITION_PCT = 30
+_REP_NGRAM = 3
+
+
+def repetition_stats(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-document internal repetition — the quality signal that catches
+    looping generations and boilerplate: the fraction of 3-gram
+    occurrences that are duplicates of an earlier 3-gram in the SAME
+    document. Computed entirely inside the row's token array (transform
+    + array_distinct — no explode, no shuffle: a map-only pass that
+    scales linearly and composes with the corpus-level dedup family,
+    which only sees distinct shingles and is blind to this). The
+    keep/drop flag compares in cross-multiplied integer space."""
+    tokens = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - _REP_NGRAM),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, _REP_NGRAM)),
+    )
+    return (
+        documents.filter(F.size(tokens) >= _REP_NGRAM)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(sh).alias("n_shingles"),
+            F.size(F.array_distinct(sh)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_unique",
+            round_div("n_shingles - n_unique", "n_shingles", 6).alias("dup_ratio"),
+            (
+                (F.col("n_shingles") - F.col("n_unique")) * 100
+                >= REPETITION_PCT * F.col("n_shingles")
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+def build_repetition(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return repetition_stats(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_REPETITION = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_transform(
+           range(1, len(string_split(text, ' ')) - {_REP_NGRAM - 2}),
+           i -> array_to_string(string_split(text, ' ')[i:i+{_REP_NGRAM - 1}], ' ')
+         ) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_REP_NGRAM}
+),
+counted AS (
+  SELECT doc_id, lang,
+         CAST(len(shingles) AS INTEGER) AS n_shingles,
+         CAST(len(list_distinct(shingles)) AS INTEGER) AS n_unique
+  FROM sh
+)
+SELECT doc_id, lang, n_shingles, n_unique,
+       {round_div_expr("n_shingles - n_unique", "n_shingles", 6, "duckdb")} AS dup_ratio,
+       (n_shingles - n_unique) * 100 >= {REPETITION_PCT} * n_shingles AS is_repetitive
+FROM counted
+"""

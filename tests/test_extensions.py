@@ -446,3 +446,20 @@ def test_contamination_screen_flags_injected_overlap(spark):
     out = dedup.contamination_screen(docs, n_eval=10).collect()
     assert {(r["train_doc"], r["eval_doc"]) for r in out} == {(100, 0)}
     assert all(r["n_common"] >= dedup.MIN_COMMON_SHINGLES for r in out)
+
+
+def test_repetition_stats_flags_looping_doc(spark):
+    from demo_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam", "en", "s", 40),
+            (1, "eight completely distinct words appear exactly once here", "en", "s", 56),
+            (2, "ab", "en", "s", 2),  # too short for a 3-gram → dropped
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["is_repetitive"] and rows[0]["dup_ratio"] > 0.8
+    assert not rows[1]["is_repetitive"] and rows[1]["dup_ratio"] == 0.0
