@@ -129,9 +129,12 @@ def read_star_table(
 ) -> DataFrame:
     """Scan one driver star-schema table; Catalyst prunes columns/filters.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read nanos as long (runtime-settable legacy conf)
-    and truncate to microseconds — identical to DuckDB's µs semantics.
+    ``events.parquet``'s ``ts`` encoding varies by generator version:
+    TIMESTAMP(NANOS) (vectorized reader rejects it; read nanos as long via
+    the runtime-settable legacy conf and truncate to µs), naive µs (Spark 4
+    infers TIMESTAMP_NTZ; cast to TIMESTAMP — value-preserving under the
+    UTC session tz), or native TIMESTAMP. All three normalize to the same
+    µs instants DuckDB sees.
     """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     if cache:
@@ -141,8 +144,11 @@ def read_star_table(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name in _FACT_TABLES and df.rdd.getNumPartitions() < (

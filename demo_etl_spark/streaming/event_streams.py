@@ -32,14 +32,20 @@ SESSION_GAP = "30 minutes"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
-    """File-source stream over the events parquet (nanos → µs like io.py).
+    """File-source stream over the events parquet (ts-encoding-aware like io.py).
 
     ``copies > 1`` stages the same file N times — the controlled way to
     make the source REDELIVER every event (what an at-least-once bus
     does), which is what the streaming dedup operator exists to absorb.
     """
+    # readStream needs an explicit schema; probe the footer via a batch
+    # read so we honor whichever ts encoding this dataset uses
+    # (TIMESTAMP(NANOS) arrives as bigint under the legacy conf and needs
+    # the ÷1000 truncation; naive µs infers TIMESTAMP_NTZ and needs a
+    # cast to TIMESTAMP — value-preserving under the UTC session tz).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts")
     # The file-stream source requires its path to be a directory (its
     # basePath check rejects bare files); stage a symlink dir pointing at
     # the single events.parquet file. Scoped per user+process so parallel
@@ -57,8 +63,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
         )
         if not os.path.exists(link):
             os.symlink(src, link)
-    df = spark.readStream.schema(nanos_schema).parquet(stream_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:
