@@ -21,6 +21,7 @@ from demo_etl_spark.operators import multimodal as _multimodal
 from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import similarity as _similarity
 from demo_etl_spark.operators import sql_interface as _sql
+from demo_etl_spark.operators import sql_suite as _suite
 from demo_etl_spark.operators import star as _star
 from demo_etl_spark.operators import temporal as _temporal
 from demo_etl_spark.operators import text as _text
@@ -85,6 +86,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_sql": _sql.build_returned_items,
         "large_orders_sql": _sql.build_large_orders,
         "dedup_keep_best": _curation.build_keep_best,
+        "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
+        "nation_trade_volume_sql": _suite.build_nation_trade_volume,
+        "nation_market_share_sql": _suite.build_nation_market_share,
+        "product_profit_sql": _suite.build_product_profit,
+        "important_parts_sql": _suite.build_important_parts,
+        "priority_shipping_split_sql": _suite.build_priority_shipping_split,
+        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        "top_supplier_sql": _suite.build_top_supplier,
+        "last_shipment_sql": _suite.build_last_shipment,
+        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        "idle_customers_sql": _suite.build_idle_customers,
+        "waiting_suppliers_sql": _suite.build_waiting_suppliers,
     }
 
 
@@ -140,4 +153,16 @@ def oracle_sql() -> dict[str, str]:
         "returned_items_sql": _sql.ORACLE_SQL_RETURNED_ITEMS,
         "large_orders_sql": _sql.ORACLE_SQL_LARGE_ORDERS,
         "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
+        "regional_supplier_volume_sql": _suite.ORACLE_SQL_REGIONAL_SUPPLIER_VOLUME,
+        "nation_trade_volume_sql": _suite.ORACLE_SQL_NATION_TRADE_VOLUME,
+        "nation_market_share_sql": _suite.ORACLE_SQL_NATION_MARKET_SHARE,
+        "product_profit_sql": _suite.ORACLE_SQL_PRODUCT_PROFIT,
+        "important_parts_sql": _suite.ORACLE_SQL_IMPORTANT_PARTS,
+        "priority_shipping_split_sql": _suite.ORACLE_SQL_PRIORITY_SHIPPING_SPLIT,
+        "customer_order_distribution_sql": _suite.ORACLE_SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "top_supplier_sql": _suite.ORACLE_SQL_TOP_SUPPLIER,
+        "last_shipment_sql": _suite.ORACLE_SQL_LAST_SHIPMENT,
+        "disjunctive_revenue_sql": _suite.ORACLE_SQL_DISJUNCTIVE_REVENUE,
+        "idle_customers_sql": _suite.ORACLE_SQL_IDLE_CUSTOMERS,
+        "waiting_suppliers_sql": _suite.ORACLE_SQL_WAITING_SUPPLIERS,
     }

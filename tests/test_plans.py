@@ -202,3 +202,60 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     # bucket equality keys make it a hash-joinable equi join
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_waiting_suppliers_semi_and_anti_are_equi_joins(spark):
+    from demo_etl_spark.operators.sql_suite import _waiting_suppliers_sql
+
+    _register_uncached(spark, "supplier", "lineitem", "orders")
+    plan = _spark_plan(spark.sql(_waiting_suppliers_sql("spark")))
+    # EXISTS → semi, NOT EXISTS → anti, both keyed on l_orderkey so
+    # neither degenerates into a nested-loop over the fact
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_customers_anti_join_and_scalar_subquery(spark):
+    from demo_etl_spark.operators.sql_suite import _idle_customers_sql
+
+    _register_uncached(spark, "customer", "orders")
+    plan = _spark_plan(spark.sql(_idle_customers_sql("spark")))
+    assert "LeftAnti" in plan  # NOT EXISTS → anti join
+    assert "scalar-subquery" in plan  # avg threshold stays a one-row scalar
+
+
+def test_last_shipment_correlated_max_rewrites_to_aggregate_join(spark):
+    from demo_etl_spark.operators.sql_suite import _last_shipment_sql
+
+    _register_uncached(spark, "lineitem")
+    plan = _spark_plan(spark.sql(_last_shipment_sql("spark")))
+    # Catalyst de-correlates: per-key MAX aggregate + equi join, never a
+    # per-row re-scan of lineitem
+    assert "max(" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_predicate_stays_single_scan(spark):
+    from demo_etl_spark.operators.sql_suite import _disjunctive_revenue_sql
+
+    _register_uncached(spark, "lineitem", "part")
+    plan = _plan(spark.sql(_disjunctive_revenue_sql("spark")))
+    # the OR-of-conjuncts must not expand into a union of scans, and the
+    # common join key still hash/broadcast-joins
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_regional_supplier_volume_broadcasts_dims(spark):
+    from demo_etl_spark.operators.sql_suite import _regional_supplier_volume_sql
+
+    _register_uncached(
+        spark, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    plan = _plan(spark.sql(_regional_supplier_volume_sql("spark")))
+    # nation+region (and supplier at this SF) broadcast; the r_name
+    # filter is pushed into the region scan, not evaluated post-join
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # inside the region scan's PushedFilters
