@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "idle_customers_sql": _suite.build_idle_customers,
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
+        "doc_chunks": _text.build_chunks,
+        "embedding_quantize": _similarity.build_quantize,
     }
 
 
@@ -165,4 +167,6 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue_sql": _suite.ORACLE_SQL_DISJUNCTIVE_REVENUE,
         "idle_customers_sql": _suite.ORACLE_SQL_IDLE_CUSTOMERS,
         "waiting_suppliers_sql": _suite.ORACLE_SQL_WAITING_SUPPLIERS,
+        "doc_chunks": _text.ORACLE_SQL_CHUNKS,
+        "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
     }

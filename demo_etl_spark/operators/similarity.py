@@ -602,3 +602,72 @@ GROUP BY e.query_id
 
 
 ORACLE_SQL_RECALL = _recall_oracle()
+
+
+# ---------------------------------------------- int8 quantization -----
+def quantize_embeddings(
+    embeddings: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (absmax scaling).
+
+    The storage-scale operator of an embedding lake: float32 → int8 is
+    a 4× footprint cut, and at 100 TB the quantized copy is what ANN
+    scans read. Pure higher-order array expressions (transform /
+    array_max / aggregate) — JVM codegen, one narrow pass, no shuffle.
+    Cross-engine exact: the absmax and every rounded element are the
+    same IEEE double ops in Spark and DuckDB (float32 operands promote
+    exactly; both engines round half away from zero), so the row hash
+    of the quantized vector is oracle-checkable.
+    """
+    absmax = F.array_max(F.transform("embedding", F.abs)).cast("double")
+    scale = F.greatest(absmax, F.lit(1e-12))
+    d = embeddings.withColumn("q_scale", scale).withColumn(
+        "_qv",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127 / F.col("q_scale")).cast(
+                "int"
+            ),
+        ),
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        "q_scale",
+        F.aggregate(
+            "_qv",
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + (v * v).cast("long"),
+        ).alias("q_l2sq"),
+        F.md5(
+            F.array_join(F.transform("_qv", lambda v: v.cast("string")), ",")
+        ).alias("q_hash"),
+    )
+
+
+def build_quantize(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return quantize_embeddings(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+ORACLE_SQL_QUANTIZE = """
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         greatest(CAST(list_max(list_transform(embedding,
+                  x -> abs(x))) AS DOUBLE), 1e-12) AS q_scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, q_scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127 / q_scale, 0) AS INT)
+         ) AS qv
+  FROM scaled
+)
+SELECT vec_id, label, q_scale,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_l2sq,
+       md5(array_to_string(list_transform(qv, v -> CAST(v AS VARCHAR)), ','))
+         AS q_hash
+FROM q
+"""

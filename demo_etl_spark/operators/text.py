@@ -351,3 +351,88 @@ SELECT doc_id, lang, n_shingles, n_unique,
        (n_shingles - n_unique) * 100 >= {REPETITION_PCT} * n_shingles AS is_repetitive
 FROM counted
 """
+
+
+# -------------------------------------------------- chunking ----------
+#: overlapping token-window chunking — the pre-tokenization step of a
+#: training-data pipeline: every document becomes fixed-size windows
+#: with stride overlap so no span is lost at a boundary.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+CHUNK_MIN_TOKENS = 8
+
+
+def chunk_documents(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    min_tokens: int = CHUNK_MIN_TOKENS,
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    All JVM-side: split → sequence of window starts → explode → slice.
+    One narrow explode (≤ n_tokens/stride rows per doc, no shuffle at
+    all until a downstream agg), so the op is embarrassingly parallel
+    at 100 TB — exactly as many output rows as chunks, with no
+    intermediate per-token blowup. Tail windows shorter than
+    ``min_tokens`` are dropped unless they are the document's only
+    chunk (a short doc is still one chunk).
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    d = (
+        documents.select(
+            "doc_id", "lang", "source", toks.alias("_toks"),
+            F.explode(starts).alias("start_token"),
+        )
+        .withColumn("_chunk", F.slice("_toks", F.col("start_token") + 1, size))
+        .withColumn("chunk_n_tokens", F.size("_chunk"))
+        .filter(
+            (F.col("chunk_n_tokens") >= min_tokens)
+            | (F.col("start_token") == 0)
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("start_token") / stride).cast("int").alias("chunk_index"),
+        "start_token",
+        F.col("chunk_n_tokens").cast("int").alias("chunk_n_tokens"),
+        F.md5(F.array_join("_chunk", " ")).alias("chunk_hash"),
+    )
+
+
+def build_chunks(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return chunk_documents(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t
+  FROM documents
+),
+windows AS (
+  SELECT doc_id, lang, source, t,
+         unnest(generate_series(0, greatest(len(t) - 1, 0),
+                                {CHUNK_STRIDE})) AS start_token
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, lang, source, start_token,
+         list_slice(t, start_token + 1,
+                    start_token + {CHUNK_SIZE}) AS chunk
+  FROM windows
+)
+SELECT doc_id, lang, source,
+       CAST(start_token / {CHUNK_STRIDE} AS INT) AS chunk_index,
+       start_token,
+       CAST(len(chunk) AS INT) AS chunk_n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+WHERE len(chunk) >= {CHUNK_MIN_TOKENS} OR start_token = 0
+"""

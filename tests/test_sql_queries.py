@@ -59,3 +59,42 @@ def test_keep_best_selects_one_winner_per_cluster(spark, sf_dir):
         assert len(kept) == 1
         best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_doc_chunks_cover_every_token(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.operators.text import (
+        CHUNK_SIZE, CHUNK_STRIDE, chunk_documents)
+    from demo_etl_spark.io import load_star
+
+    docs = load_star(spark, sf_dir)["documents"]
+    chunks = chunk_documents(docs)
+    # stride < size ⇒ consecutive windows overlap; the max covered token
+    # index per doc must reach the doc's token count
+    assert CHUNK_STRIDE < CHUNK_SIZE
+    cover = (
+        chunks.groupBy("doc_id")
+        .agg(F.max(F.col("start_token") + F.col("chunk_n_tokens")).alias("covered"))
+    )
+    ntoks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    gaps = cover.join(ntoks, "doc_id").filter(
+        F.col("covered") < F.col("n_tokens"))
+    assert gaps.count() == 0
+    # no chunk exceeds the window size
+    assert chunks.filter(F.col("chunk_n_tokens") > CHUNK_SIZE).count() == 0
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.operators.similarity import build_quantize
+
+    q = build_quantize(spark, sf_dir)
+    rows = q.agg(
+        F.min("q_scale"), F.max("q_l2sq"), F.count(F.lit(1))).collect()[0]
+    assert rows[0] > 0  # scale strictly positive even for zero vectors
+    # 64-dim int8 vector: l2sq ≤ 64 * 127²
+    assert rows[1] <= 64 * 127 * 127
+    assert rows[2] > 0
