@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
         "doc_chunks": _text.build_chunks,
         "embedding_quantize": _similarity.build_quantize,
+        "events_daily_rollup": _events.build_daily_rollup,
     }
 
 
@@ -169,4 +170,5 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers_sql": _suite.ORACLE_SQL_WAITING_SUPPLIERS,
         "doc_chunks": _text.ORACLE_SQL_CHUNKS,
         "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
+        "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
     }

@@ -199,3 +199,75 @@ SELECT CAST(ts AS DATE) AS day,
 FROM events
 GROUP BY 1
 """
+
+
+# ------------------------------------------ hierarchical rollup -------
+def hourly_partials(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Hour-grain partial aggregates — the materialized first tier of a
+    hypertable-style continuous aggregate. Everything kept here is
+    re-aggregatable (counts and exact fixed-point sums, no averages),
+    so coarser grains roll up from THIS table instead of re-scanning
+    raw events. At 100 TB this tier is what you persist (partitioned by
+    day): the daily/monthly queries then read ~1/3600th of the data.
+    """
+    win = F.window("ts", "1 hour")
+    return events.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money_fixed(F.col("value"))).alias("val_fx"),
+    ).select(
+        F.col("w.start").alias("hour_start"), "event_type", "n_events", "val_fx"
+    )
+
+
+def daily_rollup_from_hourly(
+    hourly: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Second tier: day grain re-aggregated from the hourly partials.
+
+    Correctness contract (the whole point of the rollup): because the
+    partials are exact integers, sum-of-sums equals the direct
+    aggregation of raw events bit-for-bit — which is exactly what the
+    DuckDB oracle checks by aggregating raw events directly.
+    """
+    return (
+        hourly.groupBy(
+            F.to_date("hour_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours_active"),
+            F.sum("val_fx").alias("_val_fx"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "n_hours_active",
+            round_div("_val_fx", "10000", 2).alias("total_value"),
+            round_div("CAST(n_events AS BIGINT)", "n_hours_active", 2).alias(
+                "avg_events_per_active_hour"
+            ),
+        )
+    )
+
+
+def build_daily_rollup(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return daily_rollup_from_hourly(
+        hourly_partials(load_star(spark, sf_dir)["events"], ctx), ctx
+    )
+
+
+# oracle aggregates RAW events straight to day grain — hash-equality
+# proves the two-tier rollup loses nothing vs a direct aggregation
+ORACLE_SQL_DAILY_ROLLUP = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours_active,
+       {_rd("CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_value,
+       {_rd("COUNT(*)", "COUNT(DISTINCT date_trunc('hour', ts))", 2)} AS avg_events_per_active_hour
+FROM events
+GROUP BY 1, 2
+"""

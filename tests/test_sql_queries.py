@@ -98,3 +98,30 @@ def test_embedding_quantize_bounds(spark, sf_dir):
     # 64-dim int8 vector: l2sq ≤ 64 * 127²
     assert rows[1] <= 64 * 127 * 127
     assert rows[2] > 0
+
+
+def test_daily_rollup_equals_direct_aggregation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.functions.fixedpoint import round_div
+    from demo_etl_spark.functions.scalars import money_fixed
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.operators.events import build_daily_rollup
+
+    rolled = build_daily_rollup(spark, sf_dir)
+    direct = (
+        load_star(spark, sf_dir)["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_fixed(F.col("value"))).alias("_fx"),
+        )
+        .select("day", "event_type", "n_events",
+                round_div("_fx", "10000", 2).alias("total_value"))
+    )
+    # re-aggregating hourly partials must lose nothing vs one-shot agg
+    cols = ["day", "event_type", "n_events", "total_value"]
+    assert (
+        rolled.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+        and direct.select(*cols).exceptAll(rolled.select(*cols)).count() == 0
+    )
