@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _text.build_chunks,
         "embedding_quantize": _similarity.build_quantize,
         "events_daily_rollup": _events.build_daily_rollup,
+        "order_bookends": _customer.build_bookends,
     }
 
 
@@ -171,4 +172,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _text.ORACLE_SQL_CHUNKS,
         "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
+        "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
     }

@@ -285,3 +285,83 @@ WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                    ORDER BY CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT),
                             o_orderkey)
 """
+
+
+# ----------------------------------------------- order bookends -------
+def order_bookends(orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """First/last/second order per customer — the §2.5 value-picking
+    window family (first_value / last_value / nth_value) plus a
+    dense_rank league table.
+
+    The frame is the full partition (ROWS UNBOUNDED PRECEDING →
+    UNBOUNDED FOLLOWING — last_value under the default frame would be
+    the current row, the classic trap). Order is (date, orderkey) so
+    picks are total-order deterministic. The dense_rank partitions by
+    first-order year: at 100 TB a global rank would be a single-sink
+    sort; per-cohort ranking keeps the sort distributed.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    per_customer = (
+        orders.withColumn("_rn", F.row_number().over(seq))
+        .withColumn("first_order_date", F.to_date(F.first("o_orderdate").over(w)))
+        .withColumn("last_order_date", F.to_date(F.last("o_orderdate").over(w)))
+        .withColumn("_second_fx",
+                    F.nth_value(
+                        F.round(F.col("o_totalprice") * 100).cast("long"), 2
+                    ).over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    rank_w = Window.partitionBy(F.year("first_order_date")).orderBy(
+        F.desc("n_orders"), F.asc("o_custkey")
+    )
+    return per_customer.select(
+        "o_custkey",
+        "first_order_date",
+        "last_order_date",
+        "n_orders",
+        round_div("_second_fx", "100", 2).alias("second_order_value"),
+        F.dense_rank().over(rank_w).alias("cohort_order_rank"),
+    )
+
+
+def build_bookends(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return order_bookends(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_BOOKENDS = f"""
+WITH ranked AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER w AS rn,
+         FIRST_VALUE(o_orderdate) OVER frame AS first_ts,
+         LAST_VALUE(o_orderdate) OVER frame AS last_ts,
+         NTH_VALUE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2)
+           OVER frame AS second_fx,
+         COUNT(*) OVER frame AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+),
+per_customer AS (
+  SELECT o_custkey,
+         CAST(first_ts AS DATE) AS first_order_date,
+         CAST(last_ts AS DATE) AS last_order_date,
+         n_orders, second_fx
+  FROM ranked WHERE rn = 1
+)
+SELECT o_custkey, first_order_date, last_order_date, n_orders,
+       {round_div_expr("second_fx", "100", 2, "duckdb")} AS second_order_value,
+       CAST(DENSE_RANK() OVER (
+         PARTITION BY EXTRACT(YEAR FROM first_order_date)
+         ORDER BY n_orders DESC, o_custkey) AS INT) AS cohort_order_rank
+FROM per_customer
+"""

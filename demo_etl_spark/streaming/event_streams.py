@@ -246,3 +246,25 @@ def run_available_now(
     q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
     return spark.table(table_name)
+
+
+def hourly_partials_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.events.hourly_partials — the tier-1
+    continuous aggregate: watermarked hourly partial aggregates meant
+    to be appended to the rollup store, from which the batch daily
+    tier re-aggregates (see operators.events.daily_rollup_from_hourly).
+    """
+    win = F.window("ts", "1 hour")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(
+                "CAST(ROUND(value * 10000, 0) AS BIGINT)")).alias("val_fx"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type", "n_events", "val_fx",
+        )
+    )

@@ -463,3 +463,22 @@ def test_repetition_stats_flags_looping_doc(spark):
     assert set(rows) == {0, 1}
     assert rows[0]["is_repetitive"] and rows[0]["dup_ratio"] > 0.8
     assert not rows[1]["is_repetitive"] and rows[1]["dup_ratio"] == 0.0
+
+
+def test_streaming_hourly_partials_roll_up_to_batch_daily(spark, sf_dir):
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.operators.events import (
+        build_daily_rollup, daily_rollup_from_hourly)
+    from demo_etl_spark.streaming import read_events_stream, run_available_now
+    from demo_etl_spark.streaming.event_streams import hourly_partials_stream
+
+    # tier 1 streams (watermarked hourly partials), tier 2 re-aggregates
+    # the drained sink in batch — the continuous-aggregate deployment
+    hourly = run_available_now(
+        hourly_partials_stream(read_events_stream(spark, sf_dir)), "t_rollup"
+    )
+    daily_from_stream = daily_rollup_from_hourly(hourly)
+    daily_batch = build_daily_rollup(spark, sf_dir)
+    cols = ["day", "event_type", "n_events", "n_hours_active", "total_value"]
+    a, b = daily_from_stream.select(*cols), daily_batch.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
