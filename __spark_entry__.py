@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _similarity.build_quantize,
         "events_daily_rollup": _events.build_daily_rollup,
         "order_bookends": _customer.build_bookends,
+        "part_supplier_variety_sql": _suite.build_part_supplier_variety,
     }
 
 
@@ -173,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
         "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
+        "part_supplier_variety_sql": _suite.ORACLE_SQL_PART_SUPPLIER_VARIETY,
     }

@@ -375,3 +375,29 @@ ORACLE_SQL_LAST_SHIPMENT = _last_shipment_sql("duckdb")
 ORACLE_SQL_DISJUNCTIVE_REVENUE = _disjunctive_revenue_sql("duckdb")
 ORACLE_SQL_IDLE_CUSTOMERS = _idle_customers_sql("duckdb")
 ORACLE_SQL_WAITING_SUPPLIERS = _waiting_suppliers_sql("duckdb")
+
+
+# --- Q16-shaped: supplier variety per part attribute -------------------
+# NOT IN (subquery) is its own plan family — the null-aware anti join —
+# distinct from NOT EXISTS (plain anti). s_suppkey is non-null so the
+# null-aware semantics are engine-portable; the grouped exact
+# countDistinct is the A5 family over a 3-attribute key.
+def _part_supplier_variety_sql(dialect: str) -> str:
+    return """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+build_part_supplier_variety = _builder(
+    _part_supplier_variety_sql, "lineitem", "part", "supplier")
+
+ORACLE_SQL_PART_SUPPLIER_VARIETY = _part_supplier_variety_sql("duckdb")

@@ -259,3 +259,13 @@ def test_regional_supplier_volume_broadcasts_dims(spark):
     # filter is pushed into the region scan, not evaluated post-join
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(r_name,ASIA)" in plan  # inside the region scan's PushedFilters
+
+
+def test_not_in_subquery_plans_null_aware_anti_join(spark):
+    from demo_etl_spark.operators.sql_suite import _part_supplier_variety_sql
+
+    _register_uncached(spark, "lineitem", "part", "supplier")
+    plan = _spark_plan(spark.sql(_part_supplier_variety_sql("spark")))
+    # NOT IN (subquery) is the null-aware anti-join family, not a filter
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
