@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_rollup": _events.build_daily_rollup,
         "order_bookends": _customer.build_bookends,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
+        "events_props_breakdown": _events.build_props_breakdown,
     }
 
 
@@ -175,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
         "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
         "part_supplier_variety_sql": _suite.ORACLE_SQL_PART_SUPPLIER_VARIETY,
+        "events_props_breakdown": _events.ORACLE_SQL_PROPS,
     }

@@ -271,3 +271,58 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------ JSON props breakdown ------
+def props_breakdown(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Semi-structured payload analytics: extract a field from the JSON
+    ``props`` column and aggregate by event type × value decile.
+
+    The JSON path scalar family (§2.8 widened): ``get_json_object`` is a
+    JVM expression — the payload never deserializes into Python, and at
+    100 TB the extraction runs inside the scan's codegen stage. (For a
+    FIXED payload schema, ``from_json`` + a struct column is the
+    schema-checked variant; get_json_object is the schema-on-read one.)
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    d = events.withColumn("_k", k).withColumn(
+        "k_decile", F.expr("CAST(_k div 10 AS INT)")
+    )
+    return (
+        d.groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_k").cast("long")).alias("_k_sum"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_fx"),
+        )
+        .select(
+            "event_type",
+            "k_decile",
+            "n_events",
+            round_div("_k_sum", "n_events", 2).alias("avg_k"),
+            round_div("_val_fx", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def build_props_breakdown(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return props_breakdown(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_PROPS = f"""
+WITH extracted AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
+  FROM events
+)
+SELECT event_type,
+       CAST(k // 10 AS INT) AS k_decile,
+       COUNT(*) AS n_events,
+       {_rd("CAST(SUM(CAST(k AS BIGINT)) AS BIGINT)", "COUNT(*)", 2)} AS avg_k,
+       {_rd("CAST(SUM(val_fx) AS BIGINT)", "10000", 2)} AS total_value
+FROM extracted
+GROUP BY event_type, CAST(k // 10 AS INT)
+"""
