@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_bookends": _customer.build_bookends,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "events_props_breakdown": _events.build_props_breakdown,
+        "regional_rollup": _star.build_rollup,
     }
 
 
@@ -177,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
         "part_supplier_variety_sql": _suite.ORACLE_SQL_PART_SUPPLIER_VARIETY,
         "events_props_breakdown": _events.ORACLE_SQL_PROPS,
+        "regional_rollup": _star.ORACLE_SQL_ROLLUP,
     }

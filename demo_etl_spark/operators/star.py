@@ -318,6 +318,51 @@ def sales_cube(
     )
 
 
+def regional_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Revenue ROLLUP down the region ⊃ nation hierarchy — the ordered
+    sibling of CUBE (sales_cube): only the prefix grouping sets
+    (detail, per-region subtotal, grand total), which is the natural
+    shape for a drill-down report over a containment hierarchy. Same
+    one-Expand-pass execution as CUBE, one shuffle total.
+    """
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    base = j.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        money_fixed(fp).alias("_fp_c"),
+    )
+    return (
+        base.rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_fp_c").alias("_rev_c"),
+            F.grouping("region").cast("int").alias("is_region_total"),
+            F.grouping("nation").cast("int").alias("is_nation_total"),
+        )
+        .select(
+            "region",
+            "nation",
+            "n_lines",
+            round_div("_rev_c", "10000", 2).alias("total_revenue"),
+            "is_region_total",
+            "is_nation_total",
+        )
+    )
+
+
 def order_value_distribution(
     orders: DataFrame,
     customer: DataFrame,
@@ -399,4 +444,32 @@ SELECT nation, n_orders,
        q[1] / 100.0 AS p25, q[2] / 100.0 AS p50,
        q[3] / 100.0 AS p75, q[4] / 100.0 AS p95
 FROM g
+"""
+
+
+def build_rollup(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return regional_rollup(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"], ctx
+    )
+
+
+ORACLE_SQL_ROLLUP = f"""
+WITH base AS (
+  SELECT r.r_name AS region,
+         n.n_name AS nation,
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT region, nation,
+       COUNT(*) AS n_lines,
+       {_rd("CAST(SUM(fp_c) AS BIGINT)", "10000", 2)} AS total_revenue,
+       CAST(GROUPING(region) AS INTEGER) AS is_region_total,
+       CAST(GROUPING(nation) AS INTEGER) AS is_nation_total
+FROM base
+GROUP BY ROLLUP(region, nation)
 """
