@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "events_props_breakdown": _events.build_props_breakdown,
         "regional_rollup": _star.build_rollup,
+        "multimodal_frames": _multimodal.build_frames,
     }
 
 
@@ -179,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
         "part_supplier_variety_sql": _suite.ORACLE_SQL_PART_SUPPLIER_VARIETY,
         "events_props_breakdown": _events.ORACLE_SQL_PROPS,
         "regional_rollup": _star.ORACLE_SQL_ROLLUP,
+        "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
     }

@@ -214,3 +214,33 @@ SELECT doc_id AS media_id,
        md5(text) AS feature_hash
 FROM documents
 """
+
+
+def build_frames(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Registered frame-sampling query: the 1→N exploding mapInPandas
+    shape, oracle-checked. The synthetic payload is the document's
+    UTF-8 bytes and the corpus is ASCII, so the oracle can re-slice
+    with char-based substr (byte offset == char offset there; a real
+    codec payload would be checked by the pytest path instead)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return sample_frames(synthesize_media(docs))
+
+
+ORACLE_SQL_FRAMES = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+),
+offsets AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {FRAME_SAMPLE_EVERY})) AS frame_offset
+  FROM vids
+)
+SELECT media_id,
+       CAST(frame_offset / {FRAME_SAMPLE_EVERY} AS INT) AS frame_index,
+       CAST(frame_offset AS INT) AS frame_offset,
+       md5(substr(text, frame_offset + 1, {FRAME_SAMPLE_EVERY})) AS frame_hash
+FROM offsets
+"""
