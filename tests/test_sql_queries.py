@@ -125,3 +125,40 @@ def test_daily_rollup_equals_direct_aggregation(spark, sf_dir):
         rolled.select(*cols).exceptAll(direct.select(*cols)).count() == 0
         and direct.select(*cols).exceptAll(rolled.select(*cols)).count() == 0
     )
+
+
+def test_chunking_invariants_hold_for_any_text(spark):
+    """Property test: for ANY token count and any (size, stride, min)
+    config with stride < size, chunks tile the document with overlap
+    size-stride, cover every token, and never exceed the window."""
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.text import chunk_documents
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=1, max_value=200),
+        size=st.integers(min_value=4, max_value=64),
+        stride_frac=st.floats(min_value=0.25, max_value=0.99),
+    )
+    def check(n_tokens, size, stride_frac):
+        stride = max(1, int(size * stride_frac))
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        docs = spark.createDataFrame(
+            [(0, text, "en", "src", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = sorted(
+            chunk_documents(docs, size=size, stride=stride,
+                            min_tokens=min(4, size)).collect(),
+            key=lambda r: r["start_token"],
+        )
+        assert rows, "every doc yields at least one chunk"
+        assert rows[0]["start_token"] == 0
+        covered = max(r["start_token"] + r["chunk_n_tokens"] for r in rows)
+        assert covered == n_tokens  # full coverage, no token lost
+        for r in rows:
+            assert r["chunk_n_tokens"] <= size
+            assert r["chunk_index"] == r["start_token"] // stride
+
+    check()
