@@ -326,3 +326,24 @@ SELECT event_type,
 FROM extracted
 GROUP BY event_type, CAST(k // 10 AS INT)
 """
+
+
+def merge_rollup_increment(store: DataFrame, increment: DataFrame) -> DataFrame:
+    """Additive merge of late-arriving partials into the rollup store.
+
+    Hour buckets touched by late events get their counts/sums ADDED (the
+    partials are exact integers, so merge order can't change any result);
+    untouched buckets pass through. This is the rollup-store twin of a
+    MERGE ... WHEN MATCHED THEN UPDATE: expressed as union + re-aggregate
+    so it stays one shuffle on the rollup key and works on plain parquet.
+    At 100 TB the union's store side prunes to the partitions the
+    increment touches (partition the store by day).
+    """
+    return (
+        store.unionByName(increment)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("val_fx").alias("val_fx"),
+        )
+    )

@@ -162,3 +162,26 @@ def test_chunking_invariants_hold_for_any_text(spark):
             assert r["chunk_index"] == r["start_token"] // stride
 
     check()
+
+
+def test_rollup_late_data_merge_is_exact(spark, sf_dir):
+    """Partials over early events merged with late-arriving partials must
+    equal partials computed over everything at once — the additive-merge
+    contract that makes the rollup store safe under out-of-order
+    ingestion."""
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.operators.events import (
+        hourly_partials, merge_rollup_increment)
+
+    events = load_star(spark, sf_dir)["events"]
+    cut = events.selectExpr("percentile(CAST(ts AS DOUBLE), 0.7) p").first()["p"]
+    early = events.filter(F.col("ts").cast("double") <= cut)
+    late = events.filter(F.col("ts").cast("double") > cut)
+    assert late.count() > 0  # the split is non-vacuous
+
+    merged = merge_rollup_increment(hourly_partials(early), hourly_partials(late))
+    direct = hourly_partials(events)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
