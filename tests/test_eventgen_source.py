@@ -1,0 +1,48 @@
+"""Python DataSource tests: determinism, partition-invariance, and
+operator compatibility of the in-executor events generator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _read(spark, **opts):
+    from demo_etl_spark.sources import EventGenDataSource
+
+    spark.dataSource.register(EventGenDataSource)
+    r = spark.read.format("eventgen")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_eventgen_rowcount_schema_and_parallelism(spark):
+    df = _read(spark, rows=10_000, partitions=8, seed=7)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 10_000
+    assert df.schema.simpleString() == (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    )
+    assert df.select("event_id").distinct().count() == 10_000
+
+
+def test_eventgen_partitioning_does_not_change_data(spark):
+    """Counter-based generation: 2 partitions and 16 partitions must
+    produce IDENTICAL rows (retry/speculation safety)."""
+    a = _read(spark, rows=5_000, partitions=2, seed=11)
+    b = _read(spark, rows=5_000, partitions=16, seed=11)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_eventgen_feeds_existing_operators(spark):
+    from demo_etl_spark.operators.events import hourly_partials, props_breakdown
+
+    df = _read(spark, rows=20_000, partitions=8, seed=3)
+    hp = hourly_partials(df)
+    agg = hp.agg(F.sum("n_events").alias("n")).first()
+    assert agg["n"] == 20_000  # every generated event lands in a bucket
+    pb = props_breakdown(df)
+    # props parse as JSON: k in [0, 100) → deciles 0..9 only
+    deciles = {r["k_decile"] for r in pb.select("k_decile").distinct().collect()}
+    assert deciles <= set(range(10))
