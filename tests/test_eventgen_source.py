@@ -46,3 +46,24 @@ def test_eventgen_feeds_existing_operators(spark):
     # props parse as JSON: k in [0, 100) → deciles 0..9 only
     deciles = {r["k_decile"] for r in pb.select("k_decile").distinct().collect()}
     assert deciles <= set(range(10))
+
+
+def test_auditsink_commit_protocol(spark, tmp_path):
+    """The audit a sink commits must describe exactly the rows written —
+    and be independent of how the write was partitioned."""
+    import json
+
+    from demo_etl_spark.sources import AuditSinkDataSource
+
+    spark.dataSource.register(AuditSinkDataSource)
+    df = spark.range(1_000).selectExpr("id", "id * 2 AS v")
+    audits = []
+    for parts in (3, 13):
+        p = str(tmp_path / f"audit_{parts}.json")
+        df.repartition(parts).write.format("auditsink").option(
+            "path", p
+        ).mode("append").save()
+        audits.append(json.load(open(p)))
+    assert audits[0]["rows"] == audits[1]["rows"] == 1_000
+    assert audits[0]["checksum"] == audits[1]["checksum"]  # content-addressed
+    assert audits[0]["partitions"] == 3 and audits[1]["partitions"] == 13
