@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _M = (1 << 64) - 1
 EVENT_TYPES = ["click", "view", "purchase", "scroll"]
@@ -107,3 +112,45 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema):
         return _Reader(self.options)
+
+    def streamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same counter-based row space: the
+    offset is simply "rows generated so far", each latestOffset() call
+    advances it by ``rows_per_batch``, and batch [start, end) reuses the
+    exact batch-read generator — so the stream replays deterministically
+    from any checkpointed offset (the replayability contract a file/
+    Kafka source provides, here from arithmetic alone)."""
+
+    def __init__(self, options):
+        self._r = _Reader(options)
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1_000))
+        self.max_rows = int(float(options.get("rows", 10_000)))
+        self._emitted = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._emitted = min(self._emitted + self.rows_per_batch, self.max_rows)
+        return {"row": self._emitted}
+
+    def partitions(self, start: dict, end: dict):
+        r = self._r
+        lo, hi = start["row"], end["row"]
+        per = -(-max(hi - lo, 0) // r.parts) or 1
+        return [
+            _Range(lo + i * per, min(lo + (i + 1) * per, hi), r.seed,
+                   r.n_users, r.start_us, r.span_us)
+            for i in range(r.parts)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: _Range):
+        return self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — offsets ARE the state
