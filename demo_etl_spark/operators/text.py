@@ -378,7 +378,14 @@ def chunk_documents(
     intermediate per-token blowup. Tail windows shorter than
     ``min_tokens`` are dropped unless they are the document's only
     chunk (a short doc is still one chunk).
+
+    Coverage guarantee: every token appears in ≥1 kept chunk. A dropped
+    tail's tokens are inside the previous window only when
+    ``stride + min_tokens ≤ size``, so ``min_tokens`` is clamped to
+    ``size − stride`` (hypothesis-found boundary: size=4, stride=2,
+    min=4 silently lost the last token).
     """
+    min_tokens = max(0, min(min_tokens, size - stride))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
