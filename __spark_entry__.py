@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_breakdown": _events.build_props_breakdown,
         "regional_rollup": _star.build_rollup,
         "multimodal_frames": _multimodal.build_frames,
+        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
+        "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
     }
 
 
@@ -181,4 +183,6 @@ def oracle_sql() -> dict[str, str]:
         "events_props_breakdown": _events.ORACLE_SQL_PROPS,
         "regional_rollup": _star.ORACLE_SQL_ROLLUP,
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
+        "small_quantity_revenue_sql": _suite.ORACLE_SQL_SMALL_QUANTITY_REVENUE,
+        "bolt_volume_suppliers_sql": _suite.ORACLE_SQL_BOLT_VOLUME_SUPPLIERS,
     }

@@ -401,3 +401,56 @@ build_part_supplier_variety = _builder(
     _part_supplier_variety_sql, "lineitem", "part", "supplier")
 
 ORACLE_SQL_PART_SUPPLIER_VARIETY = _part_supplier_variety_sql("duckdb")
+
+
+# --- Q17-shaped: small-quantity lines vs the per-part average ----------
+# Correlated scalar AGGREGATE subqueries (COUNT and SUM over the same
+# correlation key) de-correlated by Catalyst into one aggregate + join.
+# The "quantity < 0.2 × avg" predicate is cross-multiplied into pure
+# BIGINT space (5·q·cnt < sum), so the threshold is exact in both
+# engines — no float average at all.
+def _small_quantity_revenue_sql(dialect: str) -> str:
+    rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
+    return f"""
+SELECT {rd(_sum_fx(dialect), "70000", 2)} AS avg_weekly_revenue,
+       COUNT(*) AS line_count
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND 5 * CAST(l_quantity AS BIGINT) * (
+        SELECT COUNT(*) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --- Q20-shaped: high-volume shippers of a part family -----------------
+# Nested IN chains: part-family membership feeds a grouped HAVING whose
+# survivors feed the outer IN — two stacked left-semi joins, the shape
+# that degenerates into O(n²) subquery re-execution on engines without
+# subquery de-correlation.
+def _bolt_volume_suppliers_sql(dialect: str) -> str:
+    return """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 100
+)
+"""
+
+
+build_small_quantity_revenue = _builder(
+    _small_quantity_revenue_sql, "lineitem", "part")
+build_bolt_volume_suppliers = _builder(
+    _bolt_volume_suppliers_sql, "supplier", "lineitem", "part")
+
+ORACLE_SQL_SMALL_QUANTITY_REVENUE = _small_quantity_revenue_sql("duckdb")
+ORACLE_SQL_BOLT_VOLUME_SUPPLIERS = _bolt_volume_suppliers_sql("duckdb")
