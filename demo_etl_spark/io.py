@@ -334,3 +334,35 @@ def verify_output(spark: SparkSession, path: str, min_rows: int = 1) -> int:
     if n < min_rows:
         raise RuntimeError(f"output at {path} has {n} rows (< {min_rows})")
     return n
+
+
+# S11 without the second scan: the reference verifies a write by
+# re-reading and counting (generate-asset.scala:333-338) — a full extra
+# pass, which at 100 TB doubles the job's IO. Spark's Observation API
+# attaches metric expressions to the WRITING plan itself, so the counts
+# are collected DURING the write for free.
+def observed_write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    null_check_cols: list[str] | None = None,
+) -> dict:
+    """Write parquet and return write-time metrics {rows, null_<col>...}
+    observed from the same pass — no verification re-read. Callers
+    assert on the returned dict exactly where they would have asserted
+    on the re-read count.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in null_check_cols or []:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    obs = Observation()
+    w = df.observe(obs, *metrics).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return obs.get

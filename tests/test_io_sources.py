@@ -159,3 +159,23 @@ def test_hive_metastore_end_to_end(tmp_path):
         env=env,
     )
     assert "HIVE_E2E_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_observed_write_counts_without_reread(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark import io
+
+    df = spark.range(1234).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    path = str(tmp_path / "obs")
+    got = io.observed_write_parquet(df, path, null_check_cols=["v"])
+    # metrics came from the write pass itself...
+    assert got["rows"] == 1234
+    assert got["null_v"] == 124  # ids 0,10,...,1230
+    # ...and agree with what actually landed on disk
+    back = spark.read.parquet(path)
+    assert back.count() == 1234
+    assert back.filter(F.col("v").isNull()).count() == 124
