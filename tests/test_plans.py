@@ -269,3 +269,35 @@ def test_not_in_subquery_plans_null_aware_anti_join(spark):
     # NOT IN (subquery) is the null-aware anti-join family, not a filter
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Selective build side ⇒ Catalyst injects a runtime Bloom filter on
+    the probe side (rows that can't match die before the shuffle — the
+    100 TB lever for selective fact-fact joins)."""
+    restore = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("p"))
+        small = spark.range(10_000).select(
+            F.col("id").alias("k")).filter("k % 100 = 7")
+        j = big.join(small, "k")
+        plan = _spark_plan(j)
+        assert "bloom" in plan.lower()
+        assert j.count() == 100  # filter prunes, never drops matches
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
