@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal.build_frames,
         "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
+        "dedup_fuzzy_verify": _dedup.build_fuzzy,
     }
 
 
@@ -185,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
         "small_quantity_revenue_sql": _suite.ORACLE_SQL_SMALL_QUANTITY_REVENUE,
         "bolt_volume_suppliers_sql": _suite.ORACLE_SQL_BOLT_VOLUME_SUPPLIERS,
+        "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
     }

@@ -707,3 +707,66 @@ WHERE e.doc_id < {N_EVAL_DOCS} AND t.doc_id >= {N_EVAL_DOCS}
 GROUP BY 1, 2
 HAVING COUNT(*) >= {MIN_COMMON_SHINGLES}
 """
+
+
+# ---------------------------------------------- fuzzy verify ----------
+def fuzzy_verify_pairs(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Edit-distance scoring of the LSH candidate pairs.
+
+    The second-stage verifier of a fuzzy-dedup pipeline: candidates come
+    from the banded MinHash join (sub-quadratic), and only THOSE pairs
+    pay the O(len·len) levenshtein — never all pairs, which is what
+    keeps an edit-distance metric viable at 100 TB. Similarity is an
+    exact integer fraction ((maxlen − dist)/maxlen, HALF_UP at 1e-6) so
+    the DuckDB twin hashes identically.
+    """
+    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index).select(
+        "doc_a", "doc_b"
+    )
+    ta = documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    scored = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("_ta", "_tb"))
+        .withColumn("_maxlen", F.greatest(F.length("_ta"), F.length("_tb")))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        round_div(
+            "CAST((_maxlen - edit_distance) AS BIGINT)",
+            "CAST(_maxlen AS BIGINT)",
+            6,
+        ).alias("edit_similarity"),
+    )
+
+
+def build_fuzzy(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return fuzzy_verify_pairs(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_FUZZY = f"""
+WITH pairs AS ({{minhash}})
+SELECT p.doc_a, p.doc_b,
+       levenshtein(da.text, db.text) AS edit_distance,
+       {round_div_expr(
+           "CAST((greatest(length(da.text), length(db.text))"
+           " - levenshtein(da.text, db.text)) AS BIGINT)",
+           "CAST(greatest(length(da.text), length(db.text)) AS BIGINT)",
+           6,
+           "duckdb",
+       )} AS edit_similarity
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+""".format(minhash=ORACLE_SQL_MINHASH)
