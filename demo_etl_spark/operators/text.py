@@ -360,6 +360,10 @@ FROM counted
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 CHUNK_MIN_TOKENS = 8
+# the effective tail filter after the coverage clamp (see chunk_documents);
+# the oracle interpolates THIS value so the two sides cannot silently
+# diverge when the constants change (8 == 32−24 is a coincidence, not a law)
+CHUNK_MIN_EFF = max(0, min(CHUNK_MIN_TOKENS, CHUNK_SIZE - CHUNK_STRIDE))
 
 
 def chunk_documents(
@@ -441,5 +445,5 @@ SELECT doc_id, lang, source,
        CAST(len(chunk) AS INT) AS chunk_n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_hash
 FROM chunks
-WHERE len(chunk) >= {CHUNK_MIN_TOKENS} OR start_token = 0
+WHERE len(chunk) >= {CHUNK_MIN_EFF} OR start_token = 0
 """

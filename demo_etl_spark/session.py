@@ -52,6 +52,10 @@ def get_spark(
         # (observed: 8g/32 threads → queries degrade 14s → 474s)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # stdout hygiene: console progress bars write to the driver's
+        # stdout and can interleave with (and truncate) the single JSON
+        # line bench.py's consumer parses
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_WAREHOUSE_DIR", "/tmp/demo_etl_spark_warehouse"))
     )

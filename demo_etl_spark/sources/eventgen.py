@@ -79,17 +79,23 @@ class _Reader(DataSourceReader):
 
         idx = np.arange(part.start, part.end, dtype=np.uint64)
         salt = np.uint64(part.seed) << np.uint64(32)
+        # one independent splitmix stream per column: deriving two columns
+        # from one hash (e.g. event_type and user_id both from h2) collapses
+        # their joint distribution — |user×event_type| would be n_users
+        # instead of 4·n_users — which defeats a load-test generator
         h1 = _mix(idx + salt)
         h2 = _mix(idx + salt + np.uint64(1 << 20))
         h3 = _mix(idx + salt + np.uint64(2 << 20))
+        h4 = _mix(idx + salt + np.uint64(3 << 20))
+        h5 = _mix(idx + salt + np.uint64(4 << 20))
         ts_us = part.start_us + (h1 % np.uint64(part.span_us)).astype(np.int64)
         etype = np.array(EVENT_TYPES)[(h2 % np.uint64(4)).astype(np.int64)]
-        k = (h3 % np.uint64(100)).astype(np.int64)
+        k = (h5 % np.uint64(100)).astype(np.int64)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(idx.astype(np.int64)),
                 pa.array(ts_us, type=pa.timestamp("us")),
-                pa.array((h2 % np.uint64(part.n_users)).astype(np.int64)),
+                pa.array((h4 % np.uint64(part.n_users)).astype(np.int64)),
                 pa.array(etype),
                 pa.array((h3 % np.uint64(100_000)).astype(np.int64) / 100.0),
                 pa.array([f'{{"k": {v}}}' for v in k]),
@@ -141,6 +147,11 @@ class _StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         r = self._r
         lo, hi = start["row"], end["row"]
+        # A restarted query re-instantiates this reader with _emitted = 0
+        # while the checkpoint replays from a committed offset — clamp the
+        # counter forward so latestOffset() never regresses below the
+        # committed position (the replayability contract in the docstring).
+        self._emitted = max(self._emitted, lo)
         per = -(-max(hi - lo, 0) // r.parts) or 1
         return [
             _Range(lo + i * per, min(lo + (i + 1) * per, hi), r.seed,
