@@ -9,11 +9,24 @@ the correct Spark shape for media work at 100 TB:
 * output schema is declared up front so Catalyst can prune downstream;
 * partitioning is preserved — no shuffle is introduced by the map.
 
-The actual codecs (PIL/libav/etc.) are NOT in this container, so the
-decode step is a clearly-marked deterministic fake behind
-``decode_image_stub`` — the Spark-side plumbing (schema, batch iteration,
-UDF signatures) is real and tested. Swap ``_fake_decode`` for a real
-decoder when the codec libraries are available.
+The synthetic payloads are REAL binary-PGM (netpbm P5) images: an ASCII
+``P5 <w> <h> 255`` header followed by a w·h-byte grayscale raster (the
+document's text bytes, space-padded/truncated). ``decode_pgm`` is a real
+netpbm decoder — it parses the header grammar (arbitrary whitespace,
+``#`` comments) and slices the raster — not a hash-based stub, so
+``width``/``height`` in the registered feature query are genuinely
+decoded from the payload and still oracle-checkable (the oracle recomputes
+the header fields the synthesizer embedded). ``resize_media`` is likewise
+a real nearest-neighbor resample over the decoded numpy raster.
+
+Compressed codecs (JPEG via PIL, video via libav) are NOT in this
+container; swapping ``decode_pgm`` for ``PIL.Image.open`` is the only
+change a real deployment needs — every Spark-side shape here is final.
+
+Caveat (documented, by design): the raster is built from the text with
+char-based ``rpad``/``substr``, so the embedded header counts CHARS; on
+the current ASCII corpus chars == bytes. ``decode_pgm`` itself is
+byte-correct for any PGM input.
 """
 
 from __future__ import annotations
@@ -21,6 +34,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,37 +71,85 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+# synthesized image geometry: derived from doc_id so the oracle can
+# recompute it; bounded 8..63 to keep the raster ≤ ~4 KB per document
+DIM_MOD = 56
+DIM_MIN = 8
+
+_W_EXPR = "(doc_id % {m} + {b})".format(m=DIM_MOD, b=DIM_MIN)
+_H_EXPR = "((doc_id * 3) % {m} + {b})".format(m=DIM_MOD, b=DIM_MIN)
+
 
 def synthesize_media(documents: DataFrame) -> DataFrame:
-    """Build a media table from documents: text bytes stand in for an
-    encoded payload (deterministic; exercises the binary column path)."""
-    return documents.select(
+    """Build a media table from documents: each payload is a REAL binary
+    PGM (P5) image whose raster is the document's text, space-padded or
+    truncated to w·h. Pure column expressions — the synthesizer itself
+    is JVM-side and shuffle-free."""
+    d = documents.select(
+        "doc_id",
+        "text",
+        F.expr(_W_EXPR).alias("_w"),
+        F.expr(_H_EXPR).alias("_h"),
+    ).withColumn("_npix", (F.col("_w") * F.col("_h")).cast("int"))
+    header = F.concat(
+        F.lit("P5 "),
+        F.col("_w").cast("string"),
+        F.lit(" "),
+        F.col("_h").cast("string"),
+        F.lit(" 255\n"),
+    )
+    raster = F.expr("rpad(text, _npix, ' ')")
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.concat(header, raster), "utf-8").alias("payload"),
         F.col("doc_id").alias("source_doc_id"),
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake of an image decode.
+def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL binary-PGM (P5) decode: parse the netpbm header (tokens
+    separated by arbitrary whitespace; ``#`` comments run to end of
+    line), validate maxval, return (width, height, raster bytes).
 
-    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(p)).size``;
-    codec libs are absent in this environment (see module docstring).
+    This is the full P5 grammar, not a fake — it decodes any 8-bit PGM
+    file, not just the synthesizer's output. Swap for ``PIL.Image.open``
+    to add compressed formats; the callers never change.
     """
-    h = hashlib.md5(payload).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240
+    payload = bytes(payload)
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    return width, height, payload[pos : pos + width * height]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: Arrow-batched, schema-declared."""
+    """mapInPandas feature extraction: Arrow-batched, schema-declared.
+    width/height come from the real ``decode_pgm`` parse of each payload."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_fake_decode)
+            dims = pdf["payload"].map(lambda p: decode_pgm(p)[:2])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,13 +189,28 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _resize_nearest(raster: bytes, w: int, h: int, w_t: int, h_t: int) -> bytes:
+    """Nearest-neighbor resample of an 8-bit grayscale raster (numpy
+    fancy indexing — one vectorized gather, no Python pixel loop)."""
+    img = np.frombuffer(raster, dtype=np.uint8)
+    if img.size < w * h:  # defensive: pad a truncated raster with spaces
+        img = np.concatenate([img, np.full(w * h - img.size, 32, np.uint8)])
+    img = img[: w * h].reshape(h, w)
+    ys = (np.arange(h_t) * h) // h_t
+    xs = (np.arange(w_t) * w) // w_t
+    return img[np.ix_(ys, xs)].tobytes()
+
+
 def resize_media(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> DataFrame:
-    """mapInPandas resize: STUB decode (see ``_fake_decode``) + a
-    deterministic downsample fake (payload truncated to w·h bytes — a
-    real impl swaps in ``PIL.Image.resize``). The Spark plumbing —
-    binary-in/binary-out Arrow batches, declared schema, no shuffle —
-    is the real thing."""
+    """mapInPandas resize: REAL decode (``decode_pgm``) + real
+    nearest-neighbor resample, re-encoded as a w_t×h_t P5 payload.
+    Binary-in/binary-out Arrow batches, declared schema, no shuffle."""
     w_t, h_t = target
+    out_header = f"P5 {w_t} {h_t} 255\n".encode()
+
+    def one(p: bytes) -> bytes:
+        w, h, raster = decode_pgm(p)
+        return out_header + _resize_nearest(raster, w, h, w_t, h_t)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -143,9 +220,7 @@ def resize_media(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> D
                     "media_type": pdf["media_type"],
                     "width": w_t,
                     "height": h_t,
-                    "resized_payload": pdf["payload"].map(
-                        lambda b: bytes(b)[: w_t * h_t]
-                    ),
+                    "resized_payload": pdf["payload"].map(one),
                 }
             )
 
@@ -156,7 +231,7 @@ def sample_frames(
     media: DataFrame, every: int = FRAME_SAMPLE_EVERY
 ) -> DataFrame:
     """mapInPandas frame sampling for video payloads: one output row per
-    ``every`` bytes (STUB for per-frame decode; a real impl samples
+    ``every`` bytes (stand-in for per-frame decode; a real impl samples
     keyframes via libav). Demonstrates the 1→N exploding UDF shape —
     output rows ≠ input rows, schema declared up front."""
 
@@ -190,29 +265,34 @@ def build_features(
     return extract_features(synthesize_media(docs))
 
 
-def build_features_checked(
-    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
-) -> DataFrame:
-    """The oracle-checked projection of the feature pipeline: the columns a
-    SQL engine can reproduce (md5 + byte length of the payload). The stub-
-    derived width/height are excluded here (pytest covers them) — but the
-    values below still flow through the real mapInPandas path, so the
-    driver check genuinely exercises the Arrow-batched Python plumbing."""
-    return build_features(spark, sf_dir, ctx).select(
-        "media_id", "media_type", "byte_len", "feature_hash"
-    )
+# kept as an alias: the registered query now oracle-checks ALL six
+# columns because width/height are really decoded from the payload and
+# the oracle can recompute the embedded header fields
+build_features_checked = build_features
 
 
-# Engine-parity oracle: byte_len and feature_hash of a utf-8 payload are
-# SQL-expressible. DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —
-# exactly the payload the Python worker hashes; octet_length(encode(...))
-# measures the same bytes (n_chars == byte_len is NOT assumed).
-ORACLE_SQL_FEATURES = """
+# DuckDB twin of the synthesized payload string (ASCII corpus: chars ==
+# bytes; md5(VARCHAR) hashes the UTF-8 bytes the Python worker hashes).
+_PAYLOAD_SQL = (
+    "'P5 ' || CAST({w} AS VARCHAR) || ' ' || CAST({h} AS VARCHAR) || ' 255' "
+    "|| chr(10) || rpad(text, CAST({w} * {h} AS INT), ' ')"
+).format(w=_W_EXPR, h=_H_EXPR)
+
+ORACLE_SQL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST({_W_EXPR} AS INTEGER) AS width,
+         CAST({_H_EXPR} AS INTEGER) AS height,
+         {_PAYLOAD_SQL} AS p
+  FROM documents
+)
 SELECT doc_id AS media_id,
        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       md5(text) AS feature_hash
-FROM documents
+       CAST(octet_length(encode(p)) AS INTEGER) AS byte_len,
+       width,
+       height,
+       md5(p) AS feature_hash
+FROM m
 """
 
 
@@ -220,27 +300,29 @@ def build_frames(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     """Registered frame-sampling query: the 1→N exploding mapInPandas
-    shape, oracle-checked. The synthetic payload is the document's
-    UTF-8 bytes and the corpus is ASCII, so the oracle can re-slice
-    with char-based substr (byte offset == char offset there; a real
-    codec payload would be checked by the pytest path instead)."""
+    shape, oracle-checked. The oracle reconstructs the PGM payload string
+    and re-slices it with char-based substr (ASCII corpus — byte offset
+    == char offset). A payload is never empty (the header alone is ≥ 11
+    bytes), so both sides emit ≥ 1 frame for every video — including
+    empty-text documents."""
     docs = load_star(spark, sf_dir)["documents"]
     return sample_frames(synthesize_media(docs))
 
 
 ORACLE_SQL_FRAMES = f"""
 WITH vids AS (
-  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+  SELECT doc_id AS media_id, {_PAYLOAD_SQL} AS p
+  FROM documents WHERE doc_id % 3 = 2
 ),
 offsets AS (
-  SELECT media_id, text,
-         unnest(generate_series(0, greatest(length(text) - 1, 0),
-                                {FRAME_SAMPLE_EVERY})) AS frame_offset
+  SELECT media_id, p,
+         unnest(generate_series(0, len(p) - 1, {FRAME_SAMPLE_EVERY}))
+           AS frame_offset
   FROM vids
 )
 SELECT media_id,
        CAST(frame_offset / {FRAME_SAMPLE_EVERY} AS INT) AS frame_index,
        CAST(frame_offset AS INT) AS frame_offset,
-       md5(substr(text, frame_offset + 1, {FRAME_SAMPLE_EVERY})) AS frame_hash
+       md5(substr(p, frame_offset + 1, {FRAME_SAMPLE_EVERY})) AS frame_hash
 FROM offsets
 """

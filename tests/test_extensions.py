@@ -305,7 +305,9 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir, tables):
     assert resized.count() == n
     row = resized.first()
     assert (row["width"], row["height"]) == multimodal.RESIZE_TARGET
-    assert len(row["resized_payload"]) <= 32 * 32
+    # the resized payload is itself a decodable PGM at the target size
+    w, h, raster = multimodal.decode_pgm(row["resized_payload"])
+    assert (w, h) == multimodal.RESIZE_TARGET and len(raster) == w * h
     frames = multimodal.sample_frames(media, every=64).cache()
     vids = media.filter(F.col("media_type") == "video")
     # every video yields ceil(len/64) frames; frame 0 exists for each
@@ -333,18 +335,39 @@ def test_multimodal_plumbing(spark, sf_dir, tables):
     out = multimodal.build_features(spark, sf_dir).cache()
     n_docs = tables["documents"].count()
     assert out.count() == n_docs
+    lo, hi = multimodal.DIM_MIN, multimodal.DIM_MIN + multimodal.DIM_MOD - 1
     row = out.first()
-    assert 16 <= row["width"] <= 255 and 16 <= row["height"] <= 255
+    assert lo <= row["width"] <= hi and lo <= row["height"] <= hi
     assert len(row["feature_hash"]) == 32
     # deterministic across runs
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, multimodal.build_features(spark, sf_dir).collect()))
     assert a == b
-    # byte_len equals utf-8 length of source text (ascii corpus)
-    joined = out.join(
-        tables["documents"], out["media_id"] == tables["documents"]["doc_id"]
+    # the payload is a real PGM container: byte_len == header + w·h raster
+    hdr = F.length(
+        F.concat(
+            F.lit("P5 "), F.col("width").cast("string"), F.lit(" "),
+            F.col("height").cast("string"), F.lit(" 255\n"),
+        )
     )
-    assert joined.filter(F.col("byte_len") != F.length("text")).count() == 0
+    bad = out.filter(F.col("byte_len") != hdr + F.col("width") * F.col("height"))
+    assert bad.count() == 0
+
+
+def test_pgm_decoder_is_a_real_decoder():
+    """decode_pgm handles the full netpbm P5 header grammar — comments,
+    arbitrary whitespace — not just the synthesizer's output."""
+    from demo_etl_spark.operators import multimodal
+
+    raster = bytes(range(6))
+    p = b"P5\n# a comment\n 3\t2 # trailing\n255\n" + raster
+    assert multimodal.decode_pgm(p) == (3, 2, raster)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_pgm(b"P6 1 1 255\nx")
+    with _pytest.raises(ValueError):
+        multimodal.decode_pgm(b"P5 1 1 70000\nx")
 
 
 def test_streaming_dedup_absorbs_redelivery(spark, sf_dir):
