@@ -261,8 +261,91 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 # ----------------------------------------------------------- IVF ANN ----
-CENTROID_STRIDE = 50  # every 50th vec_id is a centroid (data-size adaptive)
+CENTROID_STRIDE = 50  # every 50th vec_id seeds a centroid (data-size adaptive)
 N_PROBES = 2  # cells searched per query
+IVF_LLOYD_ITERS = 2  # deterministic spherical-k-means refinement rounds
+
+
+def _e6_vec(col: str):
+    """array<float> → array<bigint>: exact 1e-6 fixed-point lift."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+
+
+def _int_dot(a: str, b: str):
+    """Exact BIGINT dot of two e6 vectors (|x|≤1e6, 64 dims → ≪ 2⁶³)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_norm(col: str):
+    return F.sqrt(_int_dot(col, col).cast("double"))
+
+
+def _signed_mean(s: str, n: str):
+    """Exact HALF_UP-away-from-zero of s/n in BIGINT (sign-safe: the
+    round_div helper's floor==truncate shortcut only holds for s ≥ 0)."""
+    return F.expr(
+        f"CASE WHEN {s} >= 0 THEN ({s} * 2 + {n}) div (2 * {n}) "
+        f"ELSE -((-({s}) * 2 + {n}) div (2 * {n})) END"
+    )
+
+
+def _lloyd_centroids(emb6: DataFrame, stride: int, iters: int) -> DataFrame:
+    """Seeded deterministic Lloyd refinement, entirely as DataFrame aggs
+    in exact fixed-point: init centroids = every ``stride``-th vector;
+    each round reassigns by integer-cosine argmax and recomputes each
+    cell's per-dimension mean with sign-safe HALF_UP integer division.
+    Every quantity is either an exact BIGINT or a double derived from
+    the same BIGINTs in the same op order — bit-identical across
+    engines, so the trained index is still oracle-checkable.
+
+    Returns (cent_id, cv: array<bigint>). Emptied cells drop out (their
+    seed id simply stops existing — same in the SQL twin).
+    """
+    cent = emb6.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        scored = (
+            emb6.join(F.broadcast(cent), how="cross")
+            .withColumn("_cn", _int_norm("cv"))
+            .withColumn(
+                "_c_e6",
+                F.round(
+                    _int_dot("v", "cv").cast("double")
+                    / (F.col("_n") * F.col("_cn"))
+                    * 1_000_000
+                ).cast("long"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_c_e6"), F.asc("cent_id"))
+        assign = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("cent_id").alias("cell"), "v")
+        )
+        sums = (
+            assign.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", _signed_mean("s", "n"))
+        )
+        cent = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform("_pm", lambda st: st["m"]).alias("cv"),
+            )
+        )
+    return cent
 
 
 def ivf_topk(
@@ -272,48 +355,50 @@ def ivf_topk(
     k: int = TOP_K,
     stride: int = CENTROID_STRIDE,
     n_probes: int = N_PROBES,
+    iters: int = IVF_LLOYD_ITERS,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse quantize, then search n_probes cells.
+    """IVF (inverted-file) ANN with TRAINED centroids: seeded Lloyd
+    (``_lloyd_centroids``) coarse-quantizes the corpus, then each query
+    searches only its n_probes nearest cells.
 
-    The centroid set is deterministic — every ``stride``-th vector — so
-    the whole index is SQL-reproducible (a real system would k-means
-    these; the partition/probe machinery is identical). Build: one
-    n×K assignment join (centroids broadcast, K ≪ n) → each vector's
-    cell = argmax integer-cosine centroid. Query: probe the n_probes
-    nearest cells, exact top-k within their members. At 100 TB the
-    assignment is a map-side broadcast join and the probe join hits
-    only cells' partitions — never the full corpus.
+    Build: K ≪ n trained centroids broadcast against the corpus — one
+    map-side join per Lloyd round plus one for the final assignment.
+    Query: probe join hits only the probed cells' members, exact
+    integer-cosine top-k within them. At 100 TB the assignment is a
+    map-side broadcast join and the probe join reads ~n_probes/K of the
+    corpus — never all of it; Lloyd trains on a sample there (the agg
+    shapes are identical).
     """
     emb = embeddings.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    cent = emb.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("_cent_e"),
-        F.col("_norm").alias("_cent_n"),
+    emb6 = embeddings.select("vec_id", _e6_vec("embedding").alias("v")).withColumn(
+        "_n", _int_norm("v")
     )
-    cos_e6 = (
-        F.round(_dot("embedding", "_cent_e") / (F.col("_norm") * F.col("_cent_n")) * 1_000_000)
-        .cast("long")
-    )
-    scored = emb.join(F.broadcast(cent), how="cross").withColumn("_c_e6", cos_e6)
+    cent = _lloyd_centroids(emb6, stride, iters).withColumn("_cn", _int_norm("cv"))
+    cos_e6 = F.round(
+        _int_dot("v", "cv").cast("double") / (F.col("_n") * F.col("_cn")) * 1_000_000
+    ).cast("long")
+    scored = emb6.join(F.broadcast(cent), how="cross").withColumn("_c_e6", cos_e6)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("_c_e6"), F.asc("cent_id")
     )
+    ranked = scored.withColumn("_r", F.row_number().over(w_assign))
     assign = (
-        scored.withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "embedding", "_norm", F.col("cent_id").alias("cell"))
+        ranked.filter(F.col("_r") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(emb, "vec_id")
     )
     probes = (
-        scored.filter(F.col("vec_id") < n_queries)
-        .withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") <= n_probes)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qe"),
-            F.col("_norm").alias("_qn"),
-            F.col("cent_id").alias("cell"),
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("_r") <= n_probes))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("_qe"),
+                F.col("_norm").alias("_qn"),
+            ),
+            "query_id",
         )
     )
     cand = assign.join(F.broadcast(probes), "cell").filter(
@@ -342,50 +427,116 @@ def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEX
     return ivf_topk(load_star(spark, sf_dir)["embeddings"], ctx)
 
 
-_COS_CENT_SQL = """CAST(ROUND(
-           list_sum(list_transform(range(1, len(v.embedding) + 1),
-                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-           / (v.nrm * c.nrm) * 1000000, 0) AS BIGINT)"""
+# integer-cosine between an e6 vector x.v and an e6 centroid c.cv — the
+# exact BIGINT dot cast to double, divided in the same op order as Spark
+_INT_COS_SQL = """CAST(ROUND(
+           CAST(list_sum(list_transform(range(1, len(x.v) + 1),
+                i -> x.v[i] * c.cv[i])) AS DOUBLE)
+           / (x.n * c.cn) * 1000000, 0) AS BIGINT)"""
 
-ORACLE_SQL_IVF = f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+
+def _ivf_oracle(
+    stride: int = CENTROID_STRIDE,
+    n_probes: int = N_PROBES,
+    iters: int = IVF_LLOYD_ITERS,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> str:
+    """DuckDB twin of the trained-IVF query: one (assign → per-dim mean)
+    CTE pair per Lloyd round, then the probe/rerank tail — every
+    arithmetic step mirrors the Spark fixed-point ops exactly."""
+    parts = [
+        f"""WITH e6 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
   FROM embeddings
 ),
-cent AS (SELECT * FROM e WHERE vec_id % {CENTROID_STRIDE} = 0),
-scored AS (
-  SELECT v.vec_id, c.vec_id AS cent_id, {_COS_CENT_SQL} AS c_e6,
-         CAST(ROW_NUMBER() OVER (PARTITION BY v.vec_id
-              ORDER BY {_COS_CENT_SQL} DESC, c.vec_id ASC) AS INTEGER) AS r
-  FROM e v CROSS JOIN cent c
+en AS (
+  SELECT vec_id, v,
+         sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE)) AS n
+  FROM e6
 ),
-assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE r = 1),
+c0 AS (
+  SELECT vec_id AS cent_id, v AS cv,
+         sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE)) AS cn
+  FROM e6 WHERE vec_id % {stride} = 0
+)"""
+    ]
+    for t in range(iters):
+        parts.append(f""",
+a{t} AS (
+  SELECT cell, v FROM (
+    SELECT x.vec_id, c.cent_id AS cell, x.v,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {_INT_COS_SQL} DESC, c.cent_id ASC) AS r
+    FROM en x CROSS JOIN c{t} c
+  ) WHERE r = 1
+),
+s{t} AS (
+  SELECT cell, i, SUM(val) AS s, COUNT(*) AS cnt
+  FROM (SELECT cell, unnest(v) AS val,
+               unnest(range(1, len(v) + 1)) AS i
+        FROM a{t})
+  GROUP BY cell, i
+),
+c{t + 1} AS (
+  SELECT cent_id, cv,
+         sqrt(CAST(list_sum(list_transform(cv, y -> y * y)) AS DOUBLE)) AS cn
+  FROM (
+    SELECT cell AS cent_id, list(m ORDER BY i) AS cv
+    FROM (SELECT cell, i,
+                 CASE WHEN s >= 0 THEN (s * 2 + cnt) // (2 * cnt)
+                      ELSE -(((-s) * 2 + cnt) // (2 * cnt)) END AS m
+          FROM s{t})
+    GROUP BY cell
+  )
+)""")
+    parts.append(f""",
+scored AS (
+  SELECT x.vec_id, c.cent_id, {_INT_COS_SQL} AS ce6
+  FROM en x CROSS JOIN c{iters} c
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ce6 DESC, cent_id ASC) AS r
+  FROM scored
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE r = 1),
 probes AS (
   SELECT vec_id AS query_id, cent_id AS cell
-  FROM scored WHERE vec_id < {N_QUERIES} AND r <= {N_PROBES}
+  FROM ranked WHERE vec_id < {n_queries} AND r <= {n_probes}
+),
+eo AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+  FROM embeddings
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS candidate_id, a.cell,
          CAST(ROUND(
            list_sum(list_transform(range(1, len(q.embedding) + 1),
-                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
-           / (q.nrm * x.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(xx.embedding[i] AS DOUBLE)))
+           / (q.nrm * xx.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
   FROM assign a
   JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
-  JOIN e q ON q.vec_id = p.query_id
-  JOIN e x ON x.vec_id = a.vec_id
+  JOIN eo q ON q.vec_id = p.query_id
+  JOIN eo xx ON xx.vec_id = a.vec_id
 ),
-ranked AS (
+ranked2 AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_e6 DESC, candidate_id ASC) AS INTEGER) AS rank
   FROM cand
 )
 SELECT query_id, candidate_id, cell, rank,
        CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
-FROM ranked WHERE rank <= {TOP_K}
-"""
+FROM ranked2 WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+ORACLE_SQL_IVF = _ivf_oracle()
 
 
 # ------------------------------------------------- embedding near-dup ----

@@ -354,6 +354,41 @@ def test_multimodal_plumbing(spark, sf_dir, tables):
     assert bad.count() == 0
 
 
+def test_ivf_lloyd_training_improves_recall(spark, sf_dir, tables):
+    """Seeded Lloyd refinement must not lose recall vs the fixed seed
+    grid (iters=0) on the uniform test corpus, and must strictly help on
+    clustered data — the structure k-means exists to exploit."""
+    import numpy as np
+
+    from demo_etl_spark.operators import similarity as sim
+
+    def recall(emb, iters):
+        exact = {(r.query_id, r.candidate_id) for r in sim.cosine_topk(emb).collect()}
+        hits = {
+            (r.query_id, r.candidate_id)
+            for r in sim.ivf_topk(emb, iters=iters).collect()
+        }
+        return len(exact & hits) / len(exact)
+
+    emb = tables["embeddings"]
+    assert recall(emb, sim.IVF_LLOYD_ITERS) >= recall(emb, 0)
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (8, 64))
+    rows = [
+        (
+            i,
+            [float(np.float32(x)) for x in centers[i % 8] + rng.normal(0, 0.15, 64)],
+            i % 8,
+        )
+        for i in range(600)
+    ]
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assert recall(clustered, sim.IVF_LLOYD_ITERS) > recall(clustered, 0)
+
+
 def test_pgm_decoder_is_a_real_decoder():
     """decode_pgm handles the full netpbm P5 header grammar — comments,
     arbitrary whitespace — not just the synthesizer's output."""
