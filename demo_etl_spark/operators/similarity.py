@@ -701,6 +701,191 @@ FROM pairs WHERE cos_e6 >= {int(round(NEAR_DUP_THRESHOLD * 1_000_000))}
 """
 
 
+# ------------------------------------- banded-LSH semantic near-dup ------
+ANN_BANDS = 8  # bands ORed together (any shared band → candidate pair)
+ANN_BAND_PLANES = 6  # hyperplane sign bits per band
+
+
+def _band_sign_expr(band: int, ppb: int = ANN_BAND_PLANES):
+    """One band's sign signature (ppb bits) in exact integer space —
+    same md5-weight scheme as ``_bucket_expr`` under a distinct 'nd'
+    namespace so the near-dup planes are independent of the top-k ones."""
+    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def plane_sign(p: int):
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    dims,
+                    lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long")
+                    * (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(f"nd|{p}|"), i.cast("string"))
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        - F.lit(WEIGHT_OFFSET)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        )
+
+    return F.concat(
+        *[
+            plane_sign(band * ppb + j).cast("int").cast("string")
+            for j in range(ppb)
+        ]
+    )
+
+
+def embedding_ann_pairs(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bands: int = ANN_BANDS,
+    ppb: int = ANN_BAND_PLANES,
+) -> DataFrame:
+    """Sub-quadratic semantic near-dup: banded hyperplane-LSH candidate
+    generation + exact cosine verify — the registered 100 TB default
+    (the blocked-exact ``embedding_near_dup`` stays as the baseline twin).
+
+    Shape: O(N·bands) signature rows, an equi-join per shared (band,
+    signature) bucket, exact integer-cosine only on the candidate set —
+    no O(n²) pair stage anywhere in the plan. Recall < 1 by design and
+    is *governed*, not guessed: ``ann_pair_recall`` (pytest) audits it
+    against the exact kernel, and bands/ppb are the dial — more bands
+    raise recall, more planes per band cut candidate volume. The
+    integer-space signatures make the whole path oracle-checkable: the
+    DuckDB twin reproduces the same buckets bit-for-bit, so the
+    correctness gate pins the algorithm, and the recall audit pins its
+    quality.
+    """
+    t_e6 = int(round(threshold * 1_000_000))
+    emb = embeddings.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
+    )
+    sigs = embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_band_sign_expr(b, ppb) for b in range(bands)])
+        ).alias("band", "sig"),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "_cos_e6",
+            F.round(
+                _dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")) * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return scored.filter(F.col("_cos_e6") >= t_e6).select(
+        "vec_a",
+        "vec_b",
+        F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+    )
+
+
+def build_ann_pairs(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return embedding_ann_pairs(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+def _band_sign_sql(band: int, ppb: int = ANN_BAND_PLANES) -> str:
+    def w(p: int) -> str:
+        return (
+            f"(CAST('0x' || substr(md5('nd|{p}|' || CAST(i - 1 AS VARCHAR)), 1, 8) "
+            f"AS BIGINT) - {WEIGHT_OFFSET})"
+        )
+
+    return " || ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+                  * {w(band * ppb + j)})) >= 0 THEN '1' ELSE '0' END)"""
+        for j in range(ppb)
+    )
+
+
+def _ann_pairs_oracle(
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bands: int = ANN_BANDS,
+    ppb: int = ANN_BAND_PLANES,
+) -> str:
+    sig_cols = ", ".join(
+        f"({_band_sign_sql(b, ppb)}) AS s{b}" for b in range(bands)
+    )
+    sig_list = ", ".join(f"s{b}" for b in range(bands))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+sigw AS (SELECT vec_id, {sig_cols} FROM e),
+sig AS (
+  SELECT vec_id,
+         unnest(range(0, {bands})) AS band,
+         unnest([{sig_list}]) AS sig
+  FROM sigw
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                       AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, len(x.embedding) + 1),
+                i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+           / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+  FROM cand c
+  JOIN e x ON x.vec_id = c.vec_a
+  JOIN e y ON y.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM scored WHERE cos_e6 >= {int(round(threshold * 1_000_000))}
+"""
+
+
+ORACLE_SQL_ANN_PAIRS = _ann_pairs_oracle()
+
+
 # ---------------------------------------------------- ANN recall audit ----
 def ann_recall(
     embeddings: DataFrame,

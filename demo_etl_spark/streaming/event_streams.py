@@ -268,3 +268,32 @@ def hourly_partials_stream(events: DataFrame) -> DataFrame:
             "event_type", "n_events", "val_fx",
         )
     )
+
+
+# ------------------------------------------------------ hard signal -----
+_STREAM_Q_COUNTER = iter(range(1, 1_000_000))
+
+
+def build_streaming_daily_rollup(
+    spark: SparkSession, sf_dir: str, ctx=None
+) -> DataFrame:
+    """The streaming path under the driver's correctness gate: drain
+    ``hourly_partials_stream`` with an ``availableNow`` trigger into a
+    memory sink, then re-aggregate the drained hourly partials to day
+    grain with the SAME ``daily_rollup_from_hourly`` the batch tier uses.
+    Hash-checked against the raw-events daily oracle
+    (operators.events.ORACLE_SQL_DAILY_ROLLUP) — i.e. a genuinely
+    streaming-executed plan must reproduce the batch aggregation
+    bit-for-bit (exact fixed-point partials make that possible).
+
+    The memory-sink table name is unique per call: the sink's temp view
+    outlives the query, and the returned DataFrame lazily reads it (the
+    driver/bench trigger their own actions later).
+    """
+    from demo_etl_spark.operators.events import daily_rollup_from_hourly
+
+    name = f"stream_daily_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    hourly = run_available_now(
+        hourly_partials_stream(read_events_stream(spark, sf_dir)), name
+    )
+    return daily_rollup_from_hourly(hourly)

@@ -389,6 +389,58 @@ def test_ivf_lloyd_training_improves_recall(spark, sf_dir, tables):
     assert recall(clustered, sim.IVF_LLOYD_ITERS) > recall(clustered, 0)
 
 
+def test_embedding_ann_pairs_recall_and_subquadratic(spark):
+    """The banded-LSH near-dup path in its actual regime (τ=0.9 true
+    near-dups): full recall vs the exact kernel, verified-only output
+    (precision 1 by construction), and a candidate set that is a small
+    fraction of all pairs — the sub-quadratic contract."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows, vid = [], 0
+    for i in range(300):
+        v = rng.normal(0, 1, 64)
+        rows.append((vid, [float(np.float32(x)) for x in v], 0))
+        vid += 1
+        if i % 3 == 0:  # every 3rd doc gets a near-dup at cosine ≈ 0.95
+            d = v + rng.normal(0, 0.18, 64)
+            rows.append((vid, [float(np.float32(x)) for x in d], 1))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_near_dup(df, threshold=0.9).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_ann_pairs(df, threshold=0.9).collect()
+    }
+    assert exact, "seeded corpus must contain true near-dup pairs"
+    assert ann <= exact  # exact verify ⇒ no false positives
+    assert len(exact & ann) / len(exact) >= 0.95
+    sigs = df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sim._band_sign_expr(b) for b in range(sim.ANN_BANDS)])
+        ).alias("band", "sig"),
+    )
+    a = sigs.selectExpr("vec_id AS vec_a", "band", "sig")
+    b = sigs.selectExpr("vec_id AS vec_b", "band", "sig")
+    n_cand = (
+        a.join(b, ["band", "sig"])
+        .filter("vec_a < vec_b")
+        .select("vec_a", "vec_b")
+        .distinct()
+        .count()
+    )
+    n = df.count()
+    assert n_cand < 0.25 * (n * (n - 1) // 2)
+
+
 def test_pgm_decoder_is_a_real_decoder():
     """decode_pgm handles the full netpbm P5 header grammar — comments,
     arbitrary whitespace — not just the synthesizer's output."""

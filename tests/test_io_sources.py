@@ -179,3 +179,21 @@ def test_observed_write_counts_without_reread(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1234
     assert back.filter(F.col("v").isNull()).count() == 124
+
+
+def test_registered_bucketed_join_plan_has_no_exchange(spark, sf_dir):
+    """The REGISTERED bucketed_order_join variant (operators.bucketed)
+    must execute its fact join over the bucket layout with no shuffle."""
+    from demo_etl_spark.operators import bucketed
+
+    li_t, od_t = bucketed.ensure_bucketed_tables(spark, sf_dir)
+    j = bucketed.bucketed_join(spark.table(li_t), spark.table(od_t))
+    plan = j._jdf.queryExecution().sparkPlan().treeString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # and the full registered query (join + small agg) exchanges at most
+    # once — for the groupBy, never for the fact join
+    full = bucketed.build_bucketed_join(spark, sf_dir)
+    full_plan = full._jdf.queryExecution().sparkPlan().treeString()
+    assert "SortMergeJoin" in full_plan
+    assert full_plan.count("Exchange") <= 1
