@@ -165,7 +165,16 @@ def ngram_jaccard_pairs(
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold (df-capped set)."""
+    """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold (df-capped set).
+
+    EXACT BASELINE — not the scale default. The contract (every true
+    pair, exact Jaccard) makes candidate volume O(Σ df²) over shared
+    shingles; the df cap bounds the worst case but cannot change the
+    quadratic contract. At 100 TB use ``minhash_lsh_pairs`` (banded
+    LSH → exact verify on the candidate set) — which is what
+    ``corpus_curation`` routes through exclusively; this operator exists
+    as the ground-truth twin recall is audited against.
+    """
     # the shingle index feeds three consumers (sizes, join-left, join-right):
     # persist so the split/explode runs once (C1 discipline, the reference's
     # fan-out persist — generate-asset.scala:47)
