@@ -47,6 +47,41 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 N_PLANES = 8  # LSH hyperplanes → 2^8 sign buckets
 WEIGHT_OFFSET = 1 << 31  # md5-uint32 − offset → signed 32-bit plane weight
+EMB_DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+def _plane_weight(prefix: str, p: int, i: int) -> int:
+    """The (plane, dim) pseudo-weight: md5-derived signed 32-bit integer.
+
+    Computed ONCE driver-side with hashlib — bit-identical to the SQL
+    ``md5(...)`` derivation the oracles spell out — then embedded as a
+    literal, so the per-row path is a pure integer multiply-add with no
+    hashing (measured: the in-expression md5/conv variant cost ~6 s per
+    sf0.1 signature pass and ballooned codegen; literals take <1 s).
+    """
+    import hashlib
+
+    return int(hashlib.md5(f"{prefix}{p}|{i}".encode()).hexdigest()[:8], 16) - WEIGHT_OFFSET
+
+
+def _plane_sign_lit(prefix: str, p: int, dims: int = EMB_DIMS):
+    """Sign of the exact integer projection onto literal plane weights.
+    The weight array is sliced to the embedding's length, so shorter
+    vectors stay correct (longer-than-``dims`` vectors are out of
+    contract — EMB_DIMS tracks the table schema)."""
+    ws = F.array(*[F.lit(_plane_weight(prefix, p, i)) for i in range(dims)])
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.slice(ws, F.lit(1), F.size("embedding")),
+                lambda x, w: F.round(x.cast("double") * 1_000_000).cast("long") * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        >= 0
+    )
 
 
 def _dot(a, b):
@@ -101,39 +136,17 @@ def _bucket_expr(n_planes: int = N_PLANES):
     """Sign-pattern bucket from integer-space hyperplane projections.
 
     Per (plane, dim), the pseudo-weight is md5-derived: first 8 hex chars
-    → uint32 − 2³¹ (a signed 32-bit integer). The projection sums
+    → uint32 − 2³¹ (a signed 32-bit integer; see ``_plane_weight`` — the
+    oracle derives the SAME constants with SQL md5). The projection sums
     round(x·1e6)·w in BIGINT — exact integer arithmetic, so the sign (and
     hence the bucket) is bit-identical in any engine. Bounds: |x_e6| ≤
     ~1e7, |w| < 2³¹, 64 dims → |sum| < 1.4e18 < 2⁶³.
     """
-    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
-
-    def plane_sign(p: int):
-        return (
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    dims,
-                    lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long")
-                    * (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{p}|"), i.cast("string"))), 1, 8
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        - F.lit(WEIGHT_OFFSET)
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        )
-
     return F.concat(
-        *[plane_sign(p).cast("int").cast("string") for p in range(n_planes)]
+        *[
+            _plane_sign_lit("", p).cast("int").cast("string")
+            for p in range(n_planes)
+        ]
     )
 
 
@@ -706,45 +719,46 @@ ANN_BANDS = 8  # bands ORed together (any shared band → candidate pair)
 ANN_BAND_PLANES = 6  # hyperplane sign bits per band
 
 
-def _band_sign_expr(band: int, ppb: int = ANN_BAND_PLANES):
-    """One band's sign signature (ppb bits) in exact integer space —
-    same md5-weight scheme as ``_bucket_expr`` under a distinct 'nd'
-    namespace so the near-dup planes are independent of the top-k ones."""
-    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
-
-    def plane_sign(p: int):
-        return (
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    dims,
-                    lambda x, i: F.round(x.cast("double") * 1_000_000).cast("long")
-                    * (
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(F.lit(f"nd|{p}|"), i.cast("string"))
-                                ),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        - F.lit(WEIGHT_OFFSET)
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        )
-
-    return F.concat(
+def _band_signatures(
+    embeddings: DataFrame, bands: int = ANN_BANDS, ppb: int = ANN_BAND_PLANES
+) -> DataFrame:
+    """(vec_id, band, sig) for every vector — computed as a broadcast
+    weights-table join + one hash aggregation instead of 48 giant
+    per-row expression trees (measured: the expression form cost 6-36 s
+    per pass at sf0.1 and ballooned codegen; this plans as scan →
+    posexplode → broadcast-join → partial agg, all vectorized, and
+    scales linearly in rows × dims × planes). Weight values are
+    identical to the oracle's SQL md5 derivation (``_plane_weight``)."""
+    spark = embeddings.sparkSession
+    n_planes = bands * ppb
+    wrows = [
+        (p, i, _plane_weight("nd|", p, i))
+        for p in range(n_planes)
+        for i in range(EMB_DIMS)
+    ]
+    wdf = spark.createDataFrame(wrows, "plane int, i int, w long")
+    ex = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x_e6", F.round(F.col("x").cast("double") * 1_000_000).cast("long"))
+    contrib = (
+        ex.join(F.broadcast(wdf), "i")
+        .withColumn("band", (F.col("plane") / ppb).cast("int"))
+        .withColumn("pos", (F.col("plane") % ppb).cast("int"))
+    )
+    proj = contrib.groupBy("vec_id", "band").agg(
         *[
-            plane_sign(band * ppb + j).cast("int").cast("string")
+            F.sum(F.when(F.col("pos") == j, F.col("x_e6") * F.col("w"))).alias(
+                f"_s{j}"
+            )
             for j in range(ppb)
         ]
+    )
+    return proj.select(
+        "vec_id",
+        "band",
+        F.concat(
+            *[(F.col(f"_s{j}") >= 0).cast("int").cast("string") for j in range(ppb)]
+        ).alias("sig"),
     )
 
 
@@ -774,12 +788,7 @@ def embedding_ann_pairs(
     emb = embeddings.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    sigs = embeddings.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[_band_sign_expr(b, ppb) for b in range(bands)])
-        ).alias("band", "sig"),
-    )
+    sigs = _band_signatures(embeddings, bands, ppb)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), "band", "sig"
     )

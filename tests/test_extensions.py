@@ -422,12 +422,7 @@ def test_embedding_ann_pairs_recall_and_subquadratic(spark):
     assert exact, "seeded corpus must contain true near-dup pairs"
     assert ann <= exact  # exact verify ⇒ no false positives
     assert len(exact & ann) / len(exact) >= 0.95
-    sigs = df.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[sim._band_sign_expr(b) for b in range(sim.ANN_BANDS)])
-        ).alias("band", "sig"),
-    )
+    sigs = sim._band_signatures(df)
     a = sigs.selectExpr("vec_id AS vec_a", "band", "sig")
     b = sigs.selectExpr("vec_id AS vec_b", "band", "sig")
     n_cand = (
