@@ -195,6 +195,59 @@ def ngram_jaccard_pairs(
     return _jaccard_from_common(common, sizes, threshold, with_union=True)
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment common/min(|A|,|B|) ≥ τ.
+
+    Catches the doc-inside-doc case Jaccard structurally misses — a
+    short document fully embedded in a long one has containment 1.0 but
+    Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, far below any dedup threshold (and
+    below what MinHash bands tuned for Jaccard will candidate). A
+    training-data pipeline needs this pass for quote/boilerplate
+    inclusion and partial crawls.
+
+    EXACT BASELINE like ``ngram_jaccard_pairs`` (same Σ df² candidate
+    contract, same df cap, same memoized index); integer-space predicate
+    ``common·100 ≥ τ·100·least(na, nb)`` keeps it engine-exact.
+    """
+    t100 = int(round(threshold * 100))
+    sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = sh.filter(F.col("df") >= 2)
+    a = shared.alias("a")
+    b = shared.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b"
+        )
+        .filter(F.expr(f"common * 100 >= {t100} * least(na, nb)"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.least("na", "nb").alias("smaller_size"),
+            round_div("common", "least(na, nb)", 6).alias("containment"),
+        )
+    )
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """32 affine-permutation minhashes per doc in one grouped pass.
 
@@ -269,6 +322,15 @@ def build_ngram(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONT
     )
 
 
+def build_containment(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return ngram_containment_pairs(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
+
+
 def build_minhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return minhash_lsh_pairs(
         load_star(spark, sf_dir)["documents"], ctx,
@@ -326,6 +388,25 @@ FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE common * 100 >= {_T100} * (sa.n + sb.n - common)
+"""
+
+
+_CT100 = int(round(CONTAINMENT_THRESHOLD * 100))
+
+ORACLE_SQL_CONTAINMENT = f"""
+WITH {_INDEXED_SH_SQL},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       least(sa.n, sb.n) AS smaller_size,
+       {round_div_expr("common", "least(sa.n, sb.n)", 6, "duckdb")} AS containment
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common * 100 >= {_CT100} * least(sa.n, sb.n)
 """
 
 

@@ -357,6 +357,61 @@ FROM counted
 #: overlapping token-window chunking — the pre-tokenization step of a
 #: training-data pipeline: every document becomes fixed-size windows
 #: with stride overlap so no span is lost at a boundary.
+# ----------------------------------------- per-source corpus profile ----
+def source_profile(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Corpus health dashboard per source: volume, token totals, and
+    EXACT interpolated length percentiles (p10/p50/p90) — the
+    mixture-weighting input of a training-data pipeline (how much of
+    each source, how long are its documents, where do the length
+    filters bite). Exact ``percentile`` over integer token counts is
+    bit-identical to DuckDB's quantile_cont (both interpolate
+    (1−f)·a + f·b on the same sorted integers); at 100 TB swap in
+    approx_percentile (t-digest) — same API, documented error."""
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    g = documents.select(
+        "source", n_tokens.alias("_nt"), F.col("n_chars")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_nt").cast("long")).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.expr("percentile(_nt, array(0.1, 0.5, 0.9))").alias("_q"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        round_div("total_tokens", "n_docs", 2).alias("avg_tokens"),
+        F.col("_q")[0].alias("p10_tokens"),
+        F.col("_q")[1].alias("p50_tokens"),
+        F.col("_q")[2].alias("p90_tokens"),
+    )
+
+
+def build_source_profile(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return source_profile(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _source_profile_oracle() -> str:
+    return f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {round_div_expr("CAST(SUM(len(string_split(text, ' '))) AS BIGINT)", "COUNT(*)", 2, "duckdb")} AS avg_tokens,
+       quantile_cont(len(string_split(text, ' ')), 0.1) AS p10_tokens,
+       quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+       quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+ORACLE_SQL_SOURCE_PROFILE = _source_profile_oracle()
+
+
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 CHUNK_MIN_TOKENS = 8
