@@ -201,6 +201,45 @@ GROUP BY 1
 """
 
 
+def daily_type_unpivot(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Melt the wide daily matrix back to long form — the inverse
+    reshaping operator (``DataFrame.unpivot``, Spark's native melt; a
+    narrow per-row expansion with NO shuffle of its own, so the plan
+    cost is exactly the pivot's aggregate). Wide→long is the standard
+    prep step before per-series operators (windowing, forecasting) that
+    expect long format. Zero-count cells are kept — melt must be
+    lossless (round-trip property: unpivot(pivot(x)) ⊇ x's groups)."""
+    wide = daily_type_pivot(events, ctx)
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"{t}_events" for t in EVENT_TYPES],
+        variableColumnName="_col",
+        valueColumnName="n_events",
+    ).select(
+        "day",
+        F.expr("replace(_col, '_events', '')").alias("event_type"),
+        "n_events",
+    )
+
+
+def build_unpivot(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return daily_type_unpivot(load_star(spark, sf_dir)["events"], ctx)
+
+
+# the melt twin: per-type conditional counts unioned back to long rows
+ORACLE_SQL_UNPIVOT = f"""
+WITH wide AS ({ORACLE_SQL_PIVOT})
+SELECT day, event_type, n_events FROM (
+  {" UNION ALL ".join(
+      f"SELECT day, '{t}' AS event_type, {t}_events AS n_events FROM wide"
+      for t in EVENT_TYPES
+  )}
+)
+"""
+
+
 # ------------------------------------------ hierarchical rollup -------
 def hourly_partials(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     """Hour-grain partial aggregates — the materialized first tier of a
