@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants of families already covered above
         "dedup_ngram_containment": _dedup.build_containment,
         "corpus_source_profile": _text.build_source_profile,
+        "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "dedup_ngram_containment": _dedup.ORACLE_SQL_CONTAINMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
+        "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,

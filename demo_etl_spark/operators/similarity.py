@@ -895,6 +895,62 @@ FROM scored WHERE cos_e6 >= {int(round(threshold * 1_000_000))}
 ORACLE_SQL_ANN_PAIRS = _ann_pairs_oracle()
 
 
+def ann_pair_recall(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Pair-level recall of the banded-LSH near-dup path vs the exact
+    blocked kernel — the standing accuracy audit of the registered
+    sub-quadratic default, computed in-engine and oracle-checked (both
+    sides are deterministic, so the recall NUMBER sits under the
+    correctness gate: re-banding that silently loses recall fails the
+    hash check, not just a dashboard). Single-row result."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    exact = embedding_near_dup(embeddings, ctx, threshold).select("vec_a", "vec_b")
+    ann = (
+        embedding_ann_pairs(embeddings, ctx, threshold)
+        .select("vec_a", "vec_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "n_exact_pairs",
+            "n_found",
+            round_div("n_found", "n_exact_pairs", 4).alias("pair_recall"),
+        )
+    )
+
+
+def build_ann_pair_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return ann_pair_recall(load_star(spark, sf_dir)["embeddings"], ctx)
+
+
+def _ann_pair_recall_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    hits = "CAST(SUM(CASE WHEN a.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+SELECT COUNT(*) AS n_exact_pairs,
+       {hits} AS n_found,
+       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS pair_recall
+FROM ({ORACLE_SQL_NEAR_DUP}) e
+LEFT JOIN ({ORACLE_SQL_ANN_PAIRS}) a
+  ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b
+"""
+
+
+ORACLE_SQL_ANN_PAIR_RECALL = _ann_pair_recall_oracle()
+
+
 # ---------------------------------------------------- ANN recall audit ----
 def ann_recall(
     embeddings: DataFrame,
