@@ -87,7 +87,10 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     is JVM-side and shuffle-free."""
     d = documents.select(
         "doc_id",
-        "text",
+        # NULL-safe: a null text becomes an all-space raster, not a null
+        # payload that would crash the decoder (testdata is regenerated
+        # between rounds — don't assume non-null)
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.expr(_W_EXPR).alias("_w"),
         F.expr(_H_EXPR).alias("_h"),
     ).withColumn("_npix", (F.col("_w") * F.col("_h")).cast("int"))
@@ -275,7 +278,7 @@ build_features_checked = build_features
 # bytes; md5(VARCHAR) hashes the UTF-8 bytes the Python worker hashes).
 _PAYLOAD_SQL = (
     "'P5 ' || CAST({w} AS VARCHAR) || ' ' || CAST({h} AS VARCHAR) || ' 255' "
-    "|| chr(10) || rpad(text, CAST({w} * {h} AS INT), ' ')"
+    "|| chr(10) || rpad(coalesce(text, ''), CAST({w} * {h} AS INT), ' ')"
 ).format(w=_W_EXPR, h=_H_EXPR)
 
 ORACLE_SQL_FEATURES = f"""
