@@ -27,6 +27,7 @@ from demo_etl_spark.operators import dedup as _dedup
 from demo_etl_spark.operators import events as _events
 from demo_etl_spark.operators import multimodal as _multimodal
 from demo_etl_spark.operators import product as _product
+from demo_etl_spark.operators import quality as _quality
 from demo_etl_spark.operators import similarity as _similarity
 from demo_etl_spark.operators import sql_interface as _sql
 from demo_etl_spark.operators import sql_suite as _suite
@@ -110,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_containment": _dedup.build_containment,
         "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
+        "data_quality_audit": _quality.build_quality_audit,
+        "events_funnel": _events.build_funnel,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
@@ -196,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_containment": _dedup.ORACLE_SQL_CONTAINMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
+        "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
+        "events_funnel": _events.ORACLE_SQL_FUNNEL,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,

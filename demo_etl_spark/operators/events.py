@@ -240,6 +240,119 @@ SELECT day, event_type, n_events FROM (
 """
 
 
+def daily_funnel(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Ordered conversion funnel per day: view → click → purchase, where
+    each step must happen AT OR AFTER the user's first completion of the
+    previous step that day (a true ordered funnel, not co-occurrence).
+
+    Three staged aggregate-then-join passes on (user_id, day) — each a
+    key-partitioned equi-join, no windows over raw events and no
+    cross-day state, so the shape shards cleanly by day at 100 TB (and
+    the per-day independence means the whole history backfills
+    embarrassingly parallel). Conversion rates are exact integer-space
+    rounding with a zero-denominator guard.
+    """
+    ev = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "ts",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("_tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("_tv"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("_tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("_tc"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("_tp"))
+    )
+    agg = (
+        v.groupBy("day").agg(F.count(F.lit(1)).alias("n_view_users"))
+        .join(
+            c.groupBy("day").agg(F.count(F.lit(1)).alias("n_click_users")),
+            "day",
+            "left",
+        )
+        .join(
+            p.groupBy("day").agg(F.count(F.lit(1)).alias("n_purchase_users")),
+            "day",
+            "left",
+        )
+        .withColumns(
+            {
+                "n_click_users": F.coalesce("n_click_users", F.lit(0)),
+                "n_purchase_users": F.coalesce("n_purchase_users", F.lit(0)),
+            }
+        )
+    )
+    return agg.select(
+        "day",
+        "n_view_users",
+        "n_click_users",
+        "n_purchase_users",
+        round_div("n_click_users", "n_view_users", 4).alias("click_rate"),
+        F.when(
+            F.col("n_click_users") > 0,
+            round_div("n_purchase_users", "n_click_users", 4),
+        ).alias("purchase_rate"),
+    )
+
+
+def build_funnel(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return daily_funnel(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events
+),
+v AS (
+  SELECT user_id, day, MIN(ts) AS tv FROM ev
+  WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+  SELECT e.user_id, e.day, MIN(e.ts) AS tc
+  FROM ev e JOIN v ON v.user_id = e.user_id AND v.day = e.day
+  WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1, 2
+),
+p AS (
+  SELECT e.user_id, e.day, MIN(e.ts) AS tp
+  FROM ev e JOIN c ON c.user_id = e.user_id AND c.day = e.day
+  WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1, 2
+),
+agg AS (
+  SELECT v.day,
+         COUNT(*) AS n_view_users,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click_users,
+         CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase_users
+  FROM v
+  LEFT JOIN c ON c.user_id = v.user_id AND c.day = v.day
+  LEFT JOIN p ON p.user_id = v.user_id AND p.day = v.day
+  GROUP BY v.day
+)
+SELECT day, n_view_users, n_click_users, n_purchase_users,
+       {_rd("n_click_users", "n_view_users", 4)} AS click_rate,
+       CASE WHEN n_click_users > 0
+            THEN {_rd("n_purchase_users", "n_click_users", 4)} END AS purchase_rate
+FROM agg
+"""
+
+
 # ------------------------------------------ hierarchical rollup -------
 def hourly_partials(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     """Hour-grain partial aggregates — the materialized first tier of a

@@ -1,0 +1,153 @@
+"""Data-quality audit — the constraint-check pass of a production lake.
+
+The reference verifies its outputs only by row count and `_SUCCESS`
+markers (generate-asset.scala:333-338, run-all.sh:129-139); a warehouse
+at 100 TB needs semantic checks: referential integrity between facts and
+dims, key uniqueness, domain constraints. This operator runs the whole
+battery as ONE DataFrame (a union of small aggregates over the shared
+scan cache) so a scheduler can gate downstream jobs on a single result
+table — and every check is an exact count, so the audit itself sits
+under the DuckDB correctness gate.
+
+Plan shape at scale: each check is either a broadcast/shuffle anti join
+on a key (referential checks) or a map-side filter-count (domain
+checks); the union is evaluation-parallel — Spark runs the branches
+concurrently under one action.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.io import load_star
+
+
+def _check(name: str, df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit(name).alias("check"), "n_violations"
+    )
+
+
+def data_quality_audit(
+    t: dict[str, DataFrame], ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """(check, n_violations) — one row per constraint, all zeros on a
+    healthy warehouse (and on the driver testdata, which the oracle
+    confirms rather than assumes)."""
+    orders, lineitem, customer = t["orders"], t["lineitem"], t["customer"]
+    nation, supplier, part = t["nation"], t["supplier"], t["part"]
+    checks = [
+        # referential integrity: every fact key resolves to a dim row
+        _check(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+            ),
+        ),
+        _check(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+            ),
+        ),
+        _check(
+            "customer_orphan_nationkey",
+            customer.join(
+                nation, customer["c_nationkey"] == nation["n_nationkey"], "left_anti"
+            ),
+        ),
+        _check(
+            "supplier_orphan_nationkey",
+            supplier.join(
+                nation, supplier["s_nationkey"] == nation["n_nationkey"], "left_anti"
+            ),
+        ),
+        _check(
+            "lineitem_orphan_partkey",
+            lineitem.join(
+                part, lineitem["l_partkey"] == part["p_partkey"], "left_anti"
+            ),
+        ),
+        # key integrity: primary keys non-null and unique
+        _check("orders_null_pk", orders.filter(F.col("o_orderkey").isNull())),
+        _check(
+            "orders_dup_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1),
+        ),
+        _check(
+            "customer_dup_pk",
+            customer.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1),
+        ),
+        # domain constraints
+        _check(
+            "lineitem_nonpositive_quantity",
+            lineitem.filter(F.col("l_quantity") <= 0),
+        ),
+        _check(
+            "lineitem_discount_out_of_range",
+            lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+        ),
+        _check(
+            "orders_negative_totalprice",
+            orders.filter(F.col("o_totalprice") < 0),
+        ),
+        _check(
+            "lineitem_ship_before_order",
+            lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+            .filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def build_quality_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return data_quality_audit(load_star(spark, sf_dir), ctx)
+
+
+ORACLE_SQL_QUALITY_AUDIT = """
+SELECT 'lineitem_orphan_orderkey' AS check, CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_orphan_nationkey', CAST(COUNT(*) AS BIGINT)
+  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier_orphan_nationkey', CAST(COUNT(*) AS BIGINT)
+  FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'lineitem_orphan_partkey', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'orders_null_pk', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'orders_dup_pk', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_dup_pk', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity', CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_discount_out_of_range', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'orders_negative_totalprice', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice < 0
+UNION ALL
+SELECT 'lineitem_ship_before_order', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate < o.o_orderdate
+"""
