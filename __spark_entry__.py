@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "data_quality_audit": _quality.build_quality_audit,
         "events_funnel": _events.build_funnel,
+        "events_incremental_rollup": _events.build_incremental_rollup,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
@@ -201,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
         "events_funnel": _events.ORACLE_SQL_FUNNEL,
+        # merged split-half rollup must equal the one-shot daily oracle
+        "events_incremental_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,

@@ -499,3 +499,18 @@ def merge_rollup_increment(store: DataFrame, increment: DataFrame) -> DataFrame:
             F.sum("val_fx").alias("val_fx"),
         )
     )
+
+def build_incremental_rollup(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Incremental maintenance under the hard signal: build the rollup
+    store from one half of the events (even event_id), merge the other
+    half through ``merge_rollup_increment`` as a late-arriving batch,
+    re-aggregate to daily — the result must equal the one-shot daily
+    oracle BIT-FOR-BIT (exact integer partials make additive merge
+    order-free; the split is deliberately arbitrary to show ANY
+    partitioning of arrivals converges to the same store)."""
+    ev = load_star(spark, sf_dir)["events"]
+    store = hourly_partials(ev.filter(F.col("event_id") % 2 == 0), ctx)
+    increment = hourly_partials(ev.filter(F.col("event_id") % 2 == 1), ctx)
+    return daily_rollup_from_hourly(merge_rollup_increment(store, increment), ctx)
