@@ -29,6 +29,7 @@ from demo_etl_spark.operators import multimodal as _multimodal
 from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import quality as _quality
 from demo_etl_spark.operators import similarity as _similarity
+from demo_etl_spark.operators import skew as _skew
 from demo_etl_spark.operators import sql_interface as _sql
 from demo_etl_spark.operators import sql_suite as _suite
 from demo_etl_spark.operators import star as _star
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_audit": _quality.build_quality_audit,
         "events_funnel": _events.build_funnel,
         "events_incremental_rollup": _events.build_incremental_rollup,
+        "salted_order_join": _skew.build_salted_order_join,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
@@ -204,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _events.ORACLE_SQL_FUNNEL,
         # merged split-half rollup must equal the one-shot daily oracle
         "events_incremental_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
+        # salt is routing-only: the salted join must equal the plain join
+        "salted_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,

@@ -35,9 +35,12 @@ def _check(name: str, df: DataFrame) -> DataFrame:
 def data_quality_audit(
     t: dict[str, DataFrame], ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    """(check, n_violations) — one row per constraint, all zeros on a
-    healthy warehouse (and on the driver testdata, which the oracle
-    confirms rather than assumes)."""
+    """(check, n_violations) — one row per constraint. A REPORT, not an
+    assert: e.g. on the driver testdata every referential/key/domain
+    check is clean but ``lineitem_ship_before_order`` fires (the
+    generator draws ship and order dates independently) — exactly the
+    kind of fact an audit exists to surface, and the oracle confirms
+    the counts rather than assuming zeros."""
     orders, lineitem, customer = t["orders"], t["lineitem"], t["customer"]
     nation, supplier, part = t["nation"], t["supplier"], t["part"]
     checks = [

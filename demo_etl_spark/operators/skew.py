@@ -59,3 +59,39 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def build_salted_order_join(spark, sf_dir, ctx=None) -> DataFrame:
+    """Registered skew-path variant of the lineitem ⋈ orders priority
+    aggregate: the join runs salted on (orderkey, salt) — the routing
+    rewrite a pipeline switches to when one orderkey goes pathological —
+    and the result must hash-match the plain-join oracle exactly (the
+    salt never reaches the output). Same output contract as
+    operators.bucketed.build_bucketed_join, so they share an oracle."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+    from demo_etl_spark.io import load_star
+
+    t = load_star(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    od = t["orders"].select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, "orderkey", n_salts=8)
+    rev_fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.expr(rev_fx)).alias("_rev_fx"),
+            F.sum(F.col("l_quantity").cast("double")).alias("total_qty"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            round_div("_rev_fx", "10000", 2).alias("revenue"),
+            "total_qty",
+        )
+    )
