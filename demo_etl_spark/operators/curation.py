@@ -227,3 +227,72 @@ WHERE n_tokens >= {MIN_TOKENS}
   AND n_stop * 100 >= {MIN_STOPWORD_PCT} * n_tokens
   AND lang IN ({_LANG_SQL})
 """
+
+# ------------------------------------- train/val/test assignment ----
+#: bucket boundaries out of 100: [0, TRAIN) train, [TRAIN, TRAIN+VAL)
+#: val, rest test
+SPLIT_TRAIN_PCT = 96
+SPLIT_VAL_PCT = 2
+
+
+def train_split(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    run must be able to REPRODUCE (an RNG split shifts with partitioning
+    and engine; leakage between re-runs silently contaminates eval).
+    Same md5-bucket idiom as ``stratified_sample``, under a distinct
+    'split|' salt so sampling and splitting are independent: a doc's
+    split never changes when the sampling rates do. Map-only — no
+    shuffle — and trivially shardable at 100 TB."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    ).cast("int")
+    d = documents.withColumn("split_bucket", bucket)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "split_bucket",
+        F.when(F.col("split_bucket") < train_pct, "train")
+        .when(F.col("split_bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def build_train_split(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return train_split(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _split_oracle() -> str:
+    b = (
+        "CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 100 AS INTEGER)"
+    )
+    return f"""
+SELECT doc_id, lang, source,
+       {b} AS split_bucket,
+       CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+ORACLE_SQL_TRAIN_SPLIT = _split_oracle()
+
