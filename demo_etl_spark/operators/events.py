@@ -17,7 +17,7 @@ builders verbatim on a ``readStream`` source with a watermark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
@@ -514,3 +514,82 @@ def build_incremental_rollup(
     store = hourly_partials(ev.filter(F.col("event_id") % 2 == 0), ctx)
     increment = hourly_partials(ev.filter(F.col("event_id") % 2 == 1), ctx)
     return daily_rollup_from_hourly(merge_rollup_increment(store, increment), ctx)
+
+ANOMALY_K = 3  # flag hours beyond k trailing standard deviations
+ANOMALY_MIN_HISTORY = 12  # trailing observed hours required to judge
+
+
+def hourly_anomaly(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Monitoring-surface operator: flag hours whose event count sits
+    beyond ``k`` standard deviations of the trailing 24 OBSERVED hours
+    (per event type). The entire test runs in exact integer space —
+    with trailing sum s1, sum-of-squares s2 over c hours,
+
+        (n − s1/c)² > k²·var  ⟺  (c·n − s1)² > k²·(c·s2 − s1²)
+
+    so the flag is bit-identical across engines (no float variance).
+    One shuffle (the hourly agg); the window partitions by event_type
+    and slides over its own aggregate rows — thousands per month, not
+    raw events — so the shape is scale-free. Overflow: c ≤ 24,
+    n ≤ ~1e9/hour ⇒ c·s2 ≤ 24·24·1e18... bound instead by n ≤ 6e8
+    per hour-type for BIGINT safety — far beyond any real feed; shard
+    the hour key if you ever exceed it.
+    """
+    k2 = ANOMALY_K * ANOMALY_K
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    d = hourly.withColumns(
+        {
+            "_s1": F.sum("n_events").over(w),
+            "_s2": F.sum(F.col("n_events") * F.col("n_events")).over(w),
+            "_c": F.count(F.lit(1)).over(w),
+        }
+    ).filter(F.col("_c") >= ANOMALY_MIN_HISTORY)
+    dev2 = "(_c * n_events - _s1) * (_c * n_events - _s1)"
+    var_scaled = "(_c * _s2 - _s1 * _s1)"
+    return d.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        round_div("_s1", "_c", 2).alias("trailing_mean"),
+        F.expr(f"{dev2} > {k2} * {var_scaled}").alias("is_anomaly"),
+    )
+
+
+def build_hourly_anomaly(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return hourly_anomaly(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_HOURLY_ANOMALY = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT hour_start, event_type, n_events,
+         SUM(n_events) OVER w AS s1,
+         SUM(n_events * n_events) OVER w AS s2,
+         COUNT(*) OVER w AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_start, event_type, n_events,
+       {_rd("CAST(s1 AS BIGINT)", "CAST(c AS BIGINT)", 2)} AS trailing_mean,
+       (c * n_events - s1) * (c * n_events - s1)
+         > {ANOMALY_K * ANOMALY_K} * (c * s2 - s1 * s1) AS is_anomaly
+FROM trail WHERE c >= {ANOMALY_MIN_HISTORY}
+"""
+
