@@ -193,6 +193,25 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+# ORC source/sink (not in the reference; the other columnar format a
+# Spark warehouse ingests from — same pushdown/pruning machinery as
+# parquet, exercised by tests to keep the format path honest).
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 # S4: parquet sink. At scale, pass partition_by (e.g. a date column) so
 # downstream reads get partition pruning; the reference writes flat
 # (generate-asset.scala:327-330) which does not survive 100 TB.

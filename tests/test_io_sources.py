@@ -197,3 +197,19 @@ def test_registered_bucketed_join_plan_has_no_exchange(spark, sf_dir):
     full_plan = full._jdf.queryExecution().sparkPlan().treeString()
     assert "SortMergeJoin" in full_plan
     assert full_plan.count("Exchange") <= 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, tables, tmp_path):
+    """ORC sink/source round-trip preserves values, and filters reach the
+    ORC scan (same pushdown contract as parquet)."""
+    path = str(tmp_path / "orders_orc")
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    io.write_orc(src, path)
+    back = io.read_orc(spark, path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+    plan = (
+        back.filter(F.col("o_orderkey") == 7)
+        ._jdf.queryExecution().executedPlan().treeString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)" in plan
