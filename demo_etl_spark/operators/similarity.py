@@ -50,6 +50,16 @@ WEIGHT_OFFSET = 1 << 31  # md5-uint32 − offset → signed 32-bit plane weight
 EMB_DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
 
 
+def _emb_dims(embeddings: DataFrame) -> int:
+    """Actual dimensionality of the embedding column, probed from one
+    row (falls back to EMB_DIMS on an empty table). The plane-weight
+    tables are sized to THIS, not the constant, so a regenerated
+    testdata with different dims cannot silently diverge from the
+    oracle (which always iterates the full vector length)."""
+    row = embeddings.select(F.size("embedding").alias("d")).limit(1).first()
+    return int(row["d"]) if row is not None else EMB_DIMS
+
+
 def _plane_weight(prefix: str, p: int, i: int) -> int:
     """The (plane, dim) pseudo-weight: md5-derived signed 32-bit integer.
 
@@ -132,7 +142,7 @@ def cosine_topk(
     )
 
 
-def _bucket_expr(n_planes: int = N_PLANES):
+def _bucket_expr(n_planes: int = N_PLANES, dims: int = EMB_DIMS):
     """Sign-pattern bucket from integer-space hyperplane projections.
 
     Per (plane, dim), the pseudo-weight is md5-derived: first 8 hex chars
@@ -144,7 +154,7 @@ def _bucket_expr(n_planes: int = N_PLANES):
     """
     return F.concat(
         *[
-            _plane_sign_lit("", p).cast("int").cast("string")
+            _plane_sign_lit("", p, dims).cast("int").cast("string")
             for p in range(n_planes)
         ]
     )
@@ -162,7 +172,7 @@ def lsh_bucket_topk(
     emb = embeddings.select(
         "vec_id",
         "embedding",
-        _bucket_expr(n_planes).alias("bucket"),
+        _bucket_expr(n_planes, _emb_dims(embeddings)).alias("bucket"),
         F.sqrt(_dot("embedding", "embedding")).alias("_norm"),
     )
     q = emb.select(
@@ -731,10 +741,11 @@ def _band_signatures(
     identical to the oracle's SQL md5 derivation (``_plane_weight``)."""
     spark = embeddings.sparkSession
     n_planes = bands * ppb
+    dims = _emb_dims(embeddings)
     wrows = [
         (p, i, _plane_weight("nd|", p, i))
         for p in range(n_planes)
-        for i in range(EMB_DIMS)
+        for i in range(dims)
     ]
     wdf = spark.createDataFrame(wrows, "plane int, i int, w long")
     ex = embeddings.select(
