@@ -587,3 +587,27 @@ def test_streaming_hourly_partials_roll_up_to_batch_daily(spark, sf_dir):
     cols = ["day", "event_type", "n_events", "n_hours_active", "total_value"]
     a, b = daily_from_stream.select(*cols), daily_batch.select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_train_split_is_partitioning_invariant(spark, sf_dir, tables):
+    """The split assignment must not depend on physical layout (the
+    whole point vs RNG splits), and bucket fractions must roughly match
+    the configured percentages."""
+    from demo_etl_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        train_split,
+    )
+
+    docs = tables["documents"]
+    a = {(r["doc_id"], r["split"]) for r in train_split(docs).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in train_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    n = len(a)
+    n_train = sum(1 for _, s in a if s == "train")
+    assert abs(n_train / n - SPLIT_TRAIN_PCT / 100) < 0.06
+    assert {s for _, s in a} <= {"train", "val", "test"}
+    del SPLIT_VAL_PCT  # documented constant; fractions asserted via train

@@ -185,3 +185,38 @@ def test_rollup_late_data_merge_is_exact(spark, sf_dir):
     direct = hourly_partials(events)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
+    """Property test for the load-bearing primitive: the integer-space
+    HALF_UP formula must equal Python decimal's ROUND_HALF_UP in BOTH
+    dialect spellings, for any (p, q, scale) within the documented
+    overflow bound."""
+    import decimal
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        p=st.integers(min_value=0, max_value=4_000_000_000_000),
+        q=st.integers(min_value=1, max_value=10**9),
+        s=st.integers(min_value=0, max_value=6),
+    )
+    def check(p, q, s):
+        exp = float(
+            (decimal.Decimal(p) / decimal.Decimal(q)).quantize(
+                decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        got_spark = spark.sql(
+            f"SELECT {round_div_expr(str(p), str(q), s, 'spark')} AS v"
+        ).first()["v"]
+        got_duck = duckdb.sql(
+            f"SELECT {round_div_expr(str(p), str(q), s, 'duckdb')} AS v"
+        ).fetchone()[0]
+        assert got_spark == exp == got_duck, (p, q, s, got_spark, got_duck, exp)
+
+    check()
