@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_order_join": _skew.build_salted_order_join,
         "corpus_train_split": _curation.build_train_split,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
+        "text_noise_scan": _text.build_noise_scan,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "corpus_train_split": _curation.ORACLE_SQL_TRAIN_SPLIT,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
+        "text_noise_scan": _text.ORACLE_SQL_NOISE,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,

@@ -502,3 +502,64 @@ SELECT doc_id, lang, source,
 FROM chunks
 WHERE len(chunk) >= {CHUNK_MIN_EFF} OR start_token = 0
 """
+
+# --------------------------------------------- noise / PII scan ---------
+#: patterns chosen for verified Java-regex ⇔ RE2 count parity (simple
+#: classes and quantifiers only — no lookaround, no backrefs)
+NOISE_PATTERNS = {
+    "n_urls": r"https?://[^\s]+",
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_digit_runs": r"[0-9]+",
+}
+
+
+def noise_scan(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Per-document noise/PII indicator counts (URLs, e-mail addresses,
+    digit runs) plus the derived noise ratio — the redaction/filter
+    trigger of a web-scraped corpus pipeline. Map-only JVM regex
+    (``regexp_count``); the patterns are restricted to constructs whose
+    match COUNTS are verified identical between Java regex and RE2, so
+    even this scan sits under the cross-engine hash gate."""
+    d = documents
+    for col, pat in NOISE_PATTERNS.items():
+        d = d.withColumn(col, F.regexp_count(F.col("text"), F.lit(pat)).cast("int"))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        *NOISE_PATTERNS.keys(),
+        n_tokens.alias("n_tokens"),
+        (
+            (F.col("n_urls") + F.col("n_emails")) * 100 >= n_tokens
+        ).alias("is_noisy"),  # ≥1 link/address per 100 tokens
+    )
+
+
+def build_noise_scan(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return noise_scan(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _noise_oracle() -> str:
+    def dq(pat: str) -> str:
+        return pat.replace("\\", "\\")
+
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS {col}"
+        for col, pat in NOISE_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id, lang, source,
+       {cols},
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       (len(regexp_extract_all(text, '{NOISE_PATTERNS["n_urls"]}'))
+        + len(regexp_extract_all(text, '{NOISE_PATTERNS["n_emails"]}'))) * 100
+         >= len(string_split(text, ' ')) AS is_noisy
+FROM documents
+"""
+
+
+ORACLE_SQL_NOISE = _noise_oracle()
+
