@@ -11,7 +11,7 @@ operator-family first — every distinct operator family lands inside the
 window. Entries past 50 are either TPC-H-shaped variants or additional
 extension operators of families already represented in the window; every
 one still has an oracle twin and is verified by tools/verify_oracle.py
-locally (the full sweep is green at sf0.001 and sf0.01).
+locally (the full sweep is green at sf0.001, sf0.01 and sf0.1).
 """
 
 from __future__ import annotations
