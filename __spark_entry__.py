@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from demo_etl_spark.operators import asset as _asset
 from demo_etl_spark.operators import bucketed as _bucketed
+from demo_etl_spark.operators import cdc as _cdc
+from demo_etl_spark.operators import fingerprint as _fingerprint
 from demo_etl_spark.operators import curation as _curation
 from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
@@ -63,11 +65,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.build_minhash,
         "dedup_simhash": _dedup.build_simhash,
         "dedup_clusters": _dedup.build_clusters,
-        "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_embedding_cosine": _similarity.build_near_dup,
         "dedup_embedding_ann": _similarity.build_ann_pairs,
         "contamination_screen": _dedup.build_contamination,
-        "dedup_keep_best": _curation.build_keep_best,
+        # --- document fingerprinting (winnowing) ------------------------
+        "doc_fingerprints": _fingerprint.build_fingerprints,
         # --- curation ---------------------------------------------------
         "corpus_curation": _curation.build,
         "corpus_sample": _curation.build_sample,
@@ -76,7 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _text.build_vocab,
         "doc_repetition": _text.build_repetition,
         "lang_id": _text.build_lang_id,
-        "lang_profile": _text.build_profile,
         "doc_chunks": _text.build_chunks,
         # --- similarity search -----------------------------------------
         "similarity_topk_cosine": _similarity.build_topk,
@@ -89,11 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal.build_frames,
         # --- event analytics + streaming --------------------------------
         "events_pivot": _events.build_pivot,
-        "events_tumbling": _events.build_tumbling,
         "events_session": _events.build_session,
         "events_daily_rollup": _events.build_daily_rollup,
-        "events_props_breakdown": _events.build_props_breakdown,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
+        "streaming_user_totals": _streams.build_streaming_user_totals,
+        # --- CDC / mutable-table maintenance ----------------------------
+        "cdc_latest_state": _cdc.build_latest_state,
+        "scd2_history": _cdc.build_scd2_history,
+        "orders_merge_upsert": _cdc.build_merge_upsert,
         # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
         "events_range_join": _temporal.build_followups,
@@ -110,6 +114,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_order_join": _bucketed.build_bucketed_join,
         # ================= driver window boundary (50) =================
         # variants of families already covered above
+        "dedup_fuzzy_verify": _dedup.build_fuzzy,
+        "dedup_keep_best": _curation.build_keep_best,
+        "lang_profile": _text.build_profile,
+        "events_tumbling": _events.build_tumbling,
+        "events_props_breakdown": _events.build_props_breakdown,
+        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
+        "events_active_users": _events.build_active_users,
+        "doc_top_terms": _text.build_top_terms,
+        "streaming_session": _streams.build_streaming_session,
         "dedup_ngram_containment": _dedup.build_containment,
         "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
@@ -123,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
+        "sales_grouping_sets": _star.build_grouping_sets,
         "detail_summary_union": _star.build_union,
         "shipping_priority_sql": _sql.build_shipping_priority,
         "late_order_priority_sql": _sql.build_late_priority,
@@ -193,6 +207,18 @@ def oracle_sql() -> dict[str, str]:
         "events_props_breakdown": _events.ORACLE_SQL_PROPS,
         # the streaming-executed rollup must equal the batch daily oracle
         "streaming_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
+        # the drained stateful stream must equal the batch per-user agg
+        "streaming_user_totals": _streams.ORACLE_SQL_USER_TOTALS,
+        # the drained session_window stream must equal the batch
+        # gaps-and-islands session reconstruction
+        "streaming_session": _events.ORACLE_SQL_SESSION,
+        "cdc_latest_state": _cdc.ORACLE_SQL_LATEST_STATE,
+        "scd2_history": _cdc.ORACLE_SQL_SCD2,
+        "orders_merge_upsert": _cdc.ORACLE_SQL_MERGE_UPSERT,
+        "doc_fingerprints": _fingerprint.ORACLE_SQL_FINGERPRINTS,
+        "fingerprint_profile": _fingerprint.ORACLE_SQL_FP_PROFILE,
+        "events_active_users": _events.ORACLE_SQL_ACTIVE_USERS,
+        "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "events_asof_join": _temporal.ORACLE_SQL_ASOF,
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "event_transitions": _temporal.ORACLE_SQL_TRANSITIONS,
@@ -218,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,
         "sales_cube": _star.ORACLE_SQL_CUBE,
+        "sales_grouping_sets": _star.ORACLE_SQL_GROUPING_SETS,
         "detail_summary_union": _star.ORACLE_SQL_UNION,
         "shipping_priority_sql": _sql.ORACLE_SQL_SHIPPING_PRIORITY,
         "late_order_priority_sql": _sql.ORACLE_SQL_LATE_PRIORITY,

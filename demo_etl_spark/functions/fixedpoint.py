@@ -41,14 +41,23 @@ _DIV = {"spark": "div", "duckdb": "//"}
 def round_div_expr(num: str, den: str, scale: int, dialect: str) -> str:
     """SQL text for exact HALF_UP(num/den, scale) → DOUBLE.
 
-    ``num`` and ``den`` are integer-typed SQL expressions (BIGINT-safe).
+    ``num`` and ``den`` are integer-typed SQL expressions. The internal
+    multiplications are BIGINT-promoted here (the scale factor and the
+    2× are CAST to BIGINT), so INT-typed inputs — e.g. bare SQL integer
+    literals, which parse as INT in Spark's ANSI mode — can't overflow
+    32-bit intermediates; found by the hypothesis property test with
+    p=1074, s=6 (1074·2·10⁶ > 2³¹). The documented 2⁶³ headroom bound
+    on p·10^s·2 (module docstring) still applies.
     """
     ps = 10**scale
     d = _DIV[dialect]
     # divide by an *integer* literal: int/int is DOUBLE true-division in
     # both Spark SQL and DuckDB, while `x / 100.0` would be DECIMAL math
     # in Spark (decimal-point literals parse as DecimalType).
-    return f"CAST(((({num}) * {2 * ps} + ({den})) {d} (2 * ({den}))) / {ps} AS DOUBLE)"
+    return (
+        f"CAST(((({num}) * CAST({2 * ps} AS BIGINT) + ({den})) {d} "
+        f"(CAST(2 AS BIGINT) * ({den}))) / {ps} AS DOUBLE)"
+    )
 
 
 def round_div(num: str, den: str, scale: int) -> Column:

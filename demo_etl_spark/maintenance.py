@@ -158,3 +158,59 @@ def scd2_upsert(
         merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest)
+
+
+def zorder_value(cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) key: bit-interleave ``bits`` top bits of each
+    normalized column expression. Callers pass expressions already
+    scaled to [0, 2^bits) — see ``zorder_write`` for the min-max
+    normalization pass. Pure integer expression (shift/or), codegen'd;
+    no UDF."""
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            # bit b of column i lands at interleaved position b*n + i
+            terms.append(
+                f"(shiftleft((shiftright(CAST({c} AS BIGINT), {b}) & 1), {b * n + i}))"
+            )
+    return F.expr(" | ".join(terms))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` Z-ORDERED on ``cluster_by`` — the multi-column
+    upgrade of ``clustered_write``: a lexicographic range+sort makes
+    per-file ranges narrow on the FIRST column only, while the Morton
+    curve keeps every clustered column's per-file min/max narrow, so
+    parquet row-group stats prune scans filtered on ANY of them (the
+    public Delta/Iceberg OPTIMIZE ZORDER technique, expressed as plain
+    Spark: two passes — one tiny agg for min/max, then
+    repartitionByRange + sort on the interleaved key).
+
+    Normalization is min-max to [0, 2^bits); timestamps/dates should be
+    pre-cast to their epoch integers by the caller."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cluster_by],
+        *[F.max(c).alias(f"_max_{c}") for c in cluster_by],
+    ).first()
+    norm = []
+    top = (1 << bits) - 1
+    for c in cluster_by:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        span = max(int(hi) - int(lo), 1)
+        norm.append(
+            f"CAST(((CAST({c} AS BIGINT) - {int(lo)}) * {top}) DIV {span} AS BIGINT)"
+        )
+    keyed = df.withColumn("_z", zorder_value(norm, bits))
+    out = (
+        keyed.repartitionByRange(n_files, "_z")
+        if n_files
+        else keyed.repartitionByRange("_z")
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)

@@ -1,0 +1,224 @@
+"""Change-data-capture / mutable-table maintenance operators.
+
+The reference pipeline is append-only (generate-asset.scala writes full
+snapshots; run-all.sh re-runs from scratch), but a production lake keeps
+mutable entities current without full rewrites. This module supplies the
+three standard shapes:
+
+  * ``latest_state``     — CDC log → current-state compaction
+                           (latest record wins per key);
+  * ``scd2_history``     — slowly-changing-dimension type 2: change-
+                           compressed validity intervals per key;
+  * ``merge_latest_wins``— MERGE INTO semantics (update-else-insert)
+                           expressed as union + keyed latest-wins.
+
+Relationship to demo_etl_spark.maintenance: that module applies merges
+TO DISK (maintenance.merge_upsert rewrites a parquet dataset via
+anti-join + union; maintenance.scd2_upsert closes/extends versions on a
+stored dimension). This module is the PLAN-level family — the same
+semantics as pure DataFrames under the DuckDB oracle gate, including
+deriving a full SCD2 history from an event log (which the disk-side
+incremental upsert can then maintain).
+
+All three are window/anti-join shapes over the key — one shuffle on the
+key each, no row amplification, so they scale linearly with input and
+survive skew via AQE (the key is the natural partitioning for the
+downstream table as well). ``row_number`` ties are broken on a unique id
+so results are deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.io import load_star
+
+
+# --------------------------------------------------------------- CDC ----
+def latest_state(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Compact a CDC-style event log to current state: one row per
+    user_id carrying the latest event (by ts, tie-broken on the unique
+    event_id so the result is deterministic) plus the version count.
+
+    Plan: a single shuffle on user_id feeding two window functions over
+    the same partitioning (Catalyst computes both in one WindowExec).
+    At 100 TB this is the standard log-compaction job; the output
+    partitioning (user_id) is exactly what the serving table wants.
+    """
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w_latest))
+        .withColumn("n_versions", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+    )
+
+
+def build_latest_state(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return latest_state(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_LATEST_STATE = """
+SELECT user_id,
+       ts AS last_ts,
+       event_type AS last_event_type,
+       value AS last_value,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# -------------------------------------------------------------- SCD2 ----
+def scd2_history(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Slowly-changing-dimension type 2 over the per-user event_type
+    attribute: collapse consecutive same-value runs, then stamp each
+    change with a validity interval [valid_from, valid_to) — valid_to
+    NULL (and is_current true) on the open current version.
+
+    Two chained windows over the SAME (user_id, ts, event_id) sort:
+    lag() detects changes, lead()/row_number() number the surviving
+    versions — one shuffle total, and the run-length compression
+    happens before the second window, so state is bounded by the
+    number of CHANGES, not events (the point of SCD2 at scale).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version_no", F.row_number().over(w2).cast("long"))
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "version_no",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def build_scd2_history(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return scd2_history(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM flagged
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id) AS BIGINT)
+         AS version_no,
+       (lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+         AS is_current
+FROM changes
+"""
+
+
+# ------------------------------------------------------------- MERGE ----
+def merge_latest_wins(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE INTO semantics (matched → update, not-matched → insert)
+    as a pure DataFrame plan: union both sides with a source priority
+    and keep the highest-priority row per key. Columns must align
+    (unionByName). One shuffle on the key — the same cost as the
+    anti-join + union spelling maintenance.merge_upsert uses on disk,
+    but a single window pass makes the latest-wins rule explicit and
+    extends to multi-version updates; Spark 4's WindowGroupLimit pushes
+    a partial top-1-per-key below the shuffle (plan-pinned in
+    tests/test_cdc_fingerprint.py), so the exchange moves ≤ 1 row per
+    (key, side).
+    """
+    tagged = base.withColumn("_pri", F.lit(0)).unionByName(
+        updates.withColumn("_pri", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_pri").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+
+
+#: the deterministic "repricing feed": open orders get a 10% uplift,
+#: rounded HALF_UP to cents in integer space (engine-exact).
+_UPLIFT_NUM = "CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT) * 11"
+_UPLIFT_DEN = "100000"
+
+
+def build_merge_upsert(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Registered MERGE exercise: apply a repriced-open-orders update
+    feed onto the orders table. Update rows (o_orderstatus = 'O') carry
+    o_totalprice × 1.1 rounded to cents; all other orders pass through
+    unchanged. The oracle replays the same merge with QUALIFY."""
+    orders = load_star(spark, sf_dir)["orders"]
+    updates = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", round_div(_UPLIFT_NUM, _UPLIFT_DEN, 2)
+    )
+    return merge_latest_wins(orders, updates, ["o_orderkey"])
+
+
+ORACLE_SQL_MERGE_UPSERT = f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {round_div_expr(_UPLIFT_NUM, _UPLIFT_DEN, 2, "duckdb")} AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'
+),
+tagged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 0 AS _pri FROM orders
+  UNION ALL
+  SELECT *, 1 AS _pri FROM updates
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM tagged
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _pri DESC) = 1
+"""

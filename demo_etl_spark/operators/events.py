@@ -593,3 +593,69 @@ SELECT hour_start, event_type, n_events,
 FROM trail WHERE c >= {ANOMALY_MIN_HISTORY}
 """
 
+
+
+# ------------------------------------------------------ active users ----
+WAU_DAYS = 7  # trailing window (inclusive of the report day)
+
+
+def active_users(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Daily engagement: DAU and trailing-7-day WAU per calendar day,
+    plus stickiness (DAU/WAU, exact HALF_UP 4dp).
+
+    COUNT(DISTINCT) over a RANGE window is not supported by any engine,
+    so WAU uses the standard bounded-replication construction: distinct
+    (day, user) pairs joined to the report-day calendar with
+    ``0 <= report_day - day < 7`` — each pair is replicated at most 7×
+    (a fixed constant, NOT data-dependent), then a distinct count per
+    report day. At 100 TB the distinct pre-aggregation shrinks the fact
+    by the events-per-user-day factor BEFORE the ×7 fanout, and the
+    calendar side is tiny (one row per day) so the range join
+    broadcasts.
+    """
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("report_day")).distinct()
+    wau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("report_day"))
+            & (F.col("day") > F.date_sub(F.col("report_day"), WAU_DAYS)),
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["report_day"])
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            round_div("dau", "wau", 4).alias("stickiness"),
+        )
+    )
+
+
+def build_active_users(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return active_users(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_ACTIVE_USERS = f"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+d AS (SELECT DISTINCT day AS report_day FROM du),
+wau AS (
+  SELECT report_day, COUNT(DISTINCT user_id) AS wau
+  FROM d JOIN du
+    ON du.day <= d.report_day
+   AND du.day > d.report_day - INTERVAL {WAU_DAYS} DAY
+  GROUP BY report_day
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       {{}} AS stickiness
+FROM dau JOIN wau ON dau.day = wau.report_day
+""".format(_rd("CAST(dau AS BIGINT)", "CAST(wau AS BIGINT)", 4))

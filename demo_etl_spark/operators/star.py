@@ -473,3 +473,90 @@ SELECT region, nation,
 FROM base
 GROUP BY ROLLUP(region, nation)
 """
+
+
+def sales_grouping_sets(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Revenue over EXPLICIT grouping sets — (region, nation, year)
+    detail, per-region totals, grand total — the mixed-granularity
+    report neither CUBE (all 8 combinations) nor ROLLUP (prefix chain)
+    expresses without wasted subtotal rows. Completes the §2.4
+    multi-level-aggregate trio; same single-Expand one-shuffle plan as
+    the cube, but Expand emits exactly the 3 requested sets per row
+    instead of 2^k."""
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    base = j.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+        money_fixed(fp).alias("_fp_c"),
+    )
+    return (
+        base.groupingSets(
+            [["region", "nation", "order_year"], ["region"], []],
+            "region",
+            "nation",
+            "order_year",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_fp_c").alias("_rev_c"),
+            F.grouping("region").cast("int").alias("is_region_total"),
+            F.grouping("nation").cast("int").alias("is_nation_total"),
+            F.grouping("order_year").cast("int").alias("is_year_total"),
+        )
+        .select(
+            "region",
+            "nation",
+            "order_year",
+            "n_lines",
+            round_div("_rev_c", "10000", 2).alias("total_revenue"),
+            "is_region_total",
+            "is_nation_total",
+            "is_year_total",
+        )
+    )
+
+
+def build_grouping_sets(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return sales_grouping_sets(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"], ctx
+    )
+
+
+ORACLE_SQL_GROUPING_SETS = f"""
+WITH base AS (
+  SELECT r.r_name AS region,
+         n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT region, nation, order_year,
+       COUNT(*) AS n_lines,
+       {_rd("CAST(SUM(fp_c) AS BIGINT)", "10000", 2)} AS total_revenue,
+       CAST(GROUPING(region) AS INTEGER) AS is_region_total,
+       CAST(GROUPING(nation) AS INTEGER) AS is_nation_total,
+       CAST(GROUPING(order_year) AS INTEGER) AS is_year_total
+FROM base
+GROUP BY GROUPING SETS ((region, nation, order_year), (region), ())
+"""

@@ -563,3 +563,63 @@ FROM documents
 
 ORACLE_SQL_NOISE = _noise_oracle()
 
+
+
+# ------------------------------------------------- keyword extraction ----
+TOP_TERMS_K = 5
+
+
+def doc_top_terms(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, k: int = TOP_TERMS_K
+) -> DataFrame:
+    """Per-document distinctive terms — the keyword-extraction pass of a
+    corpus indexing pipeline. Terms rank by (tf DESC, df ASC, token):
+    the lexicographic integer surrogate of tf·idf — a higher tf always
+    wins, corpus-rarer terms break tf ties — chosen over ln-idf scores
+    so the ranking is EXACT integer math in both engines (a float idf
+    product can flip ranks across engines in the last ulp; at scale the
+    float tf·idf is a fine swap when scores, not audited ranks, are the
+    product).
+
+    Plan: explode → (doc, token) partial+final count, token-keyed join
+    to document frequencies, then one shuffle on doc_id where Spark 4's
+    WindowGroupLimit keeps only k rows per doc below the final sort."""
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df")
+    )
+
+
+def build_top_terms(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return doc_top_terms(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_TOP_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, t.token, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank,
+       token, tf, df
+FROM tf JOIN dfreq USING (token)
+WINDOW w AS (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token)
+QUALIFY row_number() OVER w <= {TOP_TERMS_K}
+"""

@@ -297,3 +297,52 @@ def build_streaming_daily_rollup(
         hourly_partials_stream(read_events_stream(spark, sf_dir)), name
     )
     return daily_rollup_from_hourly(hourly)
+
+
+def build_streaming_session(spark: SparkSession, sf_dir: str, ctx=None) -> DataFrame:
+    """Session windows under the correctness gate: drain the watermarked
+    ``session_stream`` (``F.session_window`` — streaming's merging-state
+    operator) with availableNow into a memory sink; complete mode keeps
+    all session state so the drained result equals the batch
+    ``session_window`` builder bit-for-bit, hash-checked against the
+    gaps-and-islands oracle (operators.events.ORACLE_SQL_SESSION)."""
+    name = f"stream_session_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    return run_available_now(
+        session_stream(read_events_stream(spark, sf_dir)), name
+    )
+
+
+def build_streaming_user_totals(spark: SparkSession, sf_dir: str, ctx=None) -> DataFrame:
+    """The arbitrary-stateful path (``applyInPandasWithState``) under the
+    correctness gate: drain the per-user running-totals stream in update
+    mode, then keep each user's LAST update (n_events is a strictly
+    increasing cumulative counter, so argmax(n_events) is the final
+    state regardless of how many micro-batches availableNow chose).
+    The integer fixed-point state makes the result exactly the batch
+    groupBy — hash-checked against a plain SQL aggregate."""
+    from pyspark.sql.window import Window as _W
+
+    name = f"stream_user_totals_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    drained = run_available_now(
+        user_totals_stateful_stream(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+#: exact-integer twin of the stateful stream's final per-user state
+ORACLE_SQL_USER_TOTALS = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS total_value_c,
+       MAX(epoch_us(ts)) AS last_event_us
+FROM events
+GROUP BY user_id
+"""

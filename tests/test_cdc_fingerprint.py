@@ -1,0 +1,191 @@
+"""Semantic + plan tests for the CDC/SCD2/merge family and winnowing
+fingerprints (the oracle harness checks cross-engine hashes; these pin
+the operator CONTRACTS on adversarial synthetic inputs the generated
+testdata can't produce — ties, single-version keys, shared substrings)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=t, user_id=u, event_type=e, value=v)
+         for (i, t, u, e, v) in rows]
+    )
+
+
+# ----------------------------------------------------------- CDC -------
+def test_latest_state_picks_max_ts_and_breaks_ties_on_event_id(spark):
+    from demo_etl_spark.operators.cdc import latest_state
+
+    ev = _events(spark, [
+        (1, _ts(0), 7, "signup", 1.0),
+        (2, _ts(5), 7, "click", 2.0),
+        (3, _ts(5), 7, "purchase", 3.0),  # same ts as id=2: id wins
+        (4, _ts(9), 8, "view", 4.0),
+    ])
+    out = {r["user_id"]: r for r in latest_state(ev).collect()}
+    assert out[7]["last_event_type"] == "purchase"  # event_id 3 > 2
+    assert out[7]["n_versions"] == 3
+    assert out[8]["n_versions"] == 1 and out[8]["last_value"] == 4.0
+
+
+def test_latest_state_matches_events_user_count(tables):
+    from demo_etl_spark.operators.cdc import latest_state
+
+    ev = tables["events"]
+    assert latest_state(ev).count() == ev.select("user_id").distinct().count()
+
+
+def test_scd2_compresses_runs_and_chains_intervals(spark):
+    from demo_etl_spark.operators.cdc import scd2_history
+
+    ev = _events(spark, [
+        (1, _ts(0), 7, "A", 0.0),
+        (2, _ts(1), 7, "A", 0.0),  # same run — compressed away
+        (3, _ts(2), 7, "B", 0.0),
+        (4, _ts(3), 7, "B", 0.0),
+        (5, _ts(4), 7, "A", 0.0),  # A again — NEW version, not merged
+    ])
+    hist = sorted(scd2_history(ev).collect(), key=lambda r: r["version_no"])
+    assert [r["event_type"] for r in hist] == ["A", "B", "A"]
+    # intervals chain exactly: valid_to == next valid_from, open tail
+    assert hist[0]["valid_to"] == hist[1]["valid_from"]
+    assert hist[1]["valid_to"] == hist[2]["valid_from"]
+    assert hist[2]["valid_to"] is None and hist[2]["is_current"]
+    assert [r["is_current"] for r in hist[:2]] == [False, False]
+
+
+def test_scd2_version_count_equals_type_changes(tables):
+    from demo_etl_spark.operators.cdc import scd2_history
+
+    ev = tables["events"]
+    hist = scd2_history(ev)
+    # exactly one current version per user
+    cur = hist.filter("is_current").groupBy("user_id").count()
+    assert cur.filter("count != 1").count() == 0
+    # versions never overlap: valid_from strictly increases per user
+    bad = hist.filter("valid_to IS NOT NULL AND valid_to <= valid_from")
+    assert bad.count() == 0
+
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    from demo_etl_spark.operators.cdc import merge_latest_wins
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2")])
+    updates = spark.createDataFrame(
+        [Row(k=2, v="new2"), Row(k=3, v="new3")])
+    out = {r["k"]: r["v"] for r in merge_latest_wins(base, updates, ["k"]).collect()}
+    assert out == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_merge_upsert_is_single_shuffle(spark, tables):
+    from demo_etl_spark.operators.cdc import merge_latest_wins
+
+    orders = tables["orders"]
+    up = orders.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    plan = merge_latest_wins(orders, up, ["o_orderkey"])._jdf.queryExecution() \
+        .executedPlan().treeString()
+    # union feeds ONE hash partitioning on the key, then one window pass
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    # Spark 4 pushes a partial top-1-per-key below the shuffle, so the
+    # exchange only ever moves ≤1 row per (key, side) — the fact that
+    # makes latest-wins merge cheap at 100 TB
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# --------------------------------------------------- fingerprints ------
+def test_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing ≥ k+W−1 = 7 consecutive words
+    share at least one fingerprint; disjoint docs share none."""
+    from demo_etl_spark.operators.fingerprint import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"one two three {shared} four five six"),
+        Row(doc_id=2, text=f"{shared} nine ten eleven twelve thirteen"),
+        Row(doc_id=3, text="p q r s t u v w x y z aa bb cc dd"),
+    ])
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {d: {r["fp"] for r in fps if r["doc_id"] == d} for d in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_fingerprints_short_doc_emits_nothing(spark):
+    from demo_etl_spark.operators.fingerprint import winnow_fingerprints
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])  # 6 < 7
+    assert winnow_fingerprints(docs).count() == 0
+
+
+def test_fingerprint_profile_density_bounds(tables):
+    from demo_etl_spark.operators.fingerprint import fingerprint_profile
+
+    prof = fingerprint_profile(tables["documents"])
+    bad = prof.filter(
+        "n_fps < 1 OR n_fps > n_windows OR density <= 0 OR density > 1")
+    assert bad.count() == 0
+
+
+def test_fingerprint_extraction_is_shuffle_free(tables):
+    """The 100 TB contract: fingerprint extraction is pure map-side —
+    no Exchange anywhere in the plan (explode + codegen array math)."""
+    from demo_etl_spark.operators.fingerprint import winnow_fingerprints
+
+    plan = winnow_fingerprints(tables["documents"])._jdf.queryExecution() \
+        .sparkPlan().treeString()
+    # no shuffle introduced by the operator (the only Exchange allowed is
+    # the cached scan's round-robin small-file parallelism fix)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" in plan
+    # the k-gram hash array is materialized behind an attribute boundary:
+    # exactly ONE md5 lambda chain in the plan, not one per window slice
+    assert plan.count("md5") == 1
+
+
+# --------------------------------------------------- active users ------
+def test_active_users_wau_window(spark):
+    from demo_etl_spark.operators.events import active_users
+
+    d = dt.datetime
+    ev = _events(spark, [
+        (1, d(2024, 1, 1, 12), 1, "view", 0.0),
+        (2, d(2024, 1, 5, 12), 2, "view", 0.0),
+        (3, d(2024, 1, 8, 12), 2, "view", 0.0),   # day1 user out of range here
+        (4, d(2024, 1, 1, 13), 1, "click", 0.0),  # same user+day: no double
+    ])
+    out = {r["day"].isoformat(): r for r in active_users(ev).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau"] == 1
+    # Jan 5 sees both the Jan 1 user (within 7d) and the Jan 5 user
+    assert out["2024-01-05"]["dau"] == 1 and out["2024-01-05"]["wau"] == 2
+    # Jan 8: Jan 1 is 7 days back — outside the trailing-7 window
+    assert out["2024-01-08"]["wau"] == 1
+    assert out["2024-01-05"]["stickiness"] == 0.5
+
+
+# ------------------------------------------------ keyword extraction ---
+def test_doc_top_terms_rank_order(spark):
+    """tf DESC dominates; df ASC breaks tf ties (rarer term ranks
+    higher); token breaks exact ties."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.text import doc_top_terms
+
+    docs = spark.createDataFrame([
+        R(doc_id=1, text="apple apple banana cherry"),
+        R(doc_id=2, text="banana banana banana date"),
+    ])
+    out = [(r["rank"], r["token"]) for r in
+           doc_top_terms(docs).filter("doc_id = 1").collect()]
+    # apple tf=2 wins; cherry (df=1) outranks banana (df=2) at tf=1
+    assert sorted(out) == [(1, "apple"), (2, "cherry"), (3, "banana")]

@@ -125,3 +125,47 @@ def test_scd2_upsert_versions_history(spark, tmp_path):
     # exactly one current version per key
     cur = out2.filter("is_current").groupBy("custkey").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_zorder_write_narrows_both_columns(spark, tmp_path):
+    """Z-order vs single-column clustering on (x, y): lexicographic
+    range+sort on x leaves y's per-file ranges ~full-width; the Morton
+    layout must keep BOTH columns' average per-file width well below
+    the global width (parquet footer stats = what a scan prunes on)."""
+    import pyarrow.parquet as pq
+    from demo_etl_spark import maintenance
+
+    n, files = 4096, 8
+    df = spark.range(n).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+
+    def avg_widths(path):
+        import glob
+        widths = {"x": [], "y": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for col in (0, 1):
+                name = md.schema.column(col).name
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col).statistics
+                    los.append(st.min)
+                    his.append(st.max)
+                widths[name].append(max(his) - min(los))
+        return {k: sum(v) / len(v) for k, v in widths.items()}
+
+    zpath, cpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    maintenance.zorder_write(df, zpath, ["x", "y"], n_files=files, bits=6)
+    maintenance.clustered_write(df, cpath, ["x"], n_files=files)
+
+    zw, cw = avg_widths(zpath), avg_widths(cpath)
+    # linear clustering: x narrow, y unpruned (~full 0..63 width)
+    assert cw["x"] <= 16 and cw["y"] >= 48
+    # z-order: BOTH columns' average per-file range well below the full
+    # 0..63 domain (range-partition boundaries don't align to quadrant
+    # edges, so widths exceed the ideal 32/16 split but stay far from
+    # the linear layout's unpruned ~63)
+    assert zw["x"] <= 40 and zw["y"] <= 40
+    # and strictly better total prunability than the linear layout
+    assert zw["x"] + zw["y"] < cw["x"] + cw["y"]
