@@ -604,25 +604,27 @@ def active_users(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
     plus stickiness (DAU/WAU, exact HALF_UP 4dp).
 
     COUNT(DISTINCT) over a RANGE window is not supported by any engine,
-    so WAU uses the standard bounded-replication construction: distinct
-    (day, user) pairs joined to the report-day calendar with
-    ``0 <= report_day - day < 7`` — each pair is replicated at most 7×
-    (a fixed constant, NOT data-dependent), then a distinct count per
-    report day. At 100 TB the distinct pre-aggregation shrinks the fact
-    by the events-per-user-day factor BEFORE the ×7 fanout, and the
-    calendar side is tiny (one row per day) so the range join
-    broadcasts.
+    so WAU uses the bounded-replication construction: each distinct
+    (day, user) pair EXPLODES into exactly its 7 covered report days
+    (``explode(sequence(0, 6))`` — a fixed ×7 map-side fanout, NOT
+    data-dependent), then a distinct count per report day; the final
+    equi-join with DAU restricts output to days that actually occur.
+    Zero non-equi joins — the first spelling (range-join against a
+    broadcast calendar) planned as BroadcastNestedLoopJoin, the one
+    red-flag operator in the audit; this explode spelling is pure
+    explode + aggregate. At 100 TB the distinct pre-aggregation shrinks
+    the fact by the events-per-user-day factor BEFORE the ×7 fanout.
     """
     du = events.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
-    days = du.select(F.col("day").alias("report_day")).distinct()
     wau = (
-        du.join(
-            F.broadcast(days),
-            (F.col("day") <= F.col("report_day"))
-            & (F.col("day") > F.date_sub(F.col("report_day"), WAU_DAYS)),
+        du.select(
+            F.expr(f"explode(sequence(0, {WAU_DAYS - 1}))").alias("_k"),
+            "day",
+            "user_id",
         )
+        .select(F.expr("date_add(day, _k)").alias("report_day"), "user_id")
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )

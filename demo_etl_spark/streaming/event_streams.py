@@ -31,7 +31,12 @@ WATERMARK = "2 hours"
 SESSION_GAP = "30 minutes"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet (ts-encoding-aware like io.py).
 
     ``copies > 1`` stages the same file N times — the controlled way to
@@ -63,7 +68,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
         )
         if not os.path.exists(link):
             os.symlink(src, link)
-    df = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    reader = spark.readStream.schema(batch_schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.parquet(stream_dir)
     if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
@@ -346,3 +354,73 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def user_totals_tws_stream(events: DataFrame) -> DataFrame:
+    """The forward-looking twin of ``user_totals_stateful_stream`` on
+    Spark 4's ``transformWithStateInPandas`` — typed per-key ValueState
+    with an explicit processor lifecycle (init/handleInputRows/close),
+    the API that adds composable state variables, timers and TTL over
+    the single-blob applyInPandasWithState model. Same exact integer
+    fixed-point accumulation, so the drained result is bit-equal to the
+    batch aggregate (parity test). Requires the RocksDB state store
+    provider (bundled with Spark 4) AND the ``protobuf`` Python package
+    (the state-server protocol) — absent in this container, so the
+    parity test importorskips; the operator is plan-complete and runs
+    on any standard Spark 4 distribution with pyspark[sql] deps."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value_c", LongType()),
+            StructField("last_event_us", LongType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, val_c BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            if self._state.exists():
+                n, val_c, last_us = tuple(self._state.get())
+            else:
+                n, val_c, last_us = 0, 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf["value"].to_numpy(dtype="float64") * 10_000
+                val_c += int(
+                    np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum()
+                )
+                us = pdf["ts"].astype("int64") // 1_000
+                last_us = max(last_us, int(us.max()))
+            self._state.update((n, val_c, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value_c": [val_c],
+                    "last_event_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

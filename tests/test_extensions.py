@@ -611,3 +611,81 @@ def test_train_split_is_partitioning_invariant(spark, sf_dir, tables):
     assert abs(n_train / n - SPLIT_TRAIN_PCT / 100) < 0.06
     assert {s for _, s in a} <= {"train", "val", "test"}
     del SPLIT_VAL_PCT  # documented constant; fractions asserted via train
+
+
+def test_streaming_serving_table_converges_under_redelivery(spark, sf_dir, tmp_path):
+    """foreachBatch CDC compaction: force a multi-batch drain with 2x
+    redelivery (maxFilesPerTrigger=1 over two staged copies) — the
+    serving table's last_* fields must still equal the one-shot batch
+    latest_state, and n_versions_seen must count every delivery (2x)."""
+    from demo_etl_spark.operators.cdc import latest_state
+    from demo_etl_spark.streaming.serving import stream_compact_to_serving
+    from demo_etl_spark.io import load_star
+
+    target = str(tmp_path / "serving")
+    served = stream_compact_to_serving(
+        spark, sf_dir, target, copies=2, max_files_per_trigger=1
+    ).collect()
+    batch = {r["user_id"]: r for r in latest_state(load_star(spark, sf_dir)["events"]).collect()}
+
+    assert len(served) == len(batch)
+    for r in served:
+        b = batch[r["user_id"]]
+        assert r["last_ts"] == b["last_ts"]
+        assert r["last_event_type"] == b["last_event_type"]
+        assert r["last_value"] == b["last_value"]
+        assert r["n_versions_seen"] == 2 * b["n_versions"]
+
+
+def test_transform_with_state_matches_batch_totals(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) drained over
+    the events file stream equals the batch per-user aggregate exactly
+    (same fixed-point discipline as the applyInPandasWithState twin)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in this "
+        "container; the operator is import-gated per environment policy)",
+    )
+    import pyspark.sql.functions as F
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.streaming.event_streams import (
+        read_events_stream,
+        run_available_now,
+        user_totals_tws_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        drained = run_available_now(
+            user_totals_tws_stream(read_events_stream(spark, sf_dir)),
+            "tws_totals_test",
+            output_mode="update",
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value_c"], r["last_event_us"])
+            for r in drained.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = load_star(spark, sf_dir)["events"]
+    exp = {
+        r["user_id"]: (r["n"], r["v"], r["us"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 10000, 0) AS BIGINT)")).alias("v"),
+            F.max(F.unix_micros("ts")).alias("us"),
+        )
+        .collect()
+    }
+    assert got == exp
