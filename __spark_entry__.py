@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "events_active_users": _events.build_active_users,
         "doc_top_terms": _text.build_top_terms,
+        "bpe_pair_counts": _text.build_bpe_pairs,
+        "embedding_centroids": _similarity.build_centroids,
         "streaming_session": _streams.build_streaming_session,
         "dedup_ngram_containment": _dedup.build_containment,
         "corpus_source_profile": _text.build_source_profile,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_profile": _fingerprint.ORACLE_SQL_FP_PROFILE,
         "events_active_users": _events.ORACLE_SQL_ACTIVE_USERS,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
+        "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
+        "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,
         "events_asof_join": _temporal.ORACLE_SQL_ASOF,
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "event_transitions": _temporal.ORACLE_SQL_TRANSITIONS,

@@ -66,6 +66,25 @@ def round_div(num: str, den: str, scale: int) -> Column:
     return F.expr(round_div_expr(num, den, scale, "spark"))
 
 
+def round_div_signed_expr(num: str, den: str, scale: int, dialect: str) -> str:
+    """Sign-safe exact HALF-AWAY-FROM-ZERO(num/den, scale) → DOUBLE.
+
+    ``round_div_expr`` relies on integer division truncating toward
+    zero equaling floor — true only for non-negative numerators (every
+    money/ratio call site). Signed quantities (e.g. embedding centroid
+    sums) need the mirrored formula: round the magnitude, reapply the
+    sign. Both Spark's ROUND and DuckDB's ROUND are also
+    half-away-from-zero, so this matches either engine's native double
+    rounding while staying in exact integer space. ``den`` must be
+    positive."""
+    mag = round_div_expr(f"ABS({num})", den, scale, dialect)
+    return f"(CASE WHEN ({num}) >= 0 THEN {mag} ELSE -{mag} END)"
+
+
+def round_div_signed(num: str, den: str, scale: int) -> Column:
+    return F.expr(round_div_signed_expr(num, den, scale, "spark"))
+
+
 def unfix_expr(fixed: str, scale: int, dialect: str, fp: int = 10_000) -> str:
     """Fixed-point long (1e-4 units) → money DOUBLE rounded to ``scale``."""
     return round_div_expr(fixed, str(fp), scale, dialect)

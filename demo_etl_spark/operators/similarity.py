@@ -1091,3 +1091,61 @@ SELECT vec_id, label, q_scale,
          AS q_hash
 FROM q
 """
+
+
+# ------------------------------------------------- class centroids -----
+def embedding_centroids(
+    embeddings: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Exact per-label mean vector in long format (label, dim,
+    n_vectors, centroid): each float lifts to the 1e-6 fixed-point
+    BIGINT (the module's shared discipline), sums are exact integers,
+    and the mean rounds HALF_UP at 6dp — bit-identical across engines
+    regardless of partial-sum order. The classifier-prototype /
+    per-class-drift monitor of an embedding pipeline; posexplode +
+    one partial+final agg on (label, dim), so it scales as a plain
+    grouped aggregate (dims are a constant fanout like the ANN plane
+    count)."""
+    from demo_etl_spark.functions.fixedpoint import round_div_signed
+
+    return (
+        embeddings.select(
+            "label", F.posexplode(_e6_vec("embedding")).alias("dim", "v6")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("v6").alias("_s6"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            round_div_signed("_s6", "n_vectors * 1000000", 6).alias("centroid"),
+        )
+    )
+
+
+def build_centroids(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.io import read_star_table
+
+    return embedding_centroids(read_star_table(spark, sf_dir, "embeddings"), ctx)
+
+
+from demo_etl_spark.functions.fixedpoint import round_div_signed_expr as _rde_centroids
+
+ORACLE_SQL_CENTROIDS = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {_rde_centroids("CAST(SUM(v6) AS BIGINT)", "COUNT(*) * 1000000", 6, "duckdb")} AS centroid
+FROM e
+GROUP BY label, dim
+"""

@@ -623,3 +623,62 @@ FROM tf JOIN dfreq USING (token)
 WINDOW w AS (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token)
 QUALIFY row_number() OVER w <= {TOP_TERMS_K}
 """
+
+
+# ---------------------------------------------- BPE pair statistics ----
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, k: int = BPE_TOP_K
+) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — the counting
+    step of one BPE merge iteration (the merge rule picks the top pair;
+    iterate re-counts after each merge). Shape matters at 100 TB: the
+    corpus first collapses to its WORD VOCABULARY (one groupBy), and
+    pairs explode from vocabulary entries weighted by word frequency —
+    pair work scales with |vocab|, not corpus tokens. Top-k plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from pyspark.sql import Window
+
+    words = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "pair", "n")
+
+
+def build_bpe_pairs(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return bpe_pair_counts(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT t.w AS w, COUNT(*) AS wn
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+         wn
+  FROM words WHERE length(w) >= 2
+),
+counts AS (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank,
+       pair, n
+FROM counts
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""

@@ -189,3 +189,33 @@ def test_doc_top_terms_rank_order(spark):
            doc_top_terms(docs).filter("doc_id = 1").collect()]
     # apple tf=2 wins; cherry (df=1) outranks banana (df=2) at tf=1
     assert sorted(out) == [(1, "apple"), (2, "cherry"), (3, "banana")]
+
+
+# ---------------------------------------------------- BPE / centroids --
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame([
+        R(doc_id=1, text="abc abc zz"),
+        R(doc_id=2, text="abc q"),  # 'q' too short for a pair
+    ])
+    out = {r["pair"]: (r["rank"], r["n"]) for r in bpe_pair_counts(docs).collect()}
+    # 'abc' occurs 3x -> pairs 'ab','bc' weighted 3; 'zz' once
+    assert out["ab"] == (1, 3) and out["bc"] == (2, 3)  # tie broken by pair
+    assert out["zz"] == (3, 1) and "q" not in out
+
+
+def test_embedding_centroids_exact_mean(spark):
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.similarity import embedding_centroids
+
+    emb = spark.createDataFrame([
+        R(vec_id=1, embedding=[1.0, 0.0], label=7),
+        R(vec_id=2, embedding=[0.0, 1.0], label=7),
+        R(vec_id=3, embedding=[-2.0, 4.0], label=8),
+    ])
+    out = {(r["label"], r["dim"]): (r["n_vectors"], r["centroid"])
+           for r in embedding_centroids(emb).collect()}
+    assert out[(7, 0)] == (2, 0.5) and out[(7, 1)] == (2, 0.5)
+    assert out[(8, 0)] == (1, -2.0) and out[(8, 1)] == (1, 4.0)

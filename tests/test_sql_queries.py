@@ -220,3 +220,36 @@ def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
         assert got_spark == exp == got_duck, (p, q, s, got_spark, got_duck, exp)
 
     check()
+
+
+def test_round_div_signed_matches_decimal_half_away(spark):
+    """Signed variant: HALF-AWAY-FROM-ZERO for any sign of p (the plain
+    round_div contract only covers p >= 0 — embedding centroids need
+    negatives)."""
+    import decimal
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.functions.fixedpoint import round_div_signed_expr
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        p=st.integers(min_value=-4_000_000_000_000, max_value=4_000_000_000_000),
+        q=st.integers(min_value=1, max_value=10**9),
+        s=st.integers(min_value=0, max_value=6),
+    )
+    def check(p, q, s):
+        mag = (decimal.Decimal(abs(p)) / decimal.Decimal(q)).quantize(
+            decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
+        )
+        exp = float(mag if p >= 0 else -mag)
+        got_spark = spark.sql(
+            f"SELECT {round_div_signed_expr(str(p), str(q), s, 'spark')} AS v"
+        ).first()["v"]
+        got_duck = duckdb.sql(
+            f"SELECT {round_div_signed_expr(str(p), str(q), s, 'duckdb')} AS v"
+        ).fetchone()[0]
+        assert got_spark == exp == got_duck, (p, q, s, got_spark, got_duck, exp)
+
+    check()
