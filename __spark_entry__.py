@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_breakdown": _events.build_props_breakdown,
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "events_active_users": _events.build_active_users,
+        "session_attribution": _events.build_session_attribution,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprint.ORACLE_SQL_FINGERPRINTS,
         "fingerprint_profile": _fingerprint.ORACLE_SQL_FP_PROFILE,
         "events_active_users": _events.ORACLE_SQL_ACTIVE_USERS,
+        "session_attribution": _events.ORACLE_SQL_ATTRIBUTION,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

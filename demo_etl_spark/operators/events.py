@@ -661,3 +661,99 @@ SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
        {{}} AS stickiness
 FROM dau JOIN wau ON dau.day = wau.report_day
 """.format(_rd("CAST(dau AS BIGINT)", "CAST(wau AS BIGINT)", 4))
+
+
+# ------------------------------------------------ session attribution ---
+_GAP_US = 1_800_000_000  # 30 min in µs — matches ORACLE_SQL_SESSION's gap
+
+
+def session_attribution(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """First-touch attribution: rebuild 30-min-gap sessions
+    (gaps-and-islands — the same construction the session-window oracle
+    uses), tag each session with its FIRST event's type (the acquisition
+    channel), and report per-channel session volume and purchase
+    conversion. The ad-tech complement of events_funnel (which tracks
+    step ordering within days, not channel credit).
+
+    One shuffle on user_id drives all three window passes (lag → running
+    sum → per-session row_number share the sort); the channel rollup is
+    a tiny final aggregate. Gap math is integer µs so the session split
+    is bit-identical cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "_new",
+        F.expr(
+            f"CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id)) < {_GAP_US} "
+            f"THEN 0 ELSE 1 END"
+        ),
+    )
+    numbered = flagged.withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    sess = (
+        numbered.withColumn("_rn", F.row_number().over(w2))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias(
+                "first_touch"
+            ),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("_converted"),
+        )
+    )
+    return (
+        sess.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("_converted").cast("long").alias("converted_sessions"),
+        )
+        .withColumn(
+            "conversion_rate",
+            round_div("converted_sessions", "n_sessions", 4),
+        )
+    )
+
+
+def build_session_attribution(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return session_attribution(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_ATTRIBUTION = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) < {_GAP_US}
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM numbered
+),
+sess AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM ranked GROUP BY user_id, sid
+)
+SELECT first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS converted_sessions,
+       {{}} AS conversion_rate
+FROM sess GROUP BY first_touch
+""".format(_rd("CAST(SUM(converted) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4))

@@ -219,3 +219,24 @@ def test_embedding_centroids_exact_mean(spark):
            for r in embedding_centroids(emb).collect()}
     assert out[(7, 0)] == (2, 0.5) and out[(7, 1)] == (2, 0.5)
     assert out[(8, 0)] == (1, -2.0) and out[(8, 1)] == (1, 4.0)
+
+
+def test_session_attribution_first_touch_and_conversion(spark):
+    from demo_etl_spark.operators.events import session_attribution
+
+    d = dt.datetime
+    ev = _events(spark, [
+        # user 1, session A: view -> purchase (converted, credit 'view')
+        (1, d(2024, 1, 1, 10, 0), 1, "view", 0.0),
+        (2, d(2024, 1, 1, 10, 10), 1, "purchase", 5.0),
+        # user 1, session B (gap > 30min): click only (no conversion)
+        (3, d(2024, 1, 1, 12, 0), 1, "click", 0.0),
+        # user 2, one session: click -> purchase (credit 'click')
+        (4, d(2024, 1, 1, 9, 0), 2, "click", 0.0),
+        (5, d(2024, 1, 1, 9, 29), 2, "purchase", 9.0),
+    ])
+    out = {r["first_touch"]: r for r in session_attribution(ev).collect()}
+    assert out["view"]["n_sessions"] == 1 and out["view"]["converted_sessions"] == 1
+    assert out["click"]["n_sessions"] == 2 and out["click"]["converted_sessions"] == 1
+    assert out["click"]["conversion_rate"] == 0.5
+    assert out["view"]["conversion_rate"] == 1.0
