@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "events_active_users": _events.build_active_users,
         "session_attribution": _events.build_session_attribution,
+        "events_cohort_retention": _events.build_cohort_retention,
+        "events_value_histogram": _events.build_value_histogram,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -222,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_profile": _fingerprint.ORACLE_SQL_FP_PROFILE,
         "events_active_users": _events.ORACLE_SQL_ACTIVE_USERS,
         "session_attribution": _events.ORACLE_SQL_ATTRIBUTION,
+        "events_cohort_retention": _events.ORACLE_SQL_COHORT_RETENTION,
+        "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -757,3 +757,137 @@ SELECT first_touch,
        {{}} AS conversion_rate
 FROM sess GROUP BY first_touch
 """.format(_rd("CAST(SUM(converted) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4))
+
+
+# ------------------------------------------------- cohort retention -----
+def cohort_retention(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the ISO week of
+    their FIRST activity; each later week of activity increments the
+    cohort's (cohort_week, offset_weeks) cell. The product-analytics
+    complement of customer_retention's set-op split — this is the full
+    triangle a growth dashboard plots.
+
+    Two aggregates over the distinct (user, week) grid (which at 100 TB
+    is the crucial pre-shrink: |users|×|weeks|, independent of event
+    volume) plus one equi-join back on user_id. Week arithmetic is
+    integer day-diff DIV 7 — engine-exact."""
+    du = (
+        events.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        )
+        .distinct()
+    )
+    first = du.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = du.join(first, "user_id").withColumn(
+        "offset_weeks", F.expr("datediff(week, cohort_week) div 7")
+    )
+    active = joined.groupBy("cohort_week", "offset_weeks").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            round_div("n_active", "cohort_size", 4).alias("retention_rate"),
+        )
+    )
+
+
+def build_cohort_retention(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return cohort_retention(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_COHORT_RETENTION = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM du GROUP BY user_id
+),
+joined AS (
+  SELECT du.user_id, first.cohort_week,
+         date_diff('day', first.cohort_week, du.week) // 7 AS offset_weeks
+  FROM du JOIN first USING (user_id)
+),
+active AS (
+  SELECT cohort_week, offset_weeks, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT cohort_week, offset_weeks,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       {{}} AS retention_rate
+FROM active JOIN sizes USING (cohort_week)
+""".format(_rd("CAST(n_active AS BIGINT)", "CAST(cohort_size AS BIGINT)", 4))
+
+
+# ---------------------------------------------------- value histogram ---
+HIST_BIN_WIDTH = 50  # money units per bin
+_BIN_FIXED = HIST_BIN_WIDTH * 10_000
+
+
+def value_histogram(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Fixed-width histogram of event values (bin width 50): the
+    distribution-monitoring twin of order_value_distribution's
+    percentiles — a histogram pre-aggregates in one map-side pass and
+    MERGES across partitions/days (percentiles don't), which is why
+    monitoring pipelines ship histograms. Binning happens on the exact
+    fixed-point integer (`div` truncation toward zero — values here are
+    non-negative so it equals floor in both engines); the share uses a
+    window total over the ~10 bin rows (trivially single-partition)."""
+    b = events.select(
+        F.expr(f"CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED}").alias(
+            "bin"
+        )
+    )
+    counts = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        counts.withColumn(
+            "_total", F.sum("n_events").over(Window.partitionBy())
+        )
+        .select(
+            "bin",
+            F.expr(f"CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE)").alias("bin_lo"),
+            "n_events",
+            round_div("n_events", "_total", 4).alias("share"),
+        )
+    )
+
+
+def build_value_histogram(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return value_histogram(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(ROUND(value * 10000, 0) AS BIGINT) // {_BIN_FIXED} AS bin
+  FROM events
+),
+c AS (SELECT bin, COUNT(*) AS n_events FROM b GROUP BY 1)
+SELECT bin,
+       CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST(n_events AS BIGINT) AS n_events,
+       {{}} AS share
+FROM c
+""".format(
+    _rd("CAST(n_events AS BIGINT)", "CAST(SUM(n_events) OVER () AS BIGINT)", 4)
+)

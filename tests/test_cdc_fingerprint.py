@@ -240,3 +240,40 @@ def test_session_attribution_first_touch_and_conversion(spark):
     assert out["click"]["n_sessions"] == 2 and out["click"]["converted_sessions"] == 1
     assert out["click"]["conversion_rate"] == 0.5
     assert out["view"]["conversion_rate"] == 1.0
+
+
+def test_cohort_retention_triangle(spark):
+    from demo_etl_spark.operators.events import cohort_retention
+
+    d = dt.datetime
+    ev = _events(spark, [
+        # user 1 first active week of Jan 1 (Mon), returns week of Jan 8
+        (1, d(2024, 1, 2, 10), 1, "view", 0.0),
+        (2, d(2024, 1, 9, 10), 1, "view", 0.0),
+        # user 2 same cohort, never returns
+        (3, d(2024, 1, 3, 10), 2, "view", 0.0),
+        # user 3 cohorts a week later
+        (4, d(2024, 1, 10, 10), 3, "view", 0.0),
+    ])
+    out = {(str(r["cohort_week"]), r["offset_weeks"]): r
+           for r in cohort_retention(ev).collect()}
+    w0 = out[("2024-01-01", 0)]
+    assert w0["n_active"] == 2 and w0["cohort_size"] == 2
+    w1 = out[("2024-01-01", 1)]
+    assert w1["n_active"] == 1 and w1["retention_rate"] == 0.5
+    assert out[("2024-01-08", 0)]["cohort_size"] == 1
+
+
+def test_value_histogram_bins_and_shares(spark):
+    from demo_etl_spark.operators.events import value_histogram
+
+    ev = _events(spark, [
+        (1, _ts(0), 1, "view", 10.0),    # bin 0
+        (2, _ts(1), 1, "view", 49.99),   # bin 0 (fixed-point exact)
+        (3, _ts(2), 1, "view", 50.0),    # bin 1 boundary
+        (4, _ts(3), 1, "view", 149.99),  # bin 2
+    ])
+    out = {r["bin"]: r for r in value_histogram(ev).collect()}
+    assert out[0]["n_events"] == 2 and out[0]["share"] == 0.5
+    assert out[1]["n_events"] == 1 and out[1]["bin_lo"] == 50.0
+    assert out[2]["n_events"] == 1 and out[2]["share"] == 0.25
