@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_attribution": _events.build_session_attribution,
         "events_cohort_retention": _events.build_cohort_retention,
         "events_value_histogram": _events.build_value_histogram,
+        "revenue_seasonality": _timeseries.build_seasonality,
+        "lang_confusion": _text.build_lang_confusion,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -226,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         "session_attribution": _events.ORACLE_SQL_ATTRIBUTION,
         "events_cohort_retention": _events.ORACLE_SQL_COHORT_RETENTION,
         "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
+        "revenue_seasonality": _timeseries.ORACLE_SQL_SEASONALITY,
+        "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -682,3 +682,48 @@ FROM counts
 ORDER BY n DESC, pair
 LIMIT {BPE_TOP_K}
 """
+
+
+# ------------------------------------------------ lang-ID confusion -----
+def lang_confusion(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the corpus's
+    lang metadata — the in-engine accuracy audit (the classifier twin
+    of similarity_ann_recall's recall audit): (actual, predicted,
+    n_docs, share-of-actual). A drifting cell fails the correctness
+    gate before the mislabeled data reaches training. Reuses lang_id's
+    single-pass scoring; the rollup is a tiny aggregate."""
+    from pyspark.sql import Window
+
+    preds = lang_id(documents, ctx).select("lang", "predicted_lang")
+    counts = preds.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.withColumn(
+        "_lang_total", F.sum("n_docs").over(w)
+    ).select(
+        "lang",
+        "predicted_lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        round_div("n_docs", "_lang_total", 4).alias("share_of_actual"),
+    )
+
+
+def build_lang_confusion(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return lang_confusion(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_LANG_CONFUSION = f"""
+WITH pred AS ({ORACLE_SQL_LANG_ID}),
+c AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n_docs,
+       {round_div_expr("n_docs", "CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)", 4, "duckdb")} AS share_of_actual
+FROM c
+"""

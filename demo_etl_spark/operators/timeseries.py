@@ -291,3 +291,55 @@ FROM a
 JOIN dim ON a.date = dim.date AND a.day_of_week = dim.day_of_week
         AND a.month_name = dim.month_name AND a.year = dim.year
 """
+
+
+# ---------------------------------------------------- seasonality -------
+def revenue_seasonality(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Month-of-year seasonality index over order revenue: index =
+    month_revenue × 12 / total_revenue, exact HALF_UP 4dp (1.0 = an
+    average month). The W2/W3 moving averages smooth WITHIN the series;
+    this is the cross-year profile a demand planner reads. One grouped
+    aggregate (12 rows) + a window total — all fixed-point integer
+    until the final rounding."""
+    m = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(money_fixed(F.col("o_totalprice"))).alias("_rev_c"),
+    )
+    # index math runs on CENTS (_rev_c div 100 — exact: every money value
+    # is a multiple of 1e-2, so the 1e-4 fixed sum is a multiple of 100).
+    # On ten-thousandths the round_div numerator (month_c · 12 · 2·10⁴)
+    # reaches 8.2e18 at sf0.1 — 12% from signed-64 overflow, overflowing
+    # by sf1; cents buy exactly 100× headroom for the same result.
+    return m.withColumn(
+        "_total_c", F.sum("_rev_c").over(Window.partitionBy())
+    ).select(
+        "month",
+        "n_orders",
+        round_div("_rev_c", "10000", 2).alias("total_revenue"),
+        round_div("(_rev_c div 100) * 12", "_total_c div 100", 4).alias(
+            "seasonality_idx"
+        ),
+    )
+
+
+def build_seasonality(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return revenue_seasonality(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_SEASONALITY = f"""
+WITH m AS (
+  SELECT month(o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       {_rd("rev_c", "10000", 2)} AS total_revenue,
+       {_rd("(rev_c // 100) * 12", "CAST(SUM(rev_c) OVER () AS BIGINT) // 100", 4)} AS seasonality_idx
+FROM m
+"""
