@@ -277,3 +277,32 @@ def test_value_histogram_bins_and_shares(spark):
     assert out[0]["n_events"] == 2 and out[0]["share"] == 0.5
     assert out[1]["n_events"] == 1 and out[1]["bin_lo"] == 50.0
     assert out[2]["n_events"] == 1 and out[2]["share"] == 0.25
+
+
+def test_session_attribution_single_fact_shuffle(spark, tables):
+    """All three window passes (lag, running-sum, per-session rank)
+    share ONE hashpartitioning on user_id: the (user_id, _sid) window's
+    ClusteredDistribution is satisfied by the user_id partitioning, so
+    EnsureRequirements inserts no second fact exchange — the contract
+    that keeps attribution a one-shuffle job at 100 TB. (The tiny
+    5-channel rollup after it is allowed its own exchange.)"""
+    from demo_etl_spark.operators.events import session_attribution
+
+    plan = session_attribution(tables["events"])._jdf.queryExecution() \
+        .executedPlan().treeString()
+    # exchanges: 1 on the user_id fact + 1 for the tiny channel rollup
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cohort_retention_preaggregates_before_join(spark, tables):
+    """The distinct (user, week) grid must form BEFORE the cohort join:
+    the join input is the aggregated grid, not raw events (the
+    pre-shrink that makes the operator volume-independent)."""
+    from demo_etl_spark.operators.events import cohort_retention
+
+    plan = cohort_retention(tables["events"])._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the first Aggregate (distinct) sits below the Join in the tree
+    join_pos = plan.index("Join")
+    assert "Aggregate" in plan[join_pos:], "distinct grid must feed the join"
