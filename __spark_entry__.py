@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
         "streaming_session": _streams.build_streaming_session,
+        "streaming_dedup": _streams.build_streaming_dedup,
+        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "dedup_ngram_containment": _dedup.build_containment,
         "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
@@ -219,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
         # the drained session_window stream must equal the batch
         # gaps-and-islands session reconstruction
         "streaming_session": _events.ORACLE_SQL_SESSION,
+        # 2x-redelivered drained dedup must equal the raw table
+        "streaming_dedup": _streams.ORACLE_SQL_EVENTS_IDENTITY,
+        # drained stream-stream interval join must equal the batch join
+        "streaming_purchase_clicks": _streams.ORACLE_SQL_PURCHASE_CLICKS,
         "cdc_latest_state": _cdc.ORACLE_SQL_LATEST_STATE,
         "scd2_history": _cdc.ORACLE_SQL_SCD2,
         "orders_merge_upsert": _cdc.ORACLE_SQL_MERGE_UPSERT,

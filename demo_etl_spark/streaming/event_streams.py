@@ -424,3 +424,52 @@ def user_totals_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def build_streaming_dedup(spark: SparkSession, sf_dir: str, ctx=None) -> DataFrame:
+    """Bounded-state streaming dedup under the correctness gate: stage
+    the source TWICE (at-least-once redelivery), drain
+    ``dropDuplicatesWithinWatermark`` — the result must equal the plain
+    events table exactly (event_id is unique, so 2× delivery collapses
+    back to one row per event). Oracle: SELECT * FROM events."""
+    name = f"stream_dedup_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    return run_available_now(
+        dedup_stream(read_events_stream(spark, sf_dir, copies=2)),
+        name,
+        output_mode="append",
+    )
+
+
+def build_streaming_purchase_clicks(
+    spark: SparkSession, sf_dir: str, ctx=None
+) -> DataFrame:
+    """The watermarked stream-stream interval self-join under the
+    correctness gate: purchases ⋈ same-user clicks within 30 min,
+    drained with availableNow — an inner interval join emits matches as
+    both sides arrive, so the drained sink equals the batch interval
+    join, spelled directly in the SQL oracle."""
+    name = f"stream_pc_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    return run_available_now(
+        purchase_click_stream_join(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="append",
+    )
+
+
+ORACLE_SQL_EVENTS_IDENTITY = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+ORACLE_SQL_PURCHASE_CLICKS = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS p_ts,
+       c.ts AS c_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+"""
