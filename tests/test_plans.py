@@ -301,3 +301,55 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime complement of the plan-level salted join (operators.skew):
+    on a hot-key join, AQE's OptimizeSkewedJoin must split the skewed
+    shuffle partition at runtime — final adaptive plan shows
+    SortMergeJoin(skew=true) over an 'AQEShuffleRead … skewed' reader.
+    Thresholds are lowered so the synthetic 1M-row hot key qualifies;
+    forceOptimizeSkewedJoin permits the extra shuffle the downstream
+    stage would otherwise veto. This is the default 100 TB answer to
+    moderate skew — salting remains for the AQE-resistant cases (hot
+    key inside one partition of a broadcast-ineligible join)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(1_000_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(9_900).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("p")
+        )
+        j = left.join(right, "k")
+        j.foreach(lambda r: None)  # execute THIS DataFrame's QueryExecution
+        plan = j._jdf.queryExecution().executedPlan().treeString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan  # the AQEShuffleRead split reader
