@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": _events.build_value_histogram,
         "revenue_seasonality": _timeseries.build_seasonality,
         "lang_confusion": _text.build_lang_confusion,
+        "incremental_join_view": _star.build_incremental_join_view,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -236,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
         "revenue_seasonality": _timeseries.ORACLE_SQL_SEASONALITY,
         "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,
+        # split-half join-view merge must equal the one-shot view
+        "incremental_join_view": _star.ORACLE_SQL_INCREMENTAL_JOIN_VIEW,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

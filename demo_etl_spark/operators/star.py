@@ -560,3 +560,79 @@ SELECT region, nation, order_year,
 FROM base
 GROUP BY GROUPING SETS ((region, nation, order_year), (region), ())
 """
+
+
+# ------------------------------------------- incremental join view ------
+#: ship-date split simulating "data already processed" vs "new arrivals"
+IVM_SPLIT = "1998-07-01"
+
+
+def incremental_join_view(
+    lineitem: DataFrame, orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the monthly-revenue-per-
+    priority view over lineitem ⋈ orders, maintained as
+    Δ(A ⋈ B) = ΔA ⋈ B — only the NEW lineitems (shipdate ≥ split) join
+    orders and aggregate; the result merges additively with the stored
+    partial computed from the old half. Works because the aggregates
+    are monoidal (counts + exact fixed-point sums) and lineitem is the
+    only delta side. Completes the incremental family: additive rollup
+    increments (events_incremental_rollup), disk MERGE
+    (maintenance.merge_upsert), streaming serving compaction
+    (streaming.serving) — this one proves the JOIN-view algebra under
+    the oracle (the one-shot query over the full table).
+
+    At 100 TB the 'stored' branch is a table scan of the materialized
+    view, not a recompute — here both branches run so the driver's
+    hash-check proves the merged result is bit-equal to one-shot."""
+
+    def partial(li: DataFrame) -> DataFrame:
+        fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy(
+                F.trunc("o_orderdate", "month").alias("order_month"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(money_fixed(fp)).alias("_rev_c"),
+            )
+        )
+
+    old = partial(lineitem.filter(F.col("l_shipdate") < F.lit(IVM_SPLIT)))
+    delta = partial(lineitem.filter(F.col("l_shipdate") >= F.lit(IVM_SPLIT)))
+    return (
+        old.unionByName(delta)
+        .groupBy("order_month", "o_orderpriority")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("_rev_c").alias("_rev_c"),
+        )
+        .select(
+            "order_month",
+            "o_orderpriority",
+            "n_lines",
+            round_div("_rev_c", "10000", 2).alias("total_revenue"),
+        )
+    )
+
+
+def build_incremental_join_view(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return incremental_join_view(t["lineitem"], t["orders"], ctx)
+
+
+#: one-shot oracle — the merged incremental result must equal computing
+#: the view directly over the FULL lineitem table
+ORACLE_SQL_INCREMENTAL_JOIN_VIEW = f"""
+SELECT date_trunc('month', o.o_orderdate) AS order_month,
+       o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_rd("CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
