@@ -306,3 +306,43 @@ def test_cohort_retention_preaggregates_before_join(spark, tables):
     # the first Aggregate (distinct) sits below the Join in the tree
     join_pos = plan.index("Join")
     assert "Aggregate" in plan[join_pos:], "distinct grid must feed the join"
+
+
+def test_unicode_cross_engine_parity_fingerprints_and_stats(spark):
+    """Forward-robustness for driver-regenerated corpora: the winnowing
+    and text_stats oracles must stay hash-identical to Spark on
+    NON-ASCII text (UTF-8 md5, char-based substr/length, and even
+    ascii() — both engines return the first codepoint). The shipped
+    testdata is ASCII, so this is the only place unicode parity is
+    exercised."""
+    import duckdb
+    import pandas as pd
+
+    from demo_etl_spark.operators.fingerprint import (
+        ORACLE_SQL_FINGERPRINTS,
+        winnow_fingerprints,
+    )
+    from demo_etl_spark.operators.text import ORACLE_SQL_STATS, text_stats
+
+    rows = [
+        (1, "héllo wörld çafé naïve élan über straße jalapeño piñata résumé",
+         "en", "web", 10),
+        (2, "日本語 テスト 文書 です これは 長い 単語列 を 含み ます 追加 トークン",
+         "zh", "web", 10),
+        (3, "mixed ascii and éüñ tokens for the winnow window guarantee test run",
+         "en", "web", 10),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for sdf, sql in (
+        (winnow_fingerprints(docs), ORACLE_SQL_FINGERPRINTS),
+        (text_stats(docs), ORACLE_SQL_STATS),
+    ):
+        got = sorted(map(tuple, sdf.collect()))
+        exp = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == exp
