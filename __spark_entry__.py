@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_seasonality": _timeseries.build_seasonality,
         "lang_confusion": _text.build_lang_confusion,
         "incremental_join_view": _star.build_incremental_join_view,
+        "ngram_novelty": _dedup.build_novelty,
+        "supplier_analytics": _product.build_supplier_analytics,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -239,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,
         # split-half join-view merge must equal the one-shot view
         "incremental_join_view": _star.ORACLE_SQL_INCREMENTAL_JOIN_VIEW,
+        "ngram_novelty": _dedup.ORACLE_SQL_NOVELTY,
+        "supplier_analytics": _product.ORACLE_SQL_SUPPLIER,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -860,3 +860,47 @@ FROM pairs p
 JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
 """.format(minhash=ORACLE_SQL_MINHASH)
+
+
+# ---------------------------------------------------- n-gram novelty ----
+def ngram_novelty(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct shingles that
+    appear NOWHERE else in the corpus (df == 1 over the UNCAPPED hashed
+    index). The inverse signal of the dedup family — low novelty means
+    boilerplate/template mass even when no pair crosses the near-dup
+    threshold; curation pipelines use it as a diversity weight. Cost is
+    the shingle index the dedup family already amortizes (shared
+    per-session memo) + one df aggregate and a per-doc rollup."""
+    sh = _cached_index(spark, sf_dir, None)  # uncapped: df counts for ALL
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .withColumn("novelty", round_div("n_unique", "n_shingles", 4))
+    )
+
+
+def build_novelty(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return ngram_novelty(spark, sf_dir, ctx)
+
+
+ORACLE_SQL_NOVELTY = f"""
+WITH raw AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, {HASH_HEX}) AS BIGINT) AS h
+  FROM ({_SHINGLE_SQL})
+),
+dfreq AS (SELECT h, COUNT(*) AS df FROM raw GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       {round_div_expr("CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4, "duckdb")} AS novelty
+FROM raw JOIN dfreq USING (h)
+GROUP BY doc_id
+"""

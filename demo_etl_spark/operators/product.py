@@ -169,3 +169,77 @@ SELECT
   revenue_rank_in_category <= 3 AS is_top_seller
 FROM r
 """
+
+
+# ------------------------------------------------ supplier analytics ----
+def supplier_analytics(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """A1-style grouped aggregates over the supplier dimension (the one
+    dim without its own analytic branch in the reference) + a W1-style
+    revenue rank within nation: per supplier — line volume, distinct
+    parts shipped, exact revenue, average line value, and dense revenue
+    rank among the supplier's nation peers (ties broken by the exact
+    fixed-point integer, so ranks are engine-deterministic).
+
+    Plan: fact aggregates FIRST on the bare s_suppkey (partial+final),
+    then the tiny supplier/nation dims broadcast onto ~|suppliers|
+    rows; the rank window partitions by nation on that already-small
+    output."""
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(money_fixed(fp)).alias("_rev_c"),
+        )
+    )
+    j = (
+        per_supp.join(supplier, per_supp["l_suppkey"] == supplier["s_suppkey"])
+        .join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("_rev_c").desc(), F.col("s_suppkey").asc()
+    )
+    return j.select(
+        "s_suppkey",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        round_div("_rev_c", "10000", 2).alias("total_revenue"),
+        round_div("_rev_c", "n_lines * 10000", 2).alias("avg_line_value"),
+        F.row_number().over(w).cast("long").alias("nation_revenue_rank"),
+    )
+
+
+def build_supplier_analytics(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return supplier_analytics(t["lineitem"], t["supplier"], t["nation"], ctx)
+
+
+ORACLE_SQL_SUPPLIER = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+           AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       p.n_lines, p.n_parts,
+       {round_div_expr("p.rev_c", "10000", 2, "duckdb")} AS total_revenue,
+       {round_div_expr("p.rev_c", "p.n_lines * 10000", 2, "duckdb")} AS avg_line_value,
+       CAST(row_number() OVER (PARTITION BY n.n_name
+         ORDER BY p.rev_c DESC, s.s_suppkey) AS BIGINT) AS nation_revenue_rank
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
