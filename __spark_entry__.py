@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": _star.build_incremental_join_view,
         "ngram_novelty": _dedup.build_novelty,
         "supplier_analytics": _product.build_supplier_analytics,
+        "brand_affinity": _product.build_brand_affinity,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_join_view": _star.ORACLE_SQL_INCREMENTAL_JOIN_VIEW,
         "ngram_novelty": _dedup.ORACLE_SQL_NOVELTY,
         "supplier_analytics": _product.ORACLE_SQL_SUPPLIER,
+        "brand_affinity": _product.ORACLE_SQL_BRAND_AFFINITY,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

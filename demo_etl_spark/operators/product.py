@@ -243,3 +243,70 @@ FROM per_supp p
 JOIN supplier s ON p.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
+
+
+# ------------------------------------------------- brand affinity -------
+def brand_affinity(
+    lineitem: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs bought within the same
+    order, with support (share of all orders, exact 6dp). The
+    association-analysis family (the first mining step before
+    confidence/lift rules).
+
+    Scale shape: project to the DISTINCT (order, brand) grid first —
+    the self-join fanout is then bounded by brands-per-order choose 2
+    (single digits), NOT lines-per-order²; the join key is the order
+    key both sides already share, and the brand dim broadcasts into
+    the grid build."""
+    ob = (
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    # scalar total stays IN the plan (broadcast 1-row cross join) — no
+    # driver-side count(), keeping the module's zero-collect discipline
+    total = lineitem.select(
+        F.countDistinct("l_orderkey").alias("_total_orders")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .withColumn("support", round_div("n_orders", "_total_orders", 6))
+        .drop("_total_orders")
+    )
+
+
+def build_brand_affinity(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return brand_affinity(t["lineitem"], t["part"], ctx)
+
+
+ORACLE_SQL_BRAND_AFFINITY = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_orders,
+       {round_div_expr("n_orders", "(SELECT n FROM total)", 6, "duckdb")} AS support
+FROM pairs
+"""
