@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _dedup.build_novelty,
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_affinity": _product.build_brand_affinity,
+        "brand_rules": _product.build_brand_rules,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _dedup.ORACLE_SQL_NOVELTY,
         "supplier_analytics": _product.ORACLE_SQL_SUPPLIER,
         "brand_affinity": _product.ORACLE_SQL_BRAND_AFFINITY,
+        "brand_rules": _product.ORACLE_SQL_BRAND_RULES,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

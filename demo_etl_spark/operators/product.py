@@ -310,3 +310,85 @@ SELECT brand_a, brand_b, n_orders,
        {round_div_expr("n_orders", "(SELECT n FROM total)", 6, "duckdb")} AS support
 FROM pairs
 """
+
+
+def brand_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Directional association rules A → B over the brand baskets:
+    confidence = n(A∧B)/n(A) and lift = n(A∧B)·N / (n(A)·n(B)), both in
+    exact integer space (6dp / 4dp) — the mining step after
+    brand_affinity's pair counts. Every unordered pair emits both
+    directions; per-brand counts join in from the same (order, brand)
+    grid, and N stays in-plan as a broadcast scalar. Overflow bound:
+    n(A∧B)·N·2·10⁴ ≲ 8·10¹⁷·(orders/10⁹)² — BIGINT-safe far beyond
+    any per-pair group."""
+    ob = (
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("x"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("y"))
+    both = (
+        a.join(b, "ok")
+        .filter(F.col("x") != F.col("y"))  # ordered pairs, both directions
+        .groupBy(F.col("x").alias("antecedent"), F.col("y").alias("consequent"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    per_brand = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brand")
+    )
+    total = lineitem.select(
+        F.countDistinct("l_orderkey").alias("_n_orders")
+    )
+    ante = per_brand.select(
+        F.col("p_brand").alias("antecedent"), F.col("n_brand").alias("n_ante")
+    )
+    cons = per_brand.select(
+        F.col("p_brand").alias("consequent"), F.col("n_brand").alias("n_cons")
+    )
+    return (
+        both.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            round_div("n_both", "n_ante", 6).alias("confidence"),
+            round_div("n_both * _n_orders", "n_ante * n_cons", 4).alias("lift"),
+        )
+    )
+
+
+def build_brand_rules(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return brand_rules(t["lineitem"], t["part"], ctx)
+
+
+ORACLE_SQL_BRAND_RULES = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+per_brand AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+pr AS (
+  SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+)
+SELECT pr.antecedent, pr.consequent, pr.n_both,
+       {round_div_expr("pr.n_both", "pa.n_brand", 6, "duckdb")} AS confidence,
+       {round_div_expr("pr.n_both * (SELECT n FROM total)", "pa.n_brand * pc.n_brand", 4, "duckdb")} AS lift
+FROM pr
+JOIN per_brand pa ON pr.antecedent = pa.p_brand
+JOIN per_brand pc ON pr.consequent = pc.p_brand
+"""

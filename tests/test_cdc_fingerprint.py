@@ -346,3 +346,27 @@ def test_unicode_cross_engine_parity_fingerprints_and_stats(spark):
         got = sorted(map(tuple, sdf.collect()))
         exp = sorted(map(tuple, con.sql(sql).fetchall()))
         assert got == exp
+
+
+def test_brand_rules_confidence_and_lift(spark):
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.product import brand_rules
+
+    # orders: 1:{A,B} 2:{A,B} 3:{A} 4:{B} -> n(A)=3 n(B)=3 n(AB)=2 N=4
+    li = spark.createDataFrame([
+        R(l_orderkey=1, l_partkey=10), R(l_orderkey=1, l_partkey=20),
+        R(l_orderkey=2, l_partkey=10), R(l_orderkey=2, l_partkey=20),
+        R(l_orderkey=3, l_partkey=10), R(l_orderkey=4, l_partkey=20),
+    ])
+    part = spark.createDataFrame([
+        R(p_partkey=10, p_brand="A"), R(p_partkey=20, p_brand="B"),
+    ])
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in brand_rules(li, part).collect()}
+    ab = out[("A", "B")]
+    assert ab["n_both"] == 2
+    assert abs(ab["confidence"] - 0.666667) < 1e-9  # HALF_UP(2/3, 6dp)
+    # lift = n(AB)*N / (n(A)*n(B)) = 2*4/9 = 0.8889
+    assert abs(ab["lift"] - 0.8889) < 1e-9
+    ba = out[("B", "A")]
+    assert ba["n_both"] == 2 and abs(ba["lift"] - 0.8889) < 1e-9
