@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_affinity": _product.build_brand_affinity,
         "brand_rules": _product.build_brand_rules,
+        "doc_length_outliers": _text.build_length_outliers,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_analytics": _product.ORACLE_SQL_SUPPLIER,
         "brand_affinity": _product.ORACLE_SQL_BRAND_AFFINITY,
         "brand_rules": _product.ORACLE_SQL_BRAND_RULES,
+        "doc_length_outliers": _text.ORACLE_SQL_LENGTH_OUTLIERS,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -727,3 +727,74 @@ SELECT lang, predicted_lang, n_docs,
        {round_div_expr("n_docs", "CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)", 4, "duckdb")} AS share_of_actual
 FROM c
 """
+
+
+# ------------------------------------------- length outlier gate --------
+IQR_K = 1.5  # Tukey fence multiplier
+
+
+def length_outliers(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Tukey-fence length outlier gate: docs outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] of the corpus token-length
+    distribution are flagged (too-short fragments / concatenation
+    blobs — the robust alternative to fixed min/max length cutoffs,
+    self-calibrating per corpus). Exact ``percentile`` over integer
+    lengths is bit-identical to quantile_cont (source_profile's proven
+    parity); the fences broadcast back as a 1-row cross join, and the
+    flag comparison happens on doubles both engines derived from the
+    same integers. Emits EVERY doc with its flag — the audit view a
+    gate filters on (and the oracle hash then pins all lengths, both
+    fences and every flag, not just a possibly-empty outlier set —
+    the generated corpus has none)."""
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    d = documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    fences = d.agg(
+        F.expr("percentile(n_tokens, array(0.25, 0.75))").alias("_q")
+    ).select(
+        F.col("_q")[0].alias("_q1"),
+        F.col("_q")[1].alias("_q3"),
+    )
+    return (
+        d.crossJoin(F.broadcast(fences))
+        .withColumn("lo_fence", F.expr(f"_q1 - {IQR_K} * (_q3 - _q1)"))
+        .withColumn("hi_fence", F.expr(f"_q3 + {IQR_K} * (_q3 - _q1)"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "lo_fence",
+            "hi_fence",
+            (
+                (F.col("n_tokens") < F.col("lo_fence"))
+                | (F.col("n_tokens") > F.col("hi_fence"))
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def build_length_outliers(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return length_outliers(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_LENGTH_OUTLIERS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+f AS (
+  SELECT quantile_cont(n_tokens, 0.25) AS q1,
+         quantile_cont(n_tokens, 0.75) AS q3
+  FROM d
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       f.q1 - {IQR_K} * (f.q3 - f.q1) AS lo_fence,
+       f.q3 + {IQR_K} * (f.q3 - f.q1) AS hi_fence,
+       (d.n_tokens < f.q1 - {IQR_K} * (f.q3 - f.q1)
+        OR d.n_tokens > f.q3 + {IQR_K} * (f.q3 - f.q1)) AS is_outlier
+FROM d, f
+"""

@@ -370,3 +370,16 @@ def test_brand_rules_confidence_and_lift(spark):
     assert abs(ab["lift"] - 0.8889) < 1e-9
     ba = out[("B", "A")]
     assert ba["n_both"] == 2 and abs(ba["lift"] - 0.8889) < 1e-9
+
+
+def test_length_outliers_flags_extremes(spark):
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.text import length_outliers
+
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=" ".join(["w"] * n), source="s")
+         for i, n in enumerate([50, 52, 48, 51, 49, 50, 53, 47, 5000])]
+    )
+    out = {r["doc_id"]: r for r in length_outliers(docs).collect()}
+    assert out[8]["is_outlier"] and not out[0]["is_outlier"]
+    assert sum(r["is_outlier"] for r in out.values()) == 1
