@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_affinity": _product.build_brand_affinity,
         "brand_rules": _product.build_brand_rules,
         "doc_length_outliers": _text.build_length_outliers,
+        "signup_to_purchase": _events.build_signup_to_purchase,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_affinity": _product.ORACLE_SQL_BRAND_AFFINITY,
         "brand_rules": _product.ORACLE_SQL_BRAND_RULES,
         "doc_length_outliers": _text.ORACLE_SQL_LENGTH_OUTLIERS,
+        "signup_to_purchase": _events.ORACLE_SQL_SIGNUP_TO_PURCHASE,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -891,3 +891,83 @@ FROM c
 """.format(
     _rd("CAST(n_events AS BIGINT)", "CAST(SUM(n_events) OVER () AS BIGINT)", 4)
 )
+
+
+# ------------------------------------------- time to conversion ---------
+def signup_to_purchase(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Time-to-event funnel timing: per weekly signup cohort — signup
+    volume, share converting to a purchase, and the exact interpolated
+    median delay (seconds, integer µs math ÷ rounded at 2dp). The
+    timing complement of events_funnel (step ordering) and
+    events_cohort_retention (activity persistence).
+
+    Per-user endpoints reduce the fact to |users| rows in ONE
+    aggregate (min over conditional timestamps — no self-join); the
+    cohort rollup is tiny. Median delay uses the proven exact
+    percentile parity; at 100 TB swap approx_percentile."""
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase_ts"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
+        .withColumn(
+            "delay_s",
+            F.expr(
+                "CASE WHEN first_purchase_ts >= signup_ts THEN "
+                "(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) "
+                "div 1000000 END"
+            ),
+        )
+    )
+    return (
+        per_user.groupBy(
+            F.to_date(F.date_trunc("week", F.col("signup_ts"))).alias(
+                "cohort_week"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.count("delay_s").cast("long").alias("n_converted"),
+            F.expr("percentile(delay_s, 0.5)").alias("p50_delay_s"),
+        )
+        .withColumn(
+            "conversion_rate", round_div("n_converted", "n_signups", 4)
+        )
+    )
+
+
+def build_signup_to_purchase(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return signup_to_purchase(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_SIGNUP_TO_PURCHASE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
+         CASE WHEN first_purchase_ts >= signup_ts THEN
+           (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) // 1000000
+         END AS delay_s
+  FROM per_user WHERE signup_ts IS NOT NULL
+)
+SELECT cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(COUNT(delay_s) AS BIGINT) AS n_converted,
+       quantile_cont(delay_s, 0.5) AS p50_delay_s,
+       {_rd("CAST(COUNT(delay_s) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)} AS conversion_rate
+FROM d GROUP BY cohort_week
+"""
