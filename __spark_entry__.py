@@ -104,8 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _temporal.build_transitions,
         # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
-        "order_bookends": _customer.build_bookends,
         "order_cadence": _customer.build_cadence,
+        # --- association mining ----------------------------------------
+        "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
         "regional_sales": _star.build_regional,
         "regional_rollup": _star.build_rollup,
@@ -129,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": _star.build_incremental_join_view,
         "ngram_novelty": _dedup.build_novelty,
         "supplier_analytics": _product.build_supplier_analytics,
-        "brand_affinity": _product.build_brand_affinity,
+        "order_bookends": _customer.build_bookends,
         "brand_rules": _product.build_brand_rules,
         "doc_length_outliers": _text.build_length_outliers,
         "signup_to_purchase": _events.build_signup_to_purchase,
