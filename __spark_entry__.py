@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_rules": _product.build_brand_rules,
         "doc_length_outliers": _text.build_length_outliers,
         "signup_to_purchase": _events.build_signup_to_purchase,
+        "customer_rfm": _customer.build_rfm,
+        "shipping_sla": _star.build_shipping_sla,
+        "user_rate_audit": _events.build_user_rate_audit,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -252,6 +255,9 @@ def oracle_sql() -> dict[str, str]:
         "brand_rules": _product.ORACLE_SQL_BRAND_RULES,
         "doc_length_outliers": _text.ORACLE_SQL_LENGTH_OUTLIERS,
         "signup_to_purchase": _events.ORACLE_SQL_SIGNUP_TO_PURCHASE,
+        "customer_rfm": _customer.ORACLE_SQL_RFM,
+        "shipping_sla": _star.ORACLE_SQL_SHIPPING_SLA,
+        "user_rate_audit": _events.ORACLE_SQL_USER_RATE,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.context import ANCHOR_SQL, DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions import final_price, is_weekend
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import money_fixed
@@ -365,3 +365,94 @@ SELECT o_custkey, first_order_date, last_order_date, n_orders,
          ORDER BY n_orders DESC, o_custkey) AS INT) AS cohort_order_rank
 FROM per_customer
 """
+
+
+# ------------------------------------------------- RFM segmentation -----
+RFM_BUCKETS = 5
+
+
+def customer_rfm(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """RFM segmentation: quintile scores for Recency (days since last
+    order, anchored on the injectable ctx date), Frequency (order
+    count) and Monetary (exact fixed-point spend), plus the composite
+    segment code. ``ntile`` runs over deterministic total orders —
+    every ORDER BY ends with c_custkey, so bucket boundaries are
+    engine-identical. One grouped aggregate then three windows over
+    the |customers| rows (tiny after the fact pre-shrink); the global
+    ntile windows are single-partition by design — ~O(customers) rows,
+    the documented safe case (README scale notes), and at true 100 TB
+    the swap is percentile-based cutpoints instead of ntile."""
+    anchor = F.lit(ctx.anchor_date.isoformat()).cast("date")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("_last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(money_fixed(F.col("o_totalprice"))).alias("_spend_c"),
+    )
+    d = per_cust.withColumn(
+        "recency_days", F.datediff(anchor, F.col("_last_order")).cast("long")
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("_spend_c").desc(), F.col("o_custkey").asc())
+    return (
+        d.withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r).cast("long"))
+        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f).cast("long"))
+        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m).cast("long"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            "frequency",
+            round_div("_spend_c", "10000", 2).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("rfm_segment"),
+        )
+    )
+
+
+def build_rfm(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return customer_rfm(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_RFM = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, {ANCHOR_SQL}) AS BIGINT)
+           AS recency_days,
+         frequency, spend_c
+  FROM per_cust
+),
+s AS (
+  SELECT *,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey)
+           AS BIGINT) AS r_score,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey)
+           AS BIGINT) AS f_score,
+         CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY spend_c DESC, o_custkey)
+           AS BIGINT) AS m_score
+  FROM d
+)
+SELECT o_custkey AS custkey, recency_days, frequency,
+       {{RD}} AS monetary,
+       r_score, f_score, m_score,
+       r_score || '-' || f_score || '-' || m_score AS rfm_segment
+FROM s
+"""
+ORACLE_SQL_RFM = ORACLE_SQL_RFM.replace(
+    "{RD}", round_div_expr("spend_c", "10000", 2, "duckdb")
+)

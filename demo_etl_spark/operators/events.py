@@ -971,3 +971,64 @@ SELECT cohort_week,
        {_rd("CAST(COUNT(delay_s) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)} AS conversion_rate
 FROM d GROUP BY cohort_week
 """
+
+
+# ------------------------------------------------- rate anomaly/bots ----
+BOT_EVENTS_PER_ACTIVE_MIN_X100 = 500  # flag above 5.00 events/active-min
+
+
+def user_rate_audit(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-user activity-rate audit: event volume, active span, and
+    events per active minute (exact 2dp), with a bot flag above the
+    threshold — the abuse/automation screen that runs before
+    engagement metrics are trusted. Rate compares in cross-multiplied
+    integer space (events·60·10⁶·100 vs τ·span_µs), so the flag never
+    touches a float; single-event users (span 0) are flagged only if
+    volume alone exceeds the per-minute threshold (they compare
+    against a 1-minute floor)."""
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros(F.col("ts"))).alias("_first_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("_last_us"),
+    )
+    span = "GREATEST(_last_us - _first_us, 60000000)"  # ≥ 1-minute floor
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST(({span}) div 1000000 AS BIGINT)").alias("active_span_s"),
+        round_div("n_events * 60000000", span, 2).alias("events_per_min"),
+        F.expr(
+            f"n_events * 6000000000 > {BOT_EVENTS_PER_ACTIVE_MIN_X100}"
+            f" * ({span})"
+        ).alias("is_bot_suspect"),
+    )
+
+
+def build_user_rate_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return user_rate_audit(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_USER_RATE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(epoch_us(ts)) AS first_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(GREATEST(last_us - first_us, 60000000) // 1000000 AS BIGINT)
+         AS active_span_s,
+       {{RD}} AS events_per_min,
+       n_events * 6000000000 > {BOT_EVENTS_PER_ACTIVE_MIN_X100}
+         * GREATEST(last_us - first_us, 60000000) AS is_bot_suspect
+FROM per_user
+"""
+ORACLE_SQL_USER_RATE = ORACLE_SQL_USER_RATE.replace(
+    "{RD}",
+    _rd("n_events * 60000000", "GREATEST(last_us - first_us, 60000000)", 2),
+)

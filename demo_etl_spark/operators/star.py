@@ -636,3 +636,64 @@ FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------- shipping SLA ------
+SLA_DAYS = 7
+
+
+def shipping_sla(
+    lineitem: DataFrame, orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-priority shipping SLA: share of orders whose FIRST line ships
+    within SLA_DAYS of the order date. Order-level compliance first
+    (min shipdate per order — partial+final agg on the join key the
+    fact pair already co-locates on), then a tiny per-priority rollup
+    with exact HALF_UP shares. The operational-monitoring complement of
+    the TPC-H Q12 shipping-mode split."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("_first_ship")
+    )
+    j = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).withColumn(
+        "_within",
+        (
+            F.datediff(F.col("_first_ship"), F.to_date("o_orderdate"))
+            <= SLA_DAYS
+        ).cast("long"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_within").alias("n_within_sla"),
+        )
+        .withColumn("sla_share", round_div("n_within_sla", "n_orders", 4))
+    )
+
+
+def build_shipping_sla(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return shipping_sla(t["lineitem"], t["orders"], ctx)
+
+
+ORACLE_SQL_SHIPPING_SLA = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), f.first_ship)
+                   <= {SLA_DAYS} THEN 1 ELSE 0 END AS within
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(within) AS BIGINT) AS n_within_sla,
+       {_rd("CAST(SUM(within) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)} AS sla_share
+FROM j GROUP BY 1
+"""
