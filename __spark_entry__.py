@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": _customer.build_rfm,
         "shipping_sla": _star.build_shipping_sla,
         "user_rate_audit": _events.build_user_rate_audit,
+        "events_props_typed": _events.build_props_typed_audit,
+        "market_concentration": _product.build_market_concentration,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -258,6 +260,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": _customer.ORACLE_SQL_RFM,
         "shipping_sla": _star.ORACLE_SQL_SHIPPING_SLA,
         "user_rate_audit": _events.ORACLE_SQL_USER_RATE,
+        "events_props_typed": _events.ORACLE_SQL_PROPS_TYPED,
+        "market_concentration": _product.ORACLE_SQL_CONCENTRATION,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

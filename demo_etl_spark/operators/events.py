@@ -1032,3 +1032,60 @@ ORACLE_SQL_USER_RATE = ORACLE_SQL_USER_RATE.replace(
     "{RD}",
     _rd("n_events * 60000000", "GREATEST(last_us - first_us, 60000000)", 2),
 )
+
+
+# ------------------------------------------- schema-applied JSON --------
+PROPS_SCHEMA = "k INT"
+
+
+def props_typed_audit(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """The schema-CHECKED JSON path (from_json + explicit schema) as a
+    parse audit per event type: how many payloads parse, how many lack
+    the field, and the field's range/total — the ingest gate that runs
+    before props_breakdown's schema-on-read analytics can be trusted.
+    ``from_json`` is a JVM expression (codegen, no Python); a payload
+    that fails to parse yields a NULL struct, a missing field a NULL
+    field — counted separately."""
+    parsed = events.withColumn("_p", F.from_json(F.col("props"), PROPS_SCHEMA))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.col("_p")).cast("long").alias("n_parsed"),
+            F.count(F.col("_p.k")).cast("long").alias("n_with_k"),
+            F.min(F.col("_p.k")).alias("min_k"),
+            F.max(F.col("_p.k")).alias("max_k"),
+            F.sum(F.col("_p.k").cast("long")).alias("sum_k"),
+        )
+        .withColumn("parse_rate", round_div("n_parsed", "n_events", 4))
+    )
+
+
+def build_props_typed_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return props_typed_audit(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_PROPS_TYPED = f"""
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN 1 END AS parsed,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       {{RD}} AS parse_rate
+FROM p GROUP BY 1
+"""
+ORACLE_SQL_PROPS_TYPED = ORACLE_SQL_PROPS_TYPED.replace(
+    "{RD}", _rd("CAST(COUNT(parsed) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)
+)

@@ -392,3 +392,82 @@ FROM pr
 JOIN per_brand pa ON pr.antecedent = pa.p_brand
 JOIN per_brand pc ON pr.consequent = pc.p_brand
 """
+
+
+# -------------------------------------------- market concentration ------
+def market_concentration(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    each supplier's revenue share in exact HALF_UP basis points, HHI =
+    Σ share_bp² (conventional 0–10,000 scale at 2dp after ÷10⁴) — the
+    antitrust-style concentration monitor, fully integer until the
+    final rounding so both engines agree bit-for-bit. Supplier revenue
+    aggregates on the bare key first; the nation total is a window over
+    the ~|suppliers| rows."""
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(money_fixed(fp)).alias("_rev_c"))
+        .join(supplier, F.col("l_suppkey") == supplier["s_suppkey"])
+        .join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "_rev_c")
+    )
+    w = Window.partitionBy("nation")
+    shared = rev.withColumn("_tot_c", F.sum("_rev_c").over(w)).withColumn(
+        # exact HALF_UP basis points: (rev·10⁴·2 + tot) div (2·tot)
+        "_share_bp",
+        F.expr("(_rev_c * 20000 + _tot_c) div (2 * _tot_c)"),
+    )
+    return (
+        shared.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.max("_tot_c").alias("_tot_c"),
+            F.sum(F.expr("_share_bp * _share_bp")).alias("_hhi_bp2"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            round_div("_tot_c", "10000", 2).alias("total_revenue"),
+            round_div("_hhi_bp2", "10000", 2).alias("hhi"),
+        )
+    )
+
+
+def build_market_concentration(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return market_concentration(t["lineitem"], t["supplier"], t["nation"], ctx)
+
+
+ORACLE_SQL_CONCENTRATION = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+           AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+),
+shared AS (
+  SELECT nation, rev_c,
+         SUM(rev_c) OVER (PARTITION BY nation) AS tot_c
+  FROM rev
+),
+bp AS (
+  SELECT nation, tot_c,
+         (rev_c * 20000 + tot_c) // (2 * tot_c) AS share_bp
+  FROM shared
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       {round_div_expr("MAX(tot_c)", "10000", 2, "duckdb")} AS total_revenue,
+       {round_div_expr("CAST(SUM(share_bp * share_bp) AS BIGINT)", "10000", 2, "duckdb")} AS hhi
+FROM bp GROUP BY nation
+"""
