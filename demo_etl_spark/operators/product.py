@@ -274,8 +274,12 @@ def brand_affinity(
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
-    # scalar total stays IN the plan (broadcast 1-row cross join) — no
-    # driver-side count(), keeping the module's zero-collect discipline
+    # scalar total stays IN the plan as a 1-row broadcast cross join —
+    # declared in the audit's intended list: a constant-key equi-join
+    # spelling folds back to a cross join anyway (FoldablePropagation
+    # rewrites lit-key equality to true), and a 1-row build side makes
+    # BroadcastNestedLoopJoin the optimal scalar attach. No driver-side
+    # count(), keeping the module's zero-collect discipline.
     total = lineitem.select(
         F.countDistinct("l_orderkey").alias("_total_orders")
     )

@@ -750,14 +750,14 @@ def length_outliers(
     the generated corpus has none)."""
     n_tokens = F.size(F.split(F.col("text"), " "))
     d = documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    fences = d.agg(
-        F.expr("percentile(n_tokens, array(0.25, 0.75))").alias("_q")
-    ).select(
-        F.col("_q")[0].alias("_q1"),
-        F.col("_q")[1].alias("_q3"),
-    )
+    # corpus fences via an unbounded window (percentile as a window
+    # aggregate) — same table, so no scalar-attach join is needed at
+    # all; the single-partition window runs over the already-projected
+    # (doc_id, n_tokens) rows, the documented safe case
+    wq = "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     return (
-        d.crossJoin(F.broadcast(fences))
+        d.withColumn("_q1", F.expr(f"percentile(n_tokens, 0.25) {wq}"))
+        .withColumn("_q3", F.expr(f"percentile(n_tokens, 0.75) {wq}"))
         .withColumn("lo_fence", F.expr(f"_q1 - {IQR_K} * (_q3 - _q1)"))
         .withColumn("hi_fence", F.expr(f"_q3 + {IQR_K} * (_q3 - _q1)"))
         .select(
