@@ -1035,7 +1035,7 @@ ORACLE_SQL_USER_RATE = ORACLE_SQL_USER_RATE.replace(
 
 
 # ------------------------------------------- schema-applied JSON --------
-PROPS_SCHEMA = "k INT"
+PROPS_SCHEMA = "k INT, _corrupt STRING"
 
 
 def props_typed_audit(
@@ -1045,15 +1045,27 @@ def props_typed_audit(
     parse audit per event type: how many payloads parse, how many lack
     the field, and the field's range/total — the ingest gate that runs
     before props_breakdown's schema-on-read analytics can be trusted.
-    ``from_json`` is a JVM expression (codegen, no Python); a payload
-    that fails to parse yields a NULL struct, a missing field a NULL
-    field — counted separately."""
-    parsed = events.withColumn("_p", F.from_json(F.col("props"), PROPS_SCHEMA))
+    ``from_json`` is a JVM expression (codegen, no Python). PERMISSIVE
+    mode yields an ALL-NULL-FIELDS struct for malformed payloads (not a
+    NULL struct), so parse failure is detected the supported way: a
+    corrupt-record column in the schema, populated only on failure
+    (pytest pins this on a malformed payload; the oracle's json_valid
+    is the same predicate)."""
+    parsed = events.withColumn(
+        "_p",
+        F.from_json(
+            F.col("props"),
+            PROPS_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
     return (
         parsed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.count(F.col("_p")).cast("long").alias("n_parsed"),
+            F.count(F.when(F.col("_p._corrupt").isNull(), 1))
+            .cast("long")
+            .alias("n_parsed"),
             F.count(F.col("_p.k")).cast("long").alias("n_with_k"),
             F.min(F.col("_p.k")).alias("min_k"),
             F.max(F.col("_p.k")).alias("max_k"),

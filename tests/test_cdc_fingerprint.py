@@ -383,3 +383,24 @@ def test_length_outliers_flags_extremes(spark):
     out = {r["doc_id"]: r for r in length_outliers(docs).collect()}
     assert out[8]["is_outlier"] and not out[0]["is_outlier"]
     assert sum(r["is_outlier"] for r in out.values()) == 1
+
+
+def test_props_typed_audit_counts_malformed_payloads(spark):
+    """from_json yields NULL structs for broken JSON and NULL fields for
+    absent keys — the audit must count all three states separately."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.events import props_typed_audit
+
+    ev = spark.createDataFrame([
+        R(event_id=1, ts=_ts(0), user_id=1, event_type="view",
+          value=0.0, props='{"k": 5}'),
+        R(event_id=2, ts=_ts(1), user_id=1, event_type="view",
+          value=0.0, props='not json at all'),
+        R(event_id=3, ts=_ts(2), user_id=1, event_type="view",
+          value=0.0, props='{"other": 1}'),
+    ])
+    row = props_typed_audit(ev).collect()[0]
+    assert row["n_events"] == 3
+    assert row["n_parsed"] == 2          # broken payload -> NULL struct
+    assert row["n_with_k"] == 1          # {"other":1} parses but k NULL
+    assert row["min_k"] == 5 and row["max_k"] == 5 and row["sum_k"] == 5
