@@ -24,6 +24,7 @@ from demo_etl_spark.operators import asset as _asset
 from demo_etl_spark.operators import bucketed as _bucketed
 from demo_etl_spark.operators import cdc as _cdc
 from demo_etl_spark.operators import fingerprint as _fingerprint
+from demo_etl_spark.operators import graph as _graph
 from demo_etl_spark.operators import curation as _curation
 from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rate_audit": _events.build_user_rate_audit,
         "events_props_typed": _events.build_props_typed_audit,
         "market_concentration": _product.build_market_concentration,
+        "part_pagerank": _graph.build_pagerank,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "user_rate_audit": _events.ORACLE_SQL_USER_RATE,
         "events_props_typed": _events.ORACLE_SQL_PROPS_TYPED,
         "market_concentration": _product.ORACLE_SQL_CONCENTRATION,
+        "part_pagerank": _graph.ORACLE_SQL_PAGERANK,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,

@@ -1,0 +1,133 @@
+"""Graph analytics over the purchase data (north-star extension).
+
+PageRank over the part co-purchase graph: nodes are parts, with a
+directed edge a→b whenever a and b appear in the same order (both
+directions, distinct edges). Two power iterations with damping 0.85 —
+the classic importance propagation (Brin/Page '98, public algorithm),
+unrolled so the oracle is two chained CTEs rather than recursion.
+
+Exactness discipline: scores live in 1e-6 fixed-point BIGINTs and every
+division is integer `div` (truncation toward zero — all quantities
+non-negative, so floor; identical in DuckDB as `//`). That makes the
+per-edge contribution `pr div outdeg` and the damped update
+`0.15 + 0.85·Σcontrib` bit-identical across engines — floating PageRank
+could drift in the last ulp per iteration and diverge hashes.
+
+Scale shape: edges build from the DISTINCT (order, part) grid (fanout
+bounded by parts-per-order², single digits squared — not lines²);
+each iteration is one shuffle on dst (groupBy) plus an edge⋈score join
+on src — the standard Pregel-as-joins layout. More iterations = more
+of the same stages; at 100 TB you'd checkpoint every few iterations
+exactly like dedup_clusters' label propagation does.
+
+Reference: no counterpart (the reference has no graph surface); the
+iterative-operator discipline mirrors dedup.dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.io import load_star
+
+PR_SCALE = 1_000_000  # 1e-6 fixed-point score units
+DAMP_NUM = 850_000  # 0.85 in score units
+BASE_NUM = 150_000  # 0.15 in score units
+N_ITER = 2
+
+
+def _edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges (src ≠ dst) + src out-degree."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    return e.join(deg, "src")
+
+
+def part_pagerank(
+    lineitem: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """(part, outdeg, pagerank) after N_ITER damped power iterations.
+
+    Nodes with no outgoing edges cannot exist here (co-purchase edges
+    are symmetric), and isolated parts (never co-purchased) are not
+    nodes — standard for co-occurrence graphs.
+    """
+    edges = _edges(lineitem)
+    nodes = edges.select(F.col("src").alias("part"), "outdeg").distinct()
+    pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(pr.select(F.col("part").alias("src"), "pr"), "src")
+            .withColumn("_c", F.expr("pr div outdeg"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pr = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("part"), "_in"),
+                "part",
+                "left",
+            )
+            .withColumn(
+                "pr",
+                F.expr(
+                    f"{BASE_NUM} + ({DAMP_NUM} * coalesce(_in, 0))"
+                    f" div {PR_SCALE}"
+                ).cast("long"),
+            )
+            .select("part", "outdeg", "pr")
+        )
+    return pr.select(
+        "part", "outdeg", F.col("pr").alias("pagerank_e6")
+    )
+
+
+def build_pagerank(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return part_pagerank(load_star(spark, sf_dir)["lineitem"], ctx)
+
+
+ORACLE_SQL_PAGERANK = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+pr0 AS (SELECT src AS part, outdeg, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
+in1 AS (
+  SELECT e.dst, SUM(p.pr // d.outdeg) AS s
+  FROM e JOIN pr0 p ON e.src = p.part JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT p.part, p.outdeg,
+         CAST({BASE_NUM} + ({DAMP_NUM} * COALESCE(i.s, 0)) // {PR_SCALE}
+           AS BIGINT) AS pr
+  FROM pr0 p LEFT JOIN in1 i ON p.part = i.dst
+),
+in2 AS (
+  SELECT e.dst, SUM(p.pr // d.outdeg) AS s
+  FROM e JOIN pr1 p ON e.src = p.part JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT p.part, p.outdeg,
+         CAST({BASE_NUM} + ({DAMP_NUM} * COALESCE(i.s, 0)) // {PR_SCALE}
+           AS BIGINT) AS pr
+  FROM pr1 p LEFT JOIN in2 i ON p.part = i.dst
+)
+SELECT part, outdeg, pr AS pagerank_e6 FROM pr2
+"""

@@ -404,3 +404,20 @@ def test_props_typed_audit_counts_malformed_payloads(spark):
     assert row["n_parsed"] == 2          # broken payload -> NULL struct
     assert row["n_with_k"] == 1          # {"other":1} parses but k NULL
     assert row["min_k"] == 5 and row["max_k"] == 5 and row["sum_k"] == 5
+
+
+def test_part_pagerank_two_iterations_by_hand(spark):
+    """Tiny graph, hand-computed: orders {A,B} and {A,C} give edges
+    A<->B, A<->C (outdeg A=2, B=C=1). After two damped fixed-point
+    iterations: A=1,127,500; B=C=936,250 (e-6 units)."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.graph import part_pagerank
+
+    li = spark.createDataFrame([
+        R(l_orderkey=1, l_partkey=1), R(l_orderkey=1, l_partkey=2),
+        R(l_orderkey=2, l_partkey=1), R(l_orderkey=2, l_partkey=3),
+    ])
+    out = {r["part"]: r for r in part_pagerank(li).collect()}
+    assert out[1]["outdeg"] == 2 and out[1]["pagerank_e6"] == 1_127_500
+    assert out[2]["pagerank_e6"] == 936_250 == out[3]["pagerank_e6"]
+    assert out[2]["outdeg"] == 1
