@@ -1,0 +1,125 @@
+"""LLM-training-data workflow CLI — run_all.py's twin for the extension
+surface.
+
+Chains the corpus pipeline end-to-end over the documents table, with
+run_all.py's stage discipline (each stage materialized, verified
+non-empty via _SUCCESS + count, and lineage-tracked):
+
+  1. curate   — exact dedup → MinHash-LSH near-dup removal → quality
+                gate → language policy (operators.curation)
+  2. fingerprint — winnowing fingerprints of the SURVIVING docs
+                (operators.fingerprint) — the downstream copy-detection
+                index a serving system keeps
+  3. split    — deterministic train/val/test assignment
+                (operators.curation.train_split), written partitioned
+                by split so consumers prune
+  4. chunk    — overlapping token-window chunks of the TRAIN split only
+                (operators.text.chunk_documents) — the tensor-feed stage
+
+    python run_curation.py [--sf-dir DIR] [--work-dir DIR] [--job-id ID]
+
+Scale notes: every stage is one of the registered oracle-checked
+operators — the CLI adds orchestration, not new semantics; stage
+boundaries are parquet materializations exactly like the reference's
+job1→job2 handoff, so any stage can restart from the previous
+artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import sys
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _stage(n: int, msg: str) -> None:
+    print(f"\n=== Stage {n}: {msg} ===", flush=True)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--work-dir", default="/tmp/demo_etl_spark_curation")
+    ap.add_argument("--job-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark import io
+    from demo_etl_spark.context import RunContext
+    from demo_etl_spark.lineage import LineageTracker
+    from demo_etl_spark.operators import curation, dedup, fingerprint, text
+    from demo_etl_spark.session import get_spark
+
+    job_id = args.job_id or str(uuid.uuid4())
+    ctx = RunContext(job_id=job_id, job_timestamp=dt.datetime.now())
+    work = args.work_dir.rstrip("/")
+    spark = get_spark(f"curation-{job_id[:8]}")
+    spark.sparkContext.setLogLevel("ERROR")
+    tracker = LineageTracker(ctx)
+    src = args.sf_dir
+    print(f"workflow id: {job_id}\ncorpus:      {src}\nwork dir:    {work}")
+
+    def checked_write(df, name: str) -> tuple[str, int]:
+        path = f"{work}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        n = io.verify_output(spark, path)
+        print(f"  {name}: {n} rows at {path}")
+        return path, n
+
+    # ---- Stage 1: curation --------------------------------------------
+    _stage(1, "curate corpus (dedup -> near-dup -> quality -> language)")
+    docs = io.read_star_table(spark, src, "documents")
+    n_raw = docs.count()
+    curated = curation.curate_corpus(
+        docs, ctx, minhash_index=dedup._cached_index(
+            spark, src, dedup.MAX_SHINGLE_DF)
+    )
+    curated_path, n_curated = checked_write(curated, "curated")
+    tracker.log("corpus curation", [f"{src}/documents.parquet"],
+                   curated_path, n_curated)
+    print(f"  kept {n_curated}/{n_raw} docs")
+
+    # ---- Stage 2: fingerprints ----------------------------------------
+    _stage(2, "winnowing fingerprints of survivors")
+    kept = docs.join(
+        spark.read.parquet(curated_path).select("doc_id"), "doc_id"
+    )
+    fps = fingerprint.winnow_fingerprints(kept, ctx)
+    fp_path, n_fps = checked_write(fps, "fingerprints")
+    tracker.log("winnowing fingerprints", [curated_path], fp_path, n_fps)
+
+    # ---- Stage 3: train/val/test split --------------------------------
+    _stage(3, "deterministic train/val/test split (partitioned)")
+    split = curation.train_split(kept, ctx)
+    split_path = f"{work}/splits"
+    split.write.mode("overwrite").partitionBy("split").parquet(split_path)
+    n_split = io.verify_output(spark, split_path)
+    print(f"  splits: {n_split} rows at {split_path}")
+    tracker.log("train split", [curated_path], split_path, n_split)
+
+    # ---- Stage 4: chunk the train split -------------------------------
+    _stage(4, "token-window chunks of the train split")
+    train_ids = spark.read.parquet(split_path).filter(
+        F.col("split") == "train").select("doc_id")
+    chunks = text.chunk_documents(docs.join(train_ids, "doc_id"), ctx)
+    chunk_path, n_chunks = checked_write(chunks, "train_chunks")
+    tracker.log("train chunking", [split_path], chunk_path, n_chunks)
+
+    dot = tracker.write_dot(f"{work}/curation_lineage_{job_id}.dot")
+    print(f"\nlineage events ({len(tracker.events)}):")
+    for ev in tracker.events:
+        print(f"  LINEAGE: {ev.description}: "
+              f"{', '.join(ev.inputs)} -> {ev.output}")
+    print(f"DOT graph: {dot}")
+    print(f"\nworkflow {job_id} complete: curated={n_curated} "
+          f"fingerprints={n_fps} chunks={n_chunks}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -285,3 +285,31 @@ def test_fixtures_deterministic(spark):
     )
     status = {r["status"] for r in a["customers"].collect()}
     assert status <= {"active", "inactive"}
+
+
+def test_run_curation_workflow_end_to_end(spark, tmp_path):
+    """The LLM-data workflow CLI chains curate -> fingerprint -> split
+    -> chunk with verified materializations and lineage, mirroring
+    run_all.py's stage discipline on the extension surface."""
+    import run_curation
+
+    work = str(tmp_path / "cur")
+    rc = run_curation.main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--work-dir", work, "--job-id", "pytest-cur",
+    ])
+    assert rc == 0
+    curated = spark.read.parquet(f"{work}/curated")
+    splits = spark.read.parquet(f"{work}/splits")
+    fps = spark.read.parquet(f"{work}/fingerprints")
+    chunks = spark.read.parquet(f"{work}/train_chunks")
+    n_cur = curated.count()
+    assert 0 < n_cur < 500  # the gates actually dropped docs
+    assert splits.count() == n_cur  # split covers exactly the survivors
+    # fingerprints and chunks only reference surviving docs
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert {r["doc_id"] for r in fps.select("doc_id").distinct().collect()} <= ids
+    assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} <= ids
+    assert chunks.count() > 0
+    import glob
+    assert glob.glob(f"{work}/curation_lineage_*.dot")
