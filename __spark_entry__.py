@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal -------------------------------------------------
         "multimodal_features": _multimodal.build_features_checked,
         "multimodal_frames": _multimodal.build_frames,
+        "multimodal_audio": _multimodal.build_audio_features,
         # --- event analytics + streaming --------------------------------
         "events_pivot": _events.build_pivot,
         "events_session": _events.build_session,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
+        "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,

@@ -329,3 +329,79 @@ SELECT media_id,
        md5(substr(p, frame_offset + 1, {FRAME_SAMPLE_EVERY})) AS frame_hash
 FROM offsets
 """
+
+
+# ----------------------------------------------------- audio branch -----
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("peak_amplitude", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Waveform features for the audio rows: treat the decoded raster
+    bytes as centered 8-bit PCM (sample = byte − 128) and extract
+    n_samples / peak amplitude / energy (exact integer sum of squares —
+    no float RMS, so the oracle matches bit-for-bit). Same Arrow
+    mapInPandas batch shape as the image branch, same real decode
+    (decode_pgm strips the container header); swap in soundfile/libav
+    for real codecs — the Spark-side plumbing is identical."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, peaks, energies = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raster = decode_pgm(payload)[2]
+                s = np.frombuffer(raster, dtype=np.uint8).astype(np.int64) - 128
+                ids.append(mid)
+                ns.append(len(s))
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+                energies.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "peak_amplitude": pd.array(peaks, dtype="int32"),
+                    "energy": pd.array(energies, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, AUDIO_SCHEMA
+    )
+
+
+def build_audio_features(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    docs = load_star(spark, sf_dir)["documents"]
+    return audio_features(synthesize_media(docs))
+
+
+# the oracle rebuilds the raster directly (rpad truncates identically in
+# both engines) and recomputes the integer features per sample
+ORACLE_SQL_AUDIO = f"""
+WITH m AS (
+  SELECT doc_id,
+         rpad(coalesce(text, ''),
+              CAST(({_W_EXPR}) * ({_H_EXPR}) AS INTEGER), ' ') AS raster
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id,
+         list_transform(range(1, len(raster) + 1),
+                        i -> ascii(substr(raster, i, 1)) - 128) AS v
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(len(v) AS INTEGER) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INTEGER)
+         AS peak_amplitude,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
+FROM s
+"""
