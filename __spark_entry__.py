@@ -111,12 +111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
         "regional_sales": _star.build_regional,
-        "regional_rollup": _star.build_rollup,
         "order_value_distribution": _star.build_distribution,
         # --- physical-layout lever -------------------------------------
         "bucketed_order_join": _bucketed.build_bucketed_join,
         # ================= driver window boundary (50) =================
         # variants of families already covered above
+        "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
         "lang_profile": _text.build_profile,

@@ -13,11 +13,23 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
-from demo_etl_spark.io import read_star_table
+from demo_etl_spark.io import clear_scan_cache, read_star_table
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _cold_scans():
+    # cache=False alone is not enough: Spark's CacheManager substitutes a
+    # persisted plan for ANY matching logical scan, so a suite-warmed scan
+    # cache turns these FileScans into InMemoryTableScans and hides the
+    # pushdown/pruning facts. Drop every tracked persist first; later
+    # tests re-warm lazily.
+    clear_scan_cache()
+    yield
 
 
 def _plan(df) -> str:
