@@ -36,8 +36,8 @@ from demo_etl_spark.io import load_star, register_persist
 
 #: per-(application, sf_dir) memo of the persisted edge set — the same
 #: amortization the dedup family applies to its shingle index: the
-#: co-purchase self-join is the expensive one-time stage (~15 s at
-#: sf0.1); every later pagerank call reuses it (~1.4 s measured)
+#: pair-grid explode + distinct is the expensive one-time stage (~4 s
+#: at sf0.1, the whole query ~8 s cold); later calls skip it
 _EDGE_CACHE: dict = {}
 
 PR_SCALE = 1_000_000  # 1e-6 fixed-point score units
@@ -47,18 +47,25 @@ N_ITER = 2
 
 
 def _edges(lineitem: DataFrame) -> DataFrame:
-    """Distinct directed co-purchase edges (src ≠ dst) + src out-degree."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    e = (
-        a.join(b, "ok")
+    """Distinct directed co-purchase edges (src ≠ dst), no degree column.
+
+    Built by grouping the order's part set and exploding the pair grid —
+    one shuffle (groupBy order) + one distinct, instead of the
+    distinct + self-join + distinct of the naive shape. collect_set
+    holds only parts-per-order in memory (single digits here; bounded
+    by basket size at any scale). Out-degree deliberately stays OFF the
+    edge table: it lives on the ~|parts| node table instead, so the
+    persisted edge set is 2 longs/row and the degree join never
+    re-shuffles the edges."""
+    grp = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    return (
+        grp.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    return e.join(deg, "src")
 
 
 def part_pagerank(
@@ -77,12 +84,29 @@ def part_pagerank(
 
 
 def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
-    nodes = edges.select(F.col("src").alias("part"), "outdeg").distinct()
+    # One row per node (~|parts|, tiny next to the edge set). Eager
+    # localCheckpoint truncates the lineage so the groupBy over the
+    # edges runs exactly once — unrolled iterations otherwise re-execute
+    # every upstream consumer (measured 3× a 2.4M-row shuffle here).
+    nodes = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .withColumnRenamed("src", "part")
+        .localCheckpoint()
+    )
     pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
     for _ in range(N_ITER):
+        # pr div outdeg is constant per src, so compute it on the node
+        # table BEFORE touching the edges: the big join then carries one
+        # small side (AQE broadcasts it) and the edge set is never
+        # re-shuffled. On a cluster where even the node table outgrows
+        # broadcast, this degrades to a shuffle join on src — still one
+        # shuffle per iteration, the standard Pregel layout.
+        contrib_src = pr.select(
+            F.col("part").alias("src"), F.expr("pr div outdeg").alias("_c")
+        )
         contrib = (
-            edges.join(pr.select(F.col("part").alias("src"), "pr"), "src")
-            .withColumn("_c", F.expr("pr div outdeg"))
+            edges.join(contrib_src, "src")
             .groupBy("dst")
             .agg(F.sum("_c").alias("_in"))
         )
@@ -100,6 +124,10 @@ def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
                 ).cast("long"),
             )
             .select("part", "outdeg", "pr")
+            # per-iteration checkpoint: pr is consumed twice by the next
+            # level (contrib + the left join), which doubles the DAG per
+            # iteration without it — same discipline as dedup_clusters
+            .localCheckpoint()
         )
     return pr.select("part", "outdeg", F.col("pr").alias("pagerank_e6"))
 
