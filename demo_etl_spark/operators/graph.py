@@ -132,15 +132,19 @@ def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
     return pr.select("part", "outdeg", F.col("pr").alias("pagerank_e6"))
 
 
-def build_pagerank(
-    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
-) -> DataFrame:
+def _cached_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     edges = _EDGE_CACHE.get(key)
     if edges is None:
         edges = register_persist(_edges(load_star(spark, sf_dir)["lineitem"]))
         _EDGE_CACHE[key] = edges
-    return _pagerank_from_edges(edges)
+    return edges
+
+
+def build_pagerank(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return _pagerank_from_edges(_cached_edges(spark, sf_dir))
 
 
 ORACLE_SQL_PAGERANK = f"""
@@ -175,4 +179,143 @@ pr2 AS (
   FROM pr1 p LEFT JOIN in2 i ON p.part = i.dst
 )
 SELECT part, outdeg, pr AS pagerank_e6 FROM pr2
+"""
+
+
+# ------------------------------------------------- triangle counting ----
+CC_SCALE = 1_000_000  # 1e-6 fixed-point clustering coefficient
+
+
+def copurchase_triangles(edges: DataFrame) -> DataFrame:
+    """Per-part triangle count + local clustering coefficient.
+
+    Degree-ordered orientation (the classic sub-quadratic trick: point
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one). Each triangle then appears exactly once — as two
+    out-edges of its deg-order-minimum vertex plus the closing edge —
+    and per-node out-degree is bounded by O(√m), so hub nodes generate
+    no work (their edges all point INTO them).
+
+    Execution shape: instead of materializing the Σ outdeg² wedge set
+    and shuffling it against the edge table (72M intermediate rows at
+    sf0.1 — measured 40 s), each oriented edge (u,v) intersects the two
+    out-neighbor ARRAYS: triangles through the edge = N⁺(u) ∩ N⁺(v).
+    The adjacency table is node-sized (AQE broadcasts it onto the
+    edges), the intersection is a per-row JVM array op, and the only
+    rows ever materialized beyond the edges are the triangles
+    themselves. Array width is bounded by the orientation's O(√m)
+    out-degree cap, so executor memory per row stays bounded at any
+    scale.
+
+    Exactness: clustering coefficient is 2·tri·1e6 div deg(deg−1) in
+    BIGINT space (truncating div, same discipline as the pagerank
+    scores) — bit-identical across engines. tri ≤ deg²/2 keeps
+    2·tri·1e6 < 2⁶³ for deg up to ~10⁶.
+
+    Reference: no counterpart (no graph surface); public algorithm
+    (degree-ordered / compact-forward triangle listing, cf. Latapy
+    2008).
+    """
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .withColumnRenamed("src", "part")
+        .localCheckpoint()
+    )
+    du = deg.select(F.col("part").alias("src"), F.col("deg").alias("deg_src"))
+    dv = deg.select(F.col("part").alias("dst"), F.col("deg").alias("deg_dst"))
+    # orientation: keep (u, v, deg_v); the deg tables are node-sized so
+    # AQE broadcasts them onto the edge set (edges never re-shuffle here)
+    e_or = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .filter(
+            (F.col("deg_src") < F.col("deg_dst"))
+            | (
+                (F.col("deg_src") == F.col("deg_dst"))
+                & (F.col("src") < F.col("dst"))
+            )
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint()
+    )
+    adj = (
+        e_or.groupBy("u")
+        .agg(F.collect_set("v").alias("nbrs"))
+        .localCheckpoint()
+    )
+    adj_u = adj.select("u", F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # inner joins drop edges whose endpoint has no out-neighbors — those
+    # close no triangle, and the final left join restores every part
+    tri = (
+        e_or.join(adj_u, "u")
+        .join(adj_v, "v")
+        .select(
+            "u",
+            "v",
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+    )
+    per_part = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_part, "part", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0).cast("long")))
+        .select(
+            "part",
+            F.col("deg").alias("degree"),
+            "triangles",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(f"(2 * triangles * {CC_SCALE}) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_e6"),
+        )
+    )
+
+
+def build_triangles(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return copurchase_triangles(_cached_edges(spark, sf_dir))
+
+
+ORACLE_SQL_TRIANGLES = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+eo AS (
+  SELECT e.src AS u, e.dst AS v, dv.deg AS deg_v
+  FROM e JOIN deg du ON e.src = du.part JOIN deg dv ON e.dst = dv.part
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.src < e.dst)
+),
+w AS (
+  SELECT x.u, x.v AS b, y.v AS c
+  FROM eo x JOIN eo y ON x.u = y.u
+  WHERE x.deg_v < y.deg_v OR (x.deg_v = y.deg_v AND x.v < y.v)
+),
+tri AS (SELECT w.u, w.b, w.c FROM w JOIN eo z ON w.b = z.u AND w.c = z.v),
+p3 AS (
+  SELECT u AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS triangles FROM p3 GROUP BY 1)
+SELECT d.part, d.deg AS degree,
+       COALESCE(c.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CAST(CASE WHEN d.deg >= 2
+            THEN (2 * COALESCE(c.triangles, 0) * {CC_SCALE})
+                 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS clustering_e6
+FROM deg d LEFT JOIN cnt c ON d.part = c.part
 """

@@ -421,3 +421,27 @@ def test_part_pagerank_two_iterations_by_hand(spark):
     assert out[1]["outdeg"] == 2 and out[1]["pagerank_e6"] == 1_127_500
     assert out[2]["pagerank_e6"] == 936_250 == out[3]["pagerank_e6"]
     assert out[2]["outdeg"] == 1
+
+
+def test_part_triangles_by_hand(spark):
+    """Orders {1,2,3} (a triangle) and {3,4} (a pendant edge).
+    Degrees: 1=2, 2=2, 3=3, 4=1. One triangle touching parts 1,2,3.
+    Clustering: parts 1,2 -> 2*1e6/(2*1) = 1e6 (their only possible
+    wedge closes); part 3 -> 2*1e6/(3*2) = 333,333 (truncating div);
+    part 4 -> 0 (degree < 2)."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.io import register_persist
+    from demo_etl_spark.operators.graph import _edges, copurchase_triangles
+
+    li = spark.createDataFrame([
+        R(l_orderkey=1, l_partkey=1), R(l_orderkey=1, l_partkey=2),
+        R(l_orderkey=1, l_partkey=3),
+        R(l_orderkey=2, l_partkey=3), R(l_orderkey=2, l_partkey=4),
+    ])
+    out = {r["part"]: r for r in
+           copurchase_triangles(register_persist(_edges(li))).collect()}
+    assert {p: r["degree"] for p, r in out.items()} == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert {p: r["triangles"] for p, r in out.items()} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert out[1]["clustering_e6"] == 1_000_000 == out[2]["clustering_e6"]
+    assert out[3]["clustering_e6"] == 333_333
+    assert out[4]["clustering_e6"] == 0
