@@ -222,3 +222,133 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
 FROM tagged
 QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _pri DESC) = 1
 """
+
+
+# ---------------------------------------------------- snapshot diff ----
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two table snapshots: ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` per key, plus how many compared columns
+    differ and both versions of every compared column (``old_*`` /
+    ``new_*``).
+
+    The audit a lake needs after any MERGE/backfill/migration: what did
+    the new snapshot actually do? One full-outer join on the key — the
+    same single shuffle a keyed merge costs, no amplification, skew
+    handled by AQE. Presence is tracked with explicit flags (a row whose
+    compared columns are all NULL is still 'present'), and value
+    comparison is null-safe (``<=>``), so NULL→value and value→NULL both
+    count as changes.
+
+    Reference: extends the reference's count-only write verification
+    (generate-asset.scala:333-338) to a per-row, per-column contract.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    n_changed = sum(
+        (~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))).cast("int")
+        for c in compare_cols
+    )
+    matched = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    n_changed = F.when(matched, n_changed).otherwise(F.lit(0))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(n_changed > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols,
+        status.alias("diff_status"),
+        n_changed.cast("int").alias("n_changed_cols"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
+#: deterministic snapshot divergence for the registered exercise:
+#: the old snapshot is missing keys ≡0 (mod 23) (late-arriving rows →
+#: 'added'), the new snapshot drops keys ≡0 (mod 29) (archived rows →
+#: 'removed'), and open orders carry the repriced o_totalprice
+#: ('changed'); everything else is 'unchanged'.
+_DIFF_OLD_MOD = 23
+_DIFF_NEW_MOD = 29
+
+
+def build_snapshot_diff(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    orders = load_star(spark, sf_dir)["orders"]
+    old = orders.filter(F.col("o_orderkey") % _DIFF_OLD_MOD != 0)
+    new = build_merge_upsert(spark, sf_dir, ctx).filter(
+        F.col("o_orderkey") % _DIFF_NEW_MOD != 0
+    )
+    d = snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    )
+    return d.select(
+        "o_orderkey",
+        "diff_status",
+        "n_changed_cols",
+        "old_o_totalprice",
+        "new_o_totalprice",
+    )
+
+
+ORACLE_SQL_SNAPSHOT_DIFF = f"""
+WITH merged AS ({ORACLE_SQL_MERGE_UPSERT}),
+o AS (
+  SELECT * FROM orders WHERE o_orderkey % {_DIFF_OLD_MOD} <> 0
+),
+n AS (
+  SELECT * FROM merged WHERE o_orderkey % {_DIFF_NEW_MOD} <> 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_custkey AS old_custkey, n.o_custkey AS new_custkey,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         o.o_orderdate AS old_date, n.o_orderdate AS new_date,
+         o.o_orderpriority AS old_prio, n.o_orderpriority AS new_prio
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+),
+scored AS (
+  SELECT *,
+         CASE WHEN in_old AND in_new THEN
+              CAST(old_custkey IS DISTINCT FROM new_custkey AS INTEGER)
+            + CAST(old_status IS DISTINCT FROM new_status AS INTEGER)
+            + CAST(old_price IS DISTINCT FROM new_price AS INTEGER)
+            + CAST(old_date IS DISTINCT FROM new_date AS INTEGER)
+            + CAST(old_prio IS DISTINCT FROM new_prio AS INTEGER)
+         ELSE 0 END AS n_changed_cols
+  FROM j
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN n_changed_cols > 0 THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       n_changed_cols,
+       old_price AS old_o_totalprice,
+       new_price AS new_o_totalprice
+FROM scored
+"""

@@ -445,3 +445,28 @@ def test_part_triangles_by_hand(spark):
     assert out[1]["clustering_e6"] == 1_000_000 == out[2]["clustering_e6"]
     assert out[3]["clustering_e6"] == 333_333
     assert out[4]["clustering_e6"] == 0
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """Keys: 1 unchanged, 2 changed (value), 3 removed, 4 added,
+    5 changed (NULL -> value counts via null-safe compare), and a row
+    whose compared column is NULL on BOTH sides stays unchanged."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([
+        R(k=1, a=10, b="x"), R(k=2, a=20, b="y"), R(k=3, a=30, b="z"),
+        R(k=5, a=None, b="q"), R(k=6, a=None, b="w"),
+    ])
+    new = spark.createDataFrame([
+        R(k=1, a=10, b="x"), R(k=2, a=21, b="y2"), R(k=4, a=40, b="n"),
+        R(k=5, a=50, b="q"), R(k=6, a=None, b="w"),
+    ])
+    out = {r["k"]: r for r in
+           snapshot_diff(old, new, ["k"], ["a", "b"]).collect()}
+    assert out[1]["diff_status"] == "unchanged" and out[1]["n_changed_cols"] == 0
+    assert out[2]["diff_status"] == "changed" and out[2]["n_changed_cols"] == 2
+    assert out[3]["diff_status"] == "removed" and out[3]["new_a"] is None
+    assert out[4]["diff_status"] == "added" and out[4]["old_a"] is None
+    assert out[5]["diff_status"] == "changed" and out[5]["n_changed_cols"] == 1
+    assert out[6]["diff_status"] == "unchanged"
