@@ -42,8 +42,20 @@ def main() -> None:
 
     for df in load_star(spark, sf_dir).values():
         df.count()
+    # Python-worker pool warm-up: the first mapInPandas/applyInPandas
+    # query otherwise absorbs the one-time daemon spin-up (~10 s across
+    # 32 cores) into its own number. One trivial Arrow round-trip per
+    # core makes every per-query figure measure the query.
+    (
+        spark.range(cpus)
+        .repartition(cpus)
+        .mapInPandas(lambda it: it, "id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
     warm_s = round(time.perf_counter() - t0, 3)
-    print(f"bench: scan-cache warm-up {warm_s}s", file=sys.stderr, flush=True)
+    print(f"bench: warm-up (scan cache + Python pool) {warm_s}s", file=sys.stderr, flush=True)
     def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
