@@ -470,3 +470,46 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     assert out[4]["diff_status"] == "added" and out[4]["old_a"] is None
     assert out[5]["diff_status"] == "changed" and out[5]["n_changed_cols"] == 1
     assert out[6]["diff_status"] == "unchanged"
+
+
+def test_snapshot_diff_properties(spark):
+    """Property test: for ANY pair of keyed snapshots, (a) statuses
+    partition the key union, (b) diff(x, x) is all-unchanged, (c) added
+    + removed counts equal the key-set differences, and (d) swapping
+    old/new swaps added<->removed and preserves changed/unchanged."""
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.cdc import snapshot_diff
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(old_rows=st.lists(row, max_size=12, unique_by=lambda r: r[0]),
+           new_rows=st.lists(row, max_size=12, unique_by=lambda r: r[0]))
+    def check(old_rows, new_rows):
+        schema = "k int, a int"
+        old = spark.createDataFrame(old_rows or [(999, None)], schema)
+        new = spark.createDataFrame(new_rows or [(998, None)], schema)
+        old_rows = old_rows or [(999, None)]
+        new_rows = new_rows or [(998, None)]
+        ok, nk = {r[0] for r in old_rows}, {r[0] for r in new_rows}
+
+        d = {r["k"]: r["diff_status"]
+             for r in snapshot_diff(old, new, ["k"], ["a"]).collect()}
+        assert set(d) == ok | nk
+        assert {k for k, s in d.items() if s == "added"} == nk - ok
+        assert {k for k, s in d.items() if s == "removed"} == ok - nk
+
+        same = {r["k"]: r["diff_status"]
+                for r in snapshot_diff(old, old, ["k"], ["a"]).collect()}
+        assert set(same.values()) <= {"unchanged"}
+
+        rev = {r["k"]: r["diff_status"]
+               for r in snapshot_diff(new, old, ["k"], ["a"]).collect()}
+        flip = {"added": "removed", "removed": "added"}
+        assert rev == {k: flip.get(s, s) for k, s in d.items()}
+
+    check()
