@@ -904,3 +904,138 @@ SELECT doc_id,
 FROM raw JOIN dfreq USING (h)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------ incremental dedup ----
+#: deterministic shard split for the registered exercise: docs in slot
+#: INCR_SLOT (mod INCR_MOD) play the newly-arrived crawl shard, the
+#: rest are the existing corpus
+INCR_MOD = 10
+INCR_SLOT = 7
+
+
+def incremental_dedup(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW shard against the EXISTING corpus — the production
+    mode of every continuously-fed training pipeline (daily crawl
+    increments), where re-pairing the corpus against itself would redo
+    quadratic work that is already settled.
+
+    One verdict row per incoming doc: its best corpus match (highest
+    Jaccard, ties to the lowest doc id), the common/jaccard evidence,
+    and ``is_new`` (no corpus doc reaches the threshold). Docs too short
+    to shingle are trivially new. Only cross-boundary (new × corpus)
+    pairs are generated — the corpus side never self-joins, so per-batch
+    cost scales with the INCREMENT, not the corpus: an equi-join on the
+    shared hashed shingle index (memoized per session) + one window over
+    the incoming keys.
+
+    Exactness: the best-match ranking key is the 1e-6 fixed-point
+    HALF_UP Jaccard as a BIGINT (never a float sort key — a last-ulp
+    double divergence across engines could flip the winner), and the
+    threshold compares in cross-multiplied integer space, like the rest
+    of the family.
+    """
+    from pyspark.sql.window import Window
+
+    t100 = int(round(threshold * 100))
+    sh = index if index is not None else register_persist(
+        _indexed_shingles(documents, max_df)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inc = sh.filter(F.col("doc_id") % INCR_MOD == INCR_SLOT).select(
+        F.col("doc_id").alias("doc_new"), "h"
+    )
+    cor = sh.filter(F.col("doc_id") % INCR_MOD != INCR_SLOT).select(
+        F.col("doc_id").alias("doc_old"), "h"
+    )
+    common = (
+        inc.join(cor, "h")
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_new", "n": "na"}),
+            "doc_new",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_old", "n": "nb"}),
+            "doc_old",
+        )
+        .withColumn(
+            "_jacc_e6",
+            F.expr(
+                "(common * 2000000 + (na + nb - common))"
+                " div (2 * (na + nb - common))"
+            ),
+        )
+        .withColumn(
+            "is_dup",
+            F.expr(f"common * 100 >= {t100} * (na + nb - common)"),
+        )
+    )
+    w = Window.partitionBy("doc_new").orderBy(
+        F.desc("_jacc_e6"), F.asc("doc_old")
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    incoming = documents.filter(
+        F.col("doc_id") % INCR_MOD == INCR_SLOT
+    ).select(F.col("doc_id").alias("doc_new"))
+    return incoming.join(best, "doc_new", "left").select(
+        F.col("doc_new").alias("doc_id"),
+        F.col("doc_old").alias("best_match"),
+        "common",
+        round_div("common", "na + nb - common", 6).alias("jaccard"),
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("is_new"),
+    )
+
+
+def build_incremental(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return incremental_dedup(
+        load_star(spark, sf_dir)["documents"], ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
+
+
+ORACLE_SQL_INCREMENTAL = f"""
+WITH {_INDEXED_SH_SQL},
+common AS (
+  SELECT i.doc_id AS doc_new, c.doc_id AS doc_old, COUNT(*) AS common
+  FROM sh i JOIN sh c ON i.h = c.h
+  WHERE i.doc_id % {INCR_MOD} = {INCR_SLOT}
+    AND c.doc_id % {INCR_MOD} <> {INCR_SLOT}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_new, doc_old, common, a.n AS na, b.n AS nb,
+         (common * 2000000 + (a.n + b.n - common))
+           // (2 * (a.n + b.n - common)) AS jacc_e6,
+         common * 100 >= {int(round(JACCARD_THRESHOLD * 100))}
+           * (a.n + b.n - common) AS is_dup
+  FROM common
+  JOIN sizes a ON doc_new = a.doc_id
+  JOIN sizes b ON doc_old = b.doc_id
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_new ORDER BY jacc_e6 DESC, doc_old) AS rn
+  FROM scored
+)
+SELECT d.doc_id, b.doc_old AS best_match, b.common,
+       {round_div_expr('b.common', 'b.na + b.nb - b.common', 6, 'duckdb')}
+         AS jaccard,
+       COALESCE(NOT b.is_dup, TRUE) AS is_new
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_new AND b.rn = 1
+WHERE d.doc_id % {INCR_MOD} = {INCR_SLOT}
+"""

@@ -689,3 +689,30 @@ def test_transform_with_state_matches_batch_totals(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Shard doc 17 is a near-copy of corpus doc 3 (drop -> is_new
+    False, best_match 3); shard doc 27 is unique text (is_new True with
+    a weak-or-no match); shard doc 7 is too short to shingle (trivially
+    new, no match row)."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        R(doc_id=3, text=base, lang="en", source="a", n_chars=len(base)),
+        R(doc_id=4, text="completely different words entirely here now",
+          lang="en", source="a", n_chars=44),
+        R(doc_id=17, text=base + " extra", lang="en", source="a",
+          n_chars=len(base) + 6),
+        R(doc_id=27, text="zebra umbrella quantum flask orbit nine pelican "
+          "marble drifting sideways", lang="en", source="a", n_chars=74),
+        R(doc_id=7, text="too short", lang="en", source="a", n_chars=9),
+    ]
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {7, 17, 27}          # one verdict per shard doc
+    assert out[17]["is_new"] is False and out[17]["best_match"] == 3
+    assert out[27]["is_new"] is True
+    assert out[7]["is_new"] is True and out[7]["best_match"] is None
