@@ -214,3 +214,26 @@ def zorder_write(
         else keyed.repartitionByRange("_z")
     )
     out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)
+
+
+def evolve_append(df: DataFrame, path: str) -> None:
+    """Append a batch whose schema may have EVOLVED (new columns added)
+    onto an existing parquet dataset. Plain parquet allows per-file
+    schemas; appending wider files is safe as long as readers merge
+    footers (``read_evolved``). Removing or retyping columns is NOT
+    supported here — that's a rewrite (``merge_upsert``/compact), the
+    same rule Delta/Iceberg enforce for non-additive changes.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dataset written across schema versions: ``mergeSchema``
+    unions all file footers, so pre-evolution files surface NULL for
+    later-added columns. Spark skips footer merging by default (one
+    footer read per dataset, not per file — the right default at 100 TB);
+    this reader opts in, paying one footer read per file ONCE — writers
+    that evolve schemas should compact afterwards so steady-state reads
+    go back to the fast path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

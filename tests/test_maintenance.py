@@ -169,3 +169,26 @@ def test_zorder_write_narrows_both_columns(spark, tmp_path):
     assert zw["x"] <= 40 and zw["y"] <= 40
     # and strictly better total prunability than the linear layout
     assert zw["x"] + zw["y"] < cw["x"] + cw["y"]
+
+
+def test_schema_evolution_append_and_merged_read(spark, tmp_path):
+    """v2 adds a column: merged read unions schemas, v1 rows surface
+    NULL for it, and filters on ORIGINAL columns still push to parquet."""
+    from demo_etl_spark.maintenance import evolve_append, read_evolved
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
+        .write.parquet(path)
+    evolve_append(
+        spark.createDataFrame([(3, "c", 9.5)],
+                              "id long, name string, score double"),
+        path,
+    )
+    df = read_evolved(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    plan = df.filter(F.col("id") == 3)._jdf.queryExecution() \
+        .executedPlan().treeString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan
