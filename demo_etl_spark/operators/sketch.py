@@ -51,3 +51,45 @@ def cms_estimate(spark: SparkSession, sketch: bytes, items: list[str]) -> dict[s
         jvm.java.io.ByteArrayInputStream(bytes(sketch))
     )
     return {item: cms.estimateCount(item) for item in items}
+
+
+# ------------------------------------------------------ HLL sketches ----
+#: log2 of HLL registers: 12 → 4096 registers, ~1.6% relative standard
+#: error, 2-4 KB per sketch — the classic size/accuracy point
+HLL_LGK = 12
+
+
+def daily_user_sketches(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, lgk: int = HLL_LGK
+) -> DataFrame:
+    """One mergeable HLL sketch of distinct users per day (Apache
+    DataSketches via Spark's native ``hll_sketch_agg``), with its
+    estimate. THE scale story for distinct counts: exact
+    ``countDistinct`` needs a full shuffle of the distinct grid every
+    time a new rollup granularity is asked for, while kilobyte sketches
+    are stored once per day and re-aggregate to ANY coarser period with
+    ``hll_union_agg`` — no second pass over the events (see
+    ``merged_user_estimate``). Same mergeable-monoid contract as the
+    count-min sketch above; pytest-verified (sketch binaries are
+    engine-specific — the family's declared oracle exception)."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(lgk)).alias("user_hll"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(lgk))
+            ).alias("est_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def merged_user_estimate(daily: DataFrame) -> DataFrame:
+    """Fold the per-day sketches into one overall distinct-user estimate
+    WITHOUT touching the raw events again — the re-aggregation path a
+    rollup store serves (week/month/all-time from daily sketches)."""
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias("est_total"),
+        F.sum("n_events").alias("n_events"),
+    )

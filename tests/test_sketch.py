@@ -40,3 +40,41 @@ def test_cms_partition_invariance(spark, tables):
     a = bytes(token_cms(docs.repartition(3)).first()["sketch"])
     b = bytes(token_cms(docs.repartition(17)).first()["sketch"])
     assert a == b
+
+
+def test_hll_daily_sketches_merge_to_global_estimate(spark, sf_dir):
+    """Per-day HLL estimates sit within the 4096-register error bound of
+    exact per-day distincts, and unioning the daily sketches reproduces
+    (within bound) the whole-table exact distinct — re-aggregation
+    without re-reading events. Also partition-invariant: sketch merge is
+    a commutative monoid."""
+    from demo_etl_spark.io import read_star_table
+    from demo_etl_spark.operators.sketch import (
+        daily_user_sketches,
+        merged_user_estimate,
+    )
+
+    ev = read_star_table(spark, sf_dir, "events")
+    daily = daily_user_sketches(ev)
+    exact_by_day = {
+        r["day"]: r["n"]
+        for r in ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = daily.collect()
+    assert len(rows) == len(exact_by_day)
+    for r in rows:
+        exact = exact_by_day[r["day"]]
+        assert abs(r["est_users"] - exact) <= max(3, 0.05 * exact)
+
+    exact_total = ev.select("user_id").distinct().count()
+    merged = merged_user_estimate(daily).collect()[0]
+    assert abs(merged["est_total"] - exact_total) <= max(3, 0.05 * exact_total)
+    assert merged["n_events"] == ev.count()
+
+    # partition invariance of the merge
+    re_part = daily_user_sketches(ev.repartition(13))
+    merged2 = merged_user_estimate(re_part).collect()[0]
+    assert merged2["est_total"] == merged["est_total"]
