@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": _star.build_incremental_join_view,
         "ngram_novelty": _dedup.build_novelty,
         "dedup_incremental": _dedup.build_incremental,
+        "text_redacted": _text.build_redacted,
         "supplier_analytics": _product.build_supplier_analytics,
         "order_bookends": _customer.build_bookends,
         "brand_rules": _product.build_brand_rules,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_join_view": _star.ORACLE_SQL_INCREMENTAL_JOIN_VIEW,
         "ngram_novelty": _dedup.ORACLE_SQL_NOVELTY,
         "dedup_incremental": _dedup.ORACLE_SQL_INCREMENTAL,
+        "text_redacted": _text.ORACLE_SQL_REDACTED,
         "supplier_analytics": _product.ORACLE_SQL_SUPPLIER,
         "brand_affinity": _product.ORACLE_SQL_BRAND_AFFINITY,
         "brand_rules": _product.ORACLE_SQL_BRAND_RULES,

@@ -798,3 +798,50 @@ SELECT d.doc_id, d.source, d.n_tokens,
         OR d.n_tokens > f.q3 + {IQR_K} * (f.q3 - f.q1)) AS is_outlier
 FROM d, f
 """
+
+
+# --------------------------------------------- PII redaction ------------
+def redact_pii(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Rewrite URLs and e-mail addresses to ``[URL]`` / ``[EMAIL]``
+    placeholder tokens — the redaction pass that follows ``noise_scan``'s
+    trigger in a web-corpus pipeline. URLs replace first (an address
+    inside a URL's userinfo must not survive as a partial match);
+    counts are taken pre-replacement. Map-only JVM ``regexp_replace``
+    over the same parity-verified pattern set as the scan — replacement
+    needs identical match SPANS across engines, which these patterns'
+    simple greedy character-class shapes guarantee (no alternation, no
+    lookaround), so the rewritten text itself sits under the hash gate.
+    Digit runs are counted but NOT redacted: numerals are content, not
+    PII, and destroying them would corrupt training text."""
+    url_pat, email_pat = NOISE_PATTERNS["n_urls"], NOISE_PATTERNS["n_emails"]
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(url_pat)).cast("int").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(email_pat)).cast("int").alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), url_pat, "[URL]"),
+            email_pat,
+            "[EMAIL]",
+        ).alias("redacted_text"),
+    )
+
+
+def build_redacted(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return redact_pii(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_REDACTED = f"""
+SELECT doc_id, lang, source,
+       CAST(len(regexp_extract_all(text, '{NOISE_PATTERNS["n_urls"]}'))
+            AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{NOISE_PATTERNS["n_emails"]}'))
+            AS INTEGER) AS n_emails,
+       regexp_replace(
+         regexp_replace(text, '{NOISE_PATTERNS["n_urls"]}', '[URL]', 'g'),
+         '{NOISE_PATTERNS["n_emails"]}', '[EMAIL]', 'g') AS redacted_text
+FROM documents
+"""

@@ -716,3 +716,20 @@ def test_incremental_dedup_verdicts(spark):
     assert out[17]["is_new"] is False and out[17]["best_match"] == 3
     assert out[27]["is_new"] is True
     assert out[7]["is_new"] is True and out[7]["best_match"] is None
+
+
+def test_redact_pii_rewrites_urls_and_emails(spark):
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.text import redact_pii
+
+    t = ("see https://ex.com/a?u=bob@x.io then mail bob@x.io "
+         "or visit http://y.org, keep 12345")
+    out = redact_pii(spark.createDataFrame(
+        [R(doc_id=1, text=t, lang="en", source="s", n_chars=len(t))]
+    )).collect()[0]
+    assert out["n_urls"] == 2 and out["n_emails"] == 2
+    # the URL (incl. its embedded address) went first; the bare address
+    # second; digits survive
+    assert out["redacted_text"] == (
+        "see [URL] then mail [EMAIL] or visit [URL] keep 12345"
+    )
