@@ -3,6 +3,7 @@ from demo_etl_spark.lineage.tracker import (
     LineageTracker,
     attach_query_listener,
     column_lineage,
+    column_lineage_dot,
     detach_query_listener,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "LineageTracker",
     "attach_query_listener",
     "column_lineage",
+    "column_lineage_dot",
     "detach_query_listener",
 ]

@@ -305,3 +305,22 @@ def detach_query_listener(
     spark: SparkSession, listener: _QueryExecutionLineageListener
 ) -> None:
     spark._jsparkSession.listenerManager().unregister(listener)
+
+
+def column_lineage_dot(df: DataFrame, name: str = "columns") -> str:
+    """DOT rendering of ``column_lineage(df)``: ellipse nodes for source
+    ``table.column`` leaves, box nodes for output columns, one edge per
+    provenance fact. The column-granular upgrade of the reference's DOT
+    lineage contract (README.md:87-92 documents only a table/step-level
+    graph) — `dot -Tpng` renders it the same way."""
+    lin = column_lineage(df)
+    safe = "".join(ch if ch.isalnum() else "_" for ch in name)
+    lines = [f"digraph column_lineage_{safe} {{", "  rankdir=LR;"]
+    for src in sorted({s for ss in lin.values() for s in ss}):
+        lines.append(f'  "{src}" [shape=ellipse];')
+    for out, srcs in lin.items():  # insertion order == output schema order
+        lines.append(f'  "out.{out}" [shape=box];')
+        for src in sorted(srcs):
+            lines.append(f'  "{src}" -> "out.{out}";')
+    lines.append("}")
+    return "\n".join(lines)

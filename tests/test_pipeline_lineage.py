@@ -313,3 +313,19 @@ def test_run_curation_workflow_end_to_end(spark, tmp_path):
     assert chunks.count() > 0
     import glob
     assert glob.glob(f"{work}/curation_lineage_*.dot")
+
+
+def test_column_lineage_dot_renders_provenance_edges(spark, sf_dir):
+    from demo_etl_spark.io import read_star_table
+    from demo_etl_spark.lineage import column_lineage_dot
+    from demo_etl_spark.operators.customer import customer_analytics
+
+    li = read_star_table(spark, sf_dir, "lineitem", cache=False)
+    od = read_star_table(spark, sf_dir, "orders", cache=False)
+    cu = read_star_table(spark, sf_dir, "customer", cache=False)
+    dot = column_lineage_dot(customer_analytics(li, od, cu), "cust-ana")
+    assert dot.startswith("digraph column_lineage_cust_ana {")
+    assert '"customer.c_name" -> "out.customer_name";' in dot
+    assert '"lineitem.l_extendedprice" -> "out.total_spent";' in dot
+    assert '"orders.o_orderdate" -> "out.weekend_spending";' in dot
+    assert dot.rstrip().endswith("}")
