@@ -244,15 +244,29 @@ def run_available_now(
     """Drain the stream with an availableNow trigger into a memory sink;
     returns the sink contents as a batch DataFrame. Stateful operators
     (applyInPandasWithState) require ``output_mode="update"``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
+    # Fresh checkpoint per drain ⇒ the state-store partition count is
+    # chosen HERE (it is frozen into a real checkpoint for the query's
+    # lifetime). Micro-batch state at test scale is tiny, so 32-way
+    # state shuffles are pure task overhead — drain on 8. A production
+    # stream sizes this to its state volume up front, for exactly the
+    # same reason: it cannot be changed without a state rebuild.
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    drain_parts = min(8, int(prev)) if prev and prev.isdigit() else 8
+    conf.set("spark.sql.shuffle.partitions", str(drain_parts))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if prev is not None:
+            conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name)
 
 
