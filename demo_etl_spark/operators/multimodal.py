@@ -23,10 +23,12 @@ Compressed codecs (JPEG via PIL, video via libav) are NOT in this
 container; swapping ``decode_pgm`` for ``PIL.Image.open`` is the only
 change a real deployment needs — every Spark-side shape here is final.
 
-Caveat (documented, by design): the raster is built from the text with
-char-based ``rpad``/``substr``, so the embedded header counts CHARS; on
-the current ASCII corpus chars == bytes. ``decode_pgm`` itself is
-byte-correct for any PGM input.
+The synthesis sanitizes the raster alphabet to printable ASCII (every
+other code point becomes '?'), so raster chars == raster bytes BY
+CONSTRUCTION on any corpus — the char-based ``rpad``/``substr`` in the
+SQL oracles and the byte-walking decoder cannot diverge (previously a
+documented ASCII-corpus caveat; now fuzz-pinned with unicode/emoji
+documents). ``decode_pgm`` itself is byte-correct for any PGM input.
 """
 
 from __future__ import annotations
@@ -87,10 +89,16 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     is JVM-side and shuffle-free."""
     d = documents.select(
         "doc_id",
-        # NULL-safe: a null text becomes an all-space raster, not a null
-        # payload that would crash the decoder (testdata is regenerated
-        # between rounds — don't assume non-null)
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        # NULL-safe AND ASCII-safe: a null text becomes an all-space
+        # raster, and every non-printable-ASCII code point becomes '?'
+        # (testdata is regenerated between rounds — don't assume clean
+        # ASCII). The sanitization makes raster bytes == raster chars by
+        # construction, so the byte-walking decoder and the char-walking
+        # SQL oracles agree on ANY corpus; both engines replace per code
+        # point (verified incl. non-BMP emoji).
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "?"
+        ).alias("text"),
         F.expr(_W_EXPR).alias("_w"),
         F.expr(_H_EXPR).alias("_h"),
     ).withColumn("_npix", (F.col("_w") * F.col("_h")).cast("int"))
@@ -274,12 +282,16 @@ def build_features(
 build_features_checked = build_features
 
 
-# DuckDB twin of the synthesized payload string (ASCII corpus: chars ==
-# bytes; md5(VARCHAR) hashes the UTF-8 bytes the Python worker hashes).
+# DuckDB twin of the sanitized raster text: the synthesis replaces every
+# non-printable-ASCII code point with '?', so chars == bytes on ANY
+# corpus (not an assumption about the testdata) and md5(VARCHAR) hashes
+# the same UTF-8 bytes the Python worker hashes.
+_TEXT_SQL = "regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')"
+
 _PAYLOAD_SQL = (
     "'P5 ' || CAST({w} AS VARCHAR) || ' ' || CAST({h} AS VARCHAR) || ' 255' "
-    "|| chr(10) || rpad(coalesce(text, ''), CAST({w} * {h} AS INT), ' ')"
-).format(w=_W_EXPR, h=_H_EXPR)
+    "|| chr(10) || rpad({t}, CAST({w} * {h} AS INT), ' ')"
+).format(w=_W_EXPR, h=_H_EXPR, t=_TEXT_SQL)
 
 ORACLE_SQL_FEATURES = f"""
 WITH m AS (
@@ -388,7 +400,7 @@ def build_audio_features(
 ORACLE_SQL_AUDIO = f"""
 WITH m AS (
   SELECT doc_id,
-         rpad(coalesce(text, ''),
+         rpad({_TEXT_SQL},
               CAST(({_W_EXPR}) * ({_H_EXPR}) AS INTEGER), ' ') AS raster
   FROM documents WHERE doc_id % 3 = 1
 ),

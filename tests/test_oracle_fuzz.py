@@ -1,0 +1,93 @@
+"""Oracle fuzz: the driver REGENERATES testdata between rounds, so the
+cross-engine gate must hold on corpora nastier than the current one.
+This builds a documents table of deliberate edge cases — empty text,
+whitespace-only, runs of spaces, unicode (accents/CJK/non-BMP emoji),
+control characters, exact+near duplicates, a long repetitive doc — and
+runs the text/dedup/multimodal queries through the same Spark-vs-DuckDB
+comparison the driver uses. This is what caught (and now pins) the
+multimodal bytes-vs-chars divergence: DuckDB's ascii() returns code
+points, so an emoji in the raster overflowed INT32 in the audio oracle
+and every char-walking oracle disagreed with the byte-walking decoder
+until the synthesis sanitized its alphabet.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+EDGE_DOCS = [
+    (0, "", "en", "edge", 0),
+    (1, " ", "en", "edge", 1),
+    (2, "   ", "en", "edge", 3),
+    (3, "a", "en", "edge", 1),
+    (4, "double  space  between  tokens", "en", "edge", 30),
+    (5, "héllo wörld ünïcode tëxt façade naïve", "fr", "edge", 37),
+    (6, "日本語 テキスト 漢字 ひらがな カタカナ", "ja", "edge", 20),
+    (7, "emoji 🙂 in 🚀 text 🎉 tokens", "en", "edge", 27),
+    (8, "tab\tand\nnewline\r\nchars here", "en", "edge", 26),
+    (9, "quote 'single' and \"double\" marks", "en", "edge", 33),
+    (10, "visit https://example.com/x?q=1 or mail bob@example.com now",
+     "en", "edge", 60),
+    (11, "the quick brown fox jumps over the lazy dog and runs far away",
+     "en", "edge", 61),
+    (12, "the quick brown fox jumps over the lazy dog and runs far away",
+     "en", "edge", 61),
+    (13, "the quick brown fox jumps over the lazy dog and runs far home",
+     "en", "edge", 61),
+    (14, "word " * 500, "en", "edge", 2500),
+    (15, " leading and trailing spaces ", "en", "edge", 29),
+    (16, "x y", "de", "edge", 3),
+    (17, "uno dos tres cuatro cinco seis siete ocho", "es", "edge", 41),
+    (18, "mixed ASCII und ünïcode 混合 content 🙂 with bob@x.io",
+     "de", "edge", 50),
+    (19, "end", "en", "edge", 3),
+]
+
+# one representative per text-consuming family; the full sweep was run
+# once interactively — this keeps the regression pin affordable
+FUZZ_QUERIES = [
+    "text_stats", "text_redacted", "doc_chunks", "lang_id", "vocab_topk",
+    "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_incremental", "corpus_curation",
+    "multimodal_features", "multimodal_frames", "multimodal_audio",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", EDGE_DOCS)
+    con.execute(
+        f"COPY d TO '{os.path.join(d, 'documents.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_oracles_hold_on_edge_case_corpus(fuzz_dir):
+    # subprocess: verify_oracle owns its Spark session and memo caches —
+    # running it in-process would poison the suite's per-sf_dir memos
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         fuzz_dir, *FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
