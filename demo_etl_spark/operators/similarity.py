@@ -102,13 +102,28 @@ def _dot(a, b):
     )
 
 
+def _nonzero(embeddings: DataFrame) -> DataFrame:
+    """Drop zero-norm (and NULL) embeddings at the source of every
+    cosine-family operator: cosine is undefined for the zero vector, a
+    regenerated corpus may contain one, and Spark 4 runs ANSI mode where
+    x/0 RAISES instead of yielding NaN/inf (fuzz-pinned in
+    tests/test_oracle_fuzz.py). The SQL twins filter with the same exact
+    predicate — "some component ≠ 0" is engine-independent, unlike a
+    float-norm comparison."""
+    return embeddings.filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
+
+
+#: DuckDB twin of the ``_nonzero`` predicate
+_NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
 def cosine_topk(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
 ) -> DataFrame:
-    emb = embeddings.select(
+    emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
     q = emb.select(
@@ -169,7 +184,7 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """SimHash-bucketed ANN: same-bucket candidates only → recall < 1 vs
     the exact top-k, shuffle O(N), compare O(N·Q/2^planes)."""
-    emb = embeddings.select(
+    emb = _nonzero(embeddings).select(
         "vec_id",
         "embedding",
         _bucket_expr(n_planes, _emb_dims(embeddings)).alias("bucket"),
@@ -234,7 +249,7 @@ WITH e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
@@ -261,7 +276,7 @@ WITH e AS (
          {_bucket_sql()} AS bucket,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket,
@@ -367,6 +382,9 @@ def _lloyd_centroids(emb6: DataFrame, stride: int, iters: int) -> DataFrame:
                 F.col("cell").alias("cent_id"),
                 F.transform("_pm", lambda st: st["m"]).alias("cv"),
             )
+            # a cell mean can cancel to the zero vector — it can anchor
+            # no cosine cell, and its norm would zero the divisions
+            .filter(_int_dot("cv", "cv") > 0)
         )
     return cent
 
@@ -392,11 +410,17 @@ def ivf_topk(
     corpus — never all of it; Lloyd trains on a sample there (the agg
     shapes are identical).
     """
-    emb = embeddings.select(
+    emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    emb6 = embeddings.select("vec_id", _e6_vec("embedding").alias("v")).withColumn(
-        "_n", _int_norm("v")
+    # int-norm guard is strictly stronger than the float one here: a
+    # vector whose every |component| < 5e-7 quantizes to the zero e6
+    # vector and must stay out of the IVF structure entirely
+    emb6 = (
+        _nonzero(embeddings)
+        .select("vec_id", _e6_vec("embedding").alias("v"))
+        .withColumn("_n", _int_norm("v"))
+        .filter(F.col("_n") > 0)
     )
     cent = _lloyd_centroids(emb6, stride, iters).withColumn("_cn", _int_norm("cv"))
     cos_e6 = F.round(
@@ -478,12 +502,13 @@ def _ivf_oracle(
 en AS (
   SELECT vec_id, v,
          sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE)) AS n
-  FROM e6
+  FROM e6 WHERE list_sum(list_transform(v, y -> y * y)) > 0
 ),
 c0 AS (
   SELECT vec_id AS cent_id, v AS cv,
          sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE)) AS cn
   FROM e6 WHERE vec_id % {stride} = 0
+    AND list_sum(list_transform(v, y -> y * y)) > 0
 )"""
     ]
     for t in range(iters):
@@ -513,7 +538,7 @@ c{t + 1} AS (
                       ELSE -(((-s) * 2 + cnt) // (2 * cnt)) END AS m
           FROM s{t})
     GROUP BY cell
-  )
+  ) WHERE list_sum(list_transform(cv, y -> y * y)) > 0
 )""")
     parts.append(f""",
 scored AS (
@@ -591,7 +616,7 @@ def embedding_near_dup(
     """
     t_e6 = int(round(threshold * 1_000_000))
     spark = embeddings.sparkSession
-    emb = embeddings.select("vec_id", "embedding")
+    emb = _nonzero(embeddings).select("vec_id", "embedding")
     if n_blocks is None:
         n = emb.count()  # cheap: scan is cached/columnar, count-only
         par = spark.sparkContext.defaultParallelism
@@ -670,7 +695,7 @@ def embedding_near_dup_bruteforce(
     """Brute-force O(n²/2) twin of ``embedding_near_dup`` in pure column
     expressions — the small-data baseline the blocked kernel is verified
     against (and the shape of the SQL oracle)."""
-    emb = embeddings.select(
+    emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
     a = emb.select(
@@ -709,7 +734,7 @@ WITH e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -796,10 +821,10 @@ def embedding_ann_pairs(
     quality.
     """
     t_e6 = int(round(threshold * 1_000_000))
-    emb = embeddings.select(
+    emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    sigs = _band_signatures(embeddings, bands, ppb)
+    sigs = _band_signatures(_nonzero(embeddings), bands, ppb)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), "band", "sig"
     )
@@ -874,7 +899,7 @@ WITH e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 sigw AS (SELECT vec_id, {sig_cols} FROM e),
 sig AS (
@@ -934,7 +959,14 @@ def ann_pair_recall(
         .select(
             "n_exact_pairs",
             "n_found",
-            round_div("n_found", "n_exact_pairs", 4).alias("pair_recall"),
+            # an exact-pair-free corpus makes recall vacuous, not a
+            # divide-by-zero (ANSI raises): define it as 1.0
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                round_div("n_found", "n_exact_pairs", 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pair_recall"),
         )
     )
 
@@ -952,7 +984,9 @@ def _ann_pair_recall_oracle() -> str:
     return f"""
 SELECT COUNT(*) AS n_exact_pairs,
        {hits} AS n_found,
-       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS pair_recall
+       CASE WHEN COUNT(*) = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} END
+         AS pair_recall
 FROM ({ORACLE_SQL_NEAR_DUP}) e
 LEFT JOIN ({ORACLE_SQL_ANN_PAIRS}) a
   ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b

@@ -91,3 +91,63 @@ def test_oracles_hold_on_edge_case_corpus(fuzz_dir):
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
     assert "PASS (0 failures)" in out.stdout, tail
+
+
+def _edge_embeddings():
+    import random
+    dim = 64
+
+    def vec(seed, scale=1.0):
+        r = random.Random(seed)
+        return [round(r.uniform(-1, 1) * scale, 4) for _ in range(dim)]
+
+    rows = [
+        (0, [0.0] * dim, 0),                 # zero vector: cosine undefined
+        (1, vec(1), 1),
+        (2, vec(1), 1),                      # exact duplicate of 1
+        (3, [x * 2 for x in vec(1)], 1),     # colinear (cos = 1)
+        (4, [-x for x in vec(1)], 2),        # antipodal (cos = -1)
+        (5, vec(5, 1e-6), 2),                # tiny norm (int-norm edge)
+        (6, vec(6, 100.0), 3),               # huge values
+        (7, [1.0] + [0.0] * (dim - 1), 3),   # axis vector
+    ] + [(i, vec(i), i % 5) for i in range(8, 40)]
+    return rows
+
+
+EMB_FUZZ_QUERIES = [
+    "similarity_topk_cosine", "similarity_lsh_bucketed",
+    "similarity_ivf_topk", "similarity_ann_recall", "embedding_quantize",
+    "embedding_centroids", "dedup_embedding_cosine", "dedup_embedding_ann",
+    "dedup_ann_pair_recall",
+]
+
+
+@pytest.fixture(scope="module")
+def emb_fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_emb_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", _edge_embeddings())
+    con.execute(
+        f"COPY e TO '{os.path.join(d, 'embeddings.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_oracles_hold_on_edge_case_embeddings(emb_fuzz_dir):
+    """Zero vector (ANSI x/0 raises!), exact/colinear/antipodal
+    duplicates, tiny norms that quantize to the zero e6 vector, huge
+    values, axis vectors — the whole cosine family must neither crash
+    nor diverge from DuckDB on any of them."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         emb_fuzz_dir, *EMB_FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
