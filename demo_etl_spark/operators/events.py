@@ -162,13 +162,17 @@ GROUP BY 1, 2, 3
 """
 
 # gaps-and-islands reconstruction of Spark's session_window semantics:
-# a new session starts when the gap from the previous event is ≥ 30 min;
-# session_end = last event + gap
+# a new session starts only when the gap from the previous event is
+# STRICTLY greater than 30 min — an event landing exactly on the open
+# session's end merges into it (session_window windows are [start,
+# last+gap] for merging purposes; fuzz-pinned empirically: events at
+# 10:00 and 10:30 form ONE session ending 11:00, an event at
+# 11:00.000001 starts a new one); session_end = last event + gap
 ORACLE_SQL_SESSION = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   < INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
+                   <= INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
   FROM events
 ),
 numbered AS (
@@ -466,7 +470,9 @@ def build_props_breakdown(
 ORACLE_SQL_PROPS = f"""
 WITH extracted AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INT)
+         END AS k,
          CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
   FROM events
 )
@@ -1063,7 +1069,16 @@ def props_typed_audit(
         parsed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.count(F.when(F.col("_p._corrupt").isNull(), 1))
+            # a NULL payload is absent, not parsed: from_json(NULL) has a
+            # NULL corrupt column too, so guard on presence explicitly
+            # (matches the oracle's json_valid(NULL) → NULL)
+            F.count(
+                F.when(
+                    F.col("props").isNotNull()
+                    & F.col("_p._corrupt").isNull(),
+                    1,
+                )
+            )
             .cast("long")
             .alias("n_parsed"),
             F.count(F.col("_p.k")).cast("long").alias("n_with_k"),
@@ -1085,7 +1100,9 @@ ORACLE_SQL_PROPS_TYPED = f"""
 WITH p AS (
   SELECT event_type,
          CASE WHEN json_valid(props) THEN 1 END AS parsed,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
   FROM events
 )
 SELECT event_type,

@@ -239,7 +239,9 @@ WITH anchors AS (
 ),
 lhs AS (SELECT * FROM events WHERE event_type <> '{ANCHOR_TYPE}')
 SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
-       CAST(json_extract_string(l.props, '$.k') AS INTEGER) AS props_k,
+       CASE WHEN json_valid(l.props)
+            THEN CAST(json_extract_string(l.props, '$.k') AS INTEGER)
+       END AS props_k,
        a.p_ts AS last_purchase_ts,
        a.p_event_id AS last_purchase_event_id,
        a.p_value AS last_purchase_value,

@@ -161,8 +161,10 @@ def user_totals_stateful_stream(events: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             n += len(pdf)
             v = pdf["value"].to_numpy(dtype="float64") * 10_000
-            # HALF_UP away from zero — the money_fixed discipline
-            val_c += int(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum())
+            # HALF_UP away from zero — the money_fixed discipline; NULL
+            # values arrive as NaN and must contribute nothing, exactly
+            # like F.sum(money_fixed(value)) skips NULLs in the batch twin
+            val_c += int(np.nansum(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))))
             us = pdf["ts"].astype("int64") // 1_000  # ns → µs
             last_us = max(last_us, int(us.max()))
         state.update((n, val_c, last_us))
@@ -414,8 +416,10 @@ def user_totals_tws_stream(events: DataFrame) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 v = pdf["value"].to_numpy(dtype="float64") * 10_000
+                # nansum: NULL values (NaN here) contribute nothing,
+                # like F.sum(money_fixed(value)) in the batch twin
                 val_c += int(
-                    np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum()
+                    np.nansum(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)))
                 )
                 us = pdf["ts"].astype("int64") // 1_000
                 last_us = max(last_us, int(us.max()))

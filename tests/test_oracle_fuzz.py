@@ -151,3 +151,86 @@ def test_oracles_hold_on_edge_case_embeddings(emb_fuzz_dir):
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
     assert "PASS (0 failures)" in out.stdout, tail
+
+
+def _edge_events():
+    rows, eid = [], [0]
+
+    def ev(ts, user, etype, value, props):
+        rows.append((eid[0], ts, user, etype, value, props))
+        eid[0] += 1
+
+    # exact midnight / hour / week boundaries
+    ev("2024-01-01 00:00:00.000000", 1, "view", 1.0, '{"k": 1}')
+    ev("2024-01-01 01:00:00.000000", 1, "click", 2.0, '{"k": 2}')
+    ev("2024-01-07 23:59:59.999999", 1, "view", 3.0, '{"k": 3}')
+    ev("2024-01-08 00:00:00.000000", 1, "purchase", 4.5, '{"k": 4}')
+    # exactly-30-min session gap (merges!) + 1 us past it + same-ts ties
+    ev("2024-01-02 10:00:00.000000", 2, "view", 1.0, '{"k": 5}')
+    ev("2024-01-02 10:30:00.000000", 2, "click", 1.0, '{"k": 6}')
+    ev("2024-01-02 11:00:00.000001", 2, "view", 1.0, '{"k": 7}')
+    ev("2024-01-02 12:00:00.000000", 2, "view", 2.0, '{"k": 8}')
+    ev("2024-01-02 12:00:00.000000", 2, "click", 3.0, '{"k": 9}')
+    ev("2024-01-02 12:00:00.000000", 2, "purchase", 9.99, '{"k": 10}')
+    # single-event user
+    ev("2024-01-15 08:00:00.500000", 3, "signup", 0.0, '{"k": 11}')
+    # NULL value, NULL props, malformed props, negatives, extremes
+    ev("2024-01-10 09:00:00.000000", 4, "error", None, None)
+    ev("2024-01-10 09:01:00.000000", 4, "view", 0.0, "not json at all")
+    ev("2024-01-10 09:02:00.000000", 4, "click", -5.25, '{"other": 1}')
+    ev("2024-01-10 09:03:00.000000", 4, "purchase", 0.005, '{"k": -3}')
+    ev("2024-01-10 09:04:00.000000", 4, "purchase", 1e9, '{"k": 2147483647}')
+    # microsecond-apart burst
+    for i in range(8):
+        ev(f"2024-01-20 14:00:00.00000{i}", 5, ["view", "click"][i % 2],
+           0.1 * i, '{"k": %d}' % i)
+    # signup -> purchase conversion across a week boundary
+    ev("2024-01-03 12:00:00.000000", 6, "signup", 0.0, '{"k": 20}')
+    ev("2024-01-11 12:00:00.000000", 6, "purchase", 50.0, '{"k": 21}')
+    # clicks inside/outside the purchase follow window
+    ev("2024-01-05 10:00:00.000000", 7, "click", 1.0, '{"k": 30}')
+    ev("2024-01-05 10:10:00.000000", 7, "purchase", 20.0, '{"k": 31}')
+    ev("2024-01-05 18:00:00.000000", 7, "click", 1.0, '{"k": 32}')
+    return rows
+
+
+EVENTS_FUZZ_QUERIES = [
+    "events_session", "streaming_session", "events_props_breakdown",
+    "events_props_typed", "events_asof_join", "streaming_user_totals",
+    "events_daily_rollup", "event_transitions", "session_attribution",
+    "user_rate_audit", "scd2_history", "cdc_latest_state",
+]
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_ev_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)", _edge_events())
+    con.execute(
+        f"COPY ev TO '{os.path.join(d, 'events.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_oracles_hold_on_edge_case_events(events_fuzz_dir):
+    """Boundary timestamps, an exactly-gap-wide session hole (Spark
+    MERGES it — strict > starts a session), same-ts ties, NULL value
+    (NaN in the stateful processor), NULL/malformed props (DuckDB json
+    functions RAISE where Spark returns NULL) — the event/streaming
+    surface must neither crash nor diverge. The full 27-query events
+    sweep was run interactively; this pins the classes that failed."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         events_fuzz_dir, *EVENTS_FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
