@@ -234,3 +234,61 @@ def test_oracles_hold_on_edge_case_events(events_fuzz_dir):
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
     assert "PASS (0 failures)" in out.stdout, tail
+
+
+STAR_FUZZ_QUERIES = [
+    # ratio queries whose denominators can empty out + tie-heavy top-k
+    "promo_revenue_sql", "nation_market_share_sql", "shipping_priority_sql",
+    "top_supplier_sql", "customer_order_distribution_sql",
+    # graph + diff + flagship over a sparse, childless-order corpus
+    "customer_analytics", "sales_asset_union", "orders_snapshot_diff",
+    "part_triangles", "customer_retention", "order_bookends",
+]
+
+
+@pytest.fixture(scope="module")
+def star_fuzz_dir(tmp_path_factory):
+    """Sparse star corpus: 5% of orders kept, half their dates pushed to
+    1990 (outside every query window — ratio denominators go empty),
+    exact o_totalprice ties forced, some kept orders stripped of their
+    lineitems (childless orders), most customers orphaned."""
+    d = str(tmp_path_factory.mktemp("fuzz_star_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  WITH kept AS (
+    SELECT * FROM '{SF}/orders.parquet' WHERE o_orderkey % 20 = 0
+  )
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN 1234.56 ELSE o_totalprice END
+           AS o_totalprice,
+         CASE WHEN o_orderkey % 2 = 0 THEN DATE '1990-01-01'
+              ELSE o_orderdate END AS o_orderdate,
+         o_orderpriority
+  FROM kept
+) TO '{os.path.join(d, "orders.parquet")}' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT l.* FROM '{SF}/lineitem.parquet' l
+  WHERE l.l_orderkey % 20 = 0 AND l.l_orderkey % 7 <> 0
+) TO '{os.path.join(d, "lineitem.parquet")}' (FORMAT PARQUET)
+""")
+    return d
+
+
+def test_oracles_hold_on_sparse_star_corpus(star_fuzz_dir):
+    """The analytics/SQL surface on a corpus where query windows can be
+    EMPTY (every ratio's denominator), top-k orderings are tie-heavy,
+    and referential links are broken (childless orders, orphaned
+    customers). The full 54-query star sweep was run interactively."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         star_fuzz_dir, *STAR_FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
