@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_concentration": _product.build_market_concentration,
         "part_pagerank": _graph.build_pagerank,
         "part_triangles": _graph.build_triangles,
+        "part_similarity": _graph.build_part_similarity,
         "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "market_concentration": _product.ORACLE_SQL_CONCENTRATION,
         "part_pagerank": _graph.ORACLE_SQL_PAGERANK,
         "part_triangles": _graph.ORACLE_SQL_TRIANGLES,
+        "part_similarity": _graph.ORACLE_SQL_PART_SIMILARITY,
         "orders_snapshot_diff": _cdc.ORACLE_SQL_SNAPSHOT_DIFF,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,

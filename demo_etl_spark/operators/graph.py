@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os as _os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
@@ -318,4 +318,98 @@ SELECT d.part, d.deg AS degree,
                  // (d.deg * (d.deg - 1))
             ELSE 0 END AS BIGINT) AS clustering_e6
 FROM deg d LEFT JOIN cnt c ON d.part = c.part
+"""
+
+
+# ------------------------------------------- item-item similarity ----
+SIM_MIN_CO = 2  # minimum co-occurrence support for a recommendation
+SIM_TOP_K = 5  # related items kept per part
+
+
+def part_similarity(lineitem: DataFrame) -> DataFrame:
+    """"Customers who bought X also bought Y": top-k related parts per
+    part, scored by exact co-purchase Jaccard |orders(a)∩orders(b)| /
+    |orders(a)∪orders(b)| in 1e-6 fixed point — the classic item-item
+    collaborative-filtering primitive (Linden et al. 2003), one level up
+    from brand_affinity's brand-support counts.
+
+    Shape: pair generation from the per-order part set (explode the
+    pair grid — fanout parts-per-order², bounded by basket size, never
+    lines²), one groupBy for co-occurrence counts, a broadcast join of
+    the node-sized per-part order counts, then a WindowGroupLimit top-k
+    per part. Support floor SIM_MIN_CO prunes the noise pairs BEFORE
+    the window, which is what keeps the ranked set small at scale.
+    Ranking key is the BIGINT fixed-point score (ties → lower partner
+    id) — engine-exact, like the rest of the family.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    grp = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        grp.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .filter(F.col("co_orders") >= SIM_MIN_CO)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr("(co_orders * 1000000) div (n_a + n_b - co_orders)"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("jaccard_e6"), F.asc("part_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM_TOP_K)
+        .select("part_a", "part_b", "co_orders", "n_a", "n_b",
+                "jaccard_e6", "rank")
+    )
+
+
+def build_part_similarity(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return part_similarity(load_star(spark, sf_dir)["lineitem"])
+
+
+ORACLE_SQL_PART_SIMILARITY = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM op GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {SIM_MIN_CO}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.co_orders,
+         ca.n_orders AS n_a, cb.n_orders AS n_b,
+         (p.co_orders * 1000000) // (ca.n_orders + cb.n_orders - p.co_orders)
+           AS jaccard_e6
+  FROM pairs p
+  JOIN cnt ca ON p.part_a = ca.l_partkey
+  JOIN cnt cb ON p.part_b = cb.l_partkey
+)
+SELECT part_a, part_b, co_orders, n_a, n_b, jaccard_e6,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY part_a ORDER BY jaccard_e6 DESC, part_b) AS INTEGER)
+         AS rank
+FROM scored
+QUALIFY rank <= {SIM_TOP_K}
 """

@@ -513,3 +513,22 @@ def test_snapshot_diff_properties(spark):
         assert rev == {k: flip.get(s, s) for k, s in d.items()}
 
     check()
+
+
+def test_part_similarity_by_hand(spark):
+    """Orders {1,2}, {1,2}, {1,3}: parts 1,2 co-occur twice (passes the
+    support floor), 1,3 only once (pruned). n_orders: 1->3, 2->2, 3->1.
+    jaccard(1,2) = 2/(3+2-2) = 2/3 -> 666,666 e6 truncating."""
+    from pyspark.sql import Row as R
+    from demo_etl_spark.operators.graph import part_similarity
+
+    li = spark.createDataFrame([
+        R(l_orderkey=1, l_partkey=1), R(l_orderkey=1, l_partkey=2),
+        R(l_orderkey=2, l_partkey=1), R(l_orderkey=2, l_partkey=2),
+        R(l_orderkey=3, l_partkey=1), R(l_orderkey=3, l_partkey=3),
+    ])
+    rows = part_similarity(li).collect()
+    assert {(r["part_a"], r["part_b"]) for r in rows} == {(1, 2), (2, 1)}
+    r = next(x for x in rows if x["part_a"] == 1)
+    assert r["co_orders"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+    assert r["jaccard_e6"] == 666_666 and r["rank"] == 1
