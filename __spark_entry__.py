@@ -30,6 +30,7 @@ from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
 from demo_etl_spark.operators import events as _events
 from demo_etl_spark.operators import multimodal as _multimodal
+from demo_etl_spark.operators import packing as _packing
 from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import quality as _quality
 from demo_etl_spark.operators import similarity as _similarity
@@ -90,8 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal.build_features_checked,
         "multimodal_frames": _multimodal.build_frames,
         "multimodal_audio": _multimodal.build_audio_features,
+        # --- training-data assembly & export ----------------------------
+        "sequence_packing": _packing.build_sequence_packing,
         # --- event analytics + streaming --------------------------------
-        "events_pivot": _events.build_pivot,
         "events_session": _events.build_session,
         "events_daily_rollup": _events.build_daily_rollup,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
@@ -116,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_order_join": _bucketed.build_bucketed_join,
         # ================= driver window boundary (50) =================
         # variants of families already covered above
+        "events_pivot": _events.build_pivot,
+        "shard_manifest": _packing.build_shard_manifest,
+        "pmi_collocations": _text.build_pmi_collocations,
+        "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
@@ -232,6 +238,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
+        "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,
+        "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
+        "pmi_collocations": _text.ORACLE_SQL_PMI,
+        "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

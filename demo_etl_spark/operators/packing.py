@@ -1,0 +1,234 @@
+"""Training-data assembly & export (north-star extension; no reference
+counterpart — the reference stops at analytical assets, see SURVEY §2/§8).
+
+The last mile of an LLM-data pipeline: after dedup/quality/curation the
+corpus must be (a) PACKED into fixed-capacity training sequences and
+(b) SHARDED into balanced export files. Both operators are deterministic,
+exact-integer, and oracle-checkable.
+
+* ``sequence_packing`` — GPT-style concat-and-chop: within each source
+  partition, documents are concatenated in doc_id order into one token
+  stream and chopped into sequences of ``SEQ_CAP`` tokens. Each document
+  is placed at the exact offset given by the running token count; a
+  document "straddles" when it crosses a sequence boundary (real packers
+  either split it or mask across the join — the straddle count is the
+  knob's cost metric). Emits one row per (source, sequence) that has at
+  least one document START, with exact token occupancy and fill ratio.
+
+  Scale: the only ordering is a window PARTITIONED BY source — each
+  source packs independently and in parallel, no global sort. At 100 TB
+  you sub-shard the partition key ((source, shard_id) with shard-local
+  streams) — packing quality is unchanged because capacity is per
+  sequence, not per partition. The groupBy that follows reuses the same
+  leading key, and every derived quantity is integer-exact.
+
+* ``shard_manifest`` — balanced export-shard assignment: docs are ranked
+  by token count (desc, doc_id tiebreak) and dealt to ``N_SHARDS`` in
+  snake order (0..N-1, N-1..0, ...), the classic LPT-style greedy that
+  bounds shard skew without an iterative bin packer. Emits one manifest
+  row per shard: doc/token totals, doc_id bookends, token share, and an
+  order-independent 40-bit content checksum (sum of per-doc md5 prefixes
+  mod 2^40) — the integrity record a distributed export job publishes.
+
+  Scale: the ranking sorts doc METADATA (doc_id + token count — two
+  columns, ~16 bytes/doc, i.e. GBs at 100 TB corpus scale, not TBs); the
+  payload export then joins the tiny (doc_id → shard) map back to the
+  corpus as a broadcast. The manifest itself is N_SHARDS rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.io import load_star
+
+#: tokens per packed training sequence (2048/4096 in production; 512
+#: keeps multiple sequences per source at the test scales)
+SEQ_CAP = 512
+
+#: export shard count (a real export uses hundreds; 8 keeps every shard
+#: populated at sf0.001)
+N_SHARDS = 8
+
+#: 40-bit md5-prefix content hash (shared discipline with dedup.HASH_HEX)
+_CK_HEX = 10
+_CK_MOD = 1 << 40
+
+
+def sequence_packing(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
+) -> DataFrame:
+    """Concat-and-chop packing summary per (source, seq_id).
+
+    One window (partitioned by source — parallel across sources), one
+    same-key aggregation; all arithmetic on BIGINT token counts.
+    """
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        documents.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        .withColumn("seq_id", (F.col("start_off") / cap).cast("long"))
+        .withColumn(
+            "straddle",
+            (((F.col("end_off") - 1) / cap).cast("long") > F.col("seq_id"))
+            .cast("int"),
+        )
+    )
+    per_source_total = d.groupBy("source").agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    packed = (
+        d.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs_started"),
+            F.sum("straddle").alias("n_straddle"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .join(F.broadcast(per_source_total), "source")
+        # exact occupancy of this sequence window in the concatenated
+        # stream: full cap except the source's final partial sequence
+        .withColumn(
+            "seq_tokens",
+            F.least(F.lit(cap).cast("long"), F.col("_total") - F.col("seq_id") * cap),
+        )
+        .withColumn("fill_ratio", round_div("seq_tokens", str(cap), 4))
+    )
+    return packed.select(
+        "source",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_docs_started").cast("long").alias("n_docs_started"),
+        F.col("n_straddle").cast("long").alias("n_straddle"),
+        "first_doc_id",
+        "last_doc_id",
+        F.col("tokens_started").cast("long").alias("tokens_started"),
+        "seq_tokens",
+        "fill_ratio",
+    )
+
+
+def build_sequence_packing(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return sequence_packing(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM d
+),
+placed AS (
+  SELECT *,
+         end_off - n_tokens AS start_off,
+         CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT) AS seq_id,
+         CASE WHEN CAST(FLOOR((end_off - 1) / {SEQ_CAP}) AS BIGINT)
+                   > CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT)
+              THEN 1 ELSE 0 END AS straddle
+  FROM offs
+),
+totals AS (SELECT source, SUM(n_tokens) AS total FROM d GROUP BY source)
+SELECT p.source,
+       p.seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_started,
+       CAST(SUM(p.straddle) AS BIGINT) AS n_straddle,
+       MIN(p.doc_id) AS first_doc_id,
+       MAX(p.doc_id) AS last_doc_id,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS tokens_started,
+       LEAST(CAST({SEQ_CAP} AS BIGINT),
+             ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP}) AS seq_tokens,
+       {round_div_expr(
+           f"LEAST(CAST({SEQ_CAP} AS BIGINT), ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP})",
+           str(SEQ_CAP), 4, "duckdb")} AS fill_ratio
+FROM placed p JOIN totals t USING (source)
+GROUP BY p.source, p.seq_id
+"""
+
+
+def shard_manifest(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Balanced export-shard manifest via snake-order dealing."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    ck = (
+        F.conv(F.substring(F.md5("text"), 1, _CK_HEX), 16, 10).cast("long")
+    )
+    meta = documents.select(
+        "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    )
+    m = (rn - 1) % (2 * n_shards)
+    shard = F.when(m < n_shards, m).otherwise(2 * n_shards - 1 - m)
+    dealt = meta.withColumn("shard_id", shard.cast("int"))
+    total = dealt.agg(F.sum("n_tokens").alias("_t"))
+    return (
+        dealt.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            (F.sum("_ck") % _CK_MOD).alias("checksum"),
+        )
+        .join(F.broadcast(total))
+        .withColumn("token_share", round_div("total_tokens", "_t", 4))
+        .drop("_t")
+    )
+
+
+def build_shard_manifest(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return shard_manifest(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_SHARD_MANIFEST = f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(text), 1, {_CK_HEX}) AS BIGINT) AS ck
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+           % {2 * N_SHARDS} AS m
+  FROM meta
+),
+dealt AS (
+  SELECT *,
+         CAST(CASE WHEN m < {N_SHARDS} THEN m
+                   ELSE {2 * N_SHARDS - 1} - m END AS INTEGER) AS shard_id
+  FROM ranked
+),
+t AS (SELECT SUM(n_tokens) AS total FROM meta)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(ck) % {_CK_MOD} AS BIGINT) AS checksum,
+       {round_div_expr("CAST(SUM(n_tokens) AS BIGINT)",
+                       "ANY_VALUE(t.total)", 4, "duckdb")} AS token_share
+FROM dealt, t
+GROUP BY shard_id
+"""

@@ -1183,3 +1183,91 @@ SELECT label, dim,
 FROM e
 GROUP BY label, dim
 """
+
+
+# ----------------------------------------- per-dimension drift audit ----
+def embedding_dim_stats(
+    embeddings: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-dimension corpus health profile: n, mean, variance, min/max
+    and dead-dimension (exact-zero) fraction for every embedding
+    coordinate — the drift/collapse monitor an embedding lake runs per
+    ingest batch (a dimension whose variance collapses or mean walks is
+    an upstream-encoder regression).
+
+    Shares the module's 1e-6 fixed-point lift: sums and sums-of-squares
+    are exact BIGINTs, mean = S/n and var = (n·Q − S²)/n² round HALF_UP
+    in integer space (4dp, in float units) — bit-identical across
+    engines and partial-sum orders. One posexplode + one grouped agg on
+    a constant-fanout key (64 dims), so it scales as a plain partial+
+    final aggregate. Headroom: q ≤ 1e6·|x|; n·Q needs n·d·(1e6·xmax)²
+    < 2⁶³ — at ~1e9 vectors move the lift to 1e-4 (the fixedpoint
+    module's documented rescale rule).
+    """
+    from demo_etl_spark.functions.fixedpoint import round_div, round_div_signed
+
+    return (
+        embeddings.select(F.posexplode(_e6_vec("embedding")).alias("dim", "q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").alias("_s"),
+            F.sum(F.col("q") * F.col("q")).alias("_q2"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.sum((F.col("q") == 0).cast("long")).alias("_nz"),
+        )
+        .select(
+            "dim",
+            "n",
+            round_div_signed("_s", "n * 1000000", 4).alias("mean"),
+            # (n·Q − S²)/n² rounds exactly in q² units (BIGINT-safe: the
+            # 2× pre-multiply stays < 2⁶³ because den is only n²), then a
+            # single deterministic IEEE double division rescales to
+            # float units² (the q² value is < 2⁵³, so the cast is exact)
+            (
+                round_div("n * _q2 - _s * _s", "n * n", 0)
+                / F.lit(1_000_000_000_000)
+            ).alias("variance"),
+            "min_q",
+            "max_q",
+            round_div("_nz", "n", 4).alias("zero_frac"),
+        )
+    )
+
+
+def build_dim_stats(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.io import read_star_table
+
+    return embedding_dim_stats(read_star_table(spark, sf_dir, "embeddings"), ctx)
+
+
+from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
+    round_div_expr as _rde_dimstats,
+)
+
+ORACLE_SQL_DIM_STATS = f"""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings
+),
+g AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS q2,
+         MIN(q) AS min_q,
+         MAX(q) AS max_q,
+         CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+  FROM e GROUP BY dim
+)
+SELECT dim, n,
+       {_rde_centroids("s", "n * 1000000", 4, "duckdb")} AS mean,
+       ({_rde_dimstats("n * q2 - s * s", "n * n", 0, "duckdb")}) / 1000000000000 AS variance,
+       min_q, max_q,
+       {_rde_dimstats("nz", "n", 4, "duckdb")} AS zero_frac
+FROM g
+"""

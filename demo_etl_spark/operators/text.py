@@ -845,3 +845,125 @@ SELECT doc_id, lang, source,
          '{NOISE_PATTERNS["n_emails"]}', '[EMAIL]', 'g') AS redacted_text
 FROM documents
 """
+
+
+# --------------------------------------------- PMI collocations --------
+#: minimum bigram count for a collocation candidate (kills hapax noise)
+PMI_MIN_SUPPORT = 3
+#: manifest size of the phrase-vocabulary candidate list
+PMI_TOPK = 50
+
+
+def pmi_collocations(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``PMI_TOPK`` adjacent token
+    pairs by pointwise-mutual-information *ratio* — the phrase-vocabulary
+    builder of a tokenizer pipeline (word2vec-style phrase merging,
+    "new york" → "new_york").
+
+    PMI = log[ P(ab) / (P(a)·P(b)) ]; log is monotone, so ranking (and
+    the emitted score) uses the exact rational ratio
+    ``c_ab·Nt² / (Nb·c_a·c_b)`` in HALF_UP 4dp fixed point — no floats,
+    bit-identical across engines. Unigram counts come from the token
+    stream (Nt tokens), bigram counts from within-document adjacent
+    pairs (Nb pairs, no cross-document pairs).
+
+    Plan shape: two explode→groupBy count passes over the corpus (the
+    vocab_topk shape), two broadcast-sized joins of the bigram candidates
+    against the unigram counts, and a TakeOrderedAndProject top-k — no
+    global sort. At 100 TB the numerator ``c_ab·Nt²`` overflows BIGINT;
+    rescale both sides of the ratio by 10⁶ (the ordering is unchanged)
+    or move the grand totals to DECIMAL(38) — the fixedpoint module's
+    documented headroom rule.
+    """
+    toks = F.split(F.col("text"), " ")
+    d = documents.select(toks.alias("_toks"))
+    uni = (
+        d.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    a_part = F.slice(F.col("_toks"), F.lit(1), F.size("_toks") - 1)
+    b_part = F.slice(F.col("_toks"), F.lit(2), F.size("_toks") - 1)
+    bg = (
+        d.select(
+            F.explode(
+                F.zip_with(
+                    a_part,
+                    b_part,
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+    )
+    bgc = (
+        bg.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    totals = bg.agg(
+        F.count(F.lit(1)).alias("_nb")
+    ).crossJoin(uni.agg(F.sum("c_tok").alias("_nt")))
+    scored = (
+        bgc.join(
+            F.broadcast(uni.withColumnRenamed("c_tok", "c_a")),
+            bgc.token_a == F.col("token"),
+        )
+        .drop("token")
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("token").alias("_tb"), F.col("c_tok").alias("c_b")
+                )
+            ),
+            F.col("token_b") == F.col("_tb"),
+        )
+        .drop("_tb")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "assoc", round_div("c_ab * _nt * _nt", "_nb * c_a * c_b", 4)
+        )
+    )
+    return (
+        scored.select("token_a", "token_b", "c_ab", "c_a", "c_b", "assoc")
+        .orderBy(F.desc("assoc"), "token_a", "token_b")
+        .limit(PMI_TOPK)
+    )
+
+
+def build_pmi_collocations(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return pmi_collocations(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_PMI = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (
+  SELECT u.t AS token, COUNT(*) AS c_tok
+  FROM toks, unnest(ts) AS u(t)
+  GROUP BY 1
+),
+bg AS (
+  SELECT ts[g.i - 1] AS token_a, ts[g.i] AS token_b
+  FROM toks, unnest(generate_series(2, len(ts))) AS g(i)
+),
+bgc AS (
+  SELECT token_a, token_b, COUNT(*) AS c_ab
+  FROM bg GROUP BY token_a, token_b
+  HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+),
+tot AS (
+  SELECT (SELECT SUM(c_tok) FROM uni) AS nt,
+         (SELECT COUNT(*) FROM bg) AS nb
+)
+SELECT token_a, token_b, c_ab, ua.c_tok AS c_a, ub.c_tok AS c_b,
+       {round_div_expr("c_ab * nt * nt", "nb * ua.c_tok * ub.c_tok", 4, "duckdb")} AS assoc
+FROM bgc
+JOIN uni ua ON bgc.token_a = ua.token
+JOIN uni ub ON bgc.token_b = ub.token, tot
+ORDER BY assoc DESC, token_a, token_b
+LIMIT {PMI_TOPK}
+"""

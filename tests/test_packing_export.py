@@ -1,0 +1,124 @@
+"""Training-data assembly & export operators (operators/packing.py) plus
+the pmi/dim-stats additions — hand-built corpora with known answers and
+partitioning-invariance checks (the determinism the oracle gate relies
+on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row as R
+
+from demo_etl_spark.operators.packing import (
+    N_SHARDS,
+    sequence_packing,
+    shard_manifest,
+)
+
+
+def _doc(doc_id, n_tokens, source="s0"):
+    text = " ".join(f"t{i % 7}" for i in range(n_tokens))
+    return R(doc_id=doc_id, text=text, lang="en", source=source,
+             n_chars=len(text))
+
+
+def test_sequence_packing_known_straddles(spark):
+    """Token counts [300, 300, 500] at cap 512: doc0 starts seq0; doc1
+    starts seq0 and straddles into seq1; doc2 starts seq1 and straddles
+    into seq2. seq2 has no starter, so exactly two rows come back."""
+    docs = spark.createDataFrame(
+        [_doc(0, 300), _doc(1, 300), _doc(2, 500)]
+    )
+    out = {r["seq_id"]: r for r in sequence_packing(docs, cap=512).collect()}
+    assert set(out) == {0, 1}
+    s0, s1 = out[0], out[1]
+    assert s0["n_docs_started"] == 2 and s0["n_straddle"] == 1
+    assert s0["first_doc_id"] == 0 and s0["last_doc_id"] == 1
+    assert s0["seq_tokens"] == 512 and s0["fill_ratio"] == 1.0
+    assert s1["n_docs_started"] == 1 and s1["n_straddle"] == 1
+    # total = 1100; seq1 window [512, 1024) is full
+    assert s1["seq_tokens"] == 512
+
+
+def test_sequence_packing_conserves_tokens_per_source(spark, tables):
+    docs = tables["documents"]
+    out = sequence_packing(docs).collect()
+    started = {}
+    for r in out:
+        started[r["source"]] = started.get(r["source"], 0) + r["tokens_started"]
+        assert 0 < r["seq_tokens"] <= 512
+        assert r["n_straddle"] <= r["n_docs_started"]
+    truth = {
+        r["source"]: r["t"]
+        for r in docs.selectExpr(
+            "source", "size(split(text, ' ')) AS n"
+        ).groupBy("source").agg({"n": "sum"}).withColumnRenamed(
+            "sum(n)", "t"
+        ).collect()
+    }
+    assert started == truth
+
+
+def test_sequence_packing_is_partitioning_invariant(spark, tables):
+    docs = tables["documents"]
+    a = sorted(map(tuple, sequence_packing(docs).collect()))
+    b = sorted(map(tuple, sequence_packing(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_shard_manifest_covers_and_balances(spark, tables):
+    docs = tables["documents"]
+    rows = shard_manifest(docs).collect()
+    assert len(rows) == N_SHARDS
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    tok = [r["total_tokens"] for r in rows]
+    max_doc = docs.selectExpr("max(size(split(text, ' '))) AS m").first()["m"]
+    # snake dealing over desc-sorted sizes keeps shard skew within a
+    # couple of document lengths
+    assert max(tok) - min(tok) <= 2 * max_doc
+    share = sum(r["token_share"] for r in rows)
+    assert abs(share - 1.0) < 0.01
+    for r in rows:
+        assert 0 <= r["checksum"] < (1 << 40)
+
+
+def test_shard_manifest_is_partitioning_invariant(spark, tables):
+    docs = tables["documents"]
+    a = sorted(map(tuple, shard_manifest(docs).collect()))
+    b = sorted(map(tuple, shard_manifest(docs.repartition(11)).collect()))
+    assert a == b
+
+
+def test_pmi_top_pair_is_the_planted_collocation(spark):
+    from demo_etl_spark.operators.text import pmi_collocations
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        R(doc_id=i, text=f"{filler} new york {filler}", lang="en",
+          source="s", n_chars=0)
+        for i in range(5)
+    ] + [
+        R(doc_id=100 + i, text=f"{filler} {filler}", lang="en",
+          source="s", n_chars=0)
+        for i in range(5)
+    ]
+    out = pmi_collocations(spark.createDataFrame(rows)).collect()
+    assert (out[0]["token_a"], out[0]["token_b"]) == ("new", "york")
+    assert out[0]["c_ab"] == 5
+    # scores are emitted in descending order with deterministic ties
+    scores = [r["assoc"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dim_stats_on_constructed_vectors(spark):
+    from demo_etl_spark.operators.similarity import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [
+            R(vec_id=0, embedding=[1.0, 0.0], label=0),
+            R(vec_id=1, embedding=[3.0, 0.0], label=0),
+        ]
+    )
+    out = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert out[0]["mean"] == 2.0 and out[0]["variance"] == 1.0
+    assert out[0]["min_q"] == 1_000_000 and out[0]["max_q"] == 3_000_000
+    assert out[0]["zero_frac"] == 0.0
+    assert out[1]["variance"] == 0.0 and out[1]["zero_frac"] == 1.0

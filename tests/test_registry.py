@@ -41,6 +41,7 @@ def test_registry_is_large_and_window_covers_families():
         "corpus_curation",        # curation
         "text_stats",             # text
         "bucketed_order_join",    # physical layout
+        "sequence_packing",       # training-data assembly/export
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
