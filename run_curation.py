@@ -15,6 +15,10 @@ non-empty via _SUCCESS + count, and lineage-tracked):
                 by split so consumers prune
   4. chunk    — overlapping token-window chunks of the TRAIN split only
                 (operators.text.chunk_documents) — the tensor-feed stage
+  5. pack     — concat-and-chop sequence packing of the train split
+                (operators.packing.sequence_packing)
+  6. shard    — balanced export shards + order-independent integrity
+                checksums (operators.packing.shard_manifest)
 
     python run_curation.py [--sf-dir DIR] [--work-dir DIR] [--job-id ID]
 
@@ -52,7 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     from demo_etl_spark import io
     from demo_etl_spark.context import RunContext
     from demo_etl_spark.lineage import LineageTracker
-    from demo_etl_spark.operators import curation, dedup, fingerprint, text
+    from demo_etl_spark.operators import (
+        curation,
+        dedup,
+        fingerprint,
+        packing,
+        text,
+    )
     from demo_etl_spark.session import get_spark
 
     job_id = args.job_id or str(uuid.uuid4())
@@ -110,6 +120,19 @@ def main(argv: list[str] | None = None) -> int:
     chunk_path, n_chunks = checked_write(chunks, "train_chunks")
     tracker.log("train chunking", [split_path], chunk_path, n_chunks)
 
+    # ---- Stage 5: pack the train split into training sequences --------
+    _stage(5, "concat-and-chop sequence packing of the train split")
+    train_docs = docs.join(train_ids, "doc_id")
+    packed = packing.sequence_packing(train_docs, ctx)
+    pack_path, n_seqs = checked_write(packed, "train_sequences")
+    tracker.log("sequence packing", [split_path], pack_path, n_seqs)
+
+    # ---- Stage 6: balanced export-shard manifest ----------------------
+    _stage(6, "snake-dealt export shards + integrity manifest")
+    manifest = packing.shard_manifest(train_docs, ctx)
+    man_path, n_shards = checked_write(manifest, "shard_manifest")
+    tracker.log("shard manifest", [split_path], man_path, n_shards)
+
     dot = tracker.write_dot(f"{work}/curation_lineage_{job_id}.dot")
     print(f"\nlineage events ({len(tracker.events)}):")
     for ev in tracker.events:
@@ -117,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
               f"{', '.join(ev.inputs)} -> {ev.output}")
     print(f"DOT graph: {dot}")
     print(f"\nworkflow {job_id} complete: curated={n_curated} "
-          f"fingerprints={n_fps} chunks={n_chunks}")
+          f"fingerprints={n_fps} chunks={n_chunks} "
+          f"sequences={n_seqs} shards={n_shards}")
     return 0
 
 

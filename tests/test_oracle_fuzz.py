@@ -60,6 +60,7 @@ FUZZ_QUERIES = [
     "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_incremental", "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
+    "sequence_packing", "shard_manifest", "pmi_collocations",
 ]
 
 
@@ -118,7 +119,7 @@ EMB_FUZZ_QUERIES = [
     "similarity_topk_cosine", "similarity_lsh_bucketed",
     "similarity_ivf_topk", "similarity_ann_recall", "embedding_quantize",
     "embedding_centroids", "dedup_embedding_cosine", "dedup_embedding_ann",
-    "dedup_ann_pair_recall",
+    "dedup_ann_pair_recall", "embedding_dim_stats",
 ]
 
 
