@@ -41,6 +41,7 @@ from demo_etl_spark.operators import star as _star
 from demo_etl_spark.operators import temporal as _temporal
 from demo_etl_spark.operators import text as _text
 from demo_etl_spark.operators import timeseries as _timeseries
+from demo_etl_spark.operators import tokenizer as _tokenizer
 from demo_etl_spark.streaming import event_streams as _streams
 
 
@@ -120,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants of families already covered above
         "events_pivot": _events.build_pivot,
         "shard_manifest": _packing.build_shard_manifest,
+        "sequence_spans": _packing.build_sequence_spans,
+        "bpe_merges": _tokenizer.build_bpe_merges,
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
@@ -240,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
+        "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
+        "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,

@@ -232,3 +232,89 @@ SELECT shard_id,
 FROM dealt, t
 GROUP BY shard_id
 """
+
+
+def sequence_spans(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
+) -> DataFrame:
+    """The materialization half of ``sequence_packing``: one row per
+    (document, sequence) span, i.e. exactly which token slice of which
+    document fills which part of each packed training sequence. A doc
+    that straddles K boundaries emits K+1 spans; the writer stage joins
+    these spans (doc_id, doc_offset, span_tokens) back to the payloads
+    and emits fixed-``cap`` sequences.
+
+    Same plan shape as the summary: one per-source window, then a narrow
+    explode whose fanout is ceil(n_tokens/cap) per doc (≈1 for normal
+    docs) — no extra shuffle, no global sort. Invariant (pytest +
+    oracle): span_tokens grouped by (source, seq_id) reconstructs every
+    sequence at exactly ``cap`` tokens except each source's final one.
+    """
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        documents.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        .withColumn("first_seq", (F.col("start_off") / cap).cast("long"))
+        .withColumn("last_seq", ((F.col("end_off") - 1) / cap).cast("long"))
+        .withColumn(
+            "seq_id", F.explode(F.sequence("first_seq", "last_seq"))
+        )
+    )
+    span_start = F.greatest(F.lit(0).cast("long"), F.col("seq_id") * cap - F.col("start_off"))
+    span_end = F.least(F.col("n_tokens"), (F.col("seq_id") + 1) * cap - F.col("start_off"))
+    return d.select(
+        "source",
+        "seq_id",
+        "doc_id",
+        span_start.alias("doc_offset"),
+        (F.col("start_off") + span_start - F.col("seq_id") * cap).alias("seq_offset"),
+        (span_end - span_start).alias("span_tokens"),
+    )
+
+
+def build_sequence_spans(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return sequence_spans(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_SEQUENCE_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM d
+),
+placed AS (
+  SELECT *,
+         end_off - n_tokens AS start_off,
+         CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT) AS first_seq,
+         CAST(FLOOR((end_off - 1) / {SEQ_CAP}) AS BIGINT) AS last_seq
+  FROM offs
+),
+spans AS (
+  SELECT p.source, g.seq_id, p.doc_id,
+         GREATEST(CAST(0 AS BIGINT), g.seq_id * {SEQ_CAP} - p.start_off)
+           AS span_start,
+         LEAST(p.n_tokens, (g.seq_id + 1) * {SEQ_CAP} - p.start_off)
+           AS span_end,
+         p.start_off
+  FROM placed p, unnest(generate_series(p.first_seq, p.last_seq)) AS g(seq_id)
+)
+SELECT source, seq_id, doc_id,
+       span_start AS doc_offset,
+       start_off + span_start - seq_id * {SEQ_CAP} AS seq_offset,
+       span_end - span_start AS span_tokens
+FROM spans
+"""

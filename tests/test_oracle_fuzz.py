@@ -60,7 +60,8 @@ FUZZ_QUERIES = [
     "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_incremental", "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
-    "sequence_packing", "shard_manifest", "pmi_collocations",
+    "sequence_packing", "sequence_spans", "shard_manifest",
+    "pmi_collocations", "bpe_merges",
 ]
 
 

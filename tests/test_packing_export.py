@@ -122,3 +122,55 @@ def test_dim_stats_on_constructed_vectors(spark):
     assert out[0]["min_q"] == 1_000_000 and out[0]["max_q"] == 3_000_000
     assert out[0]["zero_frac"] == 0.0
     assert out[1]["variance"] == 0.0 and out[1]["zero_frac"] == 1.0
+
+
+def test_sequence_spans_reconstruct_sequences(spark, tables):
+    """Grouping spans by (source, seq_id) must reproduce the exact
+    occupancy: every sequence holds cap tokens except each source's
+    final one, and within a sequence the spans tile [0, seq_tokens)
+    without gaps or overlaps."""
+    from demo_etl_spark.operators.packing import sequence_spans
+
+    docs = tables["documents"]
+    spans = sequence_spans(docs).collect()
+    by_seq = {}
+    for r in spans:
+        assert r["span_tokens"] > 0
+        by_seq.setdefault((r["source"], r["seq_id"]), []).append(r)
+    last_seq = {}
+    for (src, seq), _ in by_seq.items():
+        last_seq[src] = max(last_seq.get(src, -1), seq)
+    for (src, seq), rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for r in rows:
+            assert r["seq_offset"] == pos, (src, seq, r)
+            pos += r["span_tokens"]
+        if seq < last_seq[src]:
+            assert pos == 512, (src, seq, pos)
+        else:
+            assert 0 < pos <= 512
+
+
+def test_sequence_spans_cover_every_document_token(spark, tables):
+    """Per doc, spans tile [0, n_tokens): offsets chain and lengths sum."""
+    from demo_etl_spark.operators.packing import sequence_spans
+
+    docs = tables["documents"]
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    by_doc = {}
+    for r in sequence_spans(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for r in rows:
+            assert r["doc_offset"] == pos
+            pos += r["span_tokens"]
+        assert pos == n_by_doc[doc_id]

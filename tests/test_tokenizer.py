@@ -1,0 +1,83 @@
+"""BPE merge training (operators/tokenizer.py) vs a pure-Python greedy
+reference implementation — the semantic pin that the padded-string
+replace encoding equals classic list-based greedy BPE, including on the
+adversarial alternating-run words where a single replace pass would
+merge only every other site."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row as R
+
+from demo_etl_spark.operators.tokenizer import bpe_merges
+
+
+def _ref_bpe(texts: list[str], rounds: int):
+    """Classic Sennrich-style BPE on word frequencies; greedy
+    left-to-right list merge; tie-break (count desc, lhs, rhs)."""
+    wf = Counter(w for t in texts for w in t.split(" "))
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _run(spark, texts, rounds=4):
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    got = [
+        (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=rounds).collect()
+    ]
+    assert sorted(got) == sorted(_ref_bpe(texts, rounds)), (
+        got, _ref_bpe(texts, rounds)
+    )
+
+
+def test_bpe_matches_reference_on_plain_corpus(spark):
+    _run(spark, [
+        "lower lowest newer newest wider widest",
+        "low lower lowest new newer newest",
+        "the newest newest newest thing",
+    ])
+
+
+def test_bpe_matches_reference_on_alternating_runs(spark):
+    """Words like 'ababab' put consecutive (a,b) merge sites at shared
+    spaces in the padded encoding — the case a single replace pass gets
+    wrong (it merges alternating sites only)."""
+    _run(spark, [
+        "ababab ababababab abab",
+        "ababab ababab cdcdcdcd",
+        "aaaa aaa aaaaaa baaab",
+    ], rounds=3)
+
+
+def test_bpe_matches_reference_with_repeated_symbol_pairs(spark):
+    """Pair (a,a) inside 'aaaa...' — true token overlap: greedy merges
+    floor(run/2) pairs; the string encoding must agree."""
+    _run(spark, ["aaaaaaa aaaa aa a", "aaaaaaa aaaaaaa xyz"], rounds=2)
