@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _packing.build_shard_manifest,
         "sequence_spans": _packing.build_sequence_spans,
         "bpe_merges": _tokenizer.build_bpe_merges,
+        "bpe_encode": _tokenizer.build_bpe_encode,
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
+        "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,

@@ -52,14 +52,12 @@ BPE_ROUNDS = 4
 _CHAR_PAT = r"([\s\S])"
 
 
-def bpe_merges(
-    documents: DataFrame,
-    ctx: RunContext = DEFAULT_CONTEXT,
-    rounds: int = BPE_ROUNDS,
-) -> DataFrame:
-    """Learn ``rounds`` BPE merges; returns (round, lhs, rhs, merged,
-    pair_count) — the merge table a tokenizer ships."""
-    spark = documents.sparkSession
+def _train(documents: DataFrame, rounds: int):
+    """Shared trainer: returns (final symbol table, merge list).
+
+    The symbol table is vocab-sized (distinct words) and
+    localCheckpoint-ed per round; one argmax row reaches the driver per
+    round."""
     words = (
         documents.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -101,7 +99,18 @@ def bpe_merges(
                 F.lit(f" {lhs}{rhs} "),
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return sym, merges
+
+
+def bpe_merges(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns (round, lhs, rhs, merged,
+    pair_count) — the merge table a tokenizer ships."""
+    _, merges = _train(documents, rounds)
+    return documents.sparkSession.createDataFrame(
         merges,
         schema="round int, lhs string, rhs string, merged string, "
         "pair_count long",
@@ -160,3 +169,101 @@ s{r} AS (
 
 
 ORACLE_SQL_BPE_MERGES = _bpe_oracle()
+
+
+def bpe_encode(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Apply the learned merge table to the corpus: per-document BPE
+    token counts and the compression ratio vs raw characters — the
+    acceptance metric of a tokenizer (chars per token) and the token
+    accounting a training-data budget runs on.
+
+    Shape: the merge loop runs on the DISTINCT vocabulary exactly as in
+    :func:`bpe_merges`; the final symbol table collapses to a
+    (word → n_bpe_tokens) map that joins back to the exploded corpus as
+    a broadcast (vocab-sized), then one per-doc aggregation. The corpus
+    is touched twice (word counts, encode join) — both embarrassingly
+    parallel scans; nothing iterative ever sees a corpus-sized row set.
+    """
+    sym, _ = _train(documents, rounds)
+    # the empty word ('' from leading/trailing/double spaces) encodes to
+    # zero symbols: trim('') splits to [''] — count it as 0, not 1
+    vocab = sym.select(
+        "word",
+        F.when(F.col("word") == "", F.lit(0).cast("long"))
+        .otherwise(
+            F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long")
+        )
+        .alias("word_tokens"),
+    )
+    enc = (
+        documents.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+            F.sum(F.length("word").cast("long")).alias("n_word_chars"),
+        )
+    )
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    return enc.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_bpe_tokens",
+        "n_word_chars",
+        # chars per BPE token, 4dp (0 tokens ⇒ whitespace-only doc: emit 0)
+        F.when(F.col("n_bpe_tokens") == 0, F.lit(0.0))
+        .otherwise(round_div("n_word_chars", "n_bpe_tokens", 4))
+        .alias("chars_per_token"),
+    )
+
+
+def build_bpe_encode(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return bpe_encode(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    base = _bpe_oracle(rounds)
+    # reuse the training CTE chain up to the final symbol table s{rounds},
+    # then collapse to a vocabulary map and re-join the exploded corpus
+    head = base.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    cpt = round_div_expr(
+        "CAST(SUM(length(word)) AS BIGINT)",
+        "CAST(SUM(word_tokens) AS BIGINT)", 4, "duckdb",
+    )
+    return f"""{head},
+vocab AS (
+  SELECT word,
+         CASE WHEN word = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(trim(sym), '  ')) AS BIGINT)
+         END AS word_tokens
+  FROM s{rounds}
+),
+corpus AS (
+  SELECT doc_id, source, u.t AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(word_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(word)) AS BIGINT) AS n_word_chars,
+       CASE WHEN SUM(word_tokens) = 0 THEN 0.0
+            ELSE {cpt} END AS chars_per_token
+FROM corpus JOIN vocab USING (word)
+GROUP BY doc_id, source
+"""
+
+
+ORACLE_SQL_BPE_ENCODE = _bpe_encode_oracle()

@@ -61,7 +61,7 @@ FUZZ_QUERIES = [
     "dedup_clusters", "dedup_incremental", "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     "sequence_packing", "sequence_spans", "shard_manifest",
-    "pmi_collocations", "bpe_merges",
+    "pmi_collocations", "bpe_merges", "bpe_encode",
 ]
 
 

@@ -81,3 +81,41 @@ def test_bpe_matches_reference_with_repeated_symbol_pairs(spark):
     """Pair (a,a) inside 'aaaa...' — true token overlap: greedy merges
     floor(run/2) pairs; the string encoding must agree."""
     _run(spark, ["aaaaaaa aaaa aa a", "aaaaaaa aaaaaaa xyz"], rounds=2)
+
+
+def test_bpe_encode_matches_reference_token_counts(spark):
+    from demo_etl_spark.operators.tokenizer import bpe_encode
+
+    texts = [
+        "lower lowest newer newest wider widest",
+        "low lower lowest new newer newest",
+        "the newest newest newest thing",
+    ]
+    rounds = 4
+    # reference: replay merges over the symbol lists, count per doc
+    wf = Counter(w for t in texts for w in t.split(" "))
+    syms = {w: list(w) for w in wf}
+    for r, lhs, rhs, merged, cnt in _ref_bpe(texts, rounds):
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    expect = {
+        i: sum(len(syms[w]) for w in t.split(" "))
+        for i, t in enumerate(texts)
+    }
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(docs, rounds=rounds).collect()}
+    assert {k: v["n_bpe_tokens"] for k, v in got.items()} == expect
+    for r in got.values():
+        assert r["n_bpe_tokens"] <= r["n_word_chars"]
+        assert r["n_bpe_tokens"] >= r["n_words"]  # no empty words here
