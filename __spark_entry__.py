@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _tokenizer.build_bpe_encode,
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
+        "embedding_pq": _similarity.build_pq,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
+        "embedding_pq": _similarity.ORACLE_SQL_PQ,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

@@ -1271,3 +1271,195 @@ SELECT dim, n,
        {_rde_dimstats("nz", "n", 4, "duckdb")} AS zero_frac
 FROM g
 """
+
+
+# --------------------------------------------- product quantization -----
+PQ_M = 4          # subspaces
+PQ_STRIDE = 61    # every 61st vector seeds a per-subspace code
+PQ_ITERS = 1      # deterministic L2 Lloyd refinement rounds
+
+
+def _pq_subvectors(emb6: DataFrame) -> DataFrame:
+    """(vec_id, label, m, sv): split each e6 vector into PQ_M contiguous
+    subvectors; the last subspace absorbs any remainder dims."""
+    sd = (F.size("v") / PQ_M).cast("int")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(
+                    "v",
+                    sd * m + 1,
+                    F.when(F.lit(m) == PQ_M - 1, F.size("v") - sd * (PQ_M - 1))
+                    .otherwise(sd),
+                ).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return emb6.select(
+        "vec_id", "label", F.explode(subs).alias("s")
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _int_l2(a: str, b: str):
+    """Exact BIGINT squared-L2 between two e6 (sub)vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def product_quantize(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    stride: int = PQ_STRIDE,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product quantization: train a per-subspace L2 codebook (seeded
+    deterministic Lloyd, exact-integer distances) and encode every
+    vector as PQ_M code ids + its exact reconstruction error.
+
+    The vector-lake compression tier below int8: 64 floats → 4 codes.
+    All arithmetic is exact BIGINT (squared-L2 of e6 ints; HALF_UP
+    integer means), so codes AND the reconstruction error are
+    bit-identical across engines — the oracle retrains the codebook in
+    SQL. Scale: codebook training joins the corpus against a broadcast
+    codebook (codes = n/stride rows); at 100 TB you train on a sample
+    and keep stride fixed — the plan shape (broadcast join + argmin
+    window + per-dim agg) is unchanged.
+    """
+    emb6 = embeddings.select(
+        "vec_id", "label", _e6_vec("embedding").alias("v")
+    )
+    sub = _pq_subvectors(emb6).localCheckpoint(eager=True)
+    book = sub.filter(F.col("vec_id") % stride == 0).select(
+        "m", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("_d"), F.asc("code_id"))
+    for _ in range(iters):
+        assign = (
+            sub.join(F.broadcast(book), "m")
+            .withColumn("_d", _int_l2("sv", "cv"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("m", F.col("code_id").alias("cell"), "sv")
+        )
+        book = (
+            assign.select("m", "cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("mu", _signed_mean("s", "n"))
+            .groupBy("m", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("_pm"))
+            .select(
+                "m",
+                F.col("cell").alias("code_id"),
+                F.transform("_pm", lambda st: st["mu"]).alias("cv"),
+            )
+        )
+    coded = (
+        sub.join(F.broadcast(book), "m")
+        .withColumn("_d", _int_l2("sv", "cv"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    return (
+        coded.groupBy("vec_id", "label")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("code_id"))).alias(
+                    f"code_{m}"
+                )
+                for m in range(PQ_M)
+            ],
+            F.sum("_d").alias("recon_err"),
+        )
+    )
+
+
+def build_pq(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.io import read_star_table
+
+    return product_quantize(read_star_table(spark, sf_dir, "embeddings"), ctx)
+
+
+def _pq_oracle(stride: int = PQ_STRIDE, iters: int = PQ_ITERS) -> str:
+    """DuckDB twin: retrains the per-subspace codebook with the same
+    seeded Lloyd in exact integer space, then encodes."""
+    sub_expr = " UNION ALL ".join(
+        f"""SELECT vec_id, label, {m} AS m,
+       CASE WHEN {m} = {PQ_M - 1}
+            THEN v[sd * {PQ_M - 1} + 1 :]
+            ELSE v[sd * {m} + 1 : sd * {m + 1}] END AS sv
+FROM e6"""
+        for m in range(PQ_M)
+    )
+    l2 = (
+        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1), "
+        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH e6 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+         CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
+  FROM embeddings
+),
+sub AS ({sub_expr}),
+book0 AS (
+  SELECT m, vec_id AS code_id, sv AS cv FROM sub WHERE vec_id % {stride} = 0
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"book{it - 1}"
+        parts.append(
+            f""",
+assign{it} AS (
+  SELECT m, cell, sv FROM (
+    SELECT s.m AS m, b.code_id AS cell, s.sv AS sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, b.code_id ASC) AS r
+    FROM sub s JOIN {prev} b USING (m)
+  ) WHERE r = 1
+),
+book{it} AS (
+  SELECT m, cell AS code_id, list(mu ORDER BY pos) AS cv
+  FROM (
+    SELECT m, cell, pos,
+           CASE WHEN SUM(val) >= 0
+                THEN (SUM(val) * 2 + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((-SUM(val) * 2 + COUNT(*)) // (2 * COUNT(*)))
+           END AS mu
+    FROM (SELECT m, cell, g.i AS pos, sv[g.i + 1] AS val
+          FROM assign{it}, unnest(generate_series(0, len(sv) - 1)) AS g(i))
+    GROUP BY m, cell, pos
+  )
+  GROUP BY m, cell
+)"""
+        )
+    codes = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cell END) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    parts.append(
+        f"""
+SELECT vec_id, label, {codes},
+       CAST(SUM(d) AS BIGINT) AS recon_err
+FROM (
+  SELECT s.vec_id AS vec_id, s.label AS label, s.m AS m,
+         b.code_id AS cell, {l2} AS d,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {l2} ASC, b.code_id ASC) AS r
+  FROM sub s JOIN book{iters} b USING (m)
+) WHERE r = 1
+GROUP BY vec_id, label"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL_PQ = _pq_oracle()

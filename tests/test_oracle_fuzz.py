@@ -120,7 +120,7 @@ EMB_FUZZ_QUERIES = [
     "similarity_topk_cosine", "similarity_lsh_bucketed",
     "similarity_ivf_topk", "similarity_ann_recall", "embedding_quantize",
     "embedding_centroids", "dedup_embedding_cosine", "dedup_embedding_ann",
-    "dedup_ann_pair_recall", "embedding_dim_stats",
+    "dedup_ann_pair_recall", "embedding_dim_stats", "embedding_pq",
 ]
 
 

@@ -174,3 +174,43 @@ def test_sequence_spans_cover_every_document_token(spark, tables):
             assert r["doc_offset"] == pos
             pos += r["span_tokens"]
         assert pos == n_by_doc[doc_id]
+
+
+def test_product_quantize_invariants(spark, tables):
+    from demo_etl_spark.operators.similarity import (
+        PQ_M,
+        PQ_STRIDE,
+        product_quantize,
+    )
+
+    emb = tables["embeddings"]
+    out = product_quantize(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert r["recon_err"] >= 0
+        for m in range(PQ_M):
+            # codes are seed vec_ids
+            assert r[f"code_{m}"] % PQ_STRIDE == 0
+
+
+def test_product_quantize_duplicates_share_codes(spark):
+    from pyspark.sql import Row as RR
+    import random
+
+    from demo_etl_spark.operators.similarity import product_quantize
+
+    rng = random.Random(7)
+    rows = [
+        RR(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(64)],
+           label=i % 3)
+        for i in range(40)
+    ]
+    # vec 35 duplicates vec 3 exactly
+    rows[35] = RR(vec_id=35, embedding=rows[3]["embedding"], label=0)
+    out = {r["vec_id"]: r for r in
+           product_quantize(spark.createDataFrame(rows)).collect()}
+    a, b = out[3], out[35]
+    assert [a[f"code_{m}"] for m in range(4)] == [
+        b[f"code_{m}"] for m in range(4)
+    ]
+    assert a["recon_err"] == b["recon_err"]
