@@ -109,7 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _temporal.build_transitions,
         # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
-        "order_cadence": _customer.build_cadence,
+        # --- tokenizer training -----------------------------------------
+        "bpe_merges": _tokenizer.build_bpe_merges,
         # --- association mining ----------------------------------------
         "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
@@ -122,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events.build_pivot,
         "shard_manifest": _packing.build_shard_manifest,
         "sequence_spans": _packing.build_sequence_spans,
-        "bpe_merges": _tokenizer.build_bpe_merges,
+        "order_cadence": _customer.build_cadence,
         "bpe_encode": _tokenizer.build_bpe_encode,
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,

@@ -42,6 +42,7 @@ def test_registry_is_large_and_window_covers_families():
         "text_stats",             # text
         "bucketed_order_join",    # physical layout
         "sequence_packing",       # training-data assembly/export
+        "bpe_merges",             # tokenizer training
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
