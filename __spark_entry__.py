@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "embedding_pq": _similarity.build_pq,
+        "similarity_pq_topk": _similarity.build_pq_topk,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "embedding_pq": _similarity.ORACLE_SQL_PQ,
+        "similarity_pq_topk": _similarity.ORACLE_SQL_PQ_TOPK,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

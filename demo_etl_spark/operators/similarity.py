@@ -1311,29 +1311,10 @@ def _int_l2(a: str, b: str):
     )
 
 
-def product_quantize(
-    embeddings: DataFrame,
-    ctx: RunContext = DEFAULT_CONTEXT,
-    stride: int = PQ_STRIDE,
-    iters: int = PQ_ITERS,
-) -> DataFrame:
-    """Product quantization: train a per-subspace L2 codebook (seeded
-    deterministic Lloyd, exact-integer distances) and encode every
-    vector as PQ_M code ids + its exact reconstruction error.
-
-    The vector-lake compression tier below int8: 64 floats → 4 codes.
-    All arithmetic is exact BIGINT (squared-L2 of e6 ints; HALF_UP
-    integer means), so codes AND the reconstruction error are
-    bit-identical across engines — the oracle retrains the codebook in
-    SQL. Scale: codebook training joins the corpus against a broadcast
-    codebook (codes = n/stride rows); at 100 TB you train on a sample
-    and keep stride fixed — the plan shape (broadcast join + argmin
-    window + per-dim agg) is unchanged.
-    """
-    emb6 = embeddings.select(
-        "vec_id", "label", _e6_vec("embedding").alias("v")
-    )
-    sub = _pq_subvectors(emb6).localCheckpoint(eager=True)
+def _pq_book(sub: DataFrame, stride: int, iters: int) -> DataFrame:
+    """Seeded deterministic per-subspace L2 Lloyd codebook (m, code_id,
+    cv) — exact-BIGINT distances and HALF_UP integer means, so both
+    the codes and the book itself are engine-portable."""
     book = sub.filter(F.col("vec_id") % stride == 0).select(
         "m", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
     )
@@ -1359,6 +1340,34 @@ def product_quantize(
                 F.transform("_pm", lambda st: st["mu"]).alias("cv"),
             )
         )
+    return book
+
+
+def product_quantize(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    stride: int = PQ_STRIDE,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product quantization: train a per-subspace L2 codebook (seeded
+    deterministic Lloyd, exact-integer distances) and encode every
+    vector as PQ_M code ids + its exact reconstruction error.
+
+    The vector-lake compression tier below int8: 64 floats → 4 codes.
+    All arithmetic is exact BIGINT (squared-L2 of e6 ints; HALF_UP
+    integer means), so codes AND the reconstruction error are
+    bit-identical across engines — the oracle retrains the codebook in
+    SQL. Scale: codebook training joins the corpus against a broadcast
+    codebook (codes = n/stride rows); at 100 TB you train on a sample
+    and keep stride fixed — the plan shape (broadcast join + argmin
+    window + per-dim agg) is unchanged.
+    """
+    emb6 = embeddings.select(
+        "vec_id", "label", _e6_vec("embedding").alias("v")
+    )
+    sub = _pq_subvectors(emb6).localCheckpoint(eager=True)
+    book = _pq_book(sub, stride, iters)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("_d"), F.asc("code_id"))
     coded = (
         sub.join(F.broadcast(book), "m")
         .withColumn("_d", _int_l2("sv", "cv"))
@@ -1463,3 +1472,188 @@ GROUP BY vec_id, label"""
 
 
 ORACLE_SQL_PQ = _pq_oracle()
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    stride: int = PQ_STRIDE,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ-ADC top-k search: the query meets only the 4-code table.
+
+    Asymmetric distance computation — the search mode PQ exists for:
+    the codebook is trained on the CANDIDATE corpus (queries held out),
+    every candidate is stored as PQ_M code ids, and a query's distance
+    to a candidate is the sum of PQ_M precomputed (query-subvector →
+    code) table lookups. Emits each query's top-k by ADC distance plus
+    the exact full-vector squared-L2 for those k (the approximation
+    error is part of the result — accuracy governance like ann_recall).
+
+    Scale: the per-pair work drops from a 64-float dot to 4 integer
+    lookups over a (Q × codes × M) broadcast table, and the scan reads
+    the code table (3 ints/row), not the vectors — the classic
+    memory-bandwidth win; the pair count stays O(N·Q) like the exact
+    baseline, so at 100 TB this composes with the IVF cell pruning
+    (probe cells first, ADC within cells). All distances are exact
+    BIGINTs — approximate SEARCH, deterministic ARITHMETIC.
+    """
+    emb6 = embeddings.select("vec_id", _e6_vec("embedding").alias("v"))
+    sub = _pq_subvectors(
+        emb6.withColumn("label", F.lit(0))
+    ).localCheckpoint(eager=True)
+    cand = sub.filter(F.col("vec_id") >= n_queries)
+    qsub = sub.filter(F.col("vec_id") < n_queries)
+    book = _pq_book(cand, stride, iters)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("_d"), F.asc("code_id"))
+    codes = (
+        cand.join(F.broadcast(book), "m")
+        .withColumn("_d", _int_l2("sv", "cv"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "m", F.col("code_id").alias("cell"))
+    )
+    lut = (
+        qsub.join(F.broadcast(book), "m")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "m",
+            "code_id",
+            _int_l2("sv", "cv").alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.cell == lut.code_id),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    top = adc.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )
+    qv = emb6.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    xv = emb6.select("vec_id", F.col("v").alias("xv"))
+    return (
+        top.join(F.broadcast(qv), "q_id")
+        .join(xv, "vec_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "adc_dist",
+            _int_l2("qv", "xv").alias("exact_dist"),
+        )
+    )
+
+
+def build_pq_topk(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.io import read_star_table
+
+    return pq_topk(read_star_table(spark, sf_dir, "embeddings"), ctx)
+
+
+def _pq_topk_oracle(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    stride: int = PQ_STRIDE,
+    iters: int = PQ_ITERS,
+) -> str:
+    sub_expr = " UNION ALL ".join(
+        f"""SELECT vec_id, {m} AS m,
+       CASE WHEN {m} = {PQ_M - 1}
+            THEN v[sd * {PQ_M - 1} + 1 :]
+            ELSE v[sd * {m} + 1 : sd * {m + 1}] END AS sv
+FROM e6"""
+        for m in range(PQ_M)
+    )
+    l2 = (
+        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1), "
+        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH e6 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+         CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
+  FROM embeddings
+),
+sub AS ({sub_expr}),
+cand AS (SELECT * FROM sub WHERE vec_id >= {n_queries}),
+qsub AS (SELECT * FROM sub WHERE vec_id < {n_queries}),
+book0 AS (
+  SELECT m, vec_id AS code_id, sv AS cv FROM cand WHERE vec_id % {stride} = 0
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"book{it - 1}"
+        parts.append(
+            f""",
+assign{it} AS (
+  SELECT m, cell, sv FROM (
+    SELECT s.m AS m, b.code_id AS cell, s.sv AS sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, b.code_id ASC) AS r
+    FROM cand s JOIN {prev} b USING (m)
+  ) WHERE r = 1
+),
+book{it} AS (
+  SELECT m, cell AS code_id, list(mu ORDER BY pos) AS cv
+  FROM (
+    SELECT m, cell, pos,
+           CASE WHEN SUM(val) >= 0
+                THEN (SUM(val) * 2 + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((-SUM(val) * 2 + COUNT(*)) // (2 * COUNT(*)))
+           END AS mu
+    FROM (SELECT m, cell, g.i AS pos, sv[g.i + 1] AS val
+          FROM assign{it}, unnest(generate_series(0, len(sv) - 1)) AS g(i))
+    GROUP BY m, cell, pos
+  )
+  GROUP BY m, cell
+)"""
+        )
+    parts.append(
+        f""",
+codes AS (
+  SELECT vec_id, m, cell FROM (
+    SELECT s.vec_id AS vec_id, s.m AS m, b.code_id AS cell,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, b.code_id ASC) AS r
+    FROM cand s JOIN book{iters} b USING (m)
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.m AS m, b.code_id AS code_id, {l2} AS d
+  FROM qsub s JOIN book{iters} b USING (m)
+),
+adc AS (
+  SELECT l.q_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON c.m = l.m AND c.cell = l.code_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc QUALIFY rank <= {k}
+)
+SELECT t.q_id AS query_id, CAST(t.rank AS INTEGER) AS rank, t.vec_id,
+       t.adc_dist,
+       CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+            i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))) AS BIGINT)
+         AS exact_dist
+FROM top t
+JOIN e6 q ON q.vec_id = t.q_id
+JOIN e6 x ON x.vec_id = t.vec_id"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL_PQ_TOPK = _pq_topk_oracle()

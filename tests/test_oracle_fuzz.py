@@ -121,6 +121,7 @@ EMB_FUZZ_QUERIES = [
     "similarity_ivf_topk", "similarity_ann_recall", "embedding_quantize",
     "embedding_centroids", "dedup_embedding_cosine", "dedup_embedding_ann",
     "dedup_ann_pair_recall", "embedding_dim_stats", "embedding_pq",
+    "similarity_pq_topk",
 ]
 
 
