@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_order_join": _skew.build_salted_order_join,
         "corpus_train_split": _curation.build_train_split,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
+        "events_gapfill": _events.build_gapfill,
         "text_noise_scan": _text.build_noise_scan,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "corpus_train_split": _curation.ORACLE_SQL_TRAIN_SPLIT,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
+        "events_gapfill": _events.ORACLE_SQL_GAPFILL,
         "text_noise_scan": _text.ORACLE_SQL_NOISE,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,

@@ -1118,3 +1118,117 @@ FROM p GROUP BY 1
 ORACLE_SQL_PROPS_TYPED = ORACLE_SQL_PROPS_TYPED.replace(
     "{RD}", _rd("CAST(COUNT(parsed) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)
 )
+
+
+# ---------------------------------------------- gap-fill + LOCF --------
+def gapfill_hourly(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Hypertable-style regular resampling: a dense (event_type × hour)
+    grid over the corpus's time range, zero-filled counts, and
+    last-observation-carried-forward values for the gap hours — the
+    time_bucket_gapfill + locf() operator of a metrics store.
+
+    Plan shape: one grouped agg to hourly partials, a 1-row min/max
+    scalar (broadcast cross — intended), a ``sequence()`` explode that
+    generates the grid IN the engine (rows = types × hours, bounded and
+    tiny relative to events), one left join grid←partials, and one
+    ordered window per type for the carry-forward. At 100 TB the grid
+    is still types × hours (thousands of rows per year) — the operator
+    scales with TIME RANGE, not event volume; only the first agg sees
+    the events.
+    """
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(money_fixed(F.col("value"))).alias("_val_fx"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_lo"),
+        F.date_trunc("hour", F.max("ts")).alias("_hi"),
+    )
+    types = F.array(*[F.lit(t) for t in EVENT_TYPES])
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
+        .crossJoin(F.broadcast(
+            events.sparkSession.range(1).select(
+                F.explode(types).alias("event_type")
+            )
+        ))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("is_gap", F.col("_n").isNull())
+        .withColumn("n_events", F.coalesce(F.col("_n"), F.lit(0)).cast("long"))
+        .withColumn(
+            "_locf_fx", F.last("_val_fx", ignorenulls=True).over(w)
+        )
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.col("is_gap").cast("boolean").alias("is_gap"),
+        F.when(F.col("_val_fx").isNotNull(), round_div("_val_fx", "10000", 2))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("hour_value"),
+        F.when(F.col("_locf_fx").isNotNull(), round_div("_locf_fx", "10000", 2))
+        .otherwise(F.lit(0.0))
+        .alias("locf_value"),
+    )
+
+
+def build_gapfill(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return gapfill_hourly(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_GAPFILL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n, CAST(SUM({_VAL_C}) AS BIGINT) AS val_fx
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT unnest({list(EVENT_TYPES)}) AS event_type) t,
+       bounds,
+       unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR))
+         AS g(hour)
+),
+filled AS (
+  SELECT g.event_type, g.hour,
+         COALESCE(h.n, 0) AS n_events,
+         h.n IS NULL AS is_gap,
+         h.val_fx AS val_fx,
+         last_value(h.val_fx IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS UNBOUNDED PRECEDING) AS locf_fx
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour = h.hour
+)
+SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, is_gap,
+       CASE WHEN val_fx IS NOT NULL
+            THEN {round_div_expr("val_fx", "10000", 2, "duckdb")} END
+         AS hour_value,
+       CASE WHEN locf_fx IS NOT NULL
+            THEN {round_div_expr("locf_fx", "10000", 2, "duckdb")}
+            ELSE 0.0 END AS locf_value
+FROM filled
+"""
