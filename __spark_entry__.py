@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _streams.build_streaming_dedup,
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "dedup_ngram_containment": _dedup.build_containment,
+        "dedup_method_agreement": _dedup.build_method_agreement,
         "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "data_quality_audit": _quality.build_quality_audit,
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "order_value_distribution": _star.ORACLE_SQL_DISTRIBUTION,
         "bucketed_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "dedup_ngram_containment": _dedup.ORACLE_SQL_CONTAINMENT,
+        "dedup_method_agreement": _dedup.ORACLE_SQL_METHOD_AGREEMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,

@@ -1039,3 +1039,86 @@ FROM documents d
 LEFT JOIN best b ON d.doc_id = b.doc_new AND b.rn = 1
 WHERE d.doc_id % {INCR_MOD} = {INCR_SLOT}
 """
+
+
+# ------------------------------------- method agreement audit ----------
+def method_agreement(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Cross-method dedup governance: how much do the MinHash-LSH
+    (Jaccard ≥ τ) and SimHash (Hamming ≤ k) near-dup pair sets agree?
+    One summary row: per-method pair counts, intersection, exclusive
+    counts, and the pair-set Jaccard in fixed point. A production
+    pipeline runs this per corpus snapshot — a sudden divergence between
+    two independent near-dup detectors is the cheapest canary for a
+    threshold or hashing regression.
+
+    Plan: both pair sets reuse the session-memoized shingle index; the
+    full outer join runs on (doc_a, doc_b) pair keys — both sides are
+    candidate-sized (sub-quadratic), not corpus-sized.
+    """
+    mh = build_minhash(spark, sf_dir, ctx).select("doc_a", "doc_b")
+    sh = build_simhash(spark, sf_dir, ctx).select("doc_a", "doc_b")
+    j = mh.withColumn("_m", F.lit(1)).join(
+        sh.withColumn("_s", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("_m", F.lit(0))).alias("n_minhash"),
+        F.sum(F.coalesce("_s", F.lit(0))).alias("n_simhash"),
+        F.sum(
+            (F.col("_m").isNotNull() & F.col("_s").isNotNull()).cast("long")
+        ).alias("n_both"),
+    )
+    return agg.select(
+        F.col("n_minhash").cast("long").alias("n_minhash"),
+        F.col("n_simhash").cast("long").alias("n_simhash"),
+        F.col("n_both").cast("long").alias("n_both"),
+        (F.col("n_minhash") - F.col("n_both")).cast("long").alias("n_only_minhash"),
+        (F.col("n_simhash") - F.col("n_both")).cast("long").alias("n_only_simhash"),
+        round_div(
+            "n_both", "n_minhash + n_simhash - n_both", 4
+        ).alias("pair_jaccard"),
+    )
+
+
+def build_method_agreement(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return method_agreement(spark, sf_dir, ctx)
+
+
+# the oracle recomputes BOTH pair sets by nesting the two full oracle
+# queries as derived tables — any drift in either method's SQL twin
+# surfaces here too
+ORACLE_SQL_METHOD_AGREEMENT: str  # assigned below (f-string needs the twins)
+
+
+def _method_agreement_oracle() -> str:
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL_MINHASH})),
+sh AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL_SIMHASH})),
+j AS (
+  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+         COALESCE(m.doc_b, s.doc_b) AS doc_b,
+         m.doc_a IS NOT NULL AS in_m,
+         s.doc_a IS NOT NULL AS in_s
+  FROM mh m FULL OUTER JOIN sh s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+         CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+         CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM j
+)
+SELECT n_minhash, n_simhash, n_both,
+       n_minhash - n_both AS n_only_minhash,
+       n_simhash - n_both AS n_only_simhash,
+       {round_div_expr("n_both", "n_minhash + n_simhash - n_both", 4, "duckdb")}
+         AS pair_jaccard
+FROM agg
+"""
+
+
+ORACLE_SQL_METHOD_AGREEMENT = _method_agreement_oracle()

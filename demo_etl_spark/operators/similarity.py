@@ -1408,8 +1408,8 @@ FROM e6"""
         for m in range(PQ_M)
     )
     l2 = (
-        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1), "
-        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT)"
+        "CAST(COALESCE(list_sum(list_transform(range(1, len(s.sv) + 1), "
+        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), 0) AS BIGINT)"
     )
     parts = [
         f"""WITH e6 AS (
@@ -1574,8 +1574,8 @@ FROM e6"""
         for m in range(PQ_M)
     )
     l2 = (
-        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1), "
-        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT)"
+        "CAST(COALESCE(list_sum(list_transform(range(1, len(s.sv) + 1), "
+        "i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), 0) AS BIGINT)"
     )
     parts = [
         f"""WITH e6 AS (
@@ -1646,8 +1646,8 @@ top AS (
 )
 SELECT t.q_id AS query_id, CAST(t.rank AS INTEGER) AS rank, t.vec_id,
        t.adc_dist,
-       CAST(list_sum(list_transform(range(1, len(q.v) + 1),
-            i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(range(1, len(q.v) + 1),
+            i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))), 0) AS BIGINT)
          AS exact_dist
 FROM top t
 JOIN e6 q ON q.vec_id = t.q_id

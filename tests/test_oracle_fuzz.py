@@ -58,7 +58,8 @@ EDGE_DOCS = [
 FUZZ_QUERIES = [
     "text_stats", "text_redacted", "doc_chunks", "lang_id", "vocab_topk",
     "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_incremental", "corpus_curation",
+    "dedup_clusters", "dedup_incremental", "dedup_method_agreement",
+    "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     "sequence_packing", "sequence_spans", "shard_manifest",
     "pmi_collocations", "bpe_merges", "bpe_encode",
