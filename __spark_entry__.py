@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_rollup": _events.build_incremental_rollup,
         "salted_order_join": _skew.build_salted_order_join,
         "corpus_train_split": _curation.build_train_split,
+        "corpus_mixture_plan": _curation.build_mixture_plan,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
         "events_gapfill": _events.build_gapfill,
         "text_noise_scan": _text.build_noise_scan,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         # salt is routing-only: the salted join must equal the plain join
         "salted_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
         "corpus_train_split": _curation.ORACLE_SQL_TRAIN_SPLIT,
+        "corpus_mixture_plan": _curation.ORACLE_SQL_MIXTURE_PLAN,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
         "events_gapfill": _events.ORACLE_SQL_GAPFILL,
         "text_noise_scan": _text.ORACLE_SQL_NOISE,

@@ -296,3 +296,157 @@ FROM documents
 
 ORACLE_SQL_TRAIN_SPLIT = _split_oracle()
 
+
+
+# ------------------------------------------- mixture planning ----------
+#: token budget as a fraction of the corpus (numerator/denominator —
+#: integer-exact so both engines compute the identical budget)
+MIX_BUDGET_NUM = 1
+MIX_BUDGET_DEN = 2
+#: water-filling redistribution rounds (3 levels the realistic skews;
+#: leftovers after round 3 stay unallocated, documented)
+MIX_ROUNDS = 3
+
+
+def mixture_plan(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Training-mixture design: allocate a corpus-wide token budget
+    across sources by deterministic water-filling — every source gets
+    up to the common cap, caps rise as small sources saturate, all in
+    exact integer arithmetic (floor-division caps, no floats).
+
+    The op a mixture designer runs before export: "take 50% of the
+    corpus, but never more than a source has, and spread the headroom
+    from small sources across the big ones evenly." Three rounds of
+    cap-raising are fixed in the contract (and mirrored CTE-for-CTE in
+    the oracle); remainders smaller than the unsaturated-source count
+    stay unallocated.
+
+    Plan shape: one corpus aggregation to per-source token counts
+    (everything after runs on the sources table — dozens of rows), then
+    three rounds of 1-row scalar aggs broadcast back. At 100 TB only
+    the first agg sees the corpus.
+    """
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    src = (
+        documents.selectExpr(
+            "source", "size(split(text, ' ')) AS _n"
+        )
+        .groupBy("source")
+        .agg(F.sum("_n").cast("long").alias("tokens_available"))
+    )
+    totals = src.agg(
+        F.sum("tokens_available").alias("_total"),
+        F.count(F.lit(1)).alias("_n_src"),
+    ).select(
+        F.expr(
+            f"_total * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"
+        ).alias("_budget"),
+        "_n_src",
+    )
+    cur = src.join(F.broadcast(totals))
+    # round 1: uniform cap
+    cur = cur.withColumn("_cap", F.expr("_budget div _n_src")).withColumn(
+        "alloc", F.least("tokens_available", F.col("_cap"))
+    )
+    for _ in range(MIX_ROUNDS - 1):
+        step = cur.agg(
+            F.sum("alloc").alias("_used"),
+            F.sum(
+                (F.col("tokens_available") > F.col("alloc")).cast("long")
+            ).alias("_n_unsat"),
+        )
+        cur = (
+            cur.drop("_used", "_n_unsat")
+            .join(F.broadcast(step))
+            .withColumn(
+                "_cap",
+                F.expr(
+                    "CASE WHEN _n_unsat > 0 "
+                    "THEN _cap + (_budget - _used) div _n_unsat "
+                    "ELSE _cap END"
+                ),
+            )
+            .withColumn(
+                "alloc",
+                F.when(
+                    F.col("tokens_available") > F.col("alloc"),
+                    F.least("tokens_available", F.col("_cap")),
+                ).otherwise(F.col("alloc")),
+            )
+        )
+    return cur.select(
+        "source",
+        "tokens_available",
+        F.col("alloc").cast("long").alias("tokens_allocated"),
+        (F.col("alloc") == F.col("tokens_available")).alias("saturated"),
+        round_div("alloc", "tokens_available", 4).alias("alloc_frac"),
+        round_div("alloc", "_budget", 4).alias("budget_share"),
+    )
+
+
+def build_mixture_plan(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return mixture_plan(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _mixture_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    sql = f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS tokens_available
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tokens_available) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN}
+              AS BIGINT) AS budget,
+         COUNT(*) AS n_src
+  FROM src
+),
+r1 AS (
+  SELECT s.source, s.tokens_available, t.budget,
+         budget // n_src AS cap,
+         LEAST(s.tokens_available, budget // n_src) AS alloc
+  FROM src s, tot t
+)"""
+    prev = "r1"
+    for i in range(2, MIX_ROUNDS + 1):
+        sql += f""",
+a{i} AS (
+  SELECT CAST(SUM(alloc) AS BIGINT) AS used,
+         CAST(SUM(CASE WHEN tokens_available > alloc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unsat
+  FROM {prev}
+),
+r{i} AS (
+  SELECT p.source, p.tokens_available, p.budget,
+         CASE WHEN a.n_unsat > 0
+              THEN p.cap + (p.budget - a.used) // a.n_unsat
+              ELSE p.cap END AS cap,
+         CASE WHEN p.tokens_available > p.alloc
+              THEN LEAST(p.tokens_available,
+                         CASE WHEN a.n_unsat > 0
+                              THEN p.cap + (p.budget - a.used) // a.n_unsat
+                              ELSE p.cap END)
+              ELSE p.alloc END AS alloc
+  FROM {prev} p, a{i} a
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT source, tokens_available,
+       CAST(alloc AS BIGINT) AS tokens_allocated,
+       alloc = tokens_available AS saturated,
+       {round_div_expr("alloc", "tokens_available", 4, "duckdb")} AS alloc_frac,
+       {round_div_expr("alloc", "budget", 4, "duckdb")} AS budget_share
+FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL_MIXTURE_PLAN = _mixture_oracle()

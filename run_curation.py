@@ -19,6 +19,8 @@ non-empty via _SUCCESS + count, and lineage-tracked):
                 (operators.packing.sequence_packing)
   6. shard    — balanced export shards + order-independent integrity
                 checksums (operators.packing.shard_manifest)
+  7. tokenize — BPE merge table learned on the train split
+                (operators.tokenizer.bpe_merges)
 
     python run_curation.py [--sf-dir DIR] [--work-dir DIR] [--job-id ID]
 
@@ -62,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         fingerprint,
         packing,
         text,
+        tokenizer,
     )
     from demo_etl_spark.session import get_spark
 
@@ -133,6 +136,12 @@ def main(argv: list[str] | None = None) -> int:
     man_path, n_shards = checked_write(manifest, "shard_manifest")
     tracker.log("shard manifest", [split_path], man_path, n_shards)
 
+    # ---- Stage 7: tokenizer merge table over the train split ----------
+    _stage(7, "BPE merge training on the train split")
+    merges = tokenizer.bpe_merges(train_docs, ctx)
+    tok_path, n_merges = checked_write(merges, "bpe_merges")
+    tracker.log("bpe merge training", [split_path], tok_path, n_merges)
+
     dot = tracker.write_dot(f"{work}/curation_lineage_{job_id}.dot")
     print(f"\nlineage events ({len(tracker.events)}):")
     for ev in tracker.events:
@@ -141,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     print(f"DOT graph: {dot}")
     print(f"\nworkflow {job_id} complete: curated={n_curated} "
           f"fingerprints={n_fps} chunks={n_chunks} "
-          f"sequences={n_seqs} shards={n_shards}")
+          f"sequences={n_seqs} shards={n_shards} merges={n_merges}")
     return 0
 
 

@@ -63,6 +63,7 @@ FUZZ_QUERIES = [
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     "sequence_packing", "sequence_spans", "shard_manifest",
     "pmi_collocations", "bpe_merges", "bpe_encode",
+    "corpus_mixture_plan",
 ]
 
 

@@ -214,3 +214,54 @@ def test_product_quantize_duplicates_share_codes(spark):
         b[f"code_{m}"] for m in range(4)
     ]
     assert a["recon_err"] == b["recon_err"]
+
+
+def test_mixture_plan_waterfill_invariants(spark, tables):
+    from demo_etl_spark.operators.curation import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+        mixture_plan,
+    )
+
+    docs = tables["documents"]
+    rows = mixture_plan(docs).collect()
+    total = sum(r["tokens_available"] for r in rows)
+    budget = total * MIX_BUDGET_NUM // MIX_BUDGET_DEN
+    allocated = sum(r["tokens_allocated"] for r in rows)
+    assert allocated <= budget
+    unsat_alloc = set()
+    for r in rows:
+        assert 0 <= r["tokens_allocated"] <= r["tokens_available"]
+        if r["saturated"]:
+            assert r["tokens_allocated"] == r["tokens_available"]
+        else:
+            unsat_alloc.add(r["tokens_allocated"])
+    # all unsaturated sources sit at one common cap
+    assert len(unsat_alloc) <= 1
+    # leftover is smaller than one more round could distribute evenly
+    if unsat_alloc:
+        n_unsat = sum(1 for r in rows if not r["saturated"])
+        assert budget - allocated < max(1, n_unsat) * 2
+
+
+def test_mixture_plan_skewed_corpus(spark):
+    from pyspark.sql import Row as RR
+
+    from demo_etl_spark.operators.curation import mixture_plan
+
+    # one giant source, three tiny ones: tiny saturate, giant absorbs
+    rows = []
+    did = 0
+    for n, src in ((400, "big"), (6, "t1"), (8, "t2"), (4, "t3")):
+        for _ in range(n):
+            rows.append(RR(doc_id=did, text="a b c d", lang="en",
+                           source=src, n_chars=7))
+            did += 1
+    out = {r["source"]: r for r in
+           mixture_plan(spark.createDataFrame(rows)).collect()}
+    # total = 4*418 = 1672 tokens; budget = 836; tiny sources (24..32
+    # tokens each) saturate; the big source takes the rest of the budget
+    assert out["t1"]["saturated"] and out["t2"]["saturated"] and out["t3"]["saturated"]
+    assert not out["big"]["saturated"]
+    got = sum(r["tokens_allocated"] for r in out.values())
+    assert got == 836  # fully allocated after cap-raising rounds
