@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_plan": _curation.build_mixture_plan,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
         "events_gapfill": _events.build_gapfill,
+        "events_lateness_audit": _events.build_lateness_audit,
         "text_noise_scan": _text.build_noise_scan,
         "events_unpivot": _events.build_unpivot,
         "events_sliding": _events.build_sliding,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture_plan": _curation.ORACLE_SQL_MIXTURE_PLAN,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
         "events_gapfill": _events.ORACLE_SQL_GAPFILL,
+        "events_lateness_audit": _events.ORACLE_SQL_LATENESS,
         "text_noise_scan": _text.ORACLE_SQL_NOISE,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,
         "events_sliding": _events.ORACLE_SQL_SLIDING,

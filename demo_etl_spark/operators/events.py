@@ -1232,3 +1232,106 @@ SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events, is_gap,
             ELSE 0.0 END AS locf_value
 FROM filled
 """
+
+
+# ------------------------------------------ watermark design audit -----
+#: lateness histogram fence-posts (seconds); ∞ bucket catches the rest
+LATENESS_BUCKETS = (0, 60, 300, 3600, 86400)
+
+
+def lateness_audit(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    """Watermark design from data: how late do events actually arrive?
+
+    ``event_id`` is the arrival sequence; an event's lateness is the
+    running maximum event-time seen at its arrival minus its own
+    event-time. The histogram over standard fences (on-time / ≤1 min /
+    ≤5 min / ≤1 h / ≤1 d / later) with cumulative share IS the
+    watermark decision: pick the delay that keeps your target fraction.
+    The streaming shapes in streaming/event_streams.py take their
+    ``withWatermark`` delays from exactly this distribution.
+
+    Plan: one ordered window over arrival order. Locally that is a
+    single sort; at 100 TB arrival order is already partition-local in
+    any log-structured source (Kafka offsets, file mtimes), so the
+    running max runs per partition with a tiny cross-partition
+    correction — the audit stays a one-pass shape. Cumulative share is
+    exact fixed-point over integer counts.
+    """
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = events.select(
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("late_s")
+    )
+    fences = list(LATENESS_BUCKETS)
+    bucket = F.when(F.col("late_s") <= fences[0], F.lit(0))
+    for i, f in enumerate(fences[1:], start=1):
+        bucket = bucket.when(F.col("late_s") <= f, F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(fences)))
+    hist = (
+        lat.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = hist.agg(F.sum("n_events").alias("_t"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    labels = [f"<= {s}s" for s in fences] + [f"> {fences[-1]}s"]
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.col("bucket") + 1
+    )
+    return (
+        hist.join(F.broadcast(total))
+        .withColumn("cum_events", F.sum("n_events").over(wc))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            label.alias("lateness"),
+            F.col("n_events").cast("long").alias("n_events"),
+            round_div("n_events", "_t", 4).alias("share"),
+            round_div("cum_events", "_t", 4).alias("cum_share"),
+        )
+    )
+
+
+def build_lateness_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return lateness_audit(load_star(spark, sf_dir)["events"], ctx)
+
+
+def _lateness_oracle() -> str:
+    fences = list(LATENESS_BUCKETS)
+    conds = " ".join(
+        f"WHEN late_s <= {f} THEN {i}" for i, f in enumerate(fences)
+    )
+    labels = [f"<= {s}s" for s in fences] + [f"> {fences[-1]}s"]
+    label_arr = "[" + ", ".join(f"'{x}'" for x in labels) + "]"
+    return f"""
+WITH lat AS (
+  SELECT CAST(epoch(MAX(ts) OVER (ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+         - CAST(epoch(ts) AS BIGINT) AS late_s
+  FROM events
+),
+hist AS (
+  SELECT CASE {conds} ELSE {len(fences)} END AS bucket,
+         COUNT(*) AS n_events
+  FROM lat GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM hist)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       {label_arr}[bucket + 1] AS lateness,
+       CAST(n_events AS BIGINT) AS n_events,
+       {round_div_expr("n_events", "t", 4, "duckdb")} AS share,
+       {round_div_expr(
+           "SUM(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)",
+           "t", 4, "duckdb")} AS cum_share
+FROM hist, tot
+"""
+
+
+ORACLE_SQL_LATENESS = _lateness_oracle()

@@ -204,7 +204,7 @@ EVENTS_FUZZ_QUERIES = [
     "events_props_typed", "events_asof_join", "streaming_user_totals",
     "events_daily_rollup", "event_transitions", "session_attribution",
     "user_rate_audit", "scd2_history", "cdc_latest_state",
-    "events_gapfill",
+    "events_gapfill", "events_lateness_audit",
 ]
 
 
