@@ -265,3 +265,70 @@ def test_mixture_plan_skewed_corpus(spark):
     assert not out["big"]["saturated"]
     got = sum(r["tokens_allocated"] for r in out.values())
     assert got == 836  # fully allocated after cap-raising rounds
+
+
+def test_sequence_packing_properties(spark):
+    """Property test vs a pure-Python concat-and-chop simulator: for
+    ANY per-source token-count sequences, the per-sequence summary and
+    the span tiling both match the reference placement exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.packing import (
+        sequence_packing,
+        sequence_spans,
+    )
+
+    CAP = 64
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.tuples(
+                st.sampled_from(["s0", "s1"]),
+                st.integers(min_value=1, max_value=200),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(sizes):
+        docs = spark.createDataFrame(
+            [_doc(i, n, source=src) for i, (src, n) in enumerate(sizes)]
+        )
+        # reference placement
+        offs = {}
+        cursor = {}
+        for i, (src, n) in enumerate(sizes):
+            start = cursor.get(src, 0)
+            offs[i] = (src, start, start + n)
+            cursor[src] = start + n
+        # summary check
+        expect = {}
+        for i, (src, start, end) in offs.items():
+            seq = start // CAP
+            e = expect.setdefault((src, seq), [0, 0])
+            e[0] += 1
+            e[1] += int((end - 1) // CAP > seq)
+        got = {
+            (r["source"], r["seq_id"]): (r["n_docs_started"], r["n_straddle"])
+            for r in sequence_packing(docs, cap=CAP).collect()
+        }
+        assert got == {k: tuple(v) for k, v in expect.items()}
+        # span tiling check: per doc, spans cover [0, n) against CAP grid
+        spans = {}
+        for r in sequence_spans(docs, cap=CAP).collect():
+            spans.setdefault(r["doc_id"], []).append(r)
+        for i, (src, start, end) in offs.items():
+            ss = sorted(spans[i], key=lambda r: r["doc_offset"])
+            assert ss[0]["seq_id"] == start // CAP
+            assert ss[-1]["seq_id"] == (end - 1) // CAP
+            pos = 0
+            for r in ss:
+                assert r["doc_offset"] == pos
+                assert r["seq_offset"] == (start + pos) % CAP or (
+                    r["seq_offset"] == start + pos - r["seq_id"] * CAP
+                )
+                pos += r["span_tokens"]
+            assert pos == end - start
+
+    check()
