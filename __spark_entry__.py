@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": _graph.build_pagerank,
         "part_triangles": _graph.build_triangles,
         "part_similarity": _graph.build_part_similarity,
+        "part_communities": _graph.build_communities,
         "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
@@ -302,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _graph.ORACLE_SQL_PAGERANK,
         "part_triangles": _graph.ORACLE_SQL_TRIANGLES,
         "part_similarity": _graph.ORACLE_SQL_PART_SIMILARITY,
+        "part_communities": _graph.ORACLE_SQL_COMMUNITIES,
         "orders_snapshot_diff": _cdc.ORACLE_SQL_SNAPSHOT_DIFF,
         "doc_top_terms": _text.ORACLE_SQL_TOP_TERMS,
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,

@@ -413,3 +413,106 @@ SELECT part_a, part_b, co_orders, n_a, n_b, jaccard_e6,
 FROM scored
 QUALIFY rank <= {SIM_TOP_K}
 """
+
+
+# ------------------------------------- label-propagation communities ----
+LP_ROUNDS = 3
+
+
+def part_communities(edges: DataFrame) -> DataFrame:
+    """Community detection by synchronous label propagation: every part
+    starts as its own label; each round it adopts the most frequent
+    label among its co-purchase neighbors (tie-break: smaller label —
+    the determinism knob async LPA lacks). Three fixed rounds, then a
+    per-community summary.
+
+    The basket-affinity clustering of merchandising ("which parts form
+    a buying theme"), complementary to dedup_clusters' min-label
+    CONNECTED COMPONENTS: frequency-LPA splits a connected graph into
+    dense regions instead of flooding to one label per component.
+
+    Plan: per round one join edges⋈labels on src (labels is
+    node-sized), one (dst, label) count agg, one argmax window per dst —
+    the Pregel-as-joins layout of part_pagerank, localCheckpoint per
+    round to keep the lineage flat. Synchronous update = deterministic =
+    oracle-checkable; the SQL twin unrolls the same three rounds.
+    """
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    labels = nodes.withColumn("lbl", F.col("part")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LP_ROUNDS):
+        picked = (
+            edges.join(labels, edges.src == labels.part)
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("dst").alias("part"), F.col("lbl").alias("_new"))
+        )
+        labels = (
+            labels.join(picked, "part", "left")
+            .select(
+                "part",
+                F.coalesce("_new", "lbl").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("part").alias("min_part"),
+            F.max("part").alias("max_part"),
+        )
+    )
+
+
+def build_communities(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return part_communities(_cached_edges(spark, sf_dir))
+
+
+def _communities_oracle(rounds: int = LP_ROUNDS) -> str:
+    parts = [
+        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+l0 AS (SELECT DISTINCT src AS part, src AS lbl FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT dst AS part, lbl FROM (
+    SELECT e.dst, l.lbl, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+    FROM e JOIN {prev} l ON e.src = l.part
+    GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+),
+l{r} AS (
+  SELECT o.part, COALESCE(p.lbl, o.lbl) AS lbl
+  FROM {prev} o LEFT JOIN p{r} p ON o.part = p.part
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       MIN(part) AS min_part,
+       MAX(part) AS max_part
+FROM l{rounds}
+GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL_COMMUNITIES = _communities_oracle()

@@ -332,3 +332,21 @@ def test_sequence_packing_properties(spark):
             assert pos == end - start
 
     check()
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: frequency LPA keeps two
+    communities (min-label CC would flood them into one)."""
+    from demo_etl_spark.operators.graph import part_communities
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [
+        (4, 10), (10, 4)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["community"]: r["n_parts"]
+           for r in part_communities(df).collect()}
+    assert len(out) == 2
+    assert sorted(out.values()) == [4, 4]
