@@ -343,3 +343,114 @@ SELECT month, n_orders,
        {_rd("(rev_c // 100) * 12", "CAST(SUM(rev_c) OVER () AS BIGINT) // 100", 4)} AS seasonality_idx
 FROM m
 """
+
+
+# ----------------------------------- classical decomposition -----------
+def revenue_decompose(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Classical additive time-series decomposition of daily revenue:
+    revenue = trend + seasonal + residual, all in EXACT fixed point.
+
+    * trend — centered 7-calendar-day moving average (RANGE frame ±3 on
+      days-since-epoch), HALF_UP in integer money units;
+    * seasonal — per-ISO-weekday mean of the de-trended deviations
+      (sign-safe HALF-AWAY-FROM-ZERO integer mean);
+    * residual — what's left, exactly (the three components re-add to
+      revenue in integer space before the final 2dp rendering).
+
+    The anomaly/forecast prep of a revenue pipeline. Plan: one grouped
+    agg to daily grain, one calendar-RANGE window (W2's frame machinery),
+    one 7-key partitioned window — no joins, no extra shuffles beyond
+    the date/weekday repartitions.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        F.sum(money_fixed(F.col("o_totalprice"))).alias("rev_c")
+    )
+    w = Window.orderBy(F.unix_date(F.col("date"))).rangeBetween(-3, 3)
+    d = (
+        daily.withColumn("_st", F.sum("rev_c").over(w))
+        .withColumn("_ct", F.count(F.lit(1)).over(w))
+        .withColumn("trend_c", F.expr("(_st * 2 + _ct) div (2 * _ct)"))
+        .withColumn("dev_c", F.col("rev_c") - F.col("trend_c"))
+        .withColumn("isodow", F.weekday(F.col("date")) + 1)
+    )
+    wd = Window.partitionBy("isodow")
+    d = (
+        d.withColumn("_sd", F.sum("dev_c").over(wd))
+        .withColumn("_cd", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "season_c",
+            F.expr(
+                "CASE WHEN _sd >= 0 THEN (_sd * 2 + _cd) div (2 * _cd) "
+                "ELSE -((-_sd * 2 + _cd) div (2 * _cd)) END"
+            ),
+        )
+        .withColumn(
+            "resid_c", F.col("rev_c") - F.col("trend_c") - F.col("season_c")
+        )
+    )
+    from demo_etl_spark.functions.fixedpoint import round_div_signed
+
+    return d.select(
+        "date",
+        F.col("isodow").cast("int").alias("isodow"),
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        round_div("trend_c", "10000", 2).alias("trend"),
+        round_div_signed("season_c", "10000", 2).alias("seasonal"),
+        round_div_signed("resid_c", "10000", 2).alias("residual"),
+    )
+
+
+def build_decompose(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return revenue_decompose(load_star(spark, sf_dir)["orders"], ctx)
+
+
+from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
+    round_div_signed_expr as _rds_decomp,
+)
+
+ORACLE_SQL_DECOMPOSE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+),
+framed AS (
+  SELECT *,
+         CAST(SUM(rev_c) OVER w AS BIGINT) AS st,
+         CAST(COUNT(*) OVER w AS BIGINT) AS ct
+  FROM daily
+  WINDOW w AS (ORDER BY date RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                                       AND INTERVAL 3 DAYS FOLLOWING)
+),
+detr AS (
+  SELECT *,
+         (st * 2 + ct) // (2 * ct) AS trend_c,
+         rev_c - (st * 2 + ct) // (2 * ct) AS dev_c,
+         isodow(date) AS isodow
+  FROM framed
+),
+seas AS (
+  SELECT *,
+         CAST(SUM(dev_c) OVER (PARTITION BY isodow) AS BIGINT) AS sd,
+         CAST(COUNT(*) OVER (PARTITION BY isodow) AS BIGINT) AS cd
+  FROM detr
+),
+comp AS (
+  SELECT *,
+         CASE WHEN sd >= 0 THEN (sd * 2 + cd) // (2 * cd)
+              ELSE -((-sd * 2 + cd) // (2 * cd)) END AS season_c
+  FROM seas
+)
+SELECT date,
+       CAST(isodow AS INTEGER) AS isodow,
+       {round_div_expr("rev_c", "10000", 2, "duckdb")} AS total_revenue,
+       {round_div_expr("trend_c", "10000", 2, "duckdb")} AS trend,
+       {_rds_decomp("season_c", "10000", 2, "duckdb")} AS seasonal,
+       {_rds_decomp("rev_c - trend_c - season_c", "10000", 2, "duckdb")} AS residual
+FROM comp
+"""
