@@ -76,11 +76,12 @@ def sequence_packing(
         documents.select("doc_id", "source", n_tok.alias("n_tokens"))
         .withColumn("end_off", F.sum("n_tokens").over(w))
         .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
-        .withColumn("seq_id", (F.col("start_off") / cap).cast("long"))
+        # integer div, not float-divide-and-floor: offsets are BIGINTs
+        # and a double round-trip loses exactness past 2^53 total tokens
+        .withColumn("seq_id", F.expr(f"start_off div {cap}"))
         .withColumn(
             "straddle",
-            (((F.col("end_off") - 1) / cap).cast("long") > F.col("seq_id"))
-            .cast("int"),
+            (F.expr(f"(end_off - 1) div {cap}") > F.col("seq_id")).cast("int"),
         )
     )
     per_source_total = d.groupBy("source").agg(
@@ -138,9 +139,9 @@ offs AS (
 placed AS (
   SELECT *,
          end_off - n_tokens AS start_off,
-         CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT) AS seq_id,
-         CASE WHEN CAST(FLOOR((end_off - 1) / {SEQ_CAP}) AS BIGINT)
-                   > CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT)
+         CAST((end_off - n_tokens) // {SEQ_CAP} AS BIGINT) AS seq_id,
+         CASE WHEN (end_off - 1) // {SEQ_CAP}
+                   > (end_off - n_tokens) // {SEQ_CAP}
               THEN 1 ELSE 0 END AS straddle
   FROM offs
 ),
@@ -260,8 +261,8 @@ def sequence_spans(
         documents.select("doc_id", "source", n_tok.alias("n_tokens"))
         .withColumn("end_off", F.sum("n_tokens").over(w))
         .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
-        .withColumn("first_seq", (F.col("start_off") / cap).cast("long"))
-        .withColumn("last_seq", ((F.col("end_off") - 1) / cap).cast("long"))
+        .withColumn("first_seq", F.expr(f"start_off div {cap}"))
+        .withColumn("last_seq", F.expr(f"(end_off - 1) div {cap}"))
         .withColumn(
             "seq_id", F.explode(F.sequence("first_seq", "last_seq"))
         )
@@ -299,8 +300,8 @@ offs AS (
 placed AS (
   SELECT *,
          end_off - n_tokens AS start_off,
-         CAST(FLOOR((end_off - n_tokens) / {SEQ_CAP}) AS BIGINT) AS first_seq,
-         CAST(FLOOR((end_off - 1) / {SEQ_CAP}) AS BIGINT) AS last_seq
+         CAST((end_off - n_tokens) // {SEQ_CAP} AS BIGINT) AS first_seq,
+         CAST((end_off - 1) // {SEQ_CAP} AS BIGINT) AS last_seq
   FROM offs
 ),
 spans AS (
