@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": _events.build_value_histogram,
         "revenue_seasonality": _timeseries.build_seasonality,
         "revenue_decompose": _timeseries.build_decompose,
+        "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
         "lang_confusion": _text.build_lang_confusion,
         "incremental_join_view": _star.build_incremental_join_view,
         "ngram_novelty": _dedup.build_novelty,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
         "revenue_seasonality": _timeseries.ORACLE_SQL_SEASONALITY,
         "revenue_decompose": _timeseries.ORACLE_SQL_DECOMPOSE,
+        "revenue_forecast_backtest": _timeseries.ORACLE_SQL_FORECAST_BACKTEST,
         "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,
         # split-half join-view merge must equal the one-shot view
         "incremental_join_view": _star.ORACLE_SQL_INCREMENTAL_JOIN_VIEW,

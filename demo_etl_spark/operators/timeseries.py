@@ -454,3 +454,90 @@ SELECT date,
        {_rds_decomp("rev_c - trend_c - season_c", "10000", 2, "duckdb")} AS residual
 FROM comp
 """
+
+
+# -------------------------------------- forecast backtest --------------
+def forecast_backtest(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as
+    the value 7 rows earlier in date order (== same weekday last week
+    on a dense daily series like this corpus; run a gap-fill first on
+    sparse ones), score the whole history, and compare against the
+    persistence baseline (the previous row) — the sanity floor every
+    revenue forecasting project must beat, computed in exact fixed
+    point.
+
+    Emits one row per ISO weekday plus error aggregates: n_scored days,
+    MAE of the seasonal-naive and of the persistence baseline (both in
+    dollars at 2dp from exact integer |error| sums), and the win rate of
+    seasonal-naive over persistence. Plan: one daily agg, two lag
+    windows over the date order, one 7-key agg — no joins.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        F.sum(money_fixed(F.col("o_totalprice"))).alias("rev_c")
+    )
+    w = Window.orderBy("date")
+    d = (
+        daily.withColumn("_snaive", F.lag("rev_c", 7).over(w))
+        .withColumn("_persist", F.lag("rev_c", 1).over(w))
+        .filter(F.col("_snaive").isNotNull() & F.col("_persist").isNotNull())
+        .withColumn("_e_s", F.abs(F.col("rev_c") - F.col("_snaive")))
+        .withColumn("_e_p", F.abs(F.col("rev_c") - F.col("_persist")))
+        .withColumn("isodow", F.weekday(F.col("date")) + 1)
+    )
+    return (
+        d.groupBy("isodow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("_e_s").alias("_se"),
+            F.sum("_e_p").alias("_pe"),
+            F.sum((F.col("_e_s") < F.col("_e_p")).cast("long")).alias("_wins"),
+        )
+        .select(
+            F.col("isodow").cast("int").alias("isodow"),
+            "n_days",
+            round_div("_se", "n_days * 10000", 2).alias("mae_seasonal_naive"),
+            round_div("_pe", "n_days * 10000", 2).alias("mae_persistence"),
+            round_div("_wins", "n_days", 4).alias("win_rate"),
+        )
+    )
+
+
+def build_forecast_backtest(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return forecast_backtest(load_star(spark, sf_dir)["orders"], ctx)
+
+
+ORACLE_SQL_FORECAST_BACKTEST = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT date, rev_c,
+         lag(rev_c, 7) OVER (ORDER BY date) AS snaive,
+         lag(rev_c, 1) OVER (ORDER BY date) AS persist,
+         isodow(date) AS isodow
+  FROM daily
+),
+scored AS (
+  SELECT isodow,
+         abs(rev_c - snaive) AS e_s,
+         abs(rev_c - persist) AS e_p
+  FROM lagged WHERE snaive IS NOT NULL AND persist IS NOT NULL
+)
+SELECT CAST(isodow AS INTEGER) AS isodow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       {round_div_expr("CAST(SUM(e_s) AS BIGINT)", "COUNT(*) * 10000", 2, "duckdb")}
+         AS mae_seasonal_naive,
+       {round_div_expr("CAST(SUM(e_p) AS BIGINT)", "COUNT(*) * 10000", 2, "duckdb")}
+         AS mae_persistence,
+       {round_div_expr("CAST(SUM(CASE WHEN e_s < e_p THEN 1 ELSE 0 END) AS BIGINT)",
+                       "COUNT(*)", 4, "duckdb")} AS win_rate
+FROM scored
+GROUP BY isodow
+"""

@@ -249,7 +249,7 @@ STAR_FUZZ_QUERIES = [
     # graph + diff + flagship over a sparse, childless-order corpus
     "customer_analytics", "sales_asset_union", "orders_snapshot_diff",
     "part_triangles", "customer_retention", "order_bookends",
-    "part_communities", "revenue_decompose",
+    "part_communities", "revenue_decompose", "revenue_forecast_backtest",
 ]
 
 
