@@ -101,7 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_totals": _streams.build_streaming_user_totals,
         # --- CDC / mutable-table maintenance ----------------------------
         "cdc_latest_state": _cdc.build_latest_state,
-        "scd2_history": _cdc.build_scd2_history,
+        # --- graph analytics --------------------------------------------
+        "part_pagerank": _graph.build_pagerank,
         "orders_merge_upsert": _cdc.build_merge_upsert,
         # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
@@ -158,7 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rate_audit": _events.build_user_rate_audit,
         "events_props_typed": _events.build_props_typed_audit,
         "market_concentration": _product.build_market_concentration,
-        "part_pagerank": _graph.build_pagerank,
+        "scd2_history": _cdc.build_scd2_history,
         "part_triangles": _graph.build_triangles,
         "part_similarity": _graph.build_part_similarity,
         "part_communities": _graph.build_communities,

@@ -43,6 +43,7 @@ def test_registry_is_large_and_window_covers_families():
         "bucketed_order_join",    # physical layout
         "sequence_packing",       # training-data assembly/export
         "bpe_merges",             # tokenizer training
+        "part_pagerank",          # graph analytics
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
