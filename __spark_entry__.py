@@ -75,7 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprint.build_fingerprints,
         # --- curation ---------------------------------------------------
         "corpus_curation": _curation.build,
-        "corpus_sample": _curation.build_sample,
+        # --- data-quality governance -------------------------------------
+        "data_quality_audit": _quality.build_quality_audit,
         # --- text analysis ---------------------------------------------
         "text_stats": _text.build_stats,
         "vocab_topk": _text.build_vocab,
@@ -174,7 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": _dedup.build_method_agreement,
         "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
-        "data_quality_audit": _quality.build_quality_audit,
+        "corpus_sample": _curation.build_sample,
         "events_funnel": _events.build_funnel,
         "events_incremental_rollup": _events.build_incremental_rollup,
         "salted_order_join": _skew.build_salted_order_join,

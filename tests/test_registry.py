@@ -44,6 +44,7 @@ def test_registry_is_large_and_window_covers_families():
         "sequence_packing",       # training-data assembly/export
         "bpe_merges",             # tokenizer training
         "part_pagerank",          # graph analytics
+        "data_quality_audit",     # data-quality governance
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
