@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= driver window boundary (50) =================
         # variants of families already covered above
         "events_pivot": _events.build_pivot,
+        "multimodal_resize": _multimodal.build_resize,
         "shard_manifest": _packing.build_shard_manifest,
         "sequence_spans": _packing.build_sequence_spans,
         "order_cadence": _customer.build_cadence,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
+        "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,

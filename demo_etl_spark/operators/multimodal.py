@@ -417,3 +417,60 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
 FROM s
 """
+
+
+def build_resize(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Registered resize query: the full decode → nearest-neighbor
+    resample → re-encode path (REAL numpy gather over the REAL netpbm
+    decode), reduced to an oracle-checkable row per media item. The
+    oracle re-slices the reconstructed payload string pixel-by-pixel
+    with the same floor-division index map ``src = (dst·size)//target``,
+    so the hash pins every byte of the resampled raster."""
+    docs = load_star(spark, sf_dir)["documents"]
+    resized = resize_media(synthesize_media(docs))
+    return resized.select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.md5("resized_payload").alias("resize_hash"),
+    )
+
+
+_RT_W, _RT_H = RESIZE_TARGET
+
+ORACLE_SQL_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS media_type,
+         CAST({_W_EXPR} AS BIGINT) AS w,
+         CAST({_H_EXPR} AS BIGINT) AS h,
+         {_PAYLOAD_SQL} AS p
+  FROM documents
+),
+grid AS (
+  SELECT m.*, y.y AS y, x.x AS x,
+         strpos(p, chr(10)) AS hdr
+  FROM m,
+       unnest(generate_series(0, {_RT_H - 1})) AS y(y),
+       unnest(generate_series(0, {_RT_W - 1})) AS x(x)
+),
+px AS (
+  SELECT media_id, media_type, y, x,
+         substr(p,
+                CAST(hdr + ((y * h) // {_RT_H}) * w
+                     + ((x * w) // {_RT_W}) + 1 AS BIGINT),
+                1) AS ch
+  FROM grid
+)
+SELECT media_id, media_type,
+       CAST({_RT_W} AS INTEGER) AS width,
+       CAST({_RT_H} AS INTEGER) AS height,
+       md5('P5 {_RT_W} {_RT_H} 255' || chr(10)
+           || string_agg(ch, '' ORDER BY y, x)) AS resize_hash
+FROM px
+GROUP BY media_id, media_type
+"""

@@ -61,6 +61,7 @@ FUZZ_QUERIES = [
     "dedup_clusters", "dedup_incremental", "dedup_method_agreement",
     "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
+    "multimodal_resize",
     "sequence_packing", "sequence_spans", "shard_manifest",
     "pmi_collocations", "bpe_merges", "bpe_encode",
     "corpus_mixture_plan",
