@@ -119,3 +119,22 @@ def test_bpe_encode_matches_reference_token_counts(spark):
     for r in got.values():
         assert r["n_bpe_tokens"] <= r["n_word_chars"]
         assert r["n_bpe_tokens"] >= r["n_words"]  # no empty words here
+
+
+def test_bpe_matches_reference_on_random_corpora(spark):
+    """Hypothesis: random small-alphabet corpora (heavy repeat/overlap
+    pressure) — the engine merge table must equal the pure-Python greedy
+    reference on every draw."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=4,
+    ))
+    def check(docs):
+        _run(spark, docs, rounds=3)
+
+    check()
