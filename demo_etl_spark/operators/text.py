@@ -863,11 +863,17 @@ def pmi_collocations(
     "new york" → "new_york").
 
     PMI = log[ P(ab) / (P(a)·P(b)) ]; log is monotone, so ranking (and
-    the emitted score) uses the exact rational ratio
-    ``c_ab·Nt² / (Nb·c_a·c_b)`` in HALF_UP 4dp fixed point — no floats,
-    bit-identical across engines. Unigram counts come from the token
-    stream (Nt tokens), bigram counts from within-document adjacent
-    pairs (Nb pairs, no cross-document pairs).
+    the emitted score) uses the ratio ``c_ab·Nt² / (Nb·c_a·c_b)`` in
+    4dp fixed point, evaluated as TWO floor-division stages —
+    ``s1 = (c_ab·Nt·10⁴) div c_a`` then ``assoc·10⁴ = (s1·Nt) div
+    (c_b·Nb)`` — because the single-formula numerator ``c_ab·Nt²·2·10⁴``
+    exceeds 2⁶³ once Nt passes ~5·10⁴ (a denser corpus would RAISE in
+    ANSI mode). The staging is overflow-safe up to Nt ≈ 9·10⁸ by the
+    identity c_ab ≤ c_a (every bigram occurrence contains an ``a``
+    occurrence), which bounds s1 ≤ Nt·10⁴; the staged value is the
+    operator's contract and is bit-identical across engines. Unigram
+    counts come from the token stream (Nt tokens), bigram counts from
+    within-document adjacent pairs (Nb pairs, no cross-document pairs).
 
     Plan shape: two explode→groupBy count passes over the corpus (the
     vocab_topk shape), two broadcast-sized joins of the bigram candidates
@@ -922,8 +928,10 @@ def pmi_collocations(
         )
         .drop("_tb")
         .join(F.broadcast(totals))
+        .withColumn("_s1", F.expr("(c_ab * _nt * 10000) div c_a"))
         .withColumn(
-            "assoc", round_div("c_ab * _nt * _nt", "_nb * c_a * c_b", 4)
+            "assoc",
+            F.expr("CAST((_s1 * _nt) div (c_b * _nb) AS DOUBLE) / 10000"),
         )
     )
     return (
@@ -960,7 +968,8 @@ tot AS (
          (SELECT COUNT(*) FROM bg) AS nb
 )
 SELECT token_a, token_b, c_ab, ua.c_tok AS c_a, ub.c_tok AS c_b,
-       {round_div_expr("c_ab * nt * nt", "nb * ua.c_tok * ub.c_tok", 4, "duckdb")} AS assoc
+       CAST(CAST(((c_ab * nt * 10000) // ua.c_tok) * nt
+                 // (ub.c_tok * nb) AS BIGINT) AS DOUBLE) / 10000 AS assoc
 FROM bgc
 JOIN uni ua ON bgc.token_a = ua.token
 JOIN uni ub ON bgc.token_b = ub.token, tot
