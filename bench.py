@@ -4,6 +4,11 @@ Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and reports per-query wall seconds. Each query is
 forced to full execution with a `noop` write (computes every column, no
 collect-to-driver cost, no disk cost).
+
+Output contract: the FINAL stdout line is a compact JSON summary (total
+seconds, query/failure counts, 10 slowest) sized to survive the driver's
+2000-char tail capture; the complete per-query map + retry samples are
+written to BENCH_local.json beside this script.
 """
 
 from __future__ import annotations
@@ -92,16 +97,45 @@ def main() -> None:
                     print(f"bench retry error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    failures = sorted(k for k, v in timings.items() if v < 0)
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": {k: v for k, v in samples.items() if len(v) > 1},
+        "scan_warmup_sec": warm_s,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query map goes to a FILE: at 140 queries the one-line JSON
+    # outgrew the driver's 2000-char stdout tail capture (r2+r3 both came
+    # back "parsed: null"). The artifact keeps everything; stdout carries
+    # a compact summary line — total, counts, failures, and only the 10
+    # slowest queries — guaranteed to fit the tail window.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "samples": {k: v for k, v in samples.items() if len(v) > 1},
+                "n_queries": len(timings),
+                "n_failures": len(failures),
+                "failures": failures[:10],
+                "queries": slowest,
                 "scan_warmup_sec": warm_s,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": full["sf"],
+                "full_results": "BENCH_local.json",
             }
         )
     )

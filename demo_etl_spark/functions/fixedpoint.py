@@ -66,6 +66,26 @@ def round_div(num: str, den: str, scale: int) -> Column:
     return F.expr(round_div_expr(num, den, scale, "spark"))
 
 
+def fixed_ratio_expr(num: str, den: str, scale: int, dialect: str) -> str:
+    """Exact HALF_UP(num/den · 10^scale) as a BIGINT — the all-integer
+    sibling of ``round_div_expr`` for when the *output column* must stay
+    integer (hash-robust across engines and across any downstream float
+    normalization; e.g. basis-point ratios). ``num``/``den`` are
+    non-negative integer SQL expressions; same 2^63 headroom bound on
+    num·10^scale·2 as the module docstring."""
+    ps = 10**scale
+    d = _DIV[dialect]
+    return (
+        f"CAST(((({num}) * CAST({2 * ps} AS BIGINT) + ({den})) {d} "
+        f"(CAST(2 AS BIGINT) * ({den}))) AS BIGINT)"
+    )
+
+
+def fixed_ratio(num: str, den: str, scale: int) -> Column:
+    """Spark Column for exact integer HALF_UP(num/den · 10^scale)."""
+    return F.expr(fixed_ratio_expr(num, den, scale, "spark"))
+
+
 def round_div_signed_expr(num: str, den: str, scale: int, dialect: str) -> str:
     """Sign-safe exact HALF-AWAY-FROM-ZERO(num/den, scale) → DOUBLE.
 

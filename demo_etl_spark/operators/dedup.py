@@ -1062,11 +1062,16 @@ def method_agreement(
     j = mh.withColumn("_m", F.lit(1)).join(
         sh.withColumn("_s", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
+    # COALESCE(..., 0): a no-near-dup corpus makes j EMPTY, and SUM over
+    # zero rows is NULL in both engines — the counts must come back 0
     agg = j.agg(
-        F.sum(F.coalesce("_m", F.lit(0))).alias("n_minhash"),
-        F.sum(F.coalesce("_s", F.lit(0))).alias("n_simhash"),
-        F.sum(
-            (F.col("_m").isNotNull() & F.col("_s").isNotNull()).cast("long")
+        F.coalesce(F.sum(F.coalesce("_m", F.lit(0))), F.lit(0)).alias("n_minhash"),
+        F.coalesce(F.sum(F.coalesce("_s", F.lit(0))), F.lit(0)).alias("n_simhash"),
+        F.coalesce(
+            F.sum(
+                (F.col("_m").isNotNull() & F.col("_s").isNotNull()).cast("long")
+            ),
+            F.lit(0),
         ).alias("n_both"),
     )
     return agg.select(
@@ -1075,9 +1080,16 @@ def method_agreement(
         F.col("n_both").cast("long").alias("n_both"),
         (F.col("n_minhash") - F.col("n_both")).cast("long").alias("n_only_minhash"),
         (F.col("n_simhash") - F.col("n_both")).cast("long").alias("n_only_simhash"),
-        round_div(
-            "n_both", "n_minhash + n_simhash - n_both", 4
-        ).alias("pair_jaccard"),
+        # defined-value guard: when NEITHER method emits any pair the
+        # union is empty and the Jaccard denominator is 0 — two empty
+        # pair sets are identical, so agreement is 1.0 by convention
+        # (ANSI Spark would raise, DuckDB would return NULL)
+        F.when(
+            F.col("n_minhash") + F.col("n_simhash") - F.col("n_both") == 0,
+            F.lit(1.0),
+        )
+        .otherwise(round_div("n_both", "n_minhash + n_simhash - n_both", 4))
+        .alias("pair_jaccard"),
     )
 
 
@@ -1106,17 +1118,21 @@ j AS (
     ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
 ),
 agg AS (
-  SELECT CAST(SUM(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
-         CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
-         CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_both
+  SELECT CAST(COALESCE(SUM(CASE WHEN in_m THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_minhash,
+         CAST(COALESCE(SUM(CASE WHEN in_s THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_simhash,
+         CAST(COALESCE(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_both
   FROM j
 )
 SELECT n_minhash, n_simhash, n_both,
        n_minhash - n_both AS n_only_minhash,
        n_simhash - n_both AS n_only_simhash,
-       {round_div_expr("n_both", "n_minhash + n_simhash - n_both", 4, "duckdb")}
-         AS pair_jaccard
+       CASE WHEN n_minhash + n_simhash - n_both = 0 THEN 1.0
+            ELSE {round_div_expr(
+                "n_both", "n_minhash + n_simhash - n_both", 4, "duckdb")}
+       END AS pair_jaccard
 FROM agg
 """
 

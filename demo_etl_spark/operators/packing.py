@@ -13,7 +13,8 @@ exact-integer, and oracle-checkable.
   document "straddles" when it crosses a sequence boundary (real packers
   either split it or mask across the join — the straddle count is the
   knob's cost metric). Emits one row per (source, sequence) that has at
-  least one document START, with exact token occupancy and fill ratio.
+  least one document START, with exact token occupancy and fill basis
+  points (exact BIGINT — the output carries no floats at all).
 
   Scale: the only ordering is a window PARTITIONED BY source — each
   source packs independently and in parallel, no global sort. At 100 TB
@@ -42,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.fixedpoint import (
+    fixed_ratio,
+    fixed_ratio_expr,
+    round_div,
+    round_div_expr,
+)
 from demo_etl_spark.io import load_star
 
 #: tokens per packed training sequence (2048/4096 in production; 512
@@ -103,7 +109,11 @@ def sequence_packing(
             "seq_tokens",
             F.least(F.lit(cap).cast("long"), F.col("_total") - F.col("seq_id") * cap),
         )
-        .withColumn("fill_ratio", round_div("seq_tokens", str(cap), 4))
+        # exact-integer basis points, NOT a DOUBLE ratio: the one DOUBLE
+        # column made this the only hash-fragile output in the registry
+        # (driver r3 hash-red while locally bit-identical) — an integer
+        # survives any float normalization difference by construction
+        .withColumn("fill_bp", fixed_ratio("seq_tokens", str(cap), 4))
     )
     return packed.select(
         "source",
@@ -114,7 +124,7 @@ def sequence_packing(
         "last_doc_id",
         F.col("tokens_started").cast("long").alias("tokens_started"),
         "seq_tokens",
-        "fill_ratio",
+        "fill_bp",
     )
 
 
@@ -155,9 +165,9 @@ SELECT p.source,
        CAST(SUM(p.n_tokens) AS BIGINT) AS tokens_started,
        LEAST(CAST({SEQ_CAP} AS BIGINT),
              ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP}) AS seq_tokens,
-       {round_div_expr(
+       {fixed_ratio_expr(
            f"LEAST(CAST({SEQ_CAP} AS BIGINT), ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP})",
-           str(SEQ_CAP), 4, "duckdb")} AS fill_ratio
+           str(SEQ_CAP), 4, "duckdb")} AS fill_bp
 FROM placed p JOIN totals t USING (source)
 GROUP BY p.source, p.seq_id
 """
@@ -188,7 +198,14 @@ def shard_manifest(
             F.sum("n_tokens").alias("total_tokens"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
-            (F.sum("_ck") % _CK_MOD).alias("checksum"),
+            # sum in DECIMAL(38,0): 2^40-scale addends wrap a BIGINT sum
+            # past ~2^23 docs (Spark wraps silently and % then returns a
+            # negative remainder, while the DuckDB twin sums in HUGEINT).
+            # DECIMAL(38,0) holds ~1e26 docs' worth; both engines then
+            # take the mod of the same exact integer.
+            (F.sum(F.col("_ck").cast("decimal(38,0)")) % _CK_MOD)
+            .cast("long")
+            .alias("checksum"),
         )
         .join(F.broadcast(total))
         .withColumn("token_share", round_div("total_tokens", "_t", 4))

@@ -1195,14 +1195,19 @@ def embedding_dim_stats(
     ingest batch (a dimension whose variance collapses or mean walks is
     an upstream-encoder regression).
 
-    Shares the module's 1e-6 fixed-point lift: sums and sums-of-squares
-    are exact BIGINTs, mean = S/n and var = (n·Q − S²)/n² round HALF_UP
-    in integer space (4dp, in float units) — bit-identical across
-    engines and partial-sum orders. One posexplode + one grouped agg on
-    a constant-fanout key (64 dims), so it scales as a plain partial+
-    final aggregate. Headroom: q ≤ 1e6·|x|; n·Q needs n·d·(1e6·xmax)²
-    < 2⁶³ — at ~1e9 vectors move the lift to 1e-4 (the fixedpoint
-    module's documented rescale rule).
+    Shares the module's 1e-6 fixed-point lift: per-element q and q² are
+    exact BIGINTs; the variance moments are summed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) because the BIGINT identity n·Q − S²
+    wraps silently in-engine around n ≈ 3·10³ unit-range vectors (n·Q
+    grows as n²·(1e6·xmax)², not n·d·(…)² — ADVICE r3). In 38-digit
+    space the worst term n·Q ≤ n²·(1e6·xmax)² stays exact to n ≈ 10¹³
+    unit-range vectors, and the emitted quotient var_q ≤ (2e6·xmax)²
+    < 2⁵³ is exact as a LONG and as a DOUBLE. mean = S/n and var =
+    (n·Q − S²)/n² round HALF_UP in integer space (4dp, in float units)
+    — bit-identical across engines and partial-sum orders (mean's
+    BIGINT rounding keeps |S|·2·10⁴ < 2⁶³, i.e. n ≲ 4·10⁸ unit-range
+    vectors). One posexplode + one grouped agg on a constant-fanout key
+    (64 dims), so it scales as a plain partial+final aggregate.
     """
     from demo_etl_spark.functions.fixedpoint import round_div, round_div_signed
 
@@ -1212,7 +1217,7 @@ def embedding_dim_stats(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("q").alias("_s"),
-            F.sum(F.col("q") * F.col("q")).alias("_q2"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("_q2"),
             F.min("q").alias("min_q"),
             F.max("q").alias("max_q"),
             F.sum((F.col("q") == 0).cast("long")).alias("_nz"),
@@ -1221,13 +1226,16 @@ def embedding_dim_stats(
             "dim",
             "n",
             round_div_signed("_s", "n * 1000000", 4).alias("mean"),
-            # (n·Q − S²)/n² rounds exactly in q² units (BIGINT-safe: the
-            # 2× pre-multiply stays < 2⁶³ because den is only n²), then a
-            # single deterministic IEEE double division rescales to
-            # float units² (the q² value is < 2⁵³, so the cast is exact)
-            (
-                round_div("n * _q2 - _s * _s", "n * n", 0)
-                / F.lit(1_000_000_000_000)
+            # HALF_UP((n·Q − S²)/n²) in exact DECIMAL(38,0) space (div
+            # floors; num ≥ 0 by Cauchy–Schwarz so floor == HALF_UP
+            # staging), then one deterministic IEEE double division
+            # rescales q² units to float units²
+            F.expr(
+                "CAST(((CAST(n AS DECIMAL(38,0)) * _q2"
+                "       - CAST(_s AS DECIMAL(38,0)) * CAST(_s AS DECIMAL(38,0))) * 2"
+                "      + CAST(n AS DECIMAL(38,0)) * n) div "
+                "     (CAST(n AS DECIMAL(38,0)) * n * 2) AS DOUBLE)"
+                " / 1000000000000"
             ).alias("variance"),
             "min_q",
             "max_q",
@@ -1258,7 +1266,7 @@ g AS (
   SELECT dim,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(q) AS BIGINT) AS s,
-         CAST(SUM(q * q) AS BIGINT) AS q2,
+         SUM(q * q) AS q2,
          MIN(q) AS min_q,
          MAX(q) AS max_q,
          CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
@@ -1266,7 +1274,11 @@ g AS (
 )
 SELECT dim, n,
        {_rde_centroids("s", "n * 1000000", 4, "duckdb")} AS mean,
-       ({_rde_dimstats("n * q2 - s * s", "n * n", 0, "duckdb")}) / 1000000000000 AS variance,
+       CAST(CAST(((CAST(n AS HUGEINT) * q2
+                   - CAST(s AS HUGEINT) * s) * 2
+                  + CAST(n AS HUGEINT) * n)
+                 // (CAST(n AS HUGEINT) * n * 2) AS BIGINT) AS DOUBLE)
+         / 1000000000000 AS variance,
        min_q, max_q,
        {_rde_dimstats("nz", "n", 4, "duckdb")} AS zero_frac
 FROM g

@@ -864,24 +864,24 @@ def pmi_collocations(
 
     PMI = log[ P(ab) / (P(a)·P(b)) ]; log is monotone, so ranking (and
     the emitted score) uses the ratio ``c_ab·Nt² / (Nb·c_a·c_b)`` in
-    4dp fixed point, evaluated as TWO floor-division stages —
-    ``s1 = (c_ab·Nt·10⁴) div c_a`` then ``assoc·10⁴ = (s1·Nt) div
-    (c_b·Nb)`` — because the single-formula numerator ``c_ab·Nt²·2·10⁴``
-    exceeds 2⁶³ once Nt passes ~5·10⁴ (a denser corpus would RAISE in
-    ANSI mode). The staging is overflow-safe up to Nt ≈ 9·10⁸ by the
-    identity c_ab ≤ c_a (every bigram occurrence contains an ``a``
-    occurrence), which bounds s1 ≤ Nt·10⁴; the staged value is the
-    operator's contract and is bit-identical across engines. Unigram
+    4dp fixed point, computed as ONE floor division in wide integers —
+    Spark DECIMAL(38,0) vs DuckDB HUGEINT, both exact — because every
+    BIGINT staging of the formula hits 2⁶³ long before a real corpus
+    does (the single-formula numerator at Nt ≈ 5·10⁴; the previous
+    two-stage split at Nt ≈ 3·10⁷, since s1 ≤ Nt·10⁴ makes s1·Nt ≈
+    10⁴·Nt²). In 38-digit space the numerator ``c_ab·Nt²·10⁴`` stays
+    exact to Nt ≈ 10¹⁰ tokens (c_ab ≤ Nt ⇒ ≤ 10⁴·Nt³ < 10³⁸), and the
+    emitted quotient is ≤ Nt·10⁴ < 2⁶³, so the LONG it lands in cannot
+    wrap. Spark's ``div`` and DuckDB's ``//`` floor identically on
+    non-negative wide integers — bit-identical across engines. Unigram
     counts come from the token stream (Nt tokens), bigram counts from
     within-document adjacent pairs (Nb pairs, no cross-document pairs).
 
     Plan shape: two explode→groupBy count passes over the corpus (the
     vocab_topk shape), two broadcast-sized joins of the bigram candidates
     against the unigram counts, and a TakeOrderedAndProject top-k — no
-    global sort. At 100 TB the numerator ``c_ab·Nt²`` overflows BIGINT;
-    rescale both sides of the ratio by 10⁶ (the ordering is unchanged)
-    or move the grand totals to DECIMAL(38) — the fixedpoint module's
-    documented headroom rule.
+    global sort. The wide-integer ratio is a per-candidate scalar over
+    broadcast grand totals — no per-row cost change at 100 TB.
     """
     toks = F.split(F.col("text"), " ")
     d = documents.select(toks.alias("_toks"))
@@ -928,10 +928,12 @@ def pmi_collocations(
         )
         .drop("_tb")
         .join(F.broadcast(totals))
-        .withColumn("_s1", F.expr("(c_ab * _nt * 10000) div c_a"))
         .withColumn(
             "assoc",
-            F.expr("CAST((_s1 * _nt) div (c_b * _nb) AS DOUBLE) / 10000"),
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * _nt * _nt * 10000) div "
+                "(CAST(c_a AS DECIMAL(38,0)) * c_b * _nb) AS DOUBLE) / 10000"
+            ),
         )
     )
     return (
@@ -968,8 +970,9 @@ tot AS (
          (SELECT COUNT(*) FROM bg) AS nb
 )
 SELECT token_a, token_b, c_ab, ua.c_tok AS c_a, ub.c_tok AS c_b,
-       CAST(CAST(((c_ab * nt * 10000) // ua.c_tok) * nt
-                 // (ub.c_tok * nb) AS BIGINT) AS DOUBLE) / 10000 AS assoc
+       CAST(CAST((CAST(c_ab AS HUGEINT) * nt * nt * 10000)
+                 // (CAST(ua.c_tok AS HUGEINT) * ub.c_tok * nb)
+                 AS BIGINT) AS DOUBLE) / 10000 AS assoc
 FROM bgc
 JOIN uni ua ON bgc.token_a = ua.token
 JOIN uni ub ON bgc.token_b = ub.token, tot

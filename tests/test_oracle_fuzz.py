@@ -51,6 +51,12 @@ EDGE_DOCS = [
     (18, "mixed ASCII und ünïcode 混合 content 🙂 with bob@x.io",
      "de", "edge", 50),
     (19, "end", "en", "edge", 3),
+    # empty-text doc on the VIDEO branch (doc_id % 3 == 2): pins the old
+    # ORACLE_SQL_FRAMES empty-payload latent — docs 0/1 are image/audio
+    (20, "", "en", "edge", 0),
+    # and a non-ASCII doc on the video branch (sanitizer must keep the
+    # byte-walking frame sampler and the char-walking oracle in lockstep)
+    (23, "日本 video 🙂 bytes", "ja", "edge", 16),
 ]
 
 # one representative per text-consuming family; the full sweep was run
@@ -91,6 +97,122 @@ def test_oracles_hold_on_edge_case_corpus(fuzz_dir):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
          fuzz_dir, *FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
+def _packing_docs():
+    """Packing-hostile corpus: tie-heavy (many identical token counts —
+    the snake dealer and windows must break ties on doc_id alone),
+    boundary-aligned docs (exactly cap and cap±1 tokens), a single doc
+    spanning many sequences, empty/whitespace docs, and one source that
+    is a lone giant doc. Pins the packing family's edge shapes before
+    the driver's next testdata regeneration."""
+    rows = []
+    did = 0
+
+    def doc(n_tokens, source):
+        nonlocal did
+        text = " ".join(f"t{i % 5}" for i in range(n_tokens))
+        rows.append((did, text, "en", source, len(text)))
+        did += 1
+
+    for _ in range(12):          # 12-way exact tie
+        doc(100, "ties")
+    for _ in range(4):           # second tie class, same source
+        doc(50, "ties")
+    doc(512, "aligned")          # exactly one cap
+    doc(511, "aligned")
+    doc(513, "aligned")
+    doc(1024, "aligned")         # exactly two caps
+    doc(3000, "giant")           # lone source, spans 6 sequences
+    rows.append((did, "", "en", "sparse", 0)); did += 1
+    rows.append((did, " ", "en", "sparse", 1)); did += 1
+    doc(1, "sparse")
+    doc(2, "sparse")
+    return rows
+
+
+PACKING_FUZZ_QUERIES = [
+    "sequence_packing", "sequence_spans", "shard_manifest",
+    "corpus_mixture_plan", "corpus_source_profile",
+]
+
+
+@pytest.fixture(scope="module")
+def packing_fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_pack_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", _packing_docs())
+    con.execute(
+        f"COPY d TO '{os.path.join(d, 'documents.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_oracles_hold_on_packing_corpus(packing_fuzz_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         packing_fuzz_dir, *PACKING_FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
+NODUP_FUZZ_QUERIES = [
+    # the union of both pair sets is EMPTY here: pins the pair_jaccard
+    # 0/0 guard (defined as 1.0) plus the dedup family's empty-result
+    # paths end-to-end under the gate
+    "dedup_method_agreement", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "dedup_exact", "corpus_curation",
+]
+
+
+@pytest.fixture(scope="module")
+def nodup_fuzz_dir(tmp_path_factory):
+    """Corpus with NO near-duplicates at all — every doc is a distinct
+    subject with disjoint vocabulary."""
+    d = str(tmp_path_factory.mktemp("fuzz_nodup_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    topics = [
+        "astronomy telescope nebula quasar parallax orbit eclipse comet",
+        "sourdough hydration levain crumb proofing bannetons scoring oven",
+        "freight intermodal manifest drayage chassis demurrage tariff port",
+        "violin rosin luthier purfling varnish soundpost fingerboard bow",
+        "glacier moraine crevasse firn ablation serac icefall bergschrund",
+        "typography kerning ligature serif descender baseline glyph font",
+        "beekeeping apiary brood frames nectar propolis swarm queen",
+        "submarine ballast periscope sonar torpedo hull conning depth",
+    ]
+    rows = [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(topics)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(
+        f"COPY d TO '{os.path.join(d, 'documents.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_oracles_hold_on_no_dup_corpus(nodup_fuzz_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         nodup_fuzz_dir, *NODUP_FUZZ_QUERIES],
         capture_output=True, text=True, timeout=480, cwd=REPO,
     )
     tail = (out.stdout + out.stderr)[-4000:]

@@ -32,7 +32,7 @@ def test_sequence_packing_known_straddles(spark):
     s0, s1 = out[0], out[1]
     assert s0["n_docs_started"] == 2 and s0["n_straddle"] == 1
     assert s0["first_doc_id"] == 0 and s0["last_doc_id"] == 1
-    assert s0["seq_tokens"] == 512 and s0["fill_ratio"] == 1.0
+    assert s0["seq_tokens"] == 512 and s0["fill_bp"] == 10_000
     assert s1["n_docs_started"] == 1 and s1["n_straddle"] == 1
     # total = 1100; seq1 window [512, 1024) is full
     assert s1["seq_tokens"] == 512
