@@ -42,6 +42,8 @@ def test_registry_is_large_and_window_covers_families():
         "text_stats",             # text
         "bucketed_order_join",    # physical layout
         "sequence_packing",       # training-data assembly/export
+        "shard_manifest",         # export-shard manifests (r4 promotion)
+        "embedding_pq",           # product quantization (r4 promotion)
         "bpe_merges",             # tokenizer training
         "part_pagerank",          # graph analytics
         "data_quality_audit",     # data-quality governance
