@@ -71,11 +71,19 @@ def sequence_packing(
 
     One window (partitioned by source — parallel across sources), one
     same-key aggregation; all arithmetic on BIGINT token counts.
+
+    The window orders by (doc_id, n_tokens): if the corpus ever carries
+    duplicate doc_ids within a source, rows tied on BOTH keys are
+    indistinguishable to this computation (only doc_id and n_tokens are
+    consumed), so the running sum — and therefore every output value —
+    is permutation-invariant and both engines agree regardless of which
+    physical row a ROWS frame visits first. A bare orderBy("doc_id")
+    would leave seq_id/straddle engine-arbitrary under such ties.
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
@@ -142,7 +150,7 @@ WITH d AS (
 ),
 offs AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, n_tokens
                              ROWS UNBOUNDED PRECEDING) AS end_off
   FROM d
 ),
@@ -173,10 +181,36 @@ GROUP BY p.source, p.seq_id
 """
 
 
+#: range partitions for the distributed export-rank (a real cluster uses
+#: its default parallelism; any value ≥1 yields the identical result —
+#: the rank is exact regardless of where the sampled range boundaries
+#: fall, so this is a parallelism knob, not a semantics knob)
+_RANK_PARTS = 32
+
+
 def shard_manifest(
     documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, n_shards: int = N_SHARDS
 ) -> DataFrame:
-    """Balanced export-shard manifest via snake-order dealing."""
+    """Balanced export-shard manifest via snake-order dealing.
+
+    The global LPT rank is computed WITHOUT a single-task global window
+    (the unpartitioned ``row_number().over(Window.orderBy(...))`` funnels
+    every doc's metadata through one task — ~160 GB at 10^10 docs):
+
+    1. ``repartitionByRange`` on the dealing key — ascending partition
+       ids hold ascending key ranges, sampled boundaries, fully parallel;
+    2. per-partition local ``row_number`` (window PARTITIONED by the
+       range-partition id — parallel);
+    3. global rank = local rank + prefix count of earlier partitions,
+       from a triangular self-join over the ≤``_RANK_PARTS``-row count
+       table (lazy, broadcast, no driver collect, no global window).
+
+    The rank is a pure function of the dealing key (n_tokens DESC,
+    doc_id, content hash) — identical to DuckDB's global ``row_number``
+    oracle no matter how the range boundaries fall. The trailing ``_ck``
+    tiebreak makes the deal deterministic even if a corpus ever carries
+    duplicate (doc_id, n_tokens) pairs with different text.
+    """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     ck = (
         F.conv(F.substring(F.md5("text"), 1, _CK_HEX), 16, 10).cast("long")
@@ -184,12 +218,26 @@ def shard_manifest(
     meta = documents.select(
         "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    key = [F.desc("n_tokens"), F.asc("doc_id"), F.asc("_ck")]
+    ranged = meta.repartitionByRange(_RANK_PARTS, *key).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    cnt = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    off = (
+        cnt.alias("a")
+        .join(cnt.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"))
+    )
+    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*key))
+    rn = F.col("_off") + local_rn
     m = (rn - 1) % (2 * n_shards)
     shard = F.when(m < n_shards, m).otherwise(2 * n_shards - 1 - m)
-    dealt = meta.withColumn("shard_id", shard.cast("int"))
+    dealt = (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn("shard_id", shard.cast("int"))
+        .drop("_pid", "_off")
+    )
     total = dealt.agg(F.sum("n_tokens").alias("_t"))
     return (
         dealt.groupBy("shard_id")
@@ -228,7 +276,7 @@ WITH meta AS (
 ),
 ranked AS (
   SELECT *,
-         (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+         (row_number() OVER (ORDER BY n_tokens DESC, doc_id, ck) - 1)
            % {2 * N_SHARDS} AS m
   FROM meta
 ),
@@ -269,9 +317,11 @@ def sequence_spans(
     sequence at exactly ``cap`` tokens except each source's final one.
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    # (doc_id, n_tokens) ordering: permutation-invariant under duplicate
+    # doc_ids — see sequence_packing's docstring
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
@@ -310,7 +360,7 @@ WITH d AS (
 ),
 offs AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, n_tokens
                              ROWS UNBOUNDED PRECEDING) AS end_off
   FROM d
 ),

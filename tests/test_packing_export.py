@@ -334,6 +334,59 @@ def test_sequence_packing_properties(spark):
     check()
 
 
+def test_doc_id_unique_per_source_canary():
+    """Data-contract canary for the oracle gate (VERDICT r4 #1b): the
+    packing windows order by (doc_id, n_tokens), which is engine-
+    deterministic even under duplicate doc_ids — but the corpus
+    CONTRACT is per-source uniqueness, and if the driver ever
+    regenerates testdata with dups this test turns a mysterious
+    hash-red into a named diagnosis. DuckDB-only: cheap, no Spark."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n, nd = con.sql(
+            f"SELECT count(*), count(DISTINCT (source, doc_id)) "
+            f"FROM '{path}'"
+        ).fetchone()
+        assert n == nd, (
+            f"sf{sf}: {n - nd} duplicate (source, doc_id) pairs — "
+            "oracle hash-reds on packing/window queries may stem from "
+            "tie-ordering; the (doc_id, n_tokens) tiebreak covers "
+            "packing, audit other orderBy(doc_id) windows"
+        )
+
+
+def test_packing_deterministic_under_duplicate_doc_ids(spark):
+    """The r4 driver red's last hypothesized channel: duplicate doc_ids
+    within a source. With the (doc_id, n_tokens) window tiebreak the
+    outputs must be identical for every physical input order, even when
+    doc_ids collide with DIFFERENT token counts."""
+    from demo_etl_spark.operators.packing import (
+        sequence_packing,
+        sequence_spans,
+        shard_manifest,
+    )
+
+    rows = [
+        _doc(0, 300), _doc(1, 200), _doc(1, 450), _doc(2, 500),
+        _doc(2, 500), _doc(3, 40),
+    ]
+    perms = [rows, rows[::-1], rows[2:] + rows[:2]]
+    for build in (sequence_packing, sequence_spans, shard_manifest):
+        outs = [
+            sorted(map(tuple, build(
+                spark.createDataFrame(p).repartition(5)).collect()))
+            for p in perms
+        ]
+        assert outs[0] == outs[1] == outs[2], build.__name__
+
+
 def test_label_propagation_separates_cliques(spark):
     """Two 4-cliques joined by one bridge edge: frequency LPA keeps two
     communities (min-label CC would flood them into one)."""

@@ -112,6 +112,21 @@ def main() -> int:
                 print(f"    spark-only:  {x}")
             for x in oonly:
                 print(f"    oracle-only: {x}")
+            # dump BOTH full normalized result sets so any mismatch —
+            # here or reproduced from a driver red — localizes to rows
+            # instead of a 16-char hash (VERDICT r4 #1c)
+            import json
+            dump = {
+                "query": name,
+                "sf_dir": sf_dir,
+                "cols_sorted": sorted(scols),
+                "spark_rows": sset,
+                "oracle_rows": oset,
+            }
+            path = f"/root/repo/ORACLE_DIVERGENCE_{name}.json"
+            with open(path, "w") as fh:
+                json.dump(dump, fh, indent=1)
+            print(f"    full dump: {path}")
     print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
     return 1 if failures else 0
 
