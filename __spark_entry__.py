@@ -66,13 +66,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.build_exact,
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_minhash_lsh": _dedup.build_minhash,
-        "dedup_simhash": _dedup.build_simhash,
         "dedup_clusters": _dedup.build_clusters,
         "dedup_embedding_cosine": _similarity.build_near_dup,
         "dedup_embedding_ann": _similarity.build_ann_pairs,
         "contamination_screen": _dedup.build_contamination,
         # --- document fingerprinting (winnowing) ------------------------
         "doc_fingerprints": _fingerprint.build_fingerprints,
+        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         # --- curation ---------------------------------------------------
         "corpus_curation": _curation.build,
         # --- data-quality governance -------------------------------------
@@ -85,18 +85,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _text.build_chunks,
         # --- similarity search -----------------------------------------
         "similarity_topk_cosine": _similarity.build_topk,
-        "similarity_lsh_bucketed": _similarity.build_lsh,
-        "similarity_ivf_topk": _similarity.build_ivf,
         # product quantization: its own family (codebook training + ADC),
-        # promoted into the window in r4; the recall/quantize siblings of
-        # the ANN family moved just below the boundary
+        # promoted into the window in r4, with its ADC probe half joining
+        # in r5; the LSH/IVF ANN siblings of the already-represented
+        # similarity family moved just below the boundary (r5 rotation —
+        # every §8 family now has an in-window representative)
         "embedding_pq": _similarity.build_pq,
+        "similarity_pq_topk": _similarity.build_pq_topk,
         # --- multimodal -------------------------------------------------
         "multimodal_features": _multimodal.build_features_checked,
         "multimodal_frames": _multimodal.build_frames,
         "multimodal_audio": _multimodal.build_audio_features,
         # --- training-data assembly & export ----------------------------
         "sequence_packing": _packing.build_sequence_packing,
+        "sequence_spans": _packing.build_sequence_spans,
         "shard_manifest": _packing.build_shard_manifest,
         # --- event analytics + streaming --------------------------------
         "events_session": _events.build_session,
@@ -125,16 +127,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_order_join": _bucketed.build_bucketed_join,
         # ================= driver window boundary (50) =================
         # variants of families already covered above
+        "similarity_lsh_bucketed": _similarity.build_lsh,
+        "similarity_ivf_topk": _similarity.build_ivf,
+        "dedup_simhash": _dedup.build_simhash,
+        # new in r5: cross-document verbatim-span detector (substring-
+        # level dedup — the public train-data dedup operator class)
+        "dedup_repeated_spans": _dedup.build_repeated_spans,
         "similarity_ann_recall": _similarity.build_recall,
         "embedding_quantize": _similarity.build_quantize,
         "events_pivot": _events.build_pivot,
         "multimodal_resize": _multimodal.build_resize,
-        "sequence_spans": _packing.build_sequence_spans,
         "order_cadence": _customer.build_cadence,
         "bpe_encode": _tokenizer.build_bpe_encode,
+        # new in r5: m merges per pair-count round (the driver-loop
+        # answer at production vocab sizes — see tokenizer.py)
+        "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
-        "similarity_pq_topk": _similarity.build_pq_topk,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
@@ -233,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup.ORACLE_SQL_NGRAM,
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
         "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
+        "dedup_repeated_spans": _dedup.ORACLE_SQL_REPEATED_SPANS,
         "dedup_clusters": _dedup.ORACLE_SQL_CLUSTERS,
         "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
@@ -264,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
+        "bpe_merges_batched": _tokenizer.ORACLE_SQL_BPE_MERGES_BATCHED,
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "embedding_pq": _similarity.ORACLE_SQL_PQ,

@@ -66,35 +66,54 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
-    for name, fn in qs.items():
-        print(f"bench: {name} ...", file=sys.stderr, flush=True)
-        try:
-            t = run_once(name, fn)
-            samples[name] = [t]
-            timings[name] = t
-            print(f"bench: {name} {t}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # keep benching even if one query breaks
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+    # Noise control (r4 → r5): TWO full passes over the registry with the
+    # operator memos cleared in between, reported time = min of honest
+    # samples. Rationale:
+    #   * this VM shows order-of-magnitude wall-clock outliers on
+    #     identical plans (one recorded 51.7 s vs 5.9 s clean), and r4's
+    #     retry-only-3×-outliers policy let sub-3× drift (a whole SQL
+    #     suite +0.5-1.0 s) masquerade as regressions — sampling EVERY
+    #     query twice lets drift self-cancel;
+    #   * r4's retry also re-used operator result memos (dedup_clusters
+    #     "retry" 0.019 s vs 5.5 s real) — clear_operator_memos() between
+    #     passes makes every sample a full computation; the star-scan
+    #     cache stays warm by design (C1, reported as warm-up).
+    # Within a pass, queries run in registry order, so cross-query memo
+    # sharing (e.g. the dedup family's shingle index) matches how the
+    # driver executes the registry.
+    from demo_etl_spark.io import clear_operator_memos
 
-    # Noise control: this VM shows order-of-magnitude wall-clock outliers
-    # on identical plans (one recorded 51.7 s vs 5.9 s clean for the same
-    # query). Re-run anything suspiciously slow relative to the run's own
-    # median and report the min — both samples stay in the artifact.
-    ok = sorted(v for v in timings.values() if v >= 0)
-    if ok:
-        median = ok[len(ok) // 2]
-        retry_floor = max(3.0, 3.0 * median)
+    for pass_no in (1, 2):
+        if pass_no == 2:
+            clear_operator_memos()
         for name, fn in qs.items():
-            if timings.get(name, -1.0) >= retry_floor:
-                print(f"bench: retrying outlier {name} ...", file=sys.stderr, flush=True)
-                try:
-                    t2 = run_once(name, fn)
-                    samples[name].append(t2)
-                    timings[name] = min(timings[name], t2)
-                    print(f"bench: {name} retry {t2}s", file=sys.stderr, flush=True)
-                except Exception as exc:
-                    print(f"bench retry error in {name}: {exc}", file=sys.stderr)
+            print(f"bench[{pass_no}]: {name} ...", file=sys.stderr, flush=True)
+            try:
+                t = run_once(name, fn)
+                samples.setdefault(name, []).append(t)
+                print(f"bench[{pass_no}]: {name} {t}s", file=sys.stderr, flush=True)
+            except Exception as exc:  # keep benching even if one query breaks
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+    # a ≥3× spread between the two honest samples means one of them hit a
+    # VM stall — one more memo-cleared sample settles it
+    cleared_third = False
+    for name, fn in qs.items():
+        ss = samples.get(name, [])
+        if len(ss) == 2 and max(ss) >= 3.0 * min(ss):
+            if not cleared_third:
+                clear_operator_memos()
+                cleared_third = True
+            print(f"bench: third sample for {name} (spread "
+                  f"{max(ss) / min(ss):.1f}x) ...", file=sys.stderr, flush=True)
+            try:
+                t = run_once(name, fn)
+                samples[name].append(t)
+                print(f"bench: {name} third {t}s", file=sys.stderr, flush=True)
+            except Exception as exc:
+                print(f"bench third-sample error in {name}: {exc}", file=sys.stderr)
+    for name in qs:
+        ss = samples.get(name, [])
+        timings[name] = min(ss) if ss else -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     failures = sorted(k for k, v in timings.items() if v < 0)

@@ -72,6 +72,26 @@ def register_cache_clearer(fn) -> None:
     _CACHE_CLEARERS.append(fn)
 
 
+def clear_operator_memos() -> None:
+    """Release operator-level memos/persists but KEEP the star-scan cache.
+
+    The scan cache is the C1 shared-input persist (warm by design, its
+    cost reported once as warm-up); operator memos (dedup's shingle
+    index, memoized cluster labels, graph edge sets, …) memoize work a
+    query's own timing should include. bench.py calls this between
+    samples so a re-run measures the query, not a result-cache hit —
+    the r4 artifact recorded a 0.019 s "retry" for a 5.5 s query.
+    """
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PERSISTED.clear()
+    for fn in _CACHE_CLEARERS:
+        fn()
+
+
 def clear_scan_cache() -> None:
     """Unpersist and forget every cached scan / registered persist.
 
@@ -79,16 +99,14 @@ def clear_scan_cache() -> None:
     so pinned DataFrames from stopped sessions don't pin executor memory
     for the process lifetime.
     """
-    for df in list(_SCAN_CACHE.values()) + _PERSISTED:
+    for df in list(_SCAN_CACHE.values()):
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
     _SCAN_CACHE.clear()
-    _PERSISTED.clear()
     _PATH_BYTES_MEMO.clear()
-    for fn in _CACHE_CLEARERS:
-        fn()
+    clear_operator_memos()
 
 
 def walk_bytes(path: str, suffix: str | None = None) -> int:

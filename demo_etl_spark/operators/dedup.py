@@ -1138,3 +1138,117 @@ FROM agg
 
 
 ORACLE_SQL_METHOD_AGREEMENT = _method_agreement_oracle()
+
+
+# --- corpus-wide verbatim-span dedup ---------------------------------
+#
+# The public "deduplicating training data makes language models better"
+# operator class: find runs of >= K_SPAN tokens that appear VERBATIM in
+# more than one document, with per-document offset evidence (the export
+# stage then drops/masks those slices). Distinct from the document-level
+# detectors above: it localizes the shared substring, not the document
+# pair.
+
+K_SPAN = 25  # minimum verbatim run length, in tokens (public work uses 50 BPE tokens; 25 whitespace tokens is the same order)
+
+
+def repeated_spans(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, k: int = K_SPAN
+) -> DataFrame:
+    """Maximal cross-document verbatim token spans (>= ``k`` tokens).
+
+    Plan — O(corpus tokens), no pair enumeration:
+
+    1. map-side: every k-token window of every document is hashed to a
+       40-bit key (8 bytes) BEFORE any shuffle — the k× blowup is CPU in
+       the scan stage only; shuffle volume is O(tokens) × ~16 B, not ×k.
+       (A production kernel would use a rolling Rabin-Karp hash instead
+       of md5-of-joined-string; the plan shape and shuffle volume are
+       identical — md5 is kept for bit-exact oracle parity.)
+    2. one groupBy(h) computes each k-gram's document frequency; only
+       h with n_docs > 1 (cross-document repeats) survive.
+    3. per-doc gaps-and-islands (window PARTITIONED by doc_id — parallel)
+       merges overlapping repeated k-grams into maximal spans: a run of
+       g consecutive repeated windows is one span of g+k-1 tokens.
+
+    Output: one row per (doc_id, maximal span) with token offset, span
+    length, window count, and the widest document frequency among the
+    span's windows (how many docs share its most-shared window).
+    """
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k})))"
+    )
+    g = (
+        documents.filter(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(grams).alias("off", "gram"))
+        .select(
+            "doc_id",
+            F.col("off").cast("long").alias("off"),
+            F.conv(F.substring(F.md5("gram"), 1, HASH_HEX), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    dfreq = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    rep = g.join(dfreq, "h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("off")
+    isl = rep.withColumn("grp", F.col("off") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") - F.min("off") + k).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n_docs").alias("max_window_docs"),
+        )
+        .drop("grp")
+    )
+
+
+def build_repeated_spans(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return repeated_spans(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_REPEATED_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {K_SPAN}
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS off,
+         CAST('0x' || substr(md5(array_to_string(t[i + 1 : i + {K_SPAN}], ' ')),
+              1, {HASH_HEX}) AS BIGINT) AS h
+  FROM toks, unnest(generate_series(0, CAST(len(t) AS BIGINT) - {K_SPAN}))
+       AS g(i)
+),
+dfreq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+),
+rep AS (
+  SELECT g.doc_id, g.off, d.n_docs FROM grams g JOIN dfreq d USING (h)
+),
+isl AS (
+  SELECT *, off - row_number() OVER (PARTITION BY doc_id ORDER BY off)
+         AS grp
+  FROM rep
+)
+SELECT doc_id,
+       CAST(MIN(off) AS BIGINT) AS span_start,
+       CAST(MAX(off) - MIN(off) + {K_SPAN} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MAX(n_docs) AS BIGINT) AS max_window_docs
+FROM isl
+GROUP BY doc_id, grp
+"""

@@ -267,3 +267,187 @@ GROUP BY doc_id, source
 
 
 ORACLE_SQL_BPE_ENCODE = _bpe_encode_oracle()
+
+
+# --- batched-merge BPE training --------------------------------------
+#
+# The driver-sequencing answer to classic greedy BPE's scale ceiling
+# (VERDICT r4 #5): greedy runs ONE pair-count job + ONE checkpoint per
+# learned merge — a 30k-vocab production run is 30k sequential Spark
+# jobs. The batched variant learns up to ``M_BATCH`` merges per
+# pair-count round, admitting only candidates whose symbols are disjoint
+# from every higher-ranked selection in the same round. Symbol-disjoint
+# merges commute under the space-fenced literal replace (a replace for
+# (a1,a2) can only touch positions holding a1/a2, and a fenced match
+# for (b1,b2) requires genuine adjacency of b1,b2 — so neither creates,
+# destroys, nor shifts the other's sites), which makes the round's
+# result order-independent and lets both engines apply them as chained
+# literal replaces.
+#
+# Round-trip cost: R merges cost R/m pair-count jobs + R/m checkpoints
+# (the expensive vocab-wide work) + R trivial argmax probes against the
+# round's persisted pair-count table. Batched selection is the standard
+# approximation — it can diverge from strict greedy when a merge's
+# byproduct pair would have out-ranked the round's k-th pick; strict
+# greedy remains ``bpe_merges``.
+
+#: merges admitted per pair-count round (production: 100-1000)
+M_BATCH = 3
+
+#: pair-count rounds for the registered batched query
+BATCHED_ROUNDS = 2
+
+
+def bpe_merges_batched(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rounds: int = BATCHED_ROUNDS,
+    m: int = M_BATCH,
+) -> DataFrame:
+    """Learn up to ``rounds × m`` merges, ``m`` symbol-disjoint merges
+    per pair-count round; returns (round, rank, lhs, rhs, merged,
+    pair_count)."""
+    words = (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = words.withColumn(
+        "sym", F.regexp_replace("word", _CHAR_PAT, " $1 ")
+    ).localCheckpoint(eager=True)
+
+    out: list[tuple[int, int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        ts = F.split(F.trim(F.col("sym")), "  ")
+        pairs = (
+            sym.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(ts, F.lit(1), F.size(ts) - 1),
+                        F.slice(ts, F.lit(2), F.size(ts) - 1),
+                        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+            .persist()
+        )
+        selected: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for j in range(1, m + 1):
+            cand = pairs
+            if used:
+                u = sorted(used)
+                cand = pairs.filter(
+                    ~F.col("lhs").isin(u) & ~F.col("rhs").isin(u)
+                )
+            row = cand.orderBy(
+                F.desc("pair_count"), "lhs", "rhs"
+            ).limit(1).collect()
+            if not row:
+                break
+            lhs, rhs, cnt = row[0]["lhs"], row[0]["rhs"], row[0]["pair_count"]
+            selected.append((lhs, rhs))
+            used |= {lhs, rhs}
+            out.append((r, j, lhs, rhs, lhs + rhs, cnt))
+        pairs.unpersist()
+        if not selected:
+            break
+        merged_sym = F.col("sym")
+        for lhs, rhs in selected:
+            merged_sym = F.replace(
+                merged_sym, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        sym = sym.withColumn("sym", merged_sym).localCheckpoint(eager=True)
+    return documents.sparkSession.createDataFrame(
+        out,
+        schema="round int, rank int, lhs string, rhs string, "
+        "merged string, pair_count long",
+    )
+
+
+def build_bpe_merges_batched(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return bpe_merges_batched(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _bpe_batched_oracle(rounds: int = BATCHED_ROUNDS, m: int = M_BATCH) -> str:
+    """Unrolled CTE chain mirroring the batched trainer: per round, m
+    sequential LIMIT-1 selections (each excluding the symbols of the
+    round's earlier selections), then the round's replaces chained onto
+    the symbol table. An empty selection COALESCEs its replace pattern
+    to three spaces — impossible under the fencing invariant (runs of
+    at most two spaces), i.e. a no-op."""
+    parts = [
+        """WITH w AS (
+  SELECT u.t AS word, COUNT(*) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         regexp_replace(word, '([\\s\\S])', ' \\1 ', 'g') AS sym
+  FROM w
+)"""
+    ]
+    sel_names: list[list[str]] = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT ts[g.i - 1] AS lhs, ts[g.i] AS rhs, freq
+    FROM (SELECT string_split(trim(sym), '  ') AS ts, freq FROM {prev}),
+         unnest(generate_series(2, len(ts))) AS g(i)
+  ) GROUP BY lhs, rhs
+)"""
+        )
+        names = []
+        for j in range(1, m + 1):
+            name = f"c{r}_{j}"
+            if names:
+                unions = " UNION ".join(
+                    f"SELECT lhs AS s FROM {n} UNION SELECT rhs AS s FROM {n}"
+                    for n in names
+                )
+                cond = (f"WHERE lhs NOT IN ({unions}) "
+                        f"AND rhs NOT IN ({unions})")
+            else:
+                cond = ""
+            parts.append(
+                f""",
+{name} AS (
+  SELECT lhs, rhs, pair_count FROM p{r} {cond}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)"""
+            )
+            names.append(name)
+        sel_names.append(names)
+        repl = "sym"
+        for name in names:
+            pat = (f"COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' ' "
+                   f"FROM {name}), '   ')")
+            rep = (f"COALESCE((SELECT ' ' || lhs || rhs || ' ' "
+                   f"FROM {name}), '')")
+            repl = f"replace({repl}, {pat}, {rep})"
+        parts.append(
+            f""",
+s{r} AS (
+  SELECT word, freq, {repl} AS sym FROM {prev}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, CAST({j} AS INTEGER) AS rank, "
+        f"lhs, rhs, lhs || rhs AS merged, pair_count FROM c{r}_{j}"
+        for r in range(1, rounds + 1)
+        for j in range(1, m + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+ORACLE_SQL_BPE_MERGES_BATCHED = _bpe_batched_oracle()

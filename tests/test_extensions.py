@@ -733,3 +733,71 @@ def test_redact_pii_rewrites_urls_and_emails(spark):
     assert out["redacted_text"] == (
         "see [URL] then mail [EMAIL] or visit [URL] keep 12345"
     )
+
+
+def test_repeated_spans_finds_planted_verbatim_run(spark):
+    """Two docs share a 30-token verbatim run buried in distinct filler;
+    a third doc shares nothing 25 tokens long. The detector must emit
+    exactly one maximal span per sharing doc, at the right offset and
+    length, and nothing for the clean doc."""
+    import random
+
+    from pyspark.sql import Row as R
+
+    from demo_etl_spark.operators.dedup import K_SPAN, repeated_spans
+
+    rng = random.Random(11)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10_000)}_{i}" for i in range(n)]
+
+    shared = " ".join(f"shared{i}" for i in range(30))
+    doc_a = " ".join(words(40, "a")) + " " + shared + " " + " ".join(words(10, "a2"))
+    doc_b = " ".join(words(5, "b")) + " " + shared + " " + " ".join(words(60, "b2"))
+    doc_c = " ".join(words(80, "c"))
+    docs = spark.createDataFrame(
+        [
+            R(doc_id="da", text=doc_a, lang="en", source="s", n_chars=0),
+            R(doc_id="db", text=doc_b, lang="en", source="s", n_chars=0),
+            R(doc_id="dc", text=doc_c, lang="en", source="s", n_chars=0),
+        ]
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(docs).collect()}
+    assert set(out) == {"da", "db"}
+    assert out["da"]["span_start"] == 40 and out["da"]["span_tokens"] == 30
+    assert out["db"]["span_start"] == 5 and out["db"]["span_tokens"] == 30
+    # 30-token run → 30 - K_SPAN + 1 overlapping windows, each in 2 docs
+    assert out["da"]["n_windows"] == 30 - K_SPAN + 1
+    assert out["da"]["max_window_docs"] == 2
+
+
+def test_repeated_spans_islands_and_short_docs(spark):
+    """A doc shorter than K_SPAN emits nothing. A doc made of two shared
+    26-token runs back-to-back (each shared with a DIFFERENT partner)
+    yields two maximal islands — the windows that straddle the run
+    boundary match nobody, so the islands must not merge across it."""
+    from pyspark.sql import Row as R
+
+    from demo_etl_spark.operators.dedup import repeated_spans
+
+    run1 = " ".join(f"x{i}" for i in range(26))  # 26 tokens
+    run2 = " ".join(f"y{i}" for i in range(26))
+    docs = spark.createDataFrame(
+        [
+            R(doc_id="m", text=run1 + " " + run2, lang="en", source="s", n_chars=0),
+            R(doc_id="p1", text=run1 + " " + " ".join(f"f{i}" for i in range(30)),
+              lang="en", source="s", n_chars=0),
+            R(doc_id="p2", text=" ".join(f"g{i}" for i in range(30)) + " " + run2,
+              lang="en", source="s", n_chars=0),
+            R(doc_id="tiny", text="just a few tokens", lang="en", source="s",
+              n_chars=0),
+        ]
+    )
+    out = {}
+    for r in repeated_spans(docs).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert "tiny" not in out
+    spans_m = sorted((r["span_start"], r["span_tokens"]) for r in out["m"])
+    # run1 windows at offsets {0,1}, run2 windows at {26,27}; the
+    # boundary-straddling windows 2..25 are unshared → two 26-token spans
+    assert spans_m == [(0, 26), (26, 26)]

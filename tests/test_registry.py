@@ -33,17 +33,20 @@ def test_registry_is_large_and_window_covers_families():
     for rep in (
         "dedup_minhash_lsh",      # dedup
         "doc_fingerprints",       # fingerprinting
+        "fingerprint_profile",    # fingerprint governance (r5 promotion)
         "cdc_latest_state",       # CDC
         "streaming_daily_rollup", # streaming
-        "similarity_lsh_bucketed",# ANN
+        "similarity_topk_cosine", # similarity search (exact baseline)
         "multimodal_features",    # multimodal
         "brand_affinity",         # association mining
         "corpus_curation",        # curation
         "text_stats",             # text
         "bucketed_order_join",    # physical layout
         "sequence_packing",       # training-data assembly/export
+        "sequence_spans",         # span materialization (r5 promotion)
         "shard_manifest",         # export-shard manifests (r4 promotion)
         "embedding_pq",           # product quantization (r4 promotion)
+        "similarity_pq_topk",     # PQ ADC probe (r5 promotion)
         "bpe_merges",             # tokenizer training
         "part_pagerank",          # graph analytics
         "data_quality_audit",     # data-quality governance

@@ -138,3 +138,92 @@ def test_bpe_matches_reference_on_random_corpora(spark):
         _run(spark, docs, rounds=3)
 
     check()
+
+
+def _ref_bpe_batched(texts: list[str], rounds: int, m: int):
+    """Pure-Python batched reference: per pair-count round, select up to
+    m pairs in (count desc, lhs, rhs) order skipping any pair sharing a
+    symbol with an earlier selection this round, then apply all selected
+    merges (symbol-disjoint ⇒ order-independent)."""
+    wf = Counter(w for t in texts for w in t.split(" "))
+    syms = {w: list(w) for w in wf}
+    out = []
+    for r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        selected, used = [], set()
+        for (lhs, rhs), cnt in sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        ):
+            if len(selected) == m:
+                break
+            if lhs in used or rhs in used:
+                continue
+            selected.append((lhs, rhs))
+            used |= {lhs, rhs}
+            out.append((r, len(selected), lhs, rhs, lhs + rhs, cnt))
+        if not selected:
+            break
+        for lhs, rhs in selected:
+            for w, s in syms.items():
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        o.append(lhs + rhs)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                syms[w] = o
+    return out
+
+
+def _run_batched(spark, texts, rounds=2, m=3):
+    from demo_etl_spark.operators.tokenizer import bpe_merges_batched
+
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    got = [
+        (r["round"], r["rank"], r["lhs"], r["rhs"], r["merged"],
+         r["pair_count"])
+        for r in bpe_merges_batched(docs, rounds=rounds, m=m).collect()
+    ]
+    want = _ref_bpe_batched(texts, rounds, m)
+    assert sorted(got) == sorted(want), (got, want)
+
+
+def test_batched_bpe_matches_reference(spark):
+    _run_batched(spark, [
+        "lower lowest newer newest wider widest",
+        "low lower lowest new newer newest",
+        "the newest newest newest thing",
+    ])
+
+
+def test_batched_bpe_disjointness_on_runs(spark):
+    """Run-heavy words force symbol conflicts among the top pairs — the
+    round must skip conflicting candidates, not merge them."""
+    _run_batched(spark, [
+        "ababab ababababab abab",
+        "aaaa aaa aaaaaa baaab",
+        "cdcd cdcdcd dcdc",
+    ], rounds=2, m=3)
+
+
+def test_batched_bpe_matches_reference_on_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=4))
+    def check(docs):
+        _run_batched(spark, docs, rounds=2, m=2)
+
+    check()
