@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # answer at production vocab sizes — see tokenizer.py)
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "pmi_collocations": _text.build_pmi_collocations,
+        # new in r5: the writer stage — assemble packed sequences' text
+        "sequence_export": _packing.build_packed_sequences,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
+        "sequence_export": _packing.ORACLE_SQL_PACKED_SEQUENCES,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
         "bpe_merges_batched": _tokenizer.ORACLE_SQL_BPE_MERGES_BATCHED,

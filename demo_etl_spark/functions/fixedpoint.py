@@ -72,7 +72,14 @@ def fixed_ratio_expr(num: str, den: str, scale: int, dialect: str) -> str:
     integer (hash-robust across engines and across any downstream float
     normalization; e.g. basis-point ratios). ``num``/``den`` are
     non-negative integer SQL expressions; same 2^63 headroom bound on
-    num·10^scale·2 as the module docstring."""
+    num·10^scale·2 as the module docstring.
+
+    Precondition (same as ``round_div_expr``): ``den`` must be a
+    provably NONZERO expression — a zero denominator yields NULL in
+    non-ANSI Spark but raises in DuckDB, a cross-engine divergence.
+    Call sites with a possibly-zero denominator must guard with
+    CASE/``F.when`` before reaching this formula."""
+    assert scale >= 0, f"scale must be non-negative, got {scale}"
     ps = 10**scale
     d = _DIV[dialect]
     return (

@@ -386,3 +386,71 @@ SELECT source, seq_id, doc_id,
        span_end - span_start AS span_tokens
 FROM spans
 """
+
+
+def packed_sequences(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
+) -> DataFrame:
+    """The writer stage itself: materialize every packed training
+    sequence's token stream by joining :func:`sequence_spans` back to
+    the document payloads and assembling slices in sequence order.
+
+    Plan: spans (narrow, ≈1 row/doc) join the tokenized payload on
+    doc_id — an equi-join that co-shuffles span metadata with payload
+    slices; then one groupBy(source, seq_id) assembles at most
+    ``cap`` tokens per group (bounded state per key regardless of
+    corpus size). No global order, no window over the corpus; the
+    in-group sort is array_sort over ≤cap/1-token spans.
+    """
+    spans = sequence_spans(documents, ctx, cap)
+    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    parts = spans.join(toks, "doc_id").select(
+        "source",
+        "seq_id",
+        "seq_offset",
+        F.concat_ws(
+            " ",
+            F.slice("t", F.col("doc_offset") + 1, F.col("span_tokens")),
+        ).alias("part"),
+    )
+    return (
+        parts.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.array_sort(
+                F.collect_list(F.struct("seq_offset", "part"))
+            ).alias("ps"),
+        )
+        .select(
+            "source",
+            "seq_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.concat_ws(
+                " ", F.expr("transform(ps, x -> x.part)")
+            ).alias("seq_text"),
+        )
+        .withColumn(
+            "seq_tokens",
+            F.size(F.split(F.col("seq_text"), " ")).cast("long"),
+        )
+    )
+
+
+def build_packed_sequences(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return packed_sequences(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_PACKED_SEQUENCES = f"""
+WITH spans AS ({ORACLE_SQL_SEQUENCE_SPANS}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT source, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       string_agg(
+         array_to_string(t[doc_offset + 1 : doc_offset + span_tokens], ' '),
+         ' ' ORDER BY seq_offset) AS seq_text,
+       CAST(SUM(span_tokens) AS BIGINT) AS seq_tokens
+FROM spans JOIN toks USING (doc_id)
+GROUP BY source, seq_id
+"""

@@ -403,3 +403,25 @@ def test_label_propagation_separates_cliques(spark):
            for r in part_communities(df).collect()}
     assert len(out) == 2
     assert sorted(out.values()) == [4, 4]
+
+
+def test_packed_sequences_roundtrip_the_corpus(spark, tables):
+    """Writer-stage invariant: concatenating each source's sequences in
+    seq_id order must reproduce exactly the source's documents
+    concatenated in (doc_id, n_tokens) order — packing is lossless."""
+    from demo_etl_spark.operators.packing import packed_sequences
+
+    docs = tables["documents"]
+    seqs = packed_sequences(docs).collect()
+    assembled = {}
+    for r in sorted(seqs, key=lambda r: (r["source"], r["seq_id"])):
+        assert r["seq_tokens"] <= 512
+        assert r["seq_tokens"] == len(r["seq_text"].split(" "))
+        assembled.setdefault(r["source"], []).append(r["seq_text"])
+    truth = {}
+    for r in docs.select("source", "doc_id", "text").collect():
+        truth.setdefault(r["source"], []).append((r["doc_id"], r["text"]))
+    for src, pairs in truth.items():
+        want = " ".join(t for _, t in sorted(pairs))
+        got = " ".join(assembled[src])
+        assert got == want, src
