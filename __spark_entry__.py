@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: cross-document verbatim-span detector (substring-
         # level dedup — the public train-data dedup operator class)
         "dedup_repeated_spans": _dedup.build_repeated_spans,
+        "dedup_span_scrub": _dedup.build_span_scrub,
         "similarity_ann_recall": _similarity.build_recall,
         "embedding_quantize": _similarity.build_quantize,
         "events_pivot": _events.build_pivot,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.ORACLE_SQL_MINHASH,
         "dedup_simhash": _dedup.ORACLE_SQL_SIMHASH,
         "dedup_repeated_spans": _dedup.ORACLE_SQL_REPEATED_SPANS,
+        "dedup_span_scrub": _dedup.ORACLE_SQL_SPAN_SCRUB,
         "dedup_clusters": _dedup.ORACLE_SQL_CLUSTERS,
         "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,

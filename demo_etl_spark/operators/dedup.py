@@ -1216,7 +1216,8 @@ def repeated_spans(
 def build_repeated_spans(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return repeated_spans(load_star(spark, sf_dir)["documents"], ctx)
+    # shares the memoized span set with span_scrub (defined below)
+    return _cached_repeated_spans(spark, sf_dir)
 
 
 ORACLE_SQL_REPEATED_SPANS = f"""
@@ -1251,4 +1252,130 @@ SELECT doc_id,
        CAST(MAX(n_docs) AS BIGINT) AS max_window_docs
 FROM isl
 GROUP BY doc_id, grp
+"""
+
+
+#: per-session memo for the repeated-span set (feeds the registered
+#: detector AND the scrub rewrite below; cleared by clear_operator_memos)
+_SPANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_SPANS_CACHE.clear)
+
+
+def _cached_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sp = _SPANS_CACHE.get(key)
+    if sp is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        sp = register_persist(repeated_spans(docs))
+        _SPANS_CACHE[key] = sp
+    return sp
+
+
+def span_scrub(
+    documents: DataFrame,
+    spans: DataFrame | None = None,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """The ACTION half of verbatim-span dedup: rewrite every document
+    with its cross-document repeated spans removed (the symmetric
+    boilerplate-scrub policy — all occurrences go; keep-first-occurrence
+    needs a global attribution pass and is the documented variant).
+
+    Plan: spans explode to covered token positions (fanout = span
+    tokens ≤ doc tokens), the corpus explodes to (doc_id, pos, token),
+    one anti-join drops covered positions, one per-doc bounded
+    reassembly (array_sort ≤ doc tokens). Everything shuffles on
+    doc_id — O(corpus tokens), embarrassingly parallel.
+    """
+    if spans is None:
+        spans = repeated_spans(documents, ctx)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.concat_ws(" ", F.expr("transform(ps, x -> x.tok)")).alias(
+                "scrubbed_text"
+            ),
+        )
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+def build_span_scrub(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return span_scrub(
+        load_star(spark, sf_dir)["documents"],
+        _cached_repeated_spans(spark, sf_dir),
+        ctx,
+    )
+
+
+ORACLE_SQL_SPAN_SCRUB = f"""
+WITH spans AS ({ORACLE_SQL_REPEATED_SPANS}),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(g.p AS BIGINT) AS pos
+  FROM spans,
+       unnest(generate_series(span_start, span_start + span_tokens - 1))
+       AS g(p)
+),
+toks AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, t[g.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS g(i)
+),
+kept AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS scrubbed_text
+  FROM toks t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       b.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+       COALESCE(k.scrubbed_text, '') AS scrubbed_text
+FROM base b LEFT JOIN kept k USING (doc_id)
 """

@@ -801,3 +801,43 @@ def test_repeated_spans_islands_and_short_docs(spark):
     # run1 windows at offsets {0,1}, run2 windows at {26,27}; the
     # boundary-straddling windows 2..25 are unshared → two 26-token spans
     assert spans_m == [(0, 26), (26, 26)]
+
+
+def test_span_scrub_removes_exactly_the_shared_run(spark):
+    """Scrub drops exactly the repeated-span tokens, keeps everything
+    else in order, and leaves span-free docs byte-identical."""
+    import random
+
+    from pyspark.sql import Row as R
+
+    from demo_etl_spark.operators.dedup import span_scrub
+
+    rng = random.Random(23)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10_000)}_{i}" for i in range(n)]
+
+    shared = [f"shared{i}" for i in range(30)]
+    a_pre, a_post = words(40, "a"), words(10, "a2")
+    b_pre, b_post = words(5, "b"), words(60, "b2")
+    c_all = words(80, "c")
+    docs = spark.createDataFrame(
+        [
+            R(doc_id="da", text=" ".join(a_pre + shared + a_post),
+              lang="en", source="s", n_chars=0),
+            R(doc_id="db", text=" ".join(b_pre + shared + b_post),
+              lang="en", source="s", n_chars=0),
+            R(doc_id="dc", text=" ".join(c_all), lang="en", source="s",
+              n_chars=0),
+        ]
+    )
+    out = {r["doc_id"]: r for r in span_scrub(docs).collect()}
+    assert set(out) == {"da", "db", "dc"}
+    assert out["da"]["n_removed"] == 30
+    assert out["da"]["scrubbed_text"] == " ".join(a_pre + a_post)
+    assert out["db"]["n_removed"] == 30
+    assert out["db"]["scrubbed_text"] == " ".join(b_pre + b_post)
+    assert out["dc"]["n_removed"] == 0
+    assert out["dc"]["scrubbed_text"] == " ".join(c_all)
+    for r in out.values():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
