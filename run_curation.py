@@ -7,19 +7,23 @@ non-empty via _SUCCESS + count, and lineage-tracked):
 
   1. curate   — exact dedup → MinHash-LSH near-dup removal → quality
                 gate → language policy (operators.curation)
-  2. fingerprint — winnowing fingerprints of the SURVIVING docs
+  2. scrub    — cross-document verbatim-span removal over the
+                SURVIVORS (operators.dedup.span_scrub): doc-level dedup
+                first, then substring-level; all later stages consume
+                the scrubbed text
+  3. fingerprint — winnowing fingerprints of the scrubbed docs
                 (operators.fingerprint) — the downstream copy-detection
                 index a serving system keeps
-  3. split    — deterministic train/val/test assignment
+  4. split    — deterministic train/val/test assignment
                 (operators.curation.train_split), written partitioned
                 by split so consumers prune
-  4. chunk    — overlapping token-window chunks of the TRAIN split only
+  5. chunk    — overlapping token-window chunks of the TRAIN split only
                 (operators.text.chunk_documents) — the tensor-feed stage
-  5. pack     — concat-and-chop sequence packing of the train split
+  6. pack     — concat-and-chop sequence packing of the train split
                 (operators.packing.sequence_packing)
-  6. shard    — balanced export shards + order-independent integrity
+  7. shard    — balanced export shards + order-independent integrity
                 checksums (operators.packing.shard_manifest)
-  7. tokenize — BPE merge table learned on the train split
+  8. tokenize — BPE merge table learned on the train split
                 (operators.tokenizer.bpe_merges)
 
     python run_curation.py [--sf-dir DIR] [--work-dir DIR] [--job-id ID]
@@ -97,47 +101,62 @@ def main(argv: list[str] | None = None) -> int:
                    curated_path, n_curated)
     print(f"  kept {n_curated}/{n_raw} docs")
 
-    # ---- Stage 2: fingerprints ----------------------------------------
-    _stage(2, "winnowing fingerprints of survivors")
+    # ---- Stage 2: verbatim-span scrub of the survivors ----------------
+    _stage(2, "cross-document verbatim-span scrub of survivors")
     kept = docs.join(
         spark.read.parquet(curated_path).select("doc_id"), "doc_id"
     )
+    scrubbed = dedup.span_scrub(kept, ctx=ctx)
+    scrub_path, n_scrub = checked_write(scrubbed, "scrubbed")
+    tracker.log("verbatim span scrub", [curated_path], scrub_path, n_scrub)
+    # downstream consumes the scrubbed text; a doc whose every token was
+    # repeated elsewhere drops out entirely
+    kept = (
+        spark.read.parquet(scrub_path)
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("scrubbed_text").alias("text"))
+        .join(kept.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    # ---- Stage 3: fingerprints ----------------------------------------
+    _stage(3, "winnowing fingerprints of scrubbed survivors")
     fps = fingerprint.winnow_fingerprints(kept, ctx)
     fp_path, n_fps = checked_write(fps, "fingerprints")
-    tracker.log("winnowing fingerprints", [curated_path], fp_path, n_fps)
+    tracker.log("winnowing fingerprints", [scrub_path], fp_path, n_fps)
 
-    # ---- Stage 3: train/val/test split --------------------------------
-    _stage(3, "deterministic train/val/test split (partitioned)")
+    # ---- Stage 4: train/val/test split --------------------------------
+    _stage(4, "deterministic train/val/test split (partitioned)")
     split = curation.train_split(kept, ctx)
     split_path = f"{work}/splits"
     split.write.mode("overwrite").partitionBy("split").parquet(split_path)
     n_split = io.verify_output(spark, split_path)
     print(f"  splits: {n_split} rows at {split_path}")
-    tracker.log("train split", [curated_path], split_path, n_split)
+    tracker.log("train split", [scrub_path], split_path, n_split)
 
-    # ---- Stage 4: chunk the train split -------------------------------
-    _stage(4, "token-window chunks of the train split")
+    # ---- Stage 5: chunk the train split -------------------------------
+    _stage(5, "token-window chunks of the train split")
     train_ids = spark.read.parquet(split_path).filter(
         F.col("split") == "train").select("doc_id")
-    chunks = text.chunk_documents(docs.join(train_ids, "doc_id"), ctx)
+    chunks = text.chunk_documents(kept.join(train_ids, "doc_id"), ctx)
     chunk_path, n_chunks = checked_write(chunks, "train_chunks")
     tracker.log("train chunking", [split_path], chunk_path, n_chunks)
 
-    # ---- Stage 5: pack the train split into training sequences --------
-    _stage(5, "concat-and-chop sequence packing of the train split")
-    train_docs = docs.join(train_ids, "doc_id")
+    # ---- Stage 6: pack the train split into training sequences --------
+    _stage(6, "concat-and-chop sequence packing of the train split")
+    train_docs = kept.join(train_ids, "doc_id")
     packed = packing.sequence_packing(train_docs, ctx)
     pack_path, n_seqs = checked_write(packed, "train_sequences")
     tracker.log("sequence packing", [split_path], pack_path, n_seqs)
 
-    # ---- Stage 6: balanced export-shard manifest ----------------------
-    _stage(6, "snake-dealt export shards + integrity manifest")
+    # ---- Stage 7: balanced export-shard manifest ----------------------
+    _stage(7, "snake-dealt export shards + integrity manifest")
     manifest = packing.shard_manifest(train_docs, ctx)
     man_path, n_shards = checked_write(manifest, "shard_manifest")
     tracker.log("shard manifest", [split_path], man_path, n_shards)
 
-    # ---- Stage 7: tokenizer merge table over the train split ----------
-    _stage(7, "BPE merge training on the train split")
+    # ---- Stage 8: tokenizer merge table over the train split ----------
+    _stage(8, "BPE merge training on the train split")
     merges = tokenizer.bpe_merges(train_docs, ctx)
     tok_path, n_merges = checked_write(merges, "bpe_merges")
     tracker.log("bpe merge training", [split_path], tok_path, n_merges)
@@ -149,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
               f"{', '.join(ev.inputs)} -> {ev.output}")
     print(f"DOT graph: {dot}")
     print(f"\nworkflow {job_id} complete: curated={n_curated} "
+          f"scrub_survivors={n_scrub} "
           f"fingerprints={n_fps} chunks={n_chunks} "
           f"sequences={n_seqs} shards={n_shards} merges={n_merges}")
     return 0

@@ -300,12 +300,17 @@ def test_run_curation_workflow_end_to_end(spark, tmp_path):
     ])
     assert rc == 0
     curated = spark.read.parquet(f"{work}/curated")
+    scrub = spark.read.parquet(f"{work}/scrubbed")
     splits = spark.read.parquet(f"{work}/splits")
     fps = spark.read.parquet(f"{work}/fingerprints")
     chunks = spark.read.parquet(f"{work}/train_chunks")
     n_cur = curated.count()
     assert 0 < n_cur < 500  # the gates actually dropped docs
-    assert splits.count() == n_cur  # split covers exactly the survivors
+    assert scrub.count() == n_cur  # scrub audits every survivor
+    # token accounting holds on every scrub row
+    assert scrub.filter("n_kept + n_removed != n_tokens").count() == 0
+    n_surv = scrub.filter("n_kept > 0").count()
+    assert splits.count() == n_surv  # split covers the scrub survivors
     # fingerprints and chunks only reference surviving docs
     ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert {r["doc_id"] for r in fps.select("doc_id").distinct().collect()} <= ids
