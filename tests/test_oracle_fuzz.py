@@ -59,6 +59,24 @@ EDGE_DOCS = [
     (23, "日本 video 🙂 bytes", "ja", "edge", 16),
 ]
 
+# cross-document verbatim run (29 tokens incl. ONE EMPTY token from a
+# double space, unicode on both sides) buried in distinct filler: the
+# repeated-span detector/scrub must hash k-grams over empty+non-BMP
+# tokens identically in both engines, and the scrub must excise exactly
+# the run from both carriers
+_SPAN_RUN = (
+    " ".join(f"ü{i}" for i in range(14))
+    + "  "
+    + " ".join(f"漢{i}" for i in range(14))
+)
+EDGE_DOCS += [
+    (24, "pre24a pre24b pre24c " + _SPAN_RUN + " post24a", "en", "edge", 0),
+    (25, "pre25a " + _SPAN_RUN + " post25b 🙂", "fr", "edge", 0),
+]
+EDGE_DOCS = [
+    (i, t, lang, src, len(t)) for (i, t, lang, src, _) in EDGE_DOCS
+]
+
 # one representative per text-consuming family; the full sweep was run
 # once interactively — this keeps the regression pin affordable
 FUZZ_QUERIES = [
@@ -69,8 +87,10 @@ FUZZ_QUERIES = [
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     "multimodal_resize",
     "sequence_packing", "sequence_spans", "shard_manifest",
-    "pmi_collocations", "bpe_merges", "bpe_encode",
+    "sequence_export",
+    "pmi_collocations", "bpe_merges", "bpe_encode", "bpe_merges_batched",
     "corpus_mixture_plan",
+    "dedup_repeated_spans", "dedup_span_scrub",
 ]
 
 
@@ -138,6 +158,7 @@ def _packing_docs():
 
 PACKING_FUZZ_QUERIES = [
     "sequence_packing", "sequence_spans", "shard_manifest",
+    "sequence_export",
     "corpus_mixture_plan", "corpus_source_profile",
 ]
 
@@ -173,9 +194,11 @@ def test_oracles_hold_on_packing_corpus(packing_fuzz_dir):
 NODUP_FUZZ_QUERIES = [
     # the union of both pair sets is EMPTY here: pins the pair_jaccard
     # 0/0 guard (defined as 1.0) plus the dedup family's empty-result
-    # paths end-to-end under the gate
+    # paths end-to-end under the gate; repeated-spans/scrub must come
+    # back span-free with every document byte-identical
     "dedup_method_agreement", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_exact", "corpus_curation",
+    "dedup_repeated_spans", "dedup_span_scrub",
 ]
 
 
