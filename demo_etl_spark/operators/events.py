@@ -1250,21 +1250,56 @@ def lateness_audit(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
     The streaming shapes in streaming/event_streams.py take their
     ``withWatermark`` delays from exactly this distribution.
 
-    Plan: one ordered window over arrival order. Locally that is a
-    single sort; at 100 TB arrival order is already partition-local in
-    any log-structured source (Kafka offsets, file mtimes), so the
-    running max runs per partition with a tiny cross-partition
-    correction — the audit stays a one-pass shape. Cumulative share is
-    exact fixed-point over integer counts.
+    Plan: the running maximum over arrival order is computed WITHOUT a
+    single-task global window (the same two-stage decomposition as
+    shard_manifest's export rank): bucket arrival order into contiguous
+    event_id ranges → per-bucket running max (window PARTITIONED by
+    bucket — parallel) → fold in each bucket's carry-in, the max
+    event-time of all earlier buckets, from a tiny lazy triangular
+    self-join. Exact because buckets are contiguous in arrival order:
+    prefix-max = max(bucket-local prefix-max, carry-in).
+
+    The bucket id is ARITHMETIC — ((event_id − min)·32) div (span) from
+    a broadcast 1-row bounds aggregate — NOT ``repartitionByRange``:
+    range-partitioner boundaries come from sampling seeded by the RDD
+    id, so the two physical instantiations of the same frame on either
+    side of the broadcast join can disagree on partition membership
+    (caught by the oracle gate: 354/100k events mis-ranked). Cumulative
+    share is exact fixed-point over integer counts.
     """
-    w = (
-        Window.orderBy("event_id")
+    bounds = events.agg(
+        F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
+    )
+    ranged = (
+        events.join(F.broadcast(bounds))
+        .withColumn(
+            "_pid",
+            F.expr("((event_id - _lo) * 32) div (_hi - _lo + 1)"),
+        )
+        .drop("_lo", "_hi")
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lat = events.select(
-        (
-            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
-        ).alias("late_s")
+    pmax = ranged.groupBy("_pid").agg(F.max("ts").alias("_pmax"))
+    carry = (
+        pmax.alias("a")
+        .join(pmax.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._pmax").alias("_carry"))
+    )
+    lat = (
+        ranged.withColumn("_locmax", F.max("ts").over(wloc))
+        .join(F.broadcast(carry), "_pid")
+        .select(
+            (
+                # greatest() skips NULLs: partition 0 has no carry-in
+                F.unix_timestamp(F.greatest("_locmax", "_carry"))
+                - F.unix_timestamp("ts")
+            ).alias("late_s")
+        )
     )
     fences = list(LATENESS_BUCKETS)
     bucket = F.when(F.col("late_s") <= fences[0], F.lit(0))

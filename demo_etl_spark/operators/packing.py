@@ -181,10 +181,9 @@ GROUP BY p.source, p.seq_id
 """
 
 
-#: range partitions for the distributed export-rank (a real cluster uses
-#: its default parallelism; any value ≥1 yields the identical result —
-#: the rank is exact regardless of where the sampled range boundaries
-#: fall, so this is a parallelism knob, not a semantics knob)
+#: rank buckets for the distributed export-rank (a real cluster sizes
+#: this to its parallelism; any value ≥1 yields the identical result —
+#: bucketing only splits the work, the rank itself is exact)
 _RANK_PARTS = 32
 
 
@@ -197,19 +196,29 @@ def shard_manifest(
     (the unpartitioned ``row_number().over(Window.orderBy(...))`` funnels
     every doc's metadata through one task — ~160 GB at 10^10 docs):
 
-    1. ``repartitionByRange`` on the dealing key — ascending partition
-       ids hold ascending key ranges, sampled boundaries, fully parallel;
-    2. per-partition local ``row_number`` (window PARTITIONED by the
-       range-partition id — parallel);
-    3. global rank = local rank + prefix count of earlier partitions,
-       from a triangular self-join over the ≤``_RANK_PARTS``-row count
-       table (lazy, broadcast, no driver collect, no global window).
+    1. ARITHMETIC bucketing of the leading sort key: bucket id =
+       ((max_n − n_tokens)·B) div (span), from a broadcast 1-row bounds
+       aggregate — ascending bucket ids hold contiguous descending
+       n_tokens ranges. Deliberately NOT ``repartitionByRange``: the
+       range partitioner's boundaries come from sampling seeded by the
+       RDD id, so the two physical instantiations of the frame (main
+       branch + count branch under the broadcast join) can disagree on
+       partition membership — nondeterministic ranks (the sibling
+       lateness-audit operator caught exactly this under the oracle
+       gate). Arithmetic buckets are a pure function of the row.
+    2. per-bucket local ``row_number`` (window PARTITIONED by bucket —
+       parallel);
+    3. global rank = local rank + prefix count of earlier buckets, from
+       a triangular self-join over the ≤``_RANK_PARTS``-row count table
+       (lazy, broadcast, no driver collect, no global window).
 
     The rank is a pure function of the dealing key (n_tokens DESC,
     doc_id, content hash) — identical to DuckDB's global ``row_number``
-    oracle no matter how the range boundaries fall. The trailing ``_ck``
-    tiebreak makes the deal deterministic even if a corpus ever carries
-    duplicate (doc_id, n_tokens) pairs with different text.
+    oracle. The trailing ``_ck`` tiebreak makes the deal deterministic
+    even if a corpus ever carries duplicate (doc_id, n_tokens) pairs
+    with different text. Value-skewed corpora (every doc the same
+    length) degrade to fewer effective buckets — parallelism, never
+    correctness.
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     ck = (
@@ -219,8 +228,18 @@ def shard_manifest(
         "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
     )
     key = [F.desc("n_tokens"), F.asc("doc_id"), F.asc("_ck")]
-    ranged = meta.repartitionByRange(_RANK_PARTS, *key).withColumn(
-        "_pid", F.spark_partition_id()
+    bounds = meta.agg(
+        F.min("n_tokens").alias("_lo"), F.max("n_tokens").alias("_hi")
+    )
+    ranged = (
+        meta.join(F.broadcast(bounds))
+        .withColumn(
+            "_pid",
+            F.expr(
+                f"((_hi - n_tokens) * {_RANK_PARTS}) div (_hi - _lo + 1)"
+            ),
+        )
+        .drop("_lo", "_hi")
     )
     cnt = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     off = (
