@@ -377,13 +377,18 @@ def customer_rfm(
     """RFM segmentation: quintile scores for Recency (days since last
     order, anchored on the injectable ctx date), Frequency (order
     count) and Monetary (exact fixed-point spend), plus the composite
-    segment code. ``ntile`` runs over deterministic total orders —
-    every ORDER BY ends with c_custkey, so bucket boundaries are
-    engine-identical. One grouped aggregate then three windows over
-    the |customers| rows (tiny after the fact pre-shrink); the global
-    ntile windows are single-partition by design — ~O(customers) rows,
-    the documented safe case (README scale notes), and at true 100 TB
-    the swap is percentile-based cutpoints instead of ntile."""
+    segment code.
+
+    No global ntile windows: each score is an exact distributed rank
+    (functions.distrank.exact_global_rank — arithmetic value buckets,
+    parallel per-bucket rank, triangular prefix offsets) folded through
+    the standard NTILE formula (``ntile_sql``), bit-identical to the
+    native ntile the DuckDB oracle runs. Every ordering ends with
+    o_custkey, so ranks — and therefore bucket boundaries — are
+    engine-deterministic; nothing corpus-sized crosses a single task at
+    any customer count."""
+    from demo_etl_spark.functions.distrank import exact_global_rank, ntile_sql
+
     anchor = F.lit(ctx.anchor_date.isoformat()).cast("date")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("_last_order"),
@@ -393,13 +398,23 @@ def customer_rfm(
     d = per_cust.withColumn(
         "recency_days", F.datediff(anchor, F.col("_last_order")).cast("long")
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("_spend_c").desc(), F.col("o_custkey").asc())
+    d = exact_global_rank(
+        d, "recency_days", ["o_custkey"], ascending=True,
+        rank_col="_r_rank", total_col="_n",
+    )
+    d = exact_global_rank(
+        d, "frequency", ["o_custkey"], ascending=False, rank_col="_f_rank"
+    )
+    d = exact_global_rank(
+        d, "_spend_c", ["o_custkey"], ascending=False, rank_col="_m_rank"
+    )
+    tile = lambda r: F.expr(  # noqa: E731 — three identical projections
+        ntile_sql(r, "_n", RFM_BUCKETS, "spark")
+    ).cast("long")
     return (
-        d.withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r).cast("long"))
-        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f).cast("long"))
-        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m).cast("long"))
+        d.withColumn("r_score", tile("_r_rank"))
+        .withColumn("f_score", tile("_f_rank"))
+        .withColumn("m_score", tile("_m_rank"))
         .select(
             F.col("o_custkey").alias("custkey"),
             "recency_days",

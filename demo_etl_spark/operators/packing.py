@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.distrank import exact_global_rank
 from demo_etl_spark.functions.fixedpoint import (
     fixed_ratio,
     fixed_ratio_expr,
@@ -218,7 +219,9 @@ def shard_manifest(
     even if a corpus ever carries duplicate (doc_id, n_tokens) pairs
     with different text. Value-skewed corpora (every doc the same
     length) degrade to fewer effective buckets — parallelism, never
-    correctness.
+    correctness. Steps 1-3 are implemented by the shared
+    ``functions.distrank.exact_global_rank`` helper (also used by the
+    RFM ntile decomposition).
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     ck = (
@@ -227,36 +230,17 @@ def shard_manifest(
     meta = documents.select(
         "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
     )
-    key = [F.desc("n_tokens"), F.asc("doc_id"), F.asc("_ck")]
-    bounds = meta.agg(
-        F.min("n_tokens").alias("_lo"), F.max("n_tokens").alias("_hi")
+    ranked = exact_global_rank(
+        meta,
+        "n_tokens",
+        ["doc_id", "_ck"],
+        ascending=False,
+        n_buckets=_RANK_PARTS,
+        rank_col="_rn",
     )
-    ranged = (
-        meta.join(F.broadcast(bounds))
-        .withColumn(
-            "_pid",
-            F.expr(
-                f"((_hi - n_tokens) * {_RANK_PARTS}) div (_hi - _lo + 1)"
-            ),
-        )
-        .drop("_lo", "_hi")
-    )
-    cnt = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    off = (
-        cnt.alias("a")
-        .join(cnt.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"))
-    )
-    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*key))
-    rn = F.col("_off") + local_rn
-    m = (rn - 1) % (2 * n_shards)
+    m = (F.col("_rn") - 1) % (2 * n_shards)
     shard = F.when(m < n_shards, m).otherwise(2 * n_shards - 1 - m)
-    dealt = (
-        ranged.join(F.broadcast(off), "_pid")
-        .withColumn("shard_id", shard.cast("int"))
-        .drop("_pid", "_off")
-    )
+    dealt = ranked.withColumn("shard_id", shard.cast("int")).drop("_rn")
     total = dealt.agg(F.sum("n_tokens").alias("_t"))
     return (
         dealt.groupBy("shard_id")
