@@ -371,30 +371,65 @@ def order_value_distribution(
 ) -> DataFrame:
     """Per-nation exact order-value percentiles (p25/p50/p75/p95).
 
-    Exact ``percentile`` (interpolated) over fixed-point cents: both
-    engines interpolate (1−f)·a + f·b on the same sorted integers, so
-    the doubles agree bit-for-bit. At 100 TB swap in approx_percentile
-    (t-digest) — same API shape, documented error bound.
+    EXACT AT ANY SCALE — not the collect-a-group-into-one-buffer
+    ``percentile`` aggregate (whose per-group value buffer is the thing
+    that dies at 100 TB, forcing the usual switch to approx_percentile):
+
+    1. rank every order value within its nation (window PARTITIONED by
+       nation — parallel, no group-sized buffer anywhere);
+    2. per-nation counts give each quantile's bracketing ranks
+       ``lo = 1 + (p·(n−1)) div 100`` / ``hi`` and the remainder — all
+       exact integers;
+    3. only the ≤8 bracketing rows per nation survive the filter; one
+       tiny aggregation interpolates in EXACT integer space
+       (v_lo·(100−rem) + v_hi·rem, still an integer) and divides once
+       at the end — both engines divide the same integer by the same
+       double, so the result is bit-identical by construction instead
+       of by luck of matching float interpolation orders.
+
+    The oracle runs the same rank formula (not quantile_cont), keeping
+    the definition — linear interpolation at pos = 1 + q·(n−1), i.e.
+    what percentile/quantile_cont compute — pinned in SQL.
     """
+    from pyspark.sql import Window
+
     tp_c = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
     j = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
     )
-    g = j.select(F.col("n_name").alias("nation"), tp_c.alias("_tp_c")).groupBy(
-        "nation"
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.expr("percentile(_tp_c, array(0.25, 0.5, 0.75, 0.95))").alias("_q"),
+    vals = j.select(F.col("n_name").alias("nation"), tp_c.alias("_v"))
+    # ties in _v: bracketing rows with equal rank-neighbors carry equal
+    # values, so the arbitrary order among ties cannot change any output
+    w = Window.partitionBy("nation").orderBy("_v")
+    ranked = vals.withColumn("_rk", F.row_number().over(w).cast("long"))
+    cnt = vals.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    return g.select(
-        "nation",
-        "n_orders",
-        (F.col("_q")[0] / 100.0).alias("p25"),
-        (F.col("_q")[1] / 100.0).alias("p50"),
-        (F.col("_q")[2] / 100.0).alias("p75"),
-        (F.col("_q")[3] / 100.0).alias("p95"),
-    )
+    r = ranked.join(F.broadcast(cnt), "nation")
+    qs = [(25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")]
+    need = F.lit(False)
+    for p, name in qs:
+        r = r.withColumn(
+            f"_lo{p}", F.expr(f"1 + ({p} * (n_orders - 1)) div 100")
+        ).withColumn(f"_rem{p}", F.expr(f"({p} * (n_orders - 1)) % 100"))
+        hi = F.col(f"_lo{p}") + F.when(F.col(f"_rem{p}") > 0, 1).otherwise(0)
+        r = r.withColumn(f"_hi{p}", hi)
+        need = need | (F.col("_rk") == F.col(f"_lo{p}")) | (
+            F.col("_rk") == F.col(f"_hi{p}")
+        )
+    aggs = [F.max("n_orders").alias("n_orders")]
+    outs = ["nation", "n_orders"]
+    for p, name in qs:
+        scaled = F.max(
+            F.when(F.col("_rk") == F.col(f"_lo{p}"), F.col("_v"))
+        ) * (100 - F.max(f"_rem{p}")) + F.coalesce(
+            F.max(F.when(F.col("_rk") == F.col(f"_hi{p}"), F.col("_v"))),
+            F.lit(0),
+        ) * F.max(f"_rem{p}")
+        aggs.append(scaled.alias(f"_s{p}"))
+        outs.append((F.col(f"_s{p}") / 10000.0).alias(name))
+    return r.filter(need).groupBy("nation").agg(*aggs).select(*outs)
 
 
 def build_cube(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
@@ -428,23 +463,55 @@ FROM base
 GROUP BY CUBE(nation, order_year)
 """
 
-ORACLE_SQL_DISTRIBUTION = """
+def _distribution_oracle() -> str:
+    """Same rank-bracket interpolation as the Spark plan (see
+    order_value_distribution's docstring) — NOT quantile_cont, so the
+    exact-integer definition is pinned in SQL."""
+    qcols, scols = [], []
+    for p in (25, 50, 75, 95):
+        qcols.append(
+            f"1 + ({p} * (n_orders - 1)) // 100 AS lo{p}, "
+            f"({p} * (n_orders - 1)) % 100 AS rem{p}, "
+            f"1 + ({p} * (n_orders - 1)) // 100 "
+            f"+ CASE WHEN ({p} * (n_orders - 1)) % 100 > 0 THEN 1 ELSE 0 END"
+            f" AS hi{p}"
+        )
+        scols.append(
+            f"(MAX(CASE WHEN rk = lo{p} THEN v END) * (100 - MAX(rem{p}))"
+            f" + COALESCE(MAX(CASE WHEN rk = hi{p} THEN v END), 0)"
+            f" * MAX(rem{p})) / 10000.0 AS p{p}"
+        )
+    conds = " OR ".join(
+        f"rk = lo{p} OR rk = hi{p}" for p in (25, 50, 75, 95)
+    )
+    return f"""
 WITH j AS (
   SELECT n.n_name AS nation,
-         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS tp_c
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
-), g AS (
-  SELECT nation, COUNT(*) AS n_orders,
-         quantile_cont(tp_c, [0.25, 0.5, 0.75, 0.95]) AS q
-  FROM j GROUP BY nation
+),
+ranked AS (
+  SELECT nation, v,
+         row_number() OVER (PARTITION BY nation ORDER BY v) AS rk
+  FROM j
+),
+cnt AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders FROM j GROUP BY nation
+),
+r AS (
+  SELECT ranked.*, n_orders, {', '.join(qcols)}
+  FROM ranked JOIN cnt USING (nation)
 )
-SELECT nation, n_orders,
-       q[1] / 100.0 AS p25, q[2] / 100.0 AS p50,
-       q[3] / 100.0 AS p75, q[4] / 100.0 AS p95
-FROM g
+SELECT nation, MAX(n_orders) AS n_orders, {', '.join(scols)}
+FROM r
+WHERE {conds}
+GROUP BY nation
 """
+
+
+ORACLE_SQL_DISTRIBUTION = _distribution_oracle()
 
 
 def build_rollup(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:

@@ -396,6 +396,8 @@ STAR_FUZZ_QUERIES = [
     "customer_analytics", "sales_asset_union", "orders_snapshot_diff",
     "part_triangles", "customer_retention", "order_bookends",
     "part_communities", "revenue_decompose", "revenue_forecast_backtest",
+    # rank-bracket exact percentiles on tiny/tie-heavy per-nation groups
+    "order_value_distribution", "customer_rfm",
 ]
 
 
