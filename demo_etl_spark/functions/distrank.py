@@ -105,3 +105,135 @@ def exact_global_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_egr_n"))
     return out.drop("_egr_pid", "_egr_off", "_egr_lo", "_egr_hi", "_egr_n")
+
+
+def _bracket(r: DataFrame, percents: list[int], names: list[str],
+             group_cols: list[str]) -> DataFrame:
+    """Shared tail of the exact-percentile computation: given rows
+    carrying (_v, _rk, _n), keep only each quantile's two bracketing
+    rows and interpolate in exact integer space — v_lo·(100−rem) +
+    v_hi·rem, an integer — dividing once by 100.0 at the end, so both
+    engines divide the same integer by the same double."""
+    need = F.lit(False)
+    for p in percents:
+        r = (
+            r.withColumn(f"_lo{p}", F.expr(f"1 + ({p} * (_n - 1)) div 100"))
+            .withColumn(f"_rem{p}", F.expr(f"({p} * (_n - 1)) % 100"))
+        )
+        r = r.withColumn(
+            f"_hi{p}",
+            F.col(f"_lo{p}") + F.when(F.col(f"_rem{p}") > 0, 1).otherwise(0),
+        )
+        need = need | (F.col("_rk") == F.col(f"_lo{p}")) | (
+            F.col("_rk") == F.col(f"_hi{p}")
+        )
+    aggs = []
+    for p, nm in zip(percents, names):
+        scaled = F.max(
+            F.when(F.col("_rk") == F.col(f"_lo{p}"), F.col("_v"))
+        ) * (100 - F.max(f"_rem{p}")) + F.coalesce(
+            F.max(F.when(F.col("_rk") == F.col(f"_hi{p}"), F.col("_v"))),
+            F.lit(0),
+        ) * F.max(f"_rem{p}")
+        aggs.append((scaled / 100.0).alias(nm))
+    return (
+        r.filter(need)
+        .groupBy(*group_cols)
+        .agg(*aggs)
+        .select(*group_cols, *names)
+    )
+
+
+def exact_percentiles_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percents: list[int],
+    names: list[str],
+) -> DataFrame:
+    """One row per group with exact linear-interpolated percentiles of
+    an integral column — ``percentile``/``quantile_cont`` semantics
+    (pos = 1 + q·(n−1)) WITHOUT the per-group value buffer that breaks
+    large groups: a rank window partitioned by the group (parallel,
+    streaming sort) + bracket-row interpolation. ``percents`` are
+    integer hundredths (e.g. [10, 50, 90])."""
+    ranked = df.select(
+        *group_cols, F.col(value_col).cast("long").alias("_v")
+    ).withColumn(
+        "_rk",
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy("_v"))
+        .cast("long"),
+    )
+    cnt = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    r = ranked.join(F.broadcast(cnt), list(group_cols))
+    return _bracket(r, percents, names, list(group_cols))
+
+
+def exact_percentiles_global(
+    df: DataFrame,
+    value_col: str,
+    percents: list[int],
+    names: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """1-row DataFrame of exact corpus-wide percentiles of an integral
+    column — same definition as ``exact_percentiles_grouped`` but the
+    rank comes from ``exact_global_rank`` (arithmetic value buckets),
+    so no single task ever sees the whole frame. Ties make the rank
+    among equal values arbitrary, but the VALUE at every rank of the
+    sorted multiset is unique — the interpolation only reads values, so
+    the output is deterministic."""
+    base = df.select(F.col(value_col).cast("long").alias("_v"))
+    ranked = exact_global_rank(
+        base, "_v", [], ascending=True, n_buckets=n_buckets,
+        rank_col="_rk", total_col="_n",
+    )
+    return _bracket(ranked, percents, names, [])
+
+
+def percentile_select_sql(
+    src: str,
+    group_cols: list[str],
+    value: str,
+    percents: list[int],
+    names: list[str],
+) -> str:
+    """DuckDB SELECT mirroring the helpers above: exact rank-bracket
+    percentiles of integral ``value`` from relation ``src``, one row
+    per group (single row when ``group_cols`` is empty). Embedding this
+    in an oracle pins the exact-integer definition in SQL instead of
+    trusting quantile_cont's float interpolation to match."""
+    gb = ", ".join(group_cols)
+    part = f"PARTITION BY {gb} " if group_cols else ""
+    qcols, scols = [], []
+    for p, nm in zip(percents, names):
+        qcols.append(
+            f"1 + ({p} * (n_ - 1)) // 100 AS lo{p}, "
+            f"({p} * (n_ - 1)) % 100 AS rem{p}, "
+            f"1 + ({p} * (n_ - 1)) // 100 + CASE WHEN "
+            f"({p} * (n_ - 1)) % 100 > 0 THEN 1 ELSE 0 END AS hi{p}"
+        )
+        scols.append(
+            f"(MAX(CASE WHEN rk_ = lo{p} THEN v_ END) * (100 - MAX(rem{p}))"
+            f" + COALESCE(MAX(CASE WHEN rk_ = hi{p} THEN v_ END), 0)"
+            f" * MAX(rem{p})) / 100.0 AS {nm}"
+        )
+    conds = " OR ".join(f"rk_ = lo{p} OR rk_ = hi{p}" for p in percents)
+    sel_g = (gb + ", ") if gb else ""
+    grp = f"GROUP BY {gb}" if gb else ""
+    return f"""
+SELECT {sel_g}{', '.join(scols)}
+FROM (
+  SELECT r_.*, {', '.join(qcols)}
+  FROM (
+    SELECT {sel_g}CAST(({value}) AS BIGINT) AS v_,
+           row_number() OVER ({part}ORDER BY ({value})) AS rk_,
+           COUNT(*) OVER ({part.rstrip()}) AS n_
+    FROM {src}
+  ) r_
+) WHERE {conds}
+{grp}
+"""

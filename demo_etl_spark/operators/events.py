@@ -911,8 +911,12 @@ def signup_to_purchase(
 
     Per-user endpoints reduce the fact to |users| rows in ONE
     aggregate (min over conditional timestamps — no self-join); the
-    cohort rollup is tiny. Median delay uses the proven exact
-    percentile parity; at 100 TB swap approx_percentile."""
+    cohort rollup is tiny. Median delay via functions/distrank
+    ``exact_percentiles_grouped`` (per-cohort rank window + exact
+    integer bracket interpolation — no per-group value buffer at any
+    cohort size); NULL delays (non-converters) are filtered before
+    ranking, mirrored in the oracle, so a convert-free cohort emits a
+    NULL median through the left join exactly as percentile() did."""
     per_user = (
         events.groupBy("user_id")
         .agg(
@@ -933,19 +937,28 @@ def signup_to_purchase(
             ),
         )
     )
+    from demo_etl_spark.functions.distrank import exact_percentiles_grouped
+
+    pu = per_user.withColumn(
+        "cohort_week",
+        F.to_date(F.date_trunc("week", F.col("signup_ts"))),
+    )
+    tot = pu.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("delay_s").cast("long").alias("n_converted"),
+    )
+    pct = exact_percentiles_grouped(
+        pu.filter(F.col("delay_s").isNotNull()),
+        ["cohort_week"], "delay_s", [50], ["p50_delay_s"],
+    )
     return (
-        per_user.groupBy(
-            F.to_date(F.date_trunc("week", F.col("signup_ts"))).alias(
-                "cohort_week"
-            )
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_signups"),
-            F.count("delay_s").cast("long").alias("n_converted"),
-            F.expr("percentile(delay_s, 0.5)").alias("p50_delay_s"),
-        )
+        tot.join(F.broadcast(pct), "cohort_week", "left")
         .withColumn(
             "conversion_rate", round_div("n_converted", "n_signups", 4)
+        )
+        .select(
+            "cohort_week", "n_signups", "n_converted", "p50_delay_s",
+            "conversion_rate",
         )
     )
 
@@ -970,13 +983,32 @@ d AS (
          END AS delay_s
   FROM per_user WHERE signup_ts IS NOT NULL
 )
-SELECT cohort_week,
-       CAST(COUNT(*) AS BIGINT) AS n_signups,
-       CAST(COUNT(delay_s) AS BIGINT) AS n_converted,
-       quantile_cont(delay_s, 0.5) AS p50_delay_s,
-       {_rd("CAST(COUNT(delay_s) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", 4)} AS conversion_rate
-FROM d GROUP BY cohort_week
+,
+tot AS (
+  SELECT cohort_week,
+         CAST(COUNT(*) AS BIGINT) AS n_signups,
+         CAST(COUNT(delay_s) AS BIGINT) AS n_converted
+  FROM d GROUP BY cohort_week
+),
+pct AS ({{PCT}})
+SELECT cohort_week, n_signups, n_converted, p50_delay_s,
+       {_rd("n_converted", "n_signups", 4)} AS conversion_rate
+FROM tot LEFT JOIN pct USING (cohort_week)
 """
+
+
+def _signup_pct_sql() -> str:
+    from demo_etl_spark.functions.distrank import percentile_select_sql
+
+    return percentile_select_sql(
+        "(SELECT cohort_week, delay_s FROM d WHERE delay_s IS NOT NULL)",
+        ["cohort_week"], "delay_s", [50], ["p50_delay_s"],
+    )
+
+
+ORACLE_SQL_SIGNUP_TO_PURCHASE = ORACLE_SQL_SIGNUP_TO_PURCHASE.replace(
+    "{PCT}", _signup_pct_sql()
+)
 
 
 # ------------------------------------------------- rate anomaly/bots ----

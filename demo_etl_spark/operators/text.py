@@ -363,28 +363,36 @@ def source_profile(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> D
     EXACT interpolated length percentiles (p10/p50/p90) — the
     mixture-weighting input of a training-data pipeline (how much of
     each source, how long are its documents, where do the length
-    filters bite). Exact ``percentile`` over integer token counts is
-    bit-identical to DuckDB's quantile_cont (both interpolate
-    (1−f)·a + f·b on the same sorted integers); at 100 TB swap in
-    approx_percentile (t-digest) — same API, documented error."""
+    filters bite). Percentiles via functions/distrank
+    ``exact_percentiles_grouped`` — a per-source rank window + exact
+    integer bracket interpolation instead of the ``percentile``
+    aggregate, so no per-group value buffer exists to break when one
+    source holds billions of docs; the oracle pins the identical
+    rank-bracket formula in SQL."""
+    from demo_etl_spark.functions.distrank import exact_percentiles_grouped
+
     n_tokens = F.size(F.split(F.col("text"), " "))
-    g = documents.select(
-        "source", n_tokens.alias("_nt"), F.col("n_chars")
-    ).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("_nt").cast("long")).alias("total_tokens"),
-        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
-        F.expr("percentile(_nt, array(0.1, 0.5, 0.9))").alias("_q"),
+    base = documents.select(
+        "source", n_tokens.cast("long").alias("_nt"), F.col("n_chars")
     )
-    return g.select(
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+    pct = exact_percentiles_grouped(
+        base, ["source"], "_nt", [10, 50, 90],
+        ["p10_tokens", "p50_tokens", "p90_tokens"],
+    )
+    return tot.join(F.broadcast(pct), "source").select(
         "source",
         "n_docs",
         "total_tokens",
         "total_chars",
         round_div("total_tokens", "n_docs", 2).alias("avg_tokens"),
-        F.col("_q")[0].alias("p10_tokens"),
-        F.col("_q")[1].alias("p50_tokens"),
-        F.col("_q")[2].alias("p90_tokens"),
+        "p10_tokens",
+        "p50_tokens",
+        "p90_tokens",
     )
 
 
@@ -395,17 +403,27 @@ def build_source_profile(
 
 
 def _source_profile_oracle() -> str:
+    from demo_etl_spark.functions.distrank import percentile_select_sql
+
+    pct = percentile_select_sql(
+        "(SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS nt FROM documents)",
+        ["source"], "nt", [10, 50, 90],
+        ["p10_tokens", "p50_tokens", "p90_tokens"],
+    )
     return f"""
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       {round_div_expr("CAST(SUM(len(string_split(text, ' '))) AS BIGINT)", "COUNT(*)", 2, "duckdb")} AS avg_tokens,
-       quantile_cont(len(string_split(text, ' ')), 0.1) AS p10_tokens,
-       quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
-       quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens
-FROM documents
-GROUP BY source
+WITH tot AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+pct AS ({pct})
+SELECT source, n_docs, total_tokens, total_chars,
+       {round_div_expr("total_tokens", "n_docs", 2, "duckdb")} AS avg_tokens,
+       p10_tokens, p50_tokens, p90_tokens
+FROM tot JOIN pct USING (source)
 """
 
 
@@ -740,30 +758,31 @@ def length_outliers(
     [q1 − 1.5·IQR, q3 + 1.5·IQR] of the corpus token-length
     distribution are flagged (too-short fragments / concatenation
     blobs — the robust alternative to fixed min/max length cutoffs,
-    self-calibrating per corpus). Exact ``percentile`` over integer
-    lengths is bit-identical to quantile_cont (source_profile's proven
-    parity); the fences broadcast back as a 1-row cross join, and the
-    flag comparison happens on doubles both engines derived from the
-    same integers. Emits EVERY doc with its flag — the audit view a
-    gate filters on (and the oracle hash then pins all lengths, both
-    fences and every flag, not just a possibly-empty outlier set —
-    the generated corpus has none)."""
+    self-calibrating per corpus). Corpus q1/q3 come from
+    functions/distrank ``exact_percentiles_global`` — a distributed
+    rank-bracket computation (the previous single-partition unbounded
+    percentile window put the whole corpus through one task); the
+    1-row fence frame broadcasts back, and the flag comparison happens
+    on doubles both engines derive from the same exact integers. Emits
+    EVERY doc with its flag — the audit view a gate filters on (and the
+    oracle hash then pins all lengths, both fences and every flag, not
+    just a possibly-empty outlier set — the generated corpus has
+    none)."""
+    from demo_etl_spark.functions.distrank import exact_percentiles_global
+
     n_tokens = F.size(F.split(F.col("text"), " "))
-    d = documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    # corpus fences via an unbounded window (percentile as a window
-    # aggregate) — same table, so no scalar-attach join is needed at
-    # all; the single-partition window runs over the already-projected
-    # (doc_id, n_tokens) rows, the documented safe case
-    wq = "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    d = documents.select(
+        "doc_id", "source", n_tokens.cast("long").alias("n_tokens")
+    )
+    fences = exact_percentiles_global(d, "n_tokens", [25, 75], ["_q1", "_q3"])
     return (
-        d.withColumn("_q1", F.expr(f"percentile(n_tokens, 0.25) {wq}"))
-        .withColumn("_q3", F.expr(f"percentile(n_tokens, 0.75) {wq}"))
+        d.join(F.broadcast(fences))
         .withColumn("lo_fence", F.expr(f"_q1 - {IQR_K} * (_q3 - _q1)"))
         .withColumn("hi_fence", F.expr(f"_q3 + {IQR_K} * (_q3 - _q1)"))
         .select(
             "doc_id",
             "source",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_tokens",
             "lo_fence",
             "hi_fence",
             (
@@ -780,17 +799,19 @@ def build_length_outliers(
     return length_outliers(load_star(spark, sf_dir)["documents"], ctx)
 
 
+def _length_outliers_fences_sql() -> str:
+    from demo_etl_spark.functions.distrank import percentile_select_sql
+
+    return percentile_select_sql("d", [], "n_tokens", [25, 75], ["q1", "q3"])
+
+
 ORACLE_SQL_LENGTH_OUTLIERS = f"""
 WITH d AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
-f AS (
-  SELECT quantile_cont(n_tokens, 0.25) AS q1,
-         quantile_cont(n_tokens, 0.75) AS q3
-  FROM d
-)
+f AS ({_length_outliers_fences_sql()})
 SELECT d.doc_id, d.source, d.n_tokens,
        f.q1 - {IQR_K} * (f.q3 - f.q1) AS lo_fence,
        f.q3 + {IQR_K} * (f.q3 - f.q1) AS hi_fence,

@@ -81,6 +81,7 @@ EDGE_DOCS = [
 # once interactively — this keeps the regression pin affordable
 FUZZ_QUERIES = [
     "text_stats", "text_redacted", "doc_chunks", "lang_id", "vocab_topk",
+    "doc_length_outliers", "corpus_source_profile",
     "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_incremental", "dedup_method_agreement",
     "corpus_curation",
