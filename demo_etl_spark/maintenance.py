@@ -237,3 +237,130 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     go back to the fast path.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+# ----------------------------- manifest-based versioning (time travel) --
+#
+# The transaction-log discipline modern lakehouse formats provide,
+# reduced to its core for a plain-parquet warehouse: data files are
+# immutable and land exactly once; what changes per commit is a tiny
+# JSON manifest listing the files visible at that version. Readers pin
+# a manifest (snapshot isolation — concurrent rewrites never tear a
+# scan); vacuum deletes only files no retained version references.
+# Commit atomicity is a POSIX rename of the manifest; a real deployment
+# swaps that single step for its catalog's atomic-publish call. Single
+# writer by design (documented), exactly like the reference's
+# write-verify-swap job handoff.
+
+_VERSIONS_DIR = "_versions"
+_DATA_DIR = "data"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _VERSIONS_DIR, f"v{version:09d}.json")
+
+
+def table_versions(path: str) -> list[int]:
+    """Committed versions, ascending (empty for a fresh location)."""
+    vdir = os.path.join(path, _VERSIONS_DIR)
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def versioned_write(
+    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` keeps the previous version's files and adds the new
+    ones; ``overwrite`` starts the file list fresh. Either way no
+    existing data file is touched — old versions stay readable until
+    vacuumed."""
+    import json
+    import uuid
+
+    assert mode in ("append", "overwrite"), mode
+    commit_dir = os.path.join(path, _DATA_DIR, f"commit-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    versions = table_versions(path)
+    prev_files: list[str] = []
+    if versions and mode == "append":
+        with open(_manifest_path(path, versions[-1])) as fh:
+            prev_files = json.load(fh)["files"]
+    version = (versions[-1] + 1) if versions else 1
+    os.makedirs(os.path.join(path, _VERSIONS_DIR), exist_ok=True)
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": prev_files + new_files,
+    }
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.rename(tmp, _manifest_path(path, version))  # the atomic commit
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the file set of ``version`` (default: latest)."""
+    import json
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    with open(_manifest_path(path, v)) as fh:
+        files = json.load(fh)["files"]
+    if not files:
+        raise FileNotFoundError(f"version {v} at {path} lists no files")
+    return spark.read.parquet(*files)
+
+
+def vacuum_versions(path: str, keep_last: int = 1) -> tuple[int, int]:
+    """Drop all but the last ``keep_last`` versions and delete every
+    data file only the dropped versions referenced. Returns
+    (versions_dropped, files_deleted)."""
+    import json
+    import shutil
+
+    versions = table_versions(path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(path, v)) as fh:
+            live |= set(json.load(fh)["files"])
+    dropped = 0
+    deleted = 0
+    for v in versions:
+        if v in keep:
+            continue
+        with open(_manifest_path(path, v)) as fh:
+            for f in json.load(fh)["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+        os.remove(_manifest_path(path, v))
+        dropped += 1
+    # clear out commit dirs that lost all their files
+    ddir = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(ddir):
+        for c in os.listdir(ddir):
+            cdir = os.path.join(ddir, c)
+            if os.path.isdir(cdir) and not any(
+                f.endswith(".parquet") for f in os.listdir(cdir)
+            ):
+                shutil.rmtree(cdir)
+    return dropped, deleted

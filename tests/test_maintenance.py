@@ -192,3 +192,66 @@ def test_schema_evolution_append_and_merged_read(spark, tmp_path):
     plan = df.filter(F.col("id") == 3)._jdf.queryExecution() \
         .executedPlan().treeString()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    """append/overwrite commits, snapshot reads of every version, and
+    vacuum deleting exactly the files only dropped versions reference."""
+    import glob
+
+    from demo_etl_spark.maintenance import (
+        read_version,
+        table_versions,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = versioned_write(spark, spark.range(0, 10), path, mode="append")
+    v2 = versioned_write(spark, spark.range(10, 15), path, mode="append")
+    v3 = versioned_write(spark, spark.range(100, 103), path, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert table_versions(path) == [1, 2, 3]
+    # snapshot isolation: every version still reads its exact state
+    assert read_version(spark, path, 1).count() == 10
+    got_v2 = {r["id"] for r in read_version(spark, path, 2).collect()}
+    assert got_v2 == set(range(15))
+    got_v3 = {r["id"] for r in read_version(spark, path).collect()}
+    assert got_v3 == {100, 101, 102}
+    # vacuum to latest only: v1/v2's files (not shared with v3) vanish
+    n_files_before = len(glob.glob(f"{path}/data/*/*.parquet"))
+    dropped, deleted = vacuum_versions(path, keep_last=1)
+    assert dropped == 2 and deleted > 0
+    assert table_versions(path) == [3]
+    assert read_version(spark, path).count() == 3
+    assert len(glob.glob(f"{path}/data/*/*.parquet")) == n_files_before - deleted
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+
+
+def test_versioned_append_shares_files_across_versions(spark, tmp_path):
+    """An append commit REFERENCES the previous files, never copies:
+    vacuum keeping v2 must preserve v1's physical files (v2 lists
+    them), and the byte paths in both manifests overlap."""
+    import json
+
+    from demo_etl_spark.maintenance import (
+        _manifest_path,
+        read_version,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt2")
+    versioned_write(spark, spark.range(0, 8), path, mode="append")
+    versioned_write(spark, spark.range(8, 12), path, mode="append")
+    with open(_manifest_path(path, 1)) as fh:
+        f1 = set(json.load(fh)["files"])
+    with open(_manifest_path(path, 2)) as fh:
+        f2 = set(json.load(fh)["files"])
+    assert f1 < f2  # strict subset: append shares, then extends
+    dropped, deleted = vacuum_versions(path, keep_last=1)
+    assert dropped == 1 and deleted == 0  # v1's files live on in v2
+    assert read_version(spark, path).count() == 12
