@@ -395,19 +395,32 @@ def customer_rfm(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(money_fixed(F.col("o_totalprice"))).alias("_spend_c"),
     )
+    # the per-customer frame feeds 3 rank pipelines + the final join;
+    # the orders aggregation recomputes per branch (cheap map-side
+    # partials) — measured faster here than a persist, whose cache
+    # materialization barrier costs more than 4 recomputes at this
+    # dimension size; a production caller with a huge fact can persist
+    # the returned frame's input once at the session level instead
     d = per_cust.withColumn(
         "recency_days", F.datediff(anchor, F.col("_last_order")).cast("long")
     )
-    d = exact_global_rank(
-        d, "recency_days", ["o_custkey"], ascending=True,
-        rank_col="_r_rank", total_col="_n",
-    )
-    d = exact_global_rank(
-        d, "frequency", ["o_custkey"], ascending=False, rank_col="_f_rank"
-    )
-    d = exact_global_rank(
-        d, "_spend_c", ["o_custkey"], ascending=False, rank_col="_m_rank"
-    )
+    # one rank call per dimension, each over a 2-column PROJECTION of
+    # the base frame, results joined back by key — NOT chained calls:
+    # chaining feeds rank N's bounds/count branches the whole output
+    # plan of rank N−1, so the logical tree grows ~3^N copies of the
+    # base (a 23 s plan at sf0.1 before this was caught by bench)
+    ranks = d.select("o_custkey")
+    for col, asc, rc, tc in (
+        ("recency_days", True, "_r_rank", "_n"),
+        ("frequency", False, "_f_rank", None),
+        ("_spend_c", False, "_m_rank", None),
+    ):
+        one = exact_global_rank(
+            d.select("o_custkey", col), col, ["o_custkey"],
+            ascending=asc, rank_col=rc, total_col=tc,
+        ).drop(col)
+        ranks = ranks.join(one, "o_custkey")
+    d = d.join(ranks, "o_custkey")
     tile = lambda r: F.expr(  # noqa: E731 — three identical projections
         ntile_sql(r, "_n", RFM_BUCKETS, "spark")
     ).cast("long")
