@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
+        # new in r5: per-column statistics profile (ANALYZE surface)
+        "orders_profile": _quality.build_orders_profile,
         "lang_profile": _text.build_profile,
         "events_tumbling": _events.build_tumbling,
         "events_props_breakdown": _events.build_props_breakdown,
@@ -350,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
+        "orders_profile": _quality.ORACLE_SQL_ORDERS_PROFILE,
         "events_funnel": _events.ORACLE_SQL_FUNNEL,
         # merged split-half rollup must equal the one-shot daily oracle
         "events_incremental_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

@@ -154,3 +154,96 @@ SELECT 'lineitem_ship_before_order', CAST(COUNT(*) AS BIGINT)
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_shipdate < o.o_orderdate
 """
+
+
+# ----------------------------- per-column table profile (ANALYZE) -------
+#
+# The statistics pass a warehouse runs before trusting or optimizing a
+# table (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS): per column,
+# null count, exact distinct count, and a type-appropriate numeric
+# min/max — numerics as-is, timestamps as epoch microseconds, strings
+# by their length (cross-engine double-formatting of casted strings is
+# NOT parity-safe, numeric surrogates are). One wide aggregate computes
+# every statistic in a single pass over the table, then unpivots to the
+# long (column, stat...) catalog shape.
+#
+# Scale: multiple exact COUNT(DISTINCT) in one aggregate plans as one
+# Expand (rows × columns) + partial aggs — the standard exact path;
+# the documented big-corpus swap is approx_count_distinct per column
+# (same shape, one pass, no Expand), mirroring customer A5's opt-in.
+
+_PROFILE_COLS = [
+    # (column, kind) — kind picks the min/max surrogate
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def orders_profile(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    for c, kind in _PROFILE_COLS:
+        v = {
+            "num": F.col(c),
+            # parquet NTZ timestamps: session tz is pinned UTC
+            # (session.py), so the cast is the UTC instant and
+            # unix_micros equals DuckDB's naive epoch_us
+            "ts": F.unix_micros(F.col(c).cast("timestamp")),
+            "str": F.length(c),
+        }[kind]
+        aggs += [
+            F.count(c).cast("long").alias(f"_nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"_nd_{c}"),
+            F.min(v).cast("double").alias(f"_mn_{c}"),
+            F.max(v).cast("double").alias(f"_mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_non_null, n_distinct, min_v, max_v)",
+        "_rows",
+    ).select(
+        "column_name",
+        F.col("_rows").alias("n_rows"),
+        (F.col("_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        "n_distinct",
+        "min_v",
+        "max_v",
+    )
+
+
+def build_orders_profile(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return orders_profile(load_star(spark, sf_dir)["orders"], ctx)
+
+
+def _orders_profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        v = {
+            "num": c,
+            "ts": f"epoch_us({c})",
+            "str": f"length({c})",
+        }[kind]
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({v}) AS DOUBLE) AS min_v,
+       CAST(MAX({v}) AS DOUBLE) AS max_v
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_SQL_ORDERS_PROFILE = _orders_profile_oracle()

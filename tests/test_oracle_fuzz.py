@@ -399,6 +399,9 @@ STAR_FUZZ_QUERIES = [
     "part_communities", "revenue_decompose", "revenue_forecast_backtest",
     # rank-bracket exact percentiles on tiny/tie-heavy per-nation groups
     "order_value_distribution", "customer_rfm",
+    # per-column profile over the mutated orders (forced ties, 1990
+    # dates, childless orders)
+    "orders_profile",
 ]
 
 
