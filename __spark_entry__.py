@@ -64,10 +64,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary_sql": _sql.build,  # S10 SQL-string surface rep
         # --- dedup family ----------------------------------------------
         "dedup_exact": _dedup.build_exact,
-        "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_minhash_lsh": _dedup.build_minhash,
+        # r7 rotation: simhash + span-scrub promoted (both NULL/dup-id
+        # hardened this round — gate evidence for the fix); the jaccard
+        # and exact-cosine variants of this already-represented family
+        # moved just below the boundary
+        "dedup_simhash": _dedup.build_simhash,
+        "dedup_span_scrub": _dedup.build_span_scrub,
         "dedup_clusters": _dedup.build_clusters,
-        "dedup_embedding_cosine": _similarity.build_near_dup,
         "dedup_embedding_ann": _similarity.build_ann_pairs,
         "contamination_screen": _dedup.build_contamination,
         # --- document fingerprinting (winnowing) ------------------------
@@ -79,10 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_audit": _quality.build_quality_audit,
         # --- text analysis ---------------------------------------------
         "text_stats": _text.build_stats,
-        "vocab_topk": _text.build_vocab,
-        "doc_repetition": _text.build_repetition,
         "lang_id": _text.build_lang_id,
         "doc_chunks": _text.build_chunks,
+        # r7 rotation: source profile promoted (NULL-percentile
+        # hardening this round); vocab/repetition rotated just below
+        "corpus_source_profile": _text.build_source_profile,
         # --- similarity search -----------------------------------------
         "similarity_topk_cosine": _similarity.build_topk,
         # product quantization: its own family (codebook training + ADC),
@@ -91,18 +96,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity family moved just below the boundary (r5 rotation —
         # every §8 family now has an in-window representative)
         "embedding_pq": _similarity.build_pq,
-        "similarity_pq_topk": _similarity.build_pq_topk,
         # --- multimodal -------------------------------------------------
         "multimodal_features": _multimodal.build_features_checked,
         "multimodal_frames": _multimodal.build_frames,
-        "multimodal_audio": _multimodal.build_audio_features,
         # --- training-data assembly & export ----------------------------
         "sequence_packing": _packing.build_sequence_packing,
         "sequence_spans": _packing.build_sequence_spans,
         "shard_manifest": _packing.build_shard_manifest,
+        # r7 rotation: the writer stage joins the window — the whole
+        # export family is now driver-gated end to end
+        "sequence_export": _packing.build_packed_sequences,
         # --- event analytics + streaming --------------------------------
         "events_session": _events.build_session,
-        "events_daily_rollup": _events.build_daily_rollup,
+        # (batch daily rollup rotated below — streaming_daily_rollup
+        # shares its oracle, so the rollup semantic stays gated)
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
         "streaming_user_totals": _streams.build_streaming_user_totals,
         # --- CDC / mutable-table maintenance ----------------------------
@@ -112,40 +119,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _cdc.build_merge_upsert,
         # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
-        "events_range_join": _temporal.build_followups,
         "event_transitions": _temporal.build_transitions,
         # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
+        # r7 rotation: RFM promoted while its rank plan is being melted
+        # to a single exact_global_rank (VERDICT r6 perf task)
+        "customer_rfm": _customer.build_rfm,
         # --- tokenizer training -----------------------------------------
-        "bpe_merges": _tokenizer.build_bpe_merges,
+        # r7 rotation: the batched variant (m disjoint merges per job —
+        # the shape you run at 32k vocab) takes the family seat from the
+        # per-merge strict-greedy loop
+        "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         # --- association mining ----------------------------------------
         "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
         "regional_sales": _star.build_regional,
-        "order_value_distribution": _star.build_distribution,
+        # r7 rotation: §2 A7/U2's representative regains a driver seat
+        # (last driver-green r2)
+        "detail_summary_union": _star.build_union,
         # --- physical-layout lever -------------------------------------
         "bucketed_order_join": _bucketed.build_bucketed_join,
+        # r7 rotation: three TPC-H shapes take window seats (the 22-query
+        # suite had only local evidence)
+        "shipping_priority_sql": _sql.build_shipping_priority,
+        "nation_market_share_sql": _suite.build_nation_market_share,
+        "top_supplier_sql": _suite.build_top_supplier,
         # ================= driver window boundary (50) =================
-        # variants of families already covered above
+        # variants of families already covered above (r7 rotation moved
+        # these just below the line — all stay oracle-verified locally)
+        "dedup_ngram_jaccard": _dedup.build_ngram,
+        "dedup_embedding_cosine": _similarity.build_near_dup,
+        "vocab_topk": _text.build_vocab,
+        "doc_repetition": _text.build_repetition,
+        "similarity_pq_topk": _similarity.build_pq_topk,
+        "multimodal_audio": _multimodal.build_audio_features,
+        "events_daily_rollup": _events.build_daily_rollup,
+        "events_range_join": _temporal.build_followups,
+        "order_value_distribution": _star.build_distribution,
+        "bpe_merges": _tokenizer.build_bpe_merges,
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
-        "dedup_simhash": _dedup.build_simhash,
         # new in r5: cross-document verbatim-span detector (substring-
         # level dedup — the public train-data dedup operator class)
         "dedup_repeated_spans": _dedup.build_repeated_spans,
-        "dedup_span_scrub": _dedup.build_span_scrub,
         "similarity_ann_recall": _similarity.build_recall,
         "embedding_quantize": _similarity.build_quantize,
         "events_pivot": _events.build_pivot,
         "multimodal_resize": _multimodal.build_resize,
         "order_cadence": _customer.build_cadence,
         "bpe_encode": _tokenizer.build_bpe_encode,
-        # new in r5: m merges per pair-count round (the driver-loop
-        # answer at production vocab sizes — see tokenizer.py)
-        "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "pmi_collocations": _text.build_pmi_collocations,
-        # new in r5: the writer stage — assemble packed sequences' text
-        "sequence_export": _packing.build_packed_sequences,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
@@ -155,7 +178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": _text.build_profile,
         "events_tumbling": _events.build_tumbling,
         "events_props_breakdown": _events.build_props_breakdown,
-        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "events_active_users": _events.build_active_users,
         "session_attribution": _events.build_session_attribution,
         "events_cohort_retention": _events.build_cohort_retention,
@@ -173,7 +195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_rules": _product.build_brand_rules,
         "doc_length_outliers": _text.build_length_outliers,
         "signup_to_purchase": _events.build_signup_to_purchase,
-        "customer_rfm": _customer.build_rfm,
         "shipping_sla": _star.build_shipping_sla,
         "user_rate_audit": _events.build_user_rate_audit,
         "events_props_typed": _events.build_props_typed_audit,
@@ -191,7 +212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "dedup_ngram_containment": _dedup.build_containment,
         "dedup_method_agreement": _dedup.build_method_agreement,
-        "corpus_source_profile": _text.build_source_profile,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "corpus_sample": _curation.build_sample,
         "events_funnel": _events.build_funnel,
@@ -207,8 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
         "sales_grouping_sets": _star.build_grouping_sets,
-        "detail_summary_union": _star.build_union,
-        "shipping_priority_sql": _sql.build_shipping_priority,
         "late_order_priority_sql": _sql.build_late_priority,
         "discount_revenue_sql": _sql.build_discount_revenue,
         "promo_revenue_sql": _sql.build_promo_revenue,
@@ -216,12 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders_sql": _sql.build_large_orders,
         "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
         "nation_trade_volume_sql": _suite.build_nation_trade_volume,
-        "nation_market_share_sql": _suite.build_nation_market_share,
         "product_profit_sql": _suite.build_product_profit,
         "important_parts_sql": _suite.build_important_parts,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
-        "top_supplier_sql": _suite.build_top_supplier,
         "last_shipment_sql": _suite.build_last_shipment,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "idle_customers_sql": _suite.build_idle_customers,

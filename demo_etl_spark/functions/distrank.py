@@ -69,19 +69,25 @@ def exact_global_rank(
         F.max(value_col).alias("_egr_hi"),
         F.count(F.lit(1)).cast("long").alias("_egr_n"),
     )
+    # NULLS LAST throughout: Spark's asc default is NULLS FIRST while
+    # every DuckDB oracle's row_number ORDER BY defaults NULLS LAST —
+    # a single NULL tiebreak value (e.g. a NULL doc_id in the driver's
+    # regenerated corpus) silently shifts every rank in one engine only
+    # (proven on shard_manifest, r7 hostile-corpus repro). desc already
+    # defaults NULLS LAST in both engines; made explicit anyway.
     if ascending:
         pid = (
             f"(({value_col} - _egr_lo) * {n_buckets})"
             f" div (_egr_hi - _egr_lo + 1)"
         )
-        order = [F.asc(value_col)]
+        order = [F.asc_nulls_last(value_col)]
     else:
         pid = (
             f"((_egr_hi - {value_col}) * {n_buckets})"
             f" div (_egr_hi - _egr_lo + 1)"
         )
-        order = [F.desc(value_col)]
-    order += [F.asc(c) for c in tiebreak]
+        order = [F.desc_nulls_last(value_col)]
+    order += [F.asc_nulls_last(c) for c in tiebreak]
     b = df.join(F.broadcast(bounds)).withColumn("_egr_pid", F.expr(pid))
     cnt = b.groupBy("_egr_pid").agg(F.count(F.lit(1)).alias("_egr_cnt"))
     off = (
@@ -100,6 +106,72 @@ def exact_global_rank(
     )
     w = Window.partitionBy("_egr_pid").orderBy(*order)
     out = b.join(F.broadcast(off), "_egr_pid").withColumn(
+        rank_col, (F.col("_egr_off") + F.row_number().over(w)).cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_egr_n"))
+    return out.drop("_egr_pid", "_egr_off", "_egr_lo", "_egr_hi", "_egr_n")
+
+
+def exact_grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak: list[str],
+    n_buckets: int = 32,
+    rank_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """``exact_global_rank`` restarted per group: an exact 1-based
+    ``row_number`` over (value_col asc NULLS LAST, *tiebreak asc NULLS
+    LAST) WITHIN each ``group_col`` partition — same arithmetic-bucket
+    decomposition, so no single task ever holds a whole group. The
+    bounds frame is one row per group (broadcast — callers keep group
+    cardinality small: metric names, shard ids). Descending ranks:
+    negate the value column (ties and NULL placement are unchanged).
+
+    Built for melted multi-metric ranking (e.g. RFM's three quintiles):
+    rank ONE (group, value, key) frame in a single pipeline instead of
+    one full rank plan per metric — same answers, one-third the
+    shuffles."""
+    bounds = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_egr_lo"),
+        F.max(value_col).alias("_egr_hi"),
+        F.count(F.lit(1)).cast("long").alias("_egr_n"),
+    )
+    pid = (
+        f"coalesce((({value_col} - _egr_lo) * {n_buckets})"
+        f" div (_egr_hi - _egr_lo + 1), {n_buckets})"
+    )
+    order = [F.asc_nulls_last(value_col)] + [
+        F.asc_nulls_last(c) for c in tiebreak
+    ]
+    b = df.join(F.broadcast(bounds), group_col).withColumn(
+        "_egr_pid", F.expr(pid)
+    )
+    cnt = b.groupBy(group_col, "_egr_pid").agg(
+        F.count(F.lit(1)).alias("_egr_cnt")
+    )
+    off = (
+        cnt.alias("a")
+        .join(
+            cnt.alias("b"),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col("b._egr_pid") < F.col("a._egr_pid")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(group_col),
+            F.col("a._egr_pid").alias("_egr_pid"),
+        )
+        .agg(
+            F.coalesce(F.sum("b._egr_cnt"), F.lit(0))
+            .cast("long")
+            .alias("_egr_off")
+        )
+    )
+    w = Window.partitionBy(group_col, "_egr_pid").orderBy(*order)
+    out = b.join(F.broadcast(off), [group_col, "_egr_pid"]).withColumn(
         rank_col, (F.col("_egr_off") + F.row_number().over(w)).cast("long")
     )
     if total_col is not None:
@@ -162,7 +234,7 @@ def exact_percentiles_grouped(
     ).withColumn(
         "_rk",
         F.row_number()
-        .over(Window.partitionBy(*group_cols).orderBy("_v"))
+        .over(Window.partitionBy(*group_cols).orderBy(F.asc_nulls_last("_v")))
         .cast("long"),
     )
     cnt = df.groupBy(*group_cols).agg(
@@ -230,7 +302,7 @@ FROM (
   SELECT r_.*, {', '.join(qcols)}
   FROM (
     SELECT {sel_g}CAST(({value}) AS BIGINT) AS v_,
-           row_number() OVER ({part}ORDER BY ({value})) AS rk_,
+           row_number() OVER ({part}ORDER BY ({value}) NULLS LAST) AS rk_,
            COUNT(*) OVER ({part.rstrip()}) AS n_
     FROM {src}
   ) r_

@@ -196,8 +196,24 @@ def register_star_views(spark: SparkSession, sf_dir: str) -> None:
 
 # S2: CSV scan with explicit schema (never inference in production paths).
 def read_csv(
-    spark: SparkSession, path: str, schema: StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
 ) -> DataFrame:
+    """S2 CSV scan. Engine policy is an EXPLICIT StructType (inference
+    re-reads the file and can silently flip types between runs); pass
+    ``infer_schema=True`` to opt into the reference's header-plus-
+    inference behavior (generate-test-data.scala:228 reads its CSVs
+    with ``option("inferSchema", "true")``) — the pytest pins the
+    inferred column types so a Spark-version drift is caught."""
+    if infer_schema:
+        if schema is not None:
+            raise ValueError("pass either schema or infer_schema, not both")
+        return spark.read.csv(path, header=header, inferSchema=True)
+    if schema is None:
+        raise ValueError("schema is required unless infer_schema=True")
     return spark.read.csv(path, header=header, schema=schema)
 
 

@@ -380,14 +380,21 @@ def customer_rfm(
     segment code.
 
     No global ntile windows: each score is an exact distributed rank
-    (functions.distrank.exact_global_rank — arithmetic value buckets,
-    parallel per-bucket rank, triangular prefix offsets) folded through
-    the standard NTILE formula (``ntile_sql``), bit-identical to the
-    native ntile the DuckDB oracle runs. Every ordering ends with
-    o_custkey, so ranks — and therefore bucket boundaries — are
-    engine-deterministic; nothing corpus-sized crosses a single task at
-    any customer count."""
-    from demo_etl_spark.functions.distrank import exact_global_rank, ntile_sql
+    (functions.distrank — arithmetic value buckets, parallel per-bucket
+    rank, triangular prefix offsets) folded through the standard NTILE
+    formula (``ntile_sql``), bit-identical to the native ntile the
+    DuckDB oracle runs. Every ordering ends with o_custkey, so ranks —
+    and therefore bucket boundaries — are engine-deterministic; nothing
+    corpus-sized crosses a single task at any customer count.
+
+    The three metrics are MELTED into one (metric, value, custkey)
+    frame and ranked by a single ``exact_grouped_rank`` partitioned on
+    the metric name (descending metrics enter negated — identical
+    ranks), then pivoted back with one conditional aggregation — one
+    rank pipeline instead of three, ~1/3 the shuffles (r6 verdict perf
+    task; the three separate rank plans cost ~12 shuffles for a
+    3-metric quintile)."""
+    from demo_etl_spark.functions.distrank import exact_grouped_rank, ntile_sql
 
     anchor = F.lit(ctx.anchor_date.isoformat()).cast("date")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -404,22 +411,30 @@ def customer_rfm(
     d = per_cust.withColumn(
         "recency_days", F.datediff(anchor, F.col("_last_order")).cast("long")
     )
-    # one rank call per dimension, each over a 2-column PROJECTION of
-    # the base frame, results joined back by key — NOT chained calls:
-    # chaining feeds rank N's bounds/count branches the whole output
-    # plan of rank N−1, so the logical tree grows ~3^N copies of the
-    # base (a 23 s plan at sf0.1 before this was caught by bench)
-    ranks = d.select("o_custkey")
-    for col, asc, rc, tc in (
-        ("recency_days", True, "_r_rank", "_n"),
-        ("frequency", False, "_f_rank", None),
-        ("_spend_c", False, "_m_rank", None),
-    ):
-        one = exact_global_rank(
-            d.select("o_custkey", col), col, ["o_custkey"],
-            ascending=asc, rank_col=rc, total_col=tc,
-        ).drop(col)
-        ranks = ranks.join(one, "o_custkey")
+    # melt → one grouped rank → pivot back. stack() is a no-shuffle 3×
+    # row expansion of the 4-column projection; the single rank plan
+    # replaces three (each over its own 2-column projection — NOT
+    # chained calls: chaining feeds rank N's bounds/count branches the
+    # whole output plan of rank N−1, so the logical tree grows ~3^N
+    # copies of the base — a 23 s plan at sf0.1 before this was caught
+    # by bench). Descending metrics negate into ascending rank space.
+    melted = d.select(
+        "o_custkey",
+        F.expr(
+            "stack(3, 'r', recency_days, 'f', -frequency, 'm', -_spend_c)"
+            " as (_metric, _v)"
+        ),
+    )
+    ranked = exact_grouped_rank(
+        melted, "_metric", "_v", ["o_custkey"], rank_col="_rank",
+        total_col="_n",
+    )
+    ranks = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("_metric") == "r", F.col("_rank"))).alias("_r_rank"),
+        F.max(F.when(F.col("_metric") == "f", F.col("_rank"))).alias("_f_rank"),
+        F.max(F.when(F.col("_metric") == "m", F.col("_rank"))).alias("_m_rank"),
+        F.max("_n").alias("_n"),
+    )
     d = d.join(ranks, "o_custkey")
     tile = lambda r: F.expr(  # noqa: E731 — three identical projections
         ntile_sql(r, "_n", RFM_BUCKETS, "spark")

@@ -86,22 +86,43 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     """Build a media table from documents: each payload is a REAL binary
     PGM (P5) image whose raster is the document's text, space-padded or
     truncated to w·h. Pure column expressions — the synthesizer itself
-    is JVM-side and shuffle-free."""
-    d = documents.select(
-        "doc_id",
-        # NULL-safe AND ASCII-safe: a null text becomes an all-space
-        # raster, and every non-printable-ASCII code point becomes '?'
-        # (testdata is regenerated between rounds — don't assume clean
-        # ASCII). The sanitization makes raster bytes == raster chars by
-        # construction, so the byte-walking decoder and the char-walking
-        # SQL oracles agree on ANY corpus; both engines replace per code
-        # point (verified incl. non-BMP emoji).
-        F.regexp_replace(
-            F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "?"
-        ).alias("text"),
-        F.expr(_W_EXPR).alias("_w"),
-        F.expr(_H_EXPR).alias("_h"),
-    ).withColumn("_npix", (F.col("_w") * F.col("_h")).cast("int"))
+    is JVM-side and shuffle-free.
+
+    ``media_id`` is a real key on BOTH engine sides: a document with
+    NULL doc_id is excluded (identity, geometry, and type all derive
+    from doc_id — a NULL id yields an all-NULL payload the strict
+    decoder rejects), and duplicate doc_ids collapse to ONE media row
+    via min(sanitized text) (a media table with colliding ids is
+    ill-formed; min is the deterministic pick both engines agree on).
+    Both pathologies reproduced from the r7 hostile corpus — the
+    driver's regenerated corpus can carry rows the pristine local
+    testdata never did."""
+    d = (
+        documents.filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            # NULL-safe AND ASCII-safe: a null text becomes an all-space
+            # raster, and every non-printable-ASCII code point becomes
+            # '?' (testdata is regenerated between rounds — don't assume
+            # clean ASCII). The sanitization makes raster bytes ==
+            # raster chars by construction, so the byte-walking decoder
+            # and the char-walking SQL oracles agree on ANY corpus; both
+            # engines replace per code point (verified incl. non-BMP
+            # emoji).
+            F.min(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "?"
+                )
+            ).alias("text")
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.expr(_W_EXPR).alias("_w"),
+            F.expr(_H_EXPR).alias("_h"),
+        )
+        .withColumn("_npix", (F.col("_w") * F.col("_h")).cast("int"))
+    )
     header = F.concat(
         F.lit("P5 "),
         F.col("_w").cast("string"),
@@ -286,7 +307,16 @@ build_features_checked = build_features
 # non-printable-ASCII code point with '?', so chars == bytes on ANY
 # corpus (not an assumption about the testdata) and md5(VARCHAR) hashes
 # the same UTF-8 bytes the Python worker hashes.
-_TEXT_SQL = "regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')"
+_SANITIZE_SQL = "regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')"
+
+# one media row per doc_id (min sanitized text), NULL ids excluded —
+# the exact twin of synthesize_media's identity-enforcing groupBy
+_MEDIA_SRC = (
+    "(SELECT doc_id, min({s}) AS text "
+    "FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)"
+).format(s=_SANITIZE_SQL)
+
+_TEXT_SQL = "text"
 
 _PAYLOAD_SQL = (
     "'P5 ' || CAST({w} AS VARCHAR) || ' ' || CAST({h} AS VARCHAR) || ' 255' "
@@ -299,7 +329,7 @@ WITH m AS (
          CAST({_W_EXPR} AS INTEGER) AS width,
          CAST({_H_EXPR} AS INTEGER) AS height,
          {_PAYLOAD_SQL} AS p
-  FROM documents
+  FROM {_MEDIA_SRC} docs
 )
 SELECT doc_id AS media_id,
        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
@@ -327,7 +357,7 @@ def build_frames(
 ORACLE_SQL_FRAMES = f"""
 WITH vids AS (
   SELECT doc_id AS media_id, {_PAYLOAD_SQL} AS p
-  FROM documents WHERE doc_id % 3 = 2
+  FROM {_MEDIA_SRC} docs WHERE doc_id % 3 = 2
 ),
 offsets AS (
   SELECT media_id, p,
@@ -402,7 +432,7 @@ WITH m AS (
   SELECT doc_id,
          rpad({_TEXT_SQL},
               CAST(({_W_EXPR}) * ({_H_EXPR}) AS INTEGER), ' ') AS raster
-  FROM documents WHERE doc_id % 3 = 1
+  FROM {_MEDIA_SRC} docs WHERE doc_id % 3 = 1
 ),
 s AS (
   SELECT doc_id,
@@ -449,7 +479,7 @@ WITH m AS (
          CAST({_W_EXPR} AS BIGINT) AS w,
          CAST({_H_EXPR} AS BIGINT) AS h,
          {_PAYLOAD_SQL} AS p
-  FROM documents
+  FROM {_MEDIA_SRC} docs
 ),
 grid AS (
   SELECT m.*, y.y AS y, x.x AS x,

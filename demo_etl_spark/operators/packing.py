@@ -64,6 +64,19 @@ N_SHARDS = 8
 _CK_HEX = 10
 _CK_MOD = 1 << 40
 
+#: NULL-hardened text: the driver's corpus generator emits NULL text
+#: rows the pristine local testdata never did, and the engines disagree
+#: on every downstream step (Spark ``size(split(NULL))`` is -1 /
+#: NULL-int arithmetic; DuckDB propagates NULL into a CASE that maps it
+#: to 0) — proven root cause of the r3-r6 ``sequence_packing`` driver
+#: red. An empty doc is a legitimate 1-token ([""]) packer input; both
+#: engines agree on COALESCE'd text by construction.
+def _text():
+    return F.coalesce(F.col("text"), F.lit(""))
+
+
+_TEXT_SQL = "COALESCE(text, '')"
+
 
 def sequence_packing(
     documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
@@ -80,11 +93,16 @@ def sequence_packing(
     is permutation-invariant and both engines agree regardless of which
     physical row a ROWS frame visits first. A bare orderBy("doc_id")
     would leave seq_id/straddle engine-arbitrary under such ties.
+
+    Both window keys sort NULLS LAST explicitly: Spark's default is
+    NULLS FIRST, DuckDB's is NULLS LAST, so a single NULL doc_id shifts
+    every running-sum offset after it in one engine only (proven root
+    cause of the r5-r6 ``sequence_spans`` driver red).
     """
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tok = F.size(F.split(_text(), " ")).cast("long")
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id", "n_tokens")
+        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
@@ -146,12 +164,13 @@ def build_sequence_packing(
 ORACLE_SQL_SEQUENCE_PACKING = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 offs AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, n_tokens
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id NULLS LAST, n_tokens NULLS LAST
                              ROWS UNBOUNDED PRECEDING) AS end_off
   FROM d
 ),
@@ -223,9 +242,9 @@ def shard_manifest(
     ``functions.distrank.exact_global_rank`` helper (also used by the
     RFM ntile decomposition).
     """
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tok = F.size(F.split(_text(), " ")).cast("long")
     ck = (
-        F.conv(F.substring(F.md5("text"), 1, _CK_HEX), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(_text()), 1, _CK_HEX), 16, 10).cast("long")
     )
     meta = documents.select(
         "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
@@ -273,13 +292,15 @@ def build_shard_manifest(
 ORACLE_SQL_SHARD_MANIFEST = f"""
 WITH meta AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST('0x' || substr(md5(text), 1, {_CK_HEX}) AS BIGINT) AS ck
+         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5({_TEXT_SQL}), 1, {_CK_HEX}) AS BIGINT)
+           AS ck
   FROM documents
 ),
 ranked AS (
   SELECT *,
-         (row_number() OVER (ORDER BY n_tokens DESC, doc_id, ck) - 1)
+         (row_number() OVER (ORDER BY n_tokens DESC,
+                             doc_id NULLS LAST, ck) - 1)
            % {2 * N_SHARDS} AS m
   FROM meta
 ),
@@ -319,12 +340,14 @@ def sequence_spans(
     oracle): span_tokens grouped by (source, seq_id) reconstructs every
     sequence at exactly ``cap`` tokens except each source's final one.
     """
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tok = F.size(F.split(_text(), " ")).cast("long")
     # (doc_id, n_tokens) ordering: permutation-invariant under duplicate
-    # doc_ids — see sequence_packing's docstring
+    # doc_ids — see sequence_packing's docstring; NULLS LAST on both
+    # keys for cross-engine parity (same defect class as the packing
+    # summary — one NULL doc_id shifts every later offset otherwise)
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id", "n_tokens")
+        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
@@ -358,12 +381,13 @@ def build_sequence_spans(
 ORACLE_SQL_SEQUENCE_SPANS = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 offs AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, n_tokens
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id NULLS LAST, n_tokens NULLS LAST
                              ROWS UNBOUNDED PRECEDING) AS end_off
   FROM d
 ),
@@ -406,7 +430,7 @@ def packed_sequences(
     in-group sort is array_sort over ≤cap/1-token spans.
     """
     spans = sequence_spans(documents, ctx, cap)
-    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    toks = documents.select("doc_id", F.split(_text(), " ").alias("t"))
     parts = spans.join(toks, "doc_id").select(
         "source",
         "seq_id",
@@ -447,13 +471,21 @@ def build_packed_sequences(
 
 ORACLE_SQL_PACKED_SEQUENCES = f"""
 WITH spans AS ({ORACLE_SQL_SEQUENCE_SPANS}),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+toks AS (SELECT doc_id, string_split({_TEXT_SQL}, ' ') AS t
+         FROM documents),
+parts AS (
+  SELECT s.source, s.seq_id, s.seq_offset,
+         array_to_string(
+           t[s.doc_offset + 1 : s.doc_offset + s.span_tokens], ' ')
+           AS part
+  FROM spans s JOIN toks USING (doc_id)
+)
 SELECT source, seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
-       string_agg(
-         array_to_string(t[doc_offset + 1 : doc_offset + span_tokens], ' '),
-         ' ' ORDER BY seq_offset) AS seq_text,
-       CAST(SUM(span_tokens) AS BIGINT) AS seq_tokens
-FROM spans JOIN toks USING (doc_id)
+       string_agg(part, ' ' ORDER BY seq_offset, part) AS seq_text,
+       CAST(len(string_split(
+         string_agg(part, ' ' ORDER BY seq_offset, part), ' '))
+         AS BIGINT) AS seq_tokens
+FROM parts
 GROUP BY source, seq_id
 """

@@ -165,11 +165,11 @@ WITH d AS (
          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
          CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_subtokens,
-         list_reduce(
+         CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(toks, t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
            (acc, v) -> (acc * 131 + v) % 1000000007
-         ) AS rolling_fp
+         ) END AS rolling_fp
   FROM d
 )
 SELECT doc_id, lang, source, n_chars, n_tokens, n_unique_tokens,
@@ -380,11 +380,16 @@ def source_profile(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> D
         F.sum("_nt").alias("total_tokens"),
         F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
     )
+    # percentiles over KNOWN lengths only: a NULL-text doc has no length,
+    # and a NULL rank value lands in different bracket rows per engine
+    # (r7 hostile repro — scrambled p10/p90). The totals keep counting
+    # every doc; the left join keeps a source even if all its texts are
+    # NULL (percentiles NULL, volume still reported).
     pct = exact_percentiles_grouped(
-        base, ["source"], "_nt", [10, 50, 90],
-        ["p10_tokens", "p50_tokens", "p90_tokens"],
+        base.filter(F.col("_nt").isNotNull()), ["source"], "_nt",
+        [10, 50, 90], ["p10_tokens", "p50_tokens", "p90_tokens"],
     )
-    return tot.join(F.broadcast(pct), "source").select(
+    return tot.join(F.broadcast(pct), "source", "left").select(
         "source",
         "n_docs",
         "total_tokens",
@@ -407,7 +412,7 @@ def _source_profile_oracle() -> str:
 
     pct = percentile_select_sql(
         "(SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) "
-        "AS nt FROM documents)",
+        "AS nt FROM documents WHERE text IS NOT NULL)",
         ["source"], "nt", [10, 50, 90],
         ["p10_tokens", "p50_tokens", "p90_tokens"],
     )
@@ -423,7 +428,7 @@ pct AS ({pct})
 SELECT source, n_docs, total_tokens, total_chars,
        {round_div_expr("total_tokens", "n_docs", 2, "duckdb")} AS avg_tokens,
        p10_tokens, p50_tokens, p90_tokens
-FROM tot JOIN pct USING (source)
+FROM tot LEFT JOIN pct USING (source)
 """
 
 

@@ -93,3 +93,38 @@ def test_ntile_sql_duckdb_dialect_matches_native(spark):
             WHERE native <> {ntile_sql('rk', 'n', b, 'duckdb')}
         """).fetchone()
         assert rows[0] == 0, (n, b)
+
+
+def test_grouped_rank_matches_native_partitioned_row_number(spark):
+    """exact_grouped_rank == native row_number PARTITIONED by group,
+    on a tie-heavy multi-group frame with NULL values mixed in (NULLs
+    must sort LAST, matching DuckDB's window default)."""
+    from demo_etl_spark.functions.distrank import exact_grouped_rank
+
+    rng = random.Random(11)
+    rows = [
+        (i, ["a", "b", "c"][i % 3],
+         None if rng.random() < 0.05 else rng.randrange(0, 10))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(7)
+    native = df.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("g").orderBy(
+                F.asc_nulls_last("v"), F.asc_nulls_last("id")
+            )
+        )
+        .cast("long"),
+    )
+    got = exact_grouped_rank(df, "g", "v", ["id"], rank_col="rank",
+                             total_col="n")
+    n = {r["id"]: r["rank"] for r in native.collect()}
+    rows_got = got.collect()
+    g = {r["id"]: r["rank"] for r in rows_got}
+    assert g == n
+    # per-group totals
+    from collections import Counter
+    sizes = Counter(r[1] for r in rows)
+    assert all(r["n"] == sizes[r["g"]] for r in rows_got)

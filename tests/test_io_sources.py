@@ -22,6 +22,33 @@ def test_csv_round_trip_with_schema(spark, tmp_path):
     assert back.first()["name"] == "Alice A"
 
 
+def test_csv_infer_schema_opt_in(spark, tmp_path):
+    """S2 fidelity: the reference reads its CSVs with header-plus-
+    inference (generate-test-data.scala:228); the opt-in path must
+    infer the SURVEY §1.1 types — ints as int, dates as date,
+    timestamps as timestamp — and the explicit-schema contract must
+    stay mutually exclusive with it."""
+    import pytest
+
+    path = str(tmp_path / "infer_csv")
+    spark.createDataFrame(
+        [("1", "Alice", "2024-03-01", "2024-03-02 10:30:00", "12.5")],
+        "customer_id string, name string, signup_date string, "
+        "order_ts string, total string",
+    ).write.mode("overwrite").option("header", True).csv(path)
+    inferred = io.read_csv(spark, path, infer_schema=True)
+    types = dict(inferred.dtypes)
+    assert types["customer_id"] == "int"
+    assert types["signup_date"] == "date"
+    assert types["order_ts"] == "timestamp"
+    assert types["total"] == "double"
+    assert inferred.count() == 1
+    with pytest.raises(ValueError):
+        io.read_csv(spark, path)
+    with pytest.raises(ValueError):
+        io.read_csv(spark, path, schemas.REF_CUSTOMERS, infer_schema=True)
+
+
 def test_parquet_partitioned_write_prunes(spark, tmp_path):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 4).alias("bucket")

@@ -82,7 +82,7 @@ EDGE_DOCS = [
 FUZZ_QUERIES = [
     "text_stats", "text_redacted", "doc_chunks", "lang_id", "vocab_topk",
     "doc_length_outliers", "corpus_source_profile",
-    "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh",
+    "doc_fingerprints", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_method_agreement",
     "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
@@ -123,6 +123,74 @@ def test_oracles_hold_on_edge_case_corpus(fuzz_dir):
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
     assert "PASS (0 failures)" in out.stdout, tail
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    """The r7 hostile corpus (tools/hostile_corpus.py): NULL text, NULL
+    doc_id, duplicate doc_ids, whitespace pathologies, empty strings,
+    straddling long docs. This is the checked-in reproduction of the
+    r3-r6 ``sequence_packing``/``sequence_spans`` driver reds (NULL-int
+    straddle arithmetic + NULLS FIRST/LAST window divergence) and the
+    r7-found simhash/span-scrub/source-profile/multimodal latents."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from hostile_corpus import write_corpus
+
+    return write_corpus(str(tmp_path_factory.mktemp("hostile_sf")), SF)
+
+
+def test_oracles_hold_on_hostile_corpus(hostile_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         hostile_dir, *FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
+def test_chained_dup_corpus_converges_fast(spark):
+    """A 48-doc sliding-window chain (adjacent docs share 37/39
+    shingles; edges reach ~4 hops before Jaccard drops below 0.8) has
+    component diameter ~12 — plain min-label propagation needs ~13
+    rounds of full-edge shuffles. Pointer jumping (r7) must collapse it
+    in O(log d) rounds AND still match the recursive-CTE oracle."""
+    from demo_etl_spark.operators import dedup as D
+
+    n_docs, n_tok = 48, 40
+    words = [f"w{i:03d}" for i in range(n_docs + n_tok)]
+    rows = [
+        (1000 + i, " ".join(words[i : i + n_tok]), "en", "chain", 0)
+        for i in range(n_docs)
+    ] + [  # isolated docs: must appear in neither engine's output
+        (2000 + j, " ".join(f"x{j}q{k}" for k in range(30)), "en",
+         "chain", 0)
+        for j in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    labels = D.dedup_clusters(docs)
+    got = {(r.doc_id, r.cluster_id, r.is_canonical) for r in labels.collect()}
+
+    assert D.dedup_clusters.last_rounds <= 8, (
+        f"pointer jumping regressed: {D.dedup_clusters.last_rounds} rounds"
+    )
+    chain = {r for r in got if r[0] < 2000}
+    assert len(chain) == n_docs
+    assert all(c == 1000 for (_, c, _) in chain), "chain did not collapse"
+    assert not any(r[0] >= 2000 for r in got), "singletons leaked"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    exp = {tuple(r) for r in con.sql(D.ORACLE_SQL_CLUSTERS).fetchall()}
+    assert got == exp
 
 
 def _packing_docs():

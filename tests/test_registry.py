@@ -46,10 +46,18 @@ def test_registry_is_large_and_window_covers_families():
         "sequence_spans",         # span materialization (r5 promotion)
         "shard_manifest",         # export-shard manifests (r4 promotion)
         "embedding_pq",           # product quantization (r4 promotion)
-        "similarity_pq_topk",     # PQ ADC probe (r5 promotion)
-        "bpe_merges",             # tokenizer training
+        "bpe_merges_batched",     # tokenizer training (r7: batched rep)
         "part_pagerank",          # graph analytics
         "data_quality_audit",     # data-quality governance
+        "sequence_export",        # packing writer stage (r7 promotion)
+        "dedup_span_scrub",       # verbatim-span dedup (r7 promotion)
+        "dedup_simhash",          # simhash near-dup (r7 promotion)
+        "corpus_source_profile",  # corpus governance (r7 promotion)
+        "customer_rfm",           # RFM ntile decomposition (r7 promotion)
+        "detail_summary_union",   # §2 A7/U2 representative (r7 return)
+        "shipping_priority_sql",  # TPC-H Q3 shape (r7 promotion)
+        "nation_market_share_sql",# TPC-H Q8 shape (r7 promotion)
+        "top_supplier_sql",       # TPC-H Q15 shape (r7 promotion)
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
