@@ -85,7 +85,12 @@ def exact_dedup(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
 
 
 def _shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct — 3-word shingles from whitespace tokens."""
+    """(doc_id, shingle) WITH duplicates — 3-word shingles from
+    whitespace tokens. Deliberately NOT distinct here: the only
+    consumer (``_indexed_shingles``) dedups on the 40-bit hash anyway,
+    and a distinct at the string level is a full shuffle of the ~20-byte
+    shingle mass that the 8-byte hash-level distinct subsumes (the
+    DuckDB oracle mirrors this — its outer DISTINCT is on (doc_id, h))."""
     tokens = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - SHINGLE_WORDS),
@@ -96,7 +101,6 @@ def _shingles(documents: DataFrame) -> DataFrame:
     return (
         documents.filter(F.size(tokens) >= SHINGLE_WORDS)
         .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
     )
 
 
@@ -349,7 +353,7 @@ GROUP BY md5(text)
 """
 
 _SHINGLE_SQL = f"""
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          unnest(list_transform(
            range(1, len(string_split(text, ' ')) - {SHINGLE_WORDS - 2}),
            i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' ')
