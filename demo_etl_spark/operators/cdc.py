@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import EVENTS_CLEAN_SQL, load_star, timed_events
 
 
 # --------------------------------------------------------------- CDC ----
@@ -130,15 +130,15 @@ def scd2_history(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
 def build_scd2_history(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return scd2_history(load_star(spark, sf_dir)["events"], ctx)
+    return scd2_history(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
-ORACLE_SQL_SCD2 = """
+ORACLE_SQL_SCD2 = f"""
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events
+  FROM {EVENTS_CLEAN_SQL}
 ),
 changes AS (
   SELECT user_id, event_type, ts AS valid_from, event_id

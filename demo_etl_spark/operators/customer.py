@@ -31,7 +31,7 @@ from demo_etl_spark.context import ANCHOR_SQL, DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions import final_price, is_weekend
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import money_fixed
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import ORDERS_CLEAN_SQL, keyed_orders, load_star
 
 
 def customer_analytics(
@@ -268,10 +268,10 @@ def order_cadence(orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataF
 def build_cadence(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return order_cadence(load_star(spark, sf_dir)["orders"], ctx)
+    return order_cadence(keyed_orders(load_star(spark, sf_dir)["orders"]), ctx)
 
 
-ORACLE_SQL_CADENCE = """
+ORACLE_SQL_CADENCE = f"""
 SELECT o_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS order_date,
        CAST(ROW_NUMBER() OVER w_seq AS INTEGER) AS order_seq,
@@ -279,7 +279,7 @@ SELECT o_custkey, o_orderkey,
             AS INTEGER) AS days_since_prev,
        CAST(ntile(4) OVER w_spend AS INTEGER) AS spend_quartile,
        cume_dist() OVER w_spend AS spend_cume
-FROM orders
+FROM {ORDERS_CLEAN_SQL}
 WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        w_spend AS (PARTITION BY o_custkey
                    ORDER BY CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT),
@@ -333,7 +333,7 @@ def order_bookends(orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
 def build_bookends(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return order_bookends(load_star(spark, sf_dir)["orders"], ctx)
+    return order_bookends(keyed_orders(load_star(spark, sf_dir)["orders"]), ctx)
 
 
 ORACLE_SQL_BOOKENDS = f"""
@@ -345,7 +345,7 @@ WITH ranked AS (
          NTH_VALUE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2)
            OVER frame AS second_fx,
          COUNT(*) OVER frame AS n_orders
-  FROM orders
+  FROM {ORDERS_CLEAN_SQL}
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
          frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING
@@ -461,7 +461,7 @@ def customer_rfm(
 def build_rfm(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return customer_rfm(load_star(spark, sf_dir)["orders"], ctx)
+    return customer_rfm(keyed_orders(load_star(spark, sf_dir)["orders"]), ctx)
 
 
 ORACLE_SQL_RFM = f"""
@@ -471,7 +471,7 @@ WITH per_cust AS (
          CAST(COUNT(*) AS BIGINT) AS frequency,
          CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS spend_c
-  FROM orders GROUP BY 1
+  FROM {ORDERS_CLEAN_SQL} GROUP BY 1
 ),
 d AS (
   SELECT o_custkey,

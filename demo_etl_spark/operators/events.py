@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import money_fixed
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import EVENTS_CLEAN_SQL, load_star, timed_events
 
 SESSION_GAP = "30 minutes"
 
@@ -116,15 +116,15 @@ def build_pivot(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONT
 
 
 def build_tumbling(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return tumbling_window(load_star(spark, sf_dir)["events"], ctx)
+    return tumbling_window(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
 def build_sliding(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return sliding_window(load_star(spark, sf_dir)["events"], ctx)
+    return sliding_window(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
 def build_session(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return session_window(load_star(spark, sf_dir)["events"], ctx)
+    return session_window(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
 def _rd(n: str, d: str, s: int) -> str:
@@ -140,7 +140,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS unique_users,
        {_rd(f"CAST(SUM({_VAL_C}) AS BIGINT)", "10000", 2)} AS total_value
-FROM events
+FROM {EVENTS_CLEAN_SQL}
 GROUP BY 1, 2, 3
 """
 
@@ -148,9 +148,9 @@ GROUP BY 1, 2, 3
 # starting at its 30-min bucket and the one 30 min earlier
 ORACLE_SQL_SLIDING = f"""
 WITH assigned AS (
-  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, * FROM events
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, * FROM {EVENTS_CLEAN_SQL}
   UNION ALL
-  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, * FROM events
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, * FROM {EVENTS_CLEAN_SQL}
 )
 SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
@@ -173,7 +173,7 @@ WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    <= INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
-  FROM events
+  FROM {EVENTS_CLEAN_SQL}
 ),
 numbered AS (
   SELECT *, SUM(new_session) OVER (
@@ -411,7 +411,8 @@ def build_daily_rollup(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     return daily_rollup_from_hourly(
-        hourly_partials(load_star(spark, sf_dir)["events"], ctx), ctx
+        hourly_partials(timed_events(load_star(spark, sf_dir)["events"]), ctx),
+        ctx,
     )
 
 
@@ -424,7 +425,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours_active,
        {_rd("CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_value,
        {_rd("COUNT(*)", "COUNT(DISTINCT date_trunc('hour', ts))", 2)} AS avg_events_per_active_hour
-FROM events
+FROM {EVENTS_CLEAN_SQL}
 GROUP BY 1, 2
 """
 
@@ -516,7 +517,7 @@ def build_incremental_rollup(
     oracle BIT-FOR-BIT (exact integer partials make additive merge
     order-free; the split is deliberately arbitrary to show ANY
     partitioning of arrivals converges to the same store)."""
-    ev = load_star(spark, sf_dir)["events"]
+    ev = timed_events(load_star(spark, sf_dir)["events"])
     store = hourly_partials(ev.filter(F.col("event_id") % 2 == 0), ctx)
     increment = hourly_partials(ev.filter(F.col("event_id") % 2 == 1), ctx)
     return daily_rollup_from_hourly(merge_rollup_increment(store, increment), ctx)
@@ -574,14 +575,14 @@ def hourly_anomaly(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
 def build_hourly_anomaly(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return hourly_anomaly(load_star(spark, sf_dir)["events"], ctx)
+    return hourly_anomaly(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
 ORACLE_SQL_HOURLY_ANOMALY = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour_start, event_type,
          COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM {EVENTS_CLEAN_SQL} GROUP BY 1, 2
 ),
 trail AS (
   SELECT hour_start, event_type, n_events,
@@ -708,8 +709,11 @@ def session_attribution(
             F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias(
                 "first_touch"
             ),
+            # when/otherwise, NOT a bare boolean cast: (NULL ==
+            # 'purchase') is NULL and would poison max/sum, while the
+            # oracle's CASE maps it to 0 (r7 NULL-hostile repro)
             F.max(
-                (F.col("event_type") == "purchase").cast("int")
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).alias("_converted"),
         )
     )
@@ -729,7 +733,9 @@ def session_attribution(
 def build_session_attribution(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return session_attribution(load_star(spark, sf_dir)["events"], ctx)
+    return session_attribution(
+        timed_events(load_star(spark, sf_dir)["events"]), ctx
+    )
 
 
 ORACLE_SQL_ATTRIBUTION = f"""
@@ -738,7 +744,7 @@ WITH flagged AS (
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)) < {_GAP_US}
               THEN 0 ELSE 1 END AS new_session
-  FROM events
+  FROM {EVENTS_CLEAN_SQL}
 ),
 numbered AS (
   SELECT *, SUM(new_session) OVER (

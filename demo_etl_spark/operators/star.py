@@ -30,7 +30,7 @@ from demo_etl_spark.functions import (
 )
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import money_fixed
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import ORDERS_CLEAN_SQL, keyed_orders, load_star
 
 SEGMENT = "BUILDING"
 RECENT_DAYS = 365
@@ -441,8 +441,14 @@ def build_distribution(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     t = load_star(spark, sf_dir)
-    return order_value_distribution(t["orders"], t["customer"], t["nation"], ctx)
+    return order_value_distribution(
+        keyed_orders(t["orders"]), t["customer"], t["nation"], ctx
+    )
 
+
+# quarantined orders subquery without the trailing alias, for oracles
+# that alias the table themselves (see io.ORDERS_CLEAN_SQL)
+_ORDERS_SUBQ = ORDERS_CLEAN_SQL.rsplit(" ", 1)[0]
 
 ORACLE_SQL_CUBE = f"""
 WITH base AS (
@@ -488,7 +494,7 @@ def _distribution_oracle() -> str:
 WITH j AS (
   SELECT n.n_name AS nation,
          CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
-  FROM orders o
+  FROM {_ORDERS_SUBQ} o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
 ),
@@ -689,7 +695,7 @@ def build_incremental_join_view(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     t = load_star(spark, sf_dir)
-    return incremental_join_view(t["lineitem"], t["orders"], ctx)
+    return incremental_join_view(t["lineitem"], keyed_orders(t["orders"]), ctx)
 
 
 #: one-shot oracle — the merged incremental result must equal computing
@@ -700,7 +706,7 @@ SELECT date_trunc('month', o.o_orderdate) AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        {_rd("CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_revenue
 FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN {_ORDERS_SUBQ} o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 """
 
@@ -744,7 +750,7 @@ def build_shipping_sla(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     t = load_star(spark, sf_dir)
-    return shipping_sla(t["lineitem"], t["orders"], ctx)
+    return shipping_sla(t["lineitem"], keyed_orders(t["orders"]), ctx)
 
 
 ORACLE_SQL_SHIPPING_SLA = f"""
@@ -756,7 +762,7 @@ j AS (
   SELECT o.o_orderpriority,
          CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), f.first_ship)
                    <= {SLA_DAYS} THEN 1 ELSE 0 END AS within
-  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+  FROM {_ORDERS_SUBQ} o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

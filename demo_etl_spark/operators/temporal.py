@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import EVENTS_CLEAN_SQL, load_star, timed_events
 
 ANCHOR_TYPE = "purchase"
 FOLLOW_WINDOW_SECONDS = 3600
@@ -195,7 +195,7 @@ def event_transitions(
 
 
 def build_asof(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return asof_last_purchase(load_star(spark, sf_dir)["events"], ctx)
+    return asof_last_purchase(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
 def build_followups(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
@@ -205,16 +205,16 @@ def build_followups(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_
 def build_transitions(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return event_transitions(load_star(spark, sf_dir)["events"], ctx)
+    return event_transitions(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
-ORACLE_SQL_TRANSITIONS = """
+ORACLE_SQL_TRANSITIONS = f"""
 WITH pairs AS (
   SELECT user_id,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts ASC, event_id ASC) AS prev_type,
          event_type AS curr_type
-  FROM events
+  FROM {EVENTS_CLEAN_SQL}
 ),
 counts AS (
   SELECT prev_type, curr_type, COUNT(*) AS n_transitions
@@ -234,10 +234,10 @@ WITH anchors AS (
   SELECT user_id, ts AS p_ts,
          MAX(event_id) AS p_event_id,
          arg_max(value, event_id) AS p_value
-  FROM events WHERE event_type = '{ANCHOR_TYPE}'
+  FROM {EVENTS_CLEAN_SQL} WHERE event_type = '{ANCHOR_TYPE}'
   GROUP BY user_id, ts
 ),
-lhs AS (SELECT * FROM events WHERE event_type <> '{ANCHOR_TYPE}')
+lhs AS (SELECT * FROM {EVENTS_CLEAN_SQL} WHERE event_type <> '{ANCHOR_TYPE}')
 SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
        CASE WHEN json_valid(l.props)
             THEN CAST(json_extract_string(l.props, '$.k') AS INTEGER)

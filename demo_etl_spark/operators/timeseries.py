@@ -41,7 +41,7 @@ from demo_etl_spark.context import (
 from demo_etl_spark.functions import day_name_upper, final_price, month_name_upper
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import is_weekend, money_fixed
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import ORDERS_CLEAN_SQL, keyed_orders, load_star
 
 # DuckDB twin of the per-date aggregate core.
 _DAILY_SQL = """
@@ -507,7 +507,7 @@ def forecast_backtest(
 def build_forecast_backtest(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return forecast_backtest(load_star(spark, sf_dir)["orders"], ctx)
+    return forecast_backtest(keyed_orders(load_star(spark, sf_dir)["orders"]), ctx)
 
 
 ORACLE_SQL_FORECAST_BACKTEST = f"""
@@ -515,7 +515,7 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS date,
          CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS rev_c
-  FROM orders GROUP BY 1
+  FROM {ORDERS_CLEAN_SQL} GROUP BY 1
 ),
 lagged AS (
   SELECT date, rev_c,

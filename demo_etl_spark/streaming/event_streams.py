@@ -315,10 +315,14 @@ def build_streaming_daily_rollup(
     driver/bench trigger their own actions later).
     """
     from demo_etl_spark.operators.events import daily_rollup_from_hourly
+    from demo_etl_spark.io import timed_events
 
     name = f"stream_daily_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
     hourly = run_available_now(
-        hourly_partials_stream(read_events_stream(spark, sf_dir)), name
+        hourly_partials_stream(
+            timed_events(read_events_stream(spark, sf_dir))
+        ),
+        name,
     )
     return daily_rollup_from_hourly(hourly)
 
@@ -331,8 +335,10 @@ def build_streaming_session(spark: SparkSession, sf_dir: str, ctx=None) -> DataF
     ``session_window`` builder bit-for-bit, hash-checked against the
     gaps-and-islands oracle (operators.events.ORACLE_SQL_SESSION)."""
     name = f"stream_session_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    from demo_etl_spark.io import timed_events
+
     return run_available_now(
-        session_stream(read_events_stream(spark, sf_dir)), name
+        session_stream(timed_events(read_events_stream(spark, sf_dir))), name
     )
 
 
@@ -347,8 +353,12 @@ def build_streaming_user_totals(spark: SparkSession, sf_dir: str, ctx=None) -> D
     from pyspark.sql.window import Window as _W
 
     name = f"stream_user_totals_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    from demo_etl_spark.io import timed_events
+
     drained = run_available_now(
-        user_totals_stateful_stream(read_events_stream(spark, sf_dir)),
+        user_totals_stateful_stream(
+            timed_events(read_events_stream(spark, sf_dir))
+        ),
         name,
         output_mode="update",
     )
@@ -361,13 +371,18 @@ def build_streaming_user_totals(spark: SparkSession, sf_dir: str, ctx=None) -> D
 
 
 #: exact-integer twin of the stateful stream's final per-user state
+# quarantined source: rows without an event time or identity never
+# enter the stateful stream (io.timed_events on the Spark side)
 ORACLE_SQL_USER_TOTALS = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)
-         AS total_value_c,
+       -- COALESCE: the stateful stream's counter initializes to 0, so a
+       -- user whose only events carry NULL value reports 0, not NULL
+       CAST(COALESCE(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)), 0)
+            AS BIGINT) AS total_value_c,
        MAX(epoch_us(ts)) AS last_event_us
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 GROUP BY user_id
 """
 

@@ -139,10 +139,36 @@ def hostile_dir(tmp_path_factory):
     return write_corpus(str(tmp_path_factory.mktemp("hostile_sf")), SF)
 
 
+#: the event/order/customer queries the r7 NULL-hostile corpus diverged
+#: before the ingest quarantine (io.timed_events/keyed_orders + the
+#: *_CLEAN_SQL oracle twins) — pinned so the class cannot return
+HOSTILE_STAR_EVENT_QUERIES = [
+    "events_session", "streaming_session", "events_daily_rollup",
+    "streaming_daily_rollup", "events_incremental_rollup",
+    "streaming_user_totals", "events_asof_join", "event_transitions",
+    "events_tumbling", "events_sliding", "session_attribution",
+    "events_hourly_anomaly", "scd2_history", "cdc_latest_state",
+    "customer_rfm", "order_cadence", "order_bookends",
+    "order_value_distribution", "shipping_sla", "incremental_join_view",
+    "revenue_forecast_backtest", "events_pivot", "data_quality_audit",
+]
+
+
 def test_oracles_hold_on_hostile_corpus(hostile_dir):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
          hostile_dir, *FUZZ_QUERIES],
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
+def test_oracles_hold_on_hostile_star_events(hostile_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         hostile_dir, *HOSTILE_STAR_EVENT_QUERIES],
         capture_output=True, text=True, timeout=480, cwd=REPO,
     )
     tail = (out.stdout + out.stderr)[-4000:]

@@ -101,15 +101,70 @@ def build_documents_table() -> pa.Table:
     )
 
 
+#: NULL-hostile rows appended to the copied star tables (r7 second
+#: wave): NULL identity keys / timestamps / measures in events, orders
+#: and lineitem — the class that diverged 19 queries before the ingest
+#: quarantine (io.timed_events / io.keyed_orders + the *_CLEAN_SQL
+#: oracle twins) pinned both engine sides to the same row set.
+HOSTILE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (900001, "2024-01-05 10:00:00", None, "view", 1.0, '{"k":1}'),
+    (900002, None, 917, "click", 2.0, '{"k":2}'),
+    (900003, "2024-01-05 11:00:00", 918, None, None, None),
+    (900004, None, None, None, None, None),
+    (900005, "2024-01-05 10:00:00", None, "purchase", 5.0, '{"k":3}'),
+]
+HOSTILE_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    #  o_orderpriority)
+    (990001, None, "O", 1000.5, "2024-03-01", "1-URGENT"),
+    (990002, 7, None, None, None, None),
+    (990003, None, None, None, None, None),
+]
+HOSTILE_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    #  l_shipdate)
+    (990001, None, None, 1, None, None, None, None, None, None, None),
+    (990002, 5, 3, None, 2.0, 100.0, 0.05, 0.02, "N", "O", None),
+]
+
+
+def _append_rows(src_path: str, dst_path: str, rows: list[tuple]) -> None:
+    """Copy a parquet table with hostile rows appended, coercing each
+    value to the source column's arrow type (timestamps from ISO
+    strings)."""
+    import pandas as pd
+
+    base = pq.read_table(src_path)
+    cols = {}
+    for i, field in enumerate(base.schema):
+        vals = [r[i] for r in rows]
+        if pa.types.is_timestamp(field.type):
+            vals = [None if v is None else pd.Timestamp(v) for v in vals]
+        cols[field.name] = pa.array(vals, field.type)
+    extra = pa.table(cols, schema=pa.schema(list(base.schema)))
+    pq.write_table(pa.concat_tables([base, extra]), dst_path)
+
+
 def write_corpus(out_dir: str, src_sf: str = SRC_SF) -> str:
-    """Write the hostile dir: all star tables from ``src_sf`` with
-    documents.parquet replaced by the hostile corpus."""
+    """Write the hostile dir: all star tables from ``src_sf``, with
+    documents.parquet replaced by the hostile corpus and NULL-hostile
+    rows appended to events/orders/lineitem."""
     os.makedirs(out_dir, exist_ok=True)
+    hostile = {
+        "events.parquet": HOSTILE_EVENTS,
+        "orders.parquet": HOSTILE_ORDERS,
+        "lineitem.parquet": HOSTILE_LINEITEM,
+    }
     for name in os.listdir(src_sf):
-        if name.endswith(".parquet") and name != "documents.parquet":
-            dst = os.path.join(out_dir, name)
-            if not os.path.exists(dst):
-                shutil.copy(os.path.join(src_sf, name), dst)
+        if not name.endswith(".parquet") or name == "documents.parquet":
+            continue
+        src, dst = os.path.join(src_sf, name), os.path.join(out_dir, name)
+        if name in hostile:
+            _append_rows(src, dst, hostile[name])
+        elif not os.path.exists(dst):
+            shutil.copy(src, dst)
     pq.write_table(build_documents_table(),
                    os.path.join(out_dir, "documents.parquet"))
     return out_dir
