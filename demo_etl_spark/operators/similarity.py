@@ -50,6 +50,38 @@ WEIGHT_OFFSET = 1 << 31  # md5-uint32 − offset → signed 32-bit plane weight
 EMB_DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
 
 
+def valid_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Vector-identity quarantine (r7): a row without a vec_id or whose
+    vector is NULL / not the table's modal dimensionality is unusable
+    for similarity math — Spark's aggregate over a NULL array yields
+    NULL scores that a DuckDB CASE maps to 0, and a short vector makes
+    the subspace split engine-divergent. The modal (most frequent)
+    length is the table's real dimensionality even if hostile rows are
+    interleaved; ties break toward the smaller length on both engines.
+    The ``_EMB_SRC`` oracle subquery is the exact DuckDB twin."""
+    row = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .limit(1)
+        .first()
+    )
+    d = int(row["d"]) if row is not None else EMB_DIMS
+    return embeddings.filter(
+        F.col("vec_id").isNotNull() & (F.size("embedding") == d)
+    )
+
+
+_EMB_SRC = (
+    "(SELECT * FROM embeddings WHERE vec_id IS NOT NULL "
+    "AND embedding IS NOT NULL AND len(embedding) = "
+    "(SELECT len(embedding) AS d FROM embeddings "
+    "WHERE embedding IS NOT NULL "
+    "GROUP BY 1 ORDER BY COUNT(*) DESC, d LIMIT 1)) embeddings"
+)
+
+
 def _emb_dims(embeddings: DataFrame) -> int:
     """Actual dimensionality of the embedding column, probed from one
     row (falls back to EMB_DIMS on an empty table). The plane-weight
@@ -471,7 +503,7 @@ def ivf_topk(
 
 
 def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return ivf_topk(load_star(spark, sf_dir)["embeddings"], ctx)
+    return ivf_topk(valid_embeddings(load_star(spark, sf_dir)["embeddings"]), ctx)
 
 
 # integer-cosine between an e6 vector x.v and an e6 centroid c.cv — the
@@ -497,7 +529,7 @@ def _ivf_oracle(
   SELECT vec_id,
          list_transform(embedding,
            y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 en AS (
   SELECT vec_id, v,
@@ -560,7 +592,7 @@ eo AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,
               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS candidate_id, a.cell,
@@ -1102,15 +1134,15 @@ def quantize_embeddings(
 def build_quantize(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return quantize_embeddings(load_star(spark, sf_dir)["embeddings"], ctx)
+    return quantize_embeddings(valid_embeddings(load_star(spark, sf_dir)["embeddings"]), ctx)
 
 
-ORACLE_SQL_QUANTIZE = """
+ORACLE_SQL_QUANTIZE = f"""
 WITH scaled AS (
   SELECT vec_id, label, embedding,
          greatest(CAST(list_max(list_transform(embedding,
                   x -> abs(x))) AS DOUBLE), 1e-12) AS q_scale
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 q AS (
   SELECT vec_id, label, q_scale,
@@ -1405,7 +1437,7 @@ def build_pq(
 ) -> DataFrame:
     from demo_etl_spark.io import read_star_table
 
-    return product_quantize(read_star_table(spark, sf_dir, "embeddings"), ctx)
+    return product_quantize(valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx)
 
 
 def _pq_oracle(stride: int = PQ_STRIDE, iters: int = PQ_ITERS) -> str:
@@ -1429,7 +1461,7 @@ FROM e6"""
          list_transform(embedding,
            y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
          CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 sub AS ({sub_expr}),
 book0 AS (
@@ -1568,7 +1600,7 @@ def build_pq_topk(
 ) -> DataFrame:
     from demo_etl_spark.io import read_star_table
 
-    return pq_topk(read_star_table(spark, sf_dir, "embeddings"), ctx)
+    return pq_topk(valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx)
 
 
 def _pq_topk_oracle(
@@ -1595,7 +1627,7 @@ FROM e6"""
          list_transform(embedding,
            y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
          CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 sub AS ({sub_expr}),
 cand AS (SELECT * FROM sub WHERE vec_id >= {n_queries}),

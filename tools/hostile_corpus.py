@@ -128,6 +128,31 @@ HOSTILE_LINEITEM = [
     (990001, None, None, 1, None, None, None, None, None, None, None),
     (990002, 5, 3, None, 2.0, 100.0, 0.05, 0.02, "N", "O", None),
 ]
+HOSTILE_CUSTOMER = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (980001, None, None, None, None),
+    (980002, "Null Nation", None, -12.5, "BUILDING"),
+    (None, "No Key", 1, 10.0, "MACHINERY"),
+]
+HOSTILE_PART = [
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    (970001, None, None, None, None, None),
+    (None, "ghost part", "Brand#1", "TYPE A", 5, 10.0),
+]
+HOSTILE_SUPPLIER = [
+    # (s_suppkey, s_name, s_nationkey, s_acctbal)
+    (960001, None, None, None),
+    (None, "ghost supp", 2, 5.0),
+]
+HOSTILE_EMBEDDINGS = [
+    # (vec_id, embedding, label) — NULL vector, empty vector, wrong-dim
+    # vector with NULL id, wrong-dim zero vector (similarity quarantine:
+    # io-layer valid_embeddings keeps only modal-dim rows with an id)
+    (950001, None, 1),
+    (950002, [], 2),
+    (None, [0.1, 0.2], None),
+    (950003, [0.0, 0.0], None),
+]
 
 
 def _append_rows(src_path: str, dst_path: str, rows: list[tuple]) -> None:
@@ -156,6 +181,10 @@ def write_corpus(out_dir: str, src_sf: str = SRC_SF) -> str:
         "events.parquet": HOSTILE_EVENTS,
         "orders.parquet": HOSTILE_ORDERS,
         "lineitem.parquet": HOSTILE_LINEITEM,
+        "customer.parquet": HOSTILE_CUSTOMER,
+        "part.parquet": HOSTILE_PART,
+        "supplier.parquet": HOSTILE_SUPPLIER,
+        "embeddings.parquet": HOSTILE_EMBEDDINGS,
     }
     for name in os.listdir(src_sf):
         if not name.endswith(".parquet") or name == "documents.parquet":
