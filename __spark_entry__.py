@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _curation.build_keep_best,
         # new in r5: per-column statistics profile (ANALYZE surface)
         "orders_profile": _quality.build_orders_profile,
+        # new in r7: dead-letter accounting for the ingest quarantine
+        "quarantine_audit": _quality.build_quarantine_audit,
         "lang_profile": _text.build_profile,
         "events_tumbling": _events.build_tumbling,
         "events_props_breakdown": _events.build_props_breakdown,
@@ -369,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
         "orders_profile": _quality.ORACLE_SQL_ORDERS_PROFILE,
+        "quarantine_audit": _quality.ORACLE_SQL_QUARANTINE_AUDIT,
         "events_funnel": _events.ORACLE_SQL_FUNNEL,
         # merged split-half rollup must equal the one-shot daily oracle
         "events_incremental_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

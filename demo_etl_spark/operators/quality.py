@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.io import load_star
 
 
@@ -247,3 +248,143 @@ FROM orders""")
 
 
 ORACLE_SQL_ORDERS_PROFILE = _orders_profile_oracle()
+
+# ------------------------------------------- quarantine accounting -----
+def quarantine_audit(
+    t: dict[str, DataFrame], ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Dead-letter accounting for the ingest quarantine (io.timed_events
+    / io.keyed_orders / similarity.valid_embeddings): one row per
+    (table, rule) with the total row count, how many rows the rule
+    flags, and the flagged share — the governance record a production
+    pipeline publishes alongside every load so silent data loss is
+    impossible. Each table costs one map-side conditional aggregate
+    (no joins, no shuffle beyond the 1-row agg); the per-rule rows come
+    from a stack() over that single row.
+
+    The embeddings off-dimension rule uses the table's MODAL vector
+    length (ties toward the smaller length), the same definition
+    similarity.valid_embeddings enforces — computed by a tiny
+    pre-aggregate on both engine sides."""
+    def table_rules(df: DataFrame, name: str, rules: list[tuple[str, str]]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"_r{i}")
+            for i, (_, cond) in enumerate(rules)
+        ]
+        one = df.agg(*aggs)
+        stack = ", ".join(f"'{rule}', _r{i}" for i, (rule, _) in enumerate(rules))
+        return one.select(
+            F.lit(name).alias("table_name"),
+            F.col("_n").alias("n_rows"),
+            F.expr(f"stack({len(rules)}, {stack}) as (rule, n_flagged)"),
+        ).select(
+            "table_name",
+            "rule",
+            "n_rows",
+            "n_flagged",
+            round_div("n_flagged * 10000", "greatest(n_rows, 1)", 0)
+            .cast("long")
+            .alias("flagged_bp"),
+        )
+
+    emb = t["embeddings"]
+    row = (
+        emb.filter(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .limit(1)
+        .first()
+    )
+    modal = int(row["d"]) if row is not None else 0
+    parts = [
+        table_rules(t["events"], "events", [
+            ("null_ts", "ts IS NULL"),
+            ("null_user_id", "user_id IS NULL"),
+            ("quarantined", "ts IS NULL OR user_id IS NULL"),
+        ]),
+        table_rules(t["orders"], "orders", [
+            ("null_orderkey", "o_orderkey IS NULL"),
+            ("null_custkey", "o_custkey IS NULL"),
+            ("null_orderdate", "o_orderdate IS NULL"),
+            ("null_totalprice", "o_totalprice IS NULL"),
+            ("quarantined",
+             "o_orderkey IS NULL OR o_custkey IS NULL OR "
+             "o_orderdate IS NULL OR o_totalprice IS NULL"),
+        ]),
+        table_rules(t["documents"], "documents", [
+            ("null_text", "text IS NULL"),
+            ("null_doc_id", "doc_id IS NULL"),
+        ]),
+        table_rules(emb, "embeddings", [
+            ("null_vec_id", "vec_id IS NULL"),
+            ("null_embedding", "embedding IS NULL"),
+            ("quarantined",
+             f"vec_id IS NULL OR embedding IS NULL OR size(embedding) <> {modal}"),
+        ]),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def build_quarantine_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return quarantine_audit(load_star(spark, sf_dir), ctx)
+
+
+def _quarantine_audit_oracle() -> str:
+    def tbl(name, rules):
+        rows = []
+        for rule, cond in rules:
+            rows.append(
+                f"SELECT '{name}' AS table_name, '{rule}' AS rule, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+                f"AS n_flagged FROM {name}"
+            )
+        return rows
+
+    modal = ("(SELECT len(embedding) AS d FROM embeddings "
+             "WHERE embedding IS NOT NULL "
+             "GROUP BY 1 ORDER BY COUNT(*) DESC, d LIMIT 1)")
+    selects = (
+        tbl("events", [
+            ("null_ts", "ts IS NULL"),
+            ("null_user_id", "user_id IS NULL"),
+            ("quarantined", "ts IS NULL OR user_id IS NULL"),
+        ])
+        + tbl("orders", [
+            ("null_orderkey", "o_orderkey IS NULL"),
+            ("null_custkey", "o_custkey IS NULL"),
+            ("null_orderdate", "o_orderdate IS NULL"),
+            ("null_totalprice", "o_totalprice IS NULL"),
+            ("quarantined",
+             "o_orderkey IS NULL OR o_custkey IS NULL OR "
+             "o_orderdate IS NULL OR o_totalprice IS NULL"),
+        ])
+        + tbl("documents", [
+            ("null_text", "text IS NULL"),
+            ("null_doc_id", "doc_id IS NULL"),
+        ])
+        + tbl("embeddings", [
+            ("null_vec_id", "vec_id IS NULL"),
+            ("null_embedding", "embedding IS NULL"),
+            ("quarantined",
+             f"vec_id IS NULL OR embedding IS NULL "
+             f"OR len(embedding) <> {modal}"),
+        ])
+    )
+    share = round_div_expr("n_flagged * 10000", "greatest(n_rows, 1)", 0,
+                           "duckdb")
+    return (
+        "SELECT table_name, rule, n_rows, n_flagged, "
+        f"CAST({share} AS BIGINT) AS flagged_bp FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n)"
+    )
+
+
+ORACLE_SQL_QUARANTINE_AUDIT = _quarantine_audit_oracle()
+

@@ -151,6 +151,7 @@ HOSTILE_STAR_EVENT_QUERIES = [
     "customer_rfm", "order_cadence", "order_bookends",
     "order_value_distribution", "shipping_sla", "incremental_join_view",
     "revenue_forecast_backtest", "events_pivot", "data_quality_audit",
+    "quarantine_audit",
     # embeddings-family queries the NULL/short-vector rows diverged
     # before similarity.valid_embeddings (+ customer/part/supplier
     # representatives that must stay green over the hostile dims)
