@@ -38,8 +38,15 @@ def money_fixed(c: Column) -> Column:
     longer flip a rounding boundary. Overflow bound: sums stay exact below
     2^63/1e4 ≈ 9.2e14 money units per group — far beyond any per-key group
     even at 100 TB; grand totals beyond that should use DECIMAL(38,4).
+
+    try_cast, not cast: a NaN/Infinity measure must become NULL (skipped
+    by SUM) on BOTH engines — a plain cast CRASHES under Spark 4's ANSI
+    mode and DuckDB alike, so one bad double would abort whole queries
+    instead of being excluded (r7 hostile repro). The quarantine
+    operators drop such rows up front where identity/time analytics
+    demand it; try_cast is the defense-in-depth for every other path.
     """
-    return F.round(c * FIXED_POINT).cast("long")
+    return F.round(c * FIXED_POINT).try_cast("long")
 
 
 def money_unfixed(c: Column, scale: int = MONEY_SCALE) -> Column:
@@ -49,7 +56,7 @@ def money_unfixed(c: Column, scale: int = MONEY_SCALE) -> Column:
 
 def sql_money_fixed(expr: str) -> str:
     """DuckDB twin of :func:`money_fixed` for oracle SQL strings."""
-    return f"CAST(ROUND(({expr}) * {FIXED_POINT}, 0) AS BIGINT)"
+    return f"TRY_CAST(ROUND(({expr}) * {FIXED_POINT}, 0) AS BIGINT)"
 
 
 def safe_ratio(num: Column, den: Column, scale: int | None = RATIO_SCALE) -> Column:

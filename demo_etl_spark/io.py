@@ -200,33 +200,48 @@ def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # see the identical row set.
 
 def timed_events(events: DataFrame) -> DataFrame:
-    """Events with an event time and a user identity (see above)."""
+    """Events with an event time and a user identity (see above). A
+    non-finite ``value`` is also quarantined (NULL stays — the stateful
+    counters define NULL as 0): Spark casts NaN to 0 silently while
+    DuckDB ERRORS casting NaN/inf to BIGINT, so one bad double would
+    crash every money-rounding oracle instead of hash-diverging."""
     return events.filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (
+            F.col("value").isNull()
+            | (~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))))
+        )
     )
 
 
 EVENTS_CLEAN_SQL = (
     "(SELECT * FROM events "
-    "WHERE ts IS NOT NULL AND user_id IS NOT NULL) events"
+    "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+    "AND (value IS NULL OR isfinite(value))) events"
 )
 
 
 def keyed_orders(orders: DataFrame) -> DataFrame:
     """Orders usable for customer/time/revenue analytics: key, customer,
-    date and price all present (see quarantine note above)."""
+    date and a FINITE price all present (see quarantine note above; a
+    NaN/inf price crashes DuckDB's BIGINT cast and silently becomes 0
+    in Spark's)."""
     return orders.filter(
         F.col("o_orderkey").isNotNull()
         & F.col("o_custkey").isNotNull()
         & F.col("o_orderdate").isNotNull()
         & F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
+        & (F.abs("o_totalprice") != F.lit(float("inf")))
     )
 
 
 ORDERS_CLEAN_SQL = (
     "(SELECT * FROM orders "
     "WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL "
-    "AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL) orders"
+    "AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL "
+    "AND isfinite(o_totalprice)) orders"
 )
 
 

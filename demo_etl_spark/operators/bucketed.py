@@ -31,7 +31,7 @@ from demo_etl_spark.io import load_star, write_bucketed_table
 
 N_BUCKETS = 8  # test-scale; size to ~(fact bytes / 1 GB) at the target SF
 
-_REV_FX = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+_REV_FX = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
 
 
 def _tag(sf_dir: str) -> str:

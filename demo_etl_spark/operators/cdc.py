@@ -186,7 +186,7 @@ def merge_latest_wins(
 
 #: the deterministic "repricing feed": open orders get a 10% uplift,
 #: rounded HALF_UP to cents in integer space (engine-exact).
-_UPLIFT_NUM = "CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT) * 11"
+_UPLIFT_NUM = "TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT) * 11"
 _UPLIFT_DEN = "100000"
 
 

@@ -124,8 +124,8 @@ def _oracle(scale_anchor: str = "DATE '2002-01-01'") -> str:
 WITH j AS (
   SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
          l.l_partkey,
-         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c,
-         CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT) AS unit_c,
+         TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c,
+         TRY_CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT) AS unit_c,
          isodow(o.o_orderdate) IN (6, 7) AS weekend
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -282,7 +282,7 @@ SELECT o_custkey, o_orderkey,
 FROM {ORDERS_CLEAN_SQL}
 WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        w_spend AS (PARTITION BY o_custkey
-                   ORDER BY CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT),
+                   ORDER BY TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT),
                             o_orderkey)
 """
 
@@ -342,7 +342,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER w AS rn,
          FIRST_VALUE(o_orderdate) OVER frame AS first_ts,
          LAST_VALUE(o_orderdate) OVER frame AS last_ts,
-         NTH_VALUE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2)
+         NTH_VALUE(TRY_CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2)
            OVER frame AS second_fx,
          COUNT(*) OVER frame AS n_orders
   FROM {ORDERS_CLEAN_SQL}
@@ -469,7 +469,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          MAX(CAST(o_orderdate AS DATE)) AS last_order,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS spend_c
   FROM {ORDERS_CLEAN_SQL} GROUP BY 1
 ),

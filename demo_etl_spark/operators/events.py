@@ -131,7 +131,7 @@ def _rd(n: str, d: str, s: int) -> str:
     return round_div_expr(n, d, s, "duckdb")
 
 
-_VAL_C = "CAST(ROUND(value * 10000, 0) AS BIGINT)"
+_VAL_C = "TRY_CAST(ROUND(value * 10000, 0) AS BIGINT)"
 
 ORACLE_SQL_TUMBLING = f"""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -423,7 +423,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours_active,
-       {_rd("CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_value,
+       {_rd("CAST(SUM(TRY_CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_value,
        {_rd("COUNT(*)", "COUNT(DISTINCT date_trunc('hour', ts))", 2)} AS avg_events_per_active_hour
 FROM {EVENTS_CLEAN_SQL}
 GROUP BY 1, 2
@@ -474,7 +474,7 @@ WITH extracted AS (
          CASE WHEN json_valid(props)
               THEN CAST(json_extract_string(props, '$.k') AS INT)
          END AS k,
-         CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
+         TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
   FROM events
 )
 SELECT event_type,
@@ -865,7 +865,7 @@ def value_histogram(
     non-negative so it equals floor in both engines); the share uses a
     window total over the ~10 bin rows (trivially single-partition)."""
     b = events.select(
-        F.expr(f"CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED}").alias(
+        F.expr(f"TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED}").alias(
             "bin"
         )
     )
@@ -891,7 +891,7 @@ def build_value_histogram(
 
 ORACLE_SQL_VALUE_HISTOGRAM = f"""
 WITH b AS (
-  SELECT CAST(ROUND(value * 10000, 0) AS BIGINT) // {_BIN_FIXED} AS bin
+  SELECT TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) // {_BIN_FIXED} AS bin
   FROM events
 ),
 c AS (SELECT bin, COUNT(*) AS n_events FROM b GROUP BY 1)

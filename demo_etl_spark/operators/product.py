@@ -29,9 +29,9 @@ _AGG_SQL = """
   SELECT p.p_partkey, p.p_name, p.p_type,
          COUNT(DISTINCT l.l_orderkey) AS order_count,
          SUM(l.l_quantity) AS total_quantity,
-         SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
-         SUM(CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)) AS unit_c,
-         SUM(CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)) AS disc_c,
+         SUM(TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
+         SUM(TRY_CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)) AS unit_c,
+         SUM(TRY_CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)) AS disc_c,
          COUNT(*) AS n_lines,
          COUNT(DISTINCT o.o_custkey) AS unique_customers
   FROM lineitem l
@@ -229,7 +229,7 @@ WITH per_supp AS (
   SELECT l_suppkey,
          CAST(COUNT(*) AS BIGINT) AS n_lines,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-         CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+         CAST(SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
            AS BIGINT)) AS BIGINT) AS rev_c
   FROM lineitem GROUP BY 1
 )
@@ -452,7 +452,7 @@ def build_market_concentration(
 ORACLE_SQL_CONCENTRATION = f"""
 WITH rev AS (
   SELECT n.n_name AS nation,
-         CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+         CAST(SUM(TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
            AS BIGINT)) AS BIGINT) AS rev_c
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -303,16 +303,26 @@ def quarantine_audit(
         table_rules(t["events"], "events", [
             ("null_ts", "ts IS NULL"),
             ("null_user_id", "user_id IS NULL"),
-            ("quarantined", "ts IS NULL OR user_id IS NULL"),
+            ("nonfinite_value",
+             "value IS NOT NULL AND (isnan(value) "
+             "OR abs(value) = CAST('Infinity' AS DOUBLE))"),
+            ("quarantined",
+             "ts IS NULL OR user_id IS NULL OR (value IS NOT NULL AND "
+             "(isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE)))"),
         ]),
         table_rules(t["orders"], "orders", [
             ("null_orderkey", "o_orderkey IS NULL"),
             ("null_custkey", "o_custkey IS NULL"),
             ("null_orderdate", "o_orderdate IS NULL"),
             ("null_totalprice", "o_totalprice IS NULL"),
+            ("nonfinite_totalprice",
+             "o_totalprice IS NOT NULL AND (isnan(o_totalprice) "
+             "OR abs(o_totalprice) = CAST('Infinity' AS DOUBLE))"),
             ("quarantined",
              "o_orderkey IS NULL OR o_custkey IS NULL OR "
-             "o_orderdate IS NULL OR o_totalprice IS NULL"),
+             "o_orderdate IS NULL OR o_totalprice IS NULL "
+             "OR isnan(o_totalprice) "
+             "OR abs(o_totalprice) = CAST('Infinity' AS DOUBLE)"),
         ]),
         table_rules(t["documents"], "documents", [
             ("null_text", "text IS NULL"),
@@ -353,16 +363,23 @@ def _quarantine_audit_oracle() -> str:
         tbl("events", [
             ("null_ts", "ts IS NULL"),
             ("null_user_id", "user_id IS NULL"),
-            ("quarantined", "ts IS NULL OR user_id IS NULL"),
+            ("nonfinite_value",
+             "value IS NOT NULL AND NOT isfinite(value)"),
+            ("quarantined",
+             "ts IS NULL OR user_id IS NULL "
+             "OR (value IS NOT NULL AND NOT isfinite(value))"),
         ])
         + tbl("orders", [
             ("null_orderkey", "o_orderkey IS NULL"),
             ("null_custkey", "o_custkey IS NULL"),
             ("null_orderdate", "o_orderdate IS NULL"),
             ("null_totalprice", "o_totalprice IS NULL"),
+            ("nonfinite_totalprice",
+             "o_totalprice IS NOT NULL AND NOT isfinite(o_totalprice)"),
             ("quarantined",
              "o_orderkey IS NULL OR o_custkey IS NULL OR "
-             "o_orderdate IS NULL OR o_totalprice IS NULL"),
+             "o_orderdate IS NULL OR o_totalprice IS NULL "
+             "OR NOT isfinite(o_totalprice)"),
         ])
         + tbl("documents", [
             ("null_text", "text IS NULL"),

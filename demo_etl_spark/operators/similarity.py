@@ -269,7 +269,7 @@ def _weight_sql(p: int) -> str:
 def _bucket_sql(n_planes: int = N_PLANES) -> str:
     signs = " || ".join(
         f"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+             i -> TRY_CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
                   * {_weight_sql(p)})) >= 0 THEN '1' ELSE '0' END)"""
         for p in range(n_planes)
     )
@@ -285,7 +285,7 @@ WITH e AS (
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
-         CAST(ROUND(
+         TRY_CAST(ROUND(
            list_sum(list_transform(range(1, len(q.embedding) + 1),
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
            / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
@@ -312,7 +312,7 @@ WITH e AS (
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket,
-         CAST(ROUND(
+         TRY_CAST(ROUND(
            list_sum(list_transform(range(1, len(q.embedding) + 1),
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
            / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
@@ -508,7 +508,7 @@ def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEX
 
 # integer-cosine between an e6 vector x.v and an e6 centroid c.cv — the
 # exact BIGINT dot cast to double, divided in the same op order as Spark
-_INT_COS_SQL = """CAST(ROUND(
+_INT_COS_SQL = """TRY_CAST(ROUND(
            CAST(list_sum(list_transform(range(1, len(x.v) + 1),
                 i -> x.v[i] * c.cv[i])) AS DOUBLE)
            / (x.n * c.cn) * 1000000, 0) AS BIGINT)"""
@@ -528,7 +528,7 @@ def _ivf_oracle(
         f"""WITH e6 AS (
   SELECT vec_id,
          list_transform(embedding,
-           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+           y -> TRY_CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
   FROM {_EMB_SRC}
 ),
 en AS (
@@ -596,7 +596,7 @@ eo AS (
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS candidate_id, a.cell,
-         CAST(ROUND(
+         TRY_CAST(ROUND(
            list_sum(list_transform(range(1, len(q.embedding) + 1),
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(xx.embedding[i] AS DOUBLE)))
            / (q.nrm * xx.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
@@ -770,7 +770,7 @@ WITH e AS (
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(ROUND(
+         TRY_CAST(ROUND(
            list_sum(list_transform(range(1, len(a.embedding) + 1),
                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
            / (a.nrm * b.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
@@ -911,7 +911,7 @@ def _band_sign_sql(band: int, ppb: int = ANN_BAND_PLANES) -> str:
 
     return " || ".join(
         f"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+             i -> TRY_CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
                   * {w(band * ppb + j)})) >= 0 THEN '1' ELSE '0' END)"""
         for j in range(ppb)
     )
@@ -947,7 +947,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.vec_a, c.vec_b,
-         CAST(ROUND(
+         TRY_CAST(ROUND(
            list_sum(list_transform(range(1, len(x.embedding) + 1),
                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
            / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
@@ -1206,7 +1206,7 @@ ORACLE_SQL_CENTROIDS = f"""
 WITH e AS (
   SELECT label,
          generate_subscripts(embedding, 1) - 1 AS dim,
-         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+         TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
   FROM embeddings
 )
 SELECT label, dim,
@@ -1291,7 +1291,7 @@ from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
 ORACLE_SQL_DIM_STATS = f"""
 WITH e AS (
   SELECT generate_subscripts(embedding, 1) - 1 AS dim,
-         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+         TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings
 ),
 g AS (
@@ -1459,7 +1459,7 @@ FROM e6"""
         f"""WITH e6 AS (
   SELECT vec_id, label,
          list_transform(embedding,
-           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+           y -> TRY_CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
          CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
   FROM {_EMB_SRC}
 ),
@@ -1625,7 +1625,7 @@ FROM e6"""
         f"""WITH e6 AS (
   SELECT vec_id,
          list_transform(embedding,
-           y -> CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
+           y -> TRY_CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v,
          CAST(len(embedding) // {PQ_M} AS INTEGER) AS sd
   FROM {_EMB_SRC}
 ),

@@ -80,7 +80,7 @@ def build_salted_order_join(spark, sf_dir, ctx=None) -> DataFrame:
         F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
     )
     j = salted_join(li, od, "orderkey", n_salts=8)
-    rev_fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    rev_fx = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
     return (
         j.groupBy("o_orderpriority")
         .agg(

@@ -21,20 +21,20 @@ from demo_etl_spark.io import read_star_table
 
 def _pricing_summary_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
-    fxc = ("CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0)"
+    fx = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    fxc = ("TRY_CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0)"
            " AS BIGINT)")
     return f"""
 SELECT
   l_returnflag,
   l_linestatus,
   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-  {rd("SUM(CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))", "10000", 2)} AS sum_base_price,
+  {rd("SUM(TRY_CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))", "10000", 2)} AS sum_base_price,
   {rd(f"SUM({fx})", "10000", 2)} AS sum_disc_price,
   {rd(f"SUM({fxc})", "1000000", 2)} AS sum_charge,
   {rd("SUM(CAST(l_quantity AS BIGINT))", "COUNT(*)", 2)} AS avg_qty,
-  {rd("SUM(CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))", "COUNT(*) * 10000", 2)} AS avg_price,
-  {rd("SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT))", "COUNT(*) * 10000", 6)} AS avg_disc,
+  {rd("SUM(TRY_CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))", "COUNT(*) * 10000", 2)} AS avg_price,
+  {rd("SUM(TRY_CAST(ROUND(l_discount * 10000, 0) AS BIGINT))", "COUNT(*) * 10000", 6)} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -57,7 +57,7 @@ def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -
 # engines (an unordered LIMIT would not).
 def _shipping_priority_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    fx = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
     sum_fx = f"SUM({fx})"
     if dialect == "duckdb":
         sum_fx = f"CAST({sum_fx} AS BIGINT)"
@@ -104,7 +104,7 @@ GROUP BY o_orderpriority
 # exact integer in both engines.
 def _discount_revenue_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    fx = "CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT)"
+    fx = "TRY_CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT)"
     sum_fx = f"SUM({fx})"
     if dialect == "duckdb":
         sum_fx = f"CAST({sum_fx} AS BIGINT)"
@@ -125,7 +125,7 @@ WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
 # beyond that switch the share to a DECIMAL(38) path.
 def _promo_revenue_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    fx = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
     promo = f"SUM(CASE WHEN p_type = 'PROMO' THEN {fx} ELSE 0 END)"
     total = f"SUM({fx})"
     if dialect == "duckdb":
@@ -146,7 +146,7 @@ WHERE l_shipdate >= TIMESTAMP '2000-09-01 00:00:00'
 # deterministic top-20 (fixed-point revenue sort + custkey tie-break).
 def _returned_items_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    fx = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+    fx = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
     sum_fx = f"SUM({fx})"
     if dialect == "duckdb":
         sum_fx = f"CAST({sum_fx} AS BIGINT)"
@@ -176,7 +176,7 @@ def _large_orders_sql(dialect: str) -> str:
     return f"""
 SELECT o_orderkey, c_custkey, c_name,
        CAST(o_orderdate AS DATE) AS order_date,
-       {rd("MAX(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT))", "10000", 2)} AS total_price,
+       {rd("MAX(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT))", "10000", 2)} AS total_price,
        CAST(SUM(l_quantity) AS BIGINT) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -237,16 +237,16 @@ def build_large_orders(
 def _oracle() -> str:
     sql = _pricing_summary_sql("duckdb")
     return (
-        sql.replace("SUM(CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))",
-                    "CAST(SUM(CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT)) AS BIGINT)")
-        .replace("SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))",
-                 "CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)")
-        .replace("SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT))",
-                 "CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS BIGINT)")
+        sql.replace("SUM(TRY_CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))",
+                    "CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT)) AS BIGINT)")
+        .replace("SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))",
+                 "CAST(SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)")
+        .replace("SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT))",
+                 "CAST(SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS BIGINT)")
         .replace("SUM(CAST(l_quantity AS BIGINT))",
                  "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)")
-        .replace("SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT))",
-                 "CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)")
+        .replace("SUM(TRY_CAST(ROUND(l_discount * 10000, 0) AS BIGINT))",
+                 "CAST(SUM(TRY_CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)")
     )
 
 

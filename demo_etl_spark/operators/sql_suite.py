@@ -33,7 +33,7 @@ from demo_etl_spark.io import read_star_table
 # exact 1e-4-unit revenue per line: extendedprice/discount are 2-dec
 # exact, so price*(1-disc) is an exact multiple of 1e-4 and ROUND(x*1e4)
 # recovers the exact integer in both engines.
-_FX = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
+_FX = "TRY_CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)"
 
 
 def _sum_fx(dialect: str, expr: str = _FX) -> str:
@@ -132,7 +132,7 @@ GROUP BY order_year
 # data model has no supplycost either). Both terms are 1e-4-exact.
 def _product_profit_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    profit_fx = ("CAST(ROUND((l_extendedprice * (1 - l_discount) "
+    profit_fx = ("TRY_CAST(ROUND((l_extendedprice * (1 - l_discount) "
                  "- p_retailprice * l_quantity) * 10000, 0) AS BIGINT)")
     total = f"SUM({profit_fx})"
     if dialect == "duckdb":
@@ -278,8 +278,8 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 # the filtered orders side.
 def _idle_customers_sql(dialect: str) -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, dialect)  # noqa: E731
-    cents = "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"
-    cents2 = "CAST(ROUND(c2.c_acctbal * 100, 0) AS BIGINT)"
+    cents = "TRY_CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"
+    cents2 = "TRY_CAST(ROUND(c2.c_acctbal * 100, 0) AS BIGINT)"
     total = f"SUM({cents})"
     if dialect == "duckdb":
         total = f"CAST({total} AS BIGINT)"

@@ -163,10 +163,10 @@ _DETAIL_SQL = f"""
     p.p_name AS product_name,
     p.p_type AS category,
     l.l_quantity AS quantity,
-    {_rd("CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)", "10000", 2)} AS price,
+    {_rd("TRY_CAST(ROUND((l.l_extendedprice / l.l_quantity) * 10000, 0) AS BIGINT)", "10000", 2)} AS price,
     l.l_extendedprice AS extended_price,
-    {_rd("CAST(ROUND((l.l_extendedprice * l.l_discount) * 10000, 0) AS BIGINT)", "10000", 2)} AS discount_amount,
-    {_rd("CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)", "10000", 2)} AS final_price,
+    {_rd("TRY_CAST(ROUND((l.l_extendedprice * l.l_discount) * 10000, 0) AS BIGINT)", "10000", 2)} AS discount_amount,
+    {_rd("TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)", "10000", 2)} AS final_price,
     o.o_orderdate AS order_date,
     isodow(o.o_orderdate) IN (6, 7) AS is_weekend,
     upper(dayname(o.o_orderdate)) AS day_of_week,
@@ -190,7 +190,7 @@ SELECT customer_id, order_id, product_id, category, quantity, final_price,
 FROM d
 UNION ALL
 SELECT NULL, NULL, NULL, category, SUM(quantity),
-       {_rd("SUM(CAST(ROUND(final_price * 10000, 0) AS BIGINT))", "10000", 2)},
+       {_rd("SUM(TRY_CAST(ROUND(final_price * 10000, 0) AS BIGINT))", "10000", 2)},
        'summary'
 FROM d GROUP BY category
 """
@@ -254,7 +254,7 @@ def build_regional(
 ORACLE_SQL_REGIONAL = f"""
 WITH j AS (
   SELECT r.r_name, n.n_name, o.o_orderkey, c.c_custkey,
-         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+         TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -393,7 +393,7 @@ def order_value_distribution(
     """
     from pyspark.sql import Window
 
-    tp_c = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+    tp_c = F.expr("TRY_CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
     j = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
@@ -454,7 +454,7 @@ ORACLE_SQL_CUBE = f"""
 WITH base AS (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+         TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -493,7 +493,7 @@ def _distribution_oracle() -> str:
     return f"""
 WITH j AS (
   SELECT n.n_name AS nation,
-         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
+         TRY_CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
   FROM {_ORDERS_SUBQ} o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -531,7 +531,7 @@ ORACLE_SQL_ROLLUP = f"""
 WITH base AS (
   SELECT r.r_name AS region,
          n.n_name AS nation,
-         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+         TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -617,7 +617,7 @@ WITH base AS (
   SELECT r.r_name AS region,
          n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
+         TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS fp_c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -704,7 +704,7 @@ ORACLE_SQL_INCREMENTAL_JOIN_VIEW = f"""
 SELECT date_trunc('month', o.o_orderdate) AS order_month,
        o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       {_rd("CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_revenue
+       {_rd("CAST(SUM(TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)", "10000", 2)} AS total_revenue
 FROM lineitem l
 JOIN {_ORDERS_SUBQ} o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2

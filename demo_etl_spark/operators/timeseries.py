@@ -51,7 +51,7 @@ _DAILY_SQL = """
          CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS year,
          COUNT(DISTINCT l.l_orderkey) AS order_count,
          COUNT(DISTINCT o.o_custkey) AS unique_customers,
-         SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
+         SUM(TRY_CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS rev_c,
          COUNT(*) AS n_lines,
          SUM(l.l_quantity) AS total_quantity,
          COUNT(DISTINCT l.l_partkey) AS unique_products
@@ -334,7 +334,7 @@ ORACLE_SQL_SEASONALITY = f"""
 WITH m AS (
   SELECT month(o_orderdate) AS month,
          CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS rev_c
   FROM orders GROUP BY 1
 )
@@ -415,7 +415,7 @@ from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
 ORACLE_SQL_DECOMPOSE = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS date,
-         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS rev_c
   FROM orders GROUP BY 1
 ),
@@ -513,7 +513,7 @@ def build_forecast_backtest(
 ORACLE_SQL_FORECAST_BACKTEST = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS date,
-         CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS rev_c
   FROM {ORDERS_CLEAN_SQL} GROUP BY 1
 ),

@@ -285,7 +285,7 @@ def hourly_partials_stream(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.expr(
-                "CAST(ROUND(value * 10000, 0) AS BIGINT)")).alias("val_fx"),
+                "TRY_CAST(ROUND(value * 10000, 0) AS BIGINT)")).alias("val_fx"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -373,16 +373,17 @@ def build_streaming_user_totals(spark: SparkSession, sf_dir: str, ctx=None) -> D
 #: exact-integer twin of the stateful stream's final per-user state
 # quarantined source: rows without an event time or identity never
 # enter the stateful stream (io.timed_events on the Spark side)
-ORACLE_SQL_USER_TOTALS = """
+from demo_etl_spark.io import EVENTS_CLEAN_SQL as _EV_CLEAN
+
+ORACLE_SQL_USER_TOTALS = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
        -- COALESCE: the stateful stream's counter initializes to 0, so a
        -- user whose only events carry NULL value reports 0, not NULL
-       CAST(COALESCE(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)), 0)
+       CAST(COALESCE(SUM(TRY_CAST(ROUND(value * 10000, 0) AS BIGINT)), 0)
             AS BIGINT) AS total_value_c,
        MAX(epoch_us(ts)) AS last_event_us
-FROM events
-WHERE ts IS NOT NULL AND user_id IS NOT NULL
+FROM {_EV_CLEAN}
 GROUP BY user_id
 """
 

@@ -113,6 +113,11 @@ HOSTILE_EVENTS = [
     (900003, "2024-01-05 11:00:00", 918, None, None, None),
     (900004, None, None, None, None, None),
     (900005, "2024-01-05 10:00:00", None, "purchase", 5.0, '{"k":3}'),
+    # non-finite measures: Spark casts NaN->0 silently, DuckDB ERRORS
+    # casting NaN/inf to BIGINT — without the finite-guard in the
+    # quarantine one bad double CRASHES every money-rounding oracle
+    (900006, "2024-01-05 12:00:00", 919, "view", float("nan"), None),
+    (900007, "2024-01-05 12:01:00", 919, "click", float("inf"), None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -120,6 +125,8 @@ HOSTILE_ORDERS = [
     (990001, None, "O", 1000.5, "2024-03-01", "1-URGENT"),
     (990002, 7, None, None, None, None),
     (990003, None, None, None, None, None),
+    (990004, 8, "O", float("nan"), "2024-03-02", "2-HIGH"),
+    (990005, 9, "O", float("inf"), "2024-03-03", "3-MEDIUM"),
 ]
 HOSTILE_LINEITEM = [
     # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
