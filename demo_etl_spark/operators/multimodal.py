@@ -88,17 +88,20 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     truncated to w·h. Pure column expressions — the synthesizer itself
     is JVM-side and shuffle-free.
 
-    ``media_id`` is a real key on BOTH engine sides: a document with
-    NULL doc_id is excluded (identity, geometry, and type all derive
-    from doc_id — a NULL id yields an all-NULL payload the strict
-    decoder rejects), and duplicate doc_ids collapse to ONE media row
+    ``media_id`` is a real key on BOTH engine sides: a document with a
+    NULL or NEGATIVE doc_id is excluded (identity, geometry, and type
+    all derive from doc_id — a NULL id yields an all-NULL payload the
+    strict decoder rejects, and a negative id makes the modular
+    geometry negative: empty rasters crash the resample and
+    ``element_at`` indexes from the array's END, r7 hostile repro), and
+    duplicate doc_ids collapse to ONE media row
     via min(sanitized text) (a media table with colliding ids is
     ill-formed; min is the deterministic pick both engines agree on).
     Both pathologies reproduced from the r7 hostile corpus — the
     driver's regenerated corpus can carry rows the pristine local
     testdata never did."""
     d = (
-        documents.filter(F.col("doc_id").isNotNull())
+        documents.filter(F.col("doc_id") >= 0)
         .groupBy("doc_id")
         .agg(
             # NULL-safe AND ASCII-safe: a null text becomes an all-space
@@ -313,7 +316,7 @@ _SANITIZE_SQL = "regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')"
 # the exact twin of synthesize_media's identity-enforcing groupBy
 _MEDIA_SRC = (
     "(SELECT doc_id, min({s}) AS text "
-    "FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)"
+    "FROM documents WHERE doc_id >= 0 GROUP BY doc_id)"
 ).format(s=_SANITIZE_SQL)
 
 _TEXT_SQL = "text"
