@@ -17,6 +17,10 @@ never does (profiled: 500 docs, 0 NULLs, 0 dup ids, 0 multi-space):
 * empty string ``text``  — split('') = [''] → 1 token in both engines
 * multi/trailing/leading spaces — split parity between engines
 * single-doc source      — window/group edge
+* NEGATIVE ``doc_id``    — modular arithmetic on the id goes negative:
+                           empty rasters, ``element_at`` indexing from
+                           the array's END, sign-of-dividend ``%``
+                           (proved to flip ``multimodal_frames``, r7)
 
 Usage::
 
@@ -70,6 +74,9 @@ ROWS = [
     (403, " ", "en", "src_d"),                       # lone space
     # src_e: single-document source
     (500, "solo", "en", "src_e"),
+    # src_g: negative doc_ids — modular geometry / element_at / % sign
+    (-5, "negative id document body", "en", "src_g"),
+    (-7, None, "en", "src_g"),                       # negative id + NULL text
     # src_f: long docs that straddle the 512-token packing cap — 200
     # tokens each so four of them cross a boundary; plus a NULL text
     # right at the straddle region to compose both pathologies
@@ -118,6 +125,8 @@ HOSTILE_EVENTS = [
     # quarantine one bad double CRASHES every money-rounding oracle
     (900006, "2024-01-05 12:00:00", 919, "view", float("nan"), None),
     (900007, "2024-01-05 12:01:00", 919, "click", float("inf"), None),
+    # negative identity keys: modular bucketing / % sign-of-dividend
+    (-900008, "2024-01-05 12:02:00", -920, "view", 1.5, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -127,6 +136,7 @@ HOSTILE_ORDERS = [
     (990003, None, None, None, None, None),
     (990004, 8, "O", float("nan"), "2024-03-02", "2-HIGH"),
     (990005, 9, "O", float("inf"), "2024-03-03", "3-MEDIUM"),
+    (-990006, -11, "O", 250.25, "2024-03-04", "4-NOT SPECIFIED"),
 ]
 HOSTILE_LINEITEM = [
     # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -159,6 +169,9 @@ HOSTILE_EMBEDDINGS = [
     (950002, [], 2),
     (None, [0.1, 0.2], None),
     (950003, [0.0, 0.0], None),
+    # negative id with a VALID modal-dim (64) vector — survives the
+    # quarantine, so negative ids flow through LSH/IVF bucketing
+    (-950004, [((i * 7) % 13 - 6) / 10.0 for i in range(64)], 3),
 ]
 
 
