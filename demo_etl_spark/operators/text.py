@@ -91,7 +91,20 @@ def text_stats(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataF
         ),
         F.col("_n_subtokens").cast("int").alias("n_subtokens"),
         F.col("_rolling_fp").alias("rolling_fp"),
-        F.md5(F.trim(F.lower(F.col("text")))).alias("fingerprint"),
+        # ASCII-only case fold via translate(): full lower() diverges
+        # across engines on Unicode case-folding traps (Java maps U+0130
+        # 'İ' to 'i'+combining-dot, utf8proc simple-maps it to 'i'), so
+        # the normalized fingerprint folds [A-Z] only — per-codepoint
+        # translate() semantics are identical in Java and DuckDB.
+        F.md5(
+            F.trim(
+                F.translate(
+                    F.col("text"),
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz",
+                )
+            )
+        ).alias("fingerprint"),
     )
 
 
@@ -156,7 +169,8 @@ ORACLE_SQL_STATS = f"""
 WITH d AS (
   SELECT doc_id, lang, source, n_chars, text,
          string_split(text, ' ') AS toks,
-         md5(trim(lower(text))) AS fingerprint
+         md5(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'))) AS fingerprint
   FROM documents
 ), e AS (
   SELECT doc_id, lang, source, n_chars, fingerprint,

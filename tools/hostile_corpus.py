@@ -77,6 +77,18 @@ ROWS = [
     # src_g: negative doc_ids — modular geometry / element_at / % sign
     (-5, "negative id document body", "en", "src_g"),
     (-7, None, "en", "src_g"),                       # negative id + NULL text
+    # src_h: non-ASCII — Java regex (Spark) vs RE2 (DuckDB) Unicode
+    # semantics, lower()/upper() folding, code-point vs byte lengths,
+    # surrogate pairs. The pristine corpus is 100% ASCII (profiled) but
+    # carries a 'zh' lang label — the driver's generator clearly COULD
+    # emit real CJK/emoji one round.
+    (700, "中文 文档 去重 测试 样本", "zh", "src_h"),          # CJK
+    (701, "emoji 🚀 rocket 🌟 star 🚀 again", "en", "src_h"),  # surrogate pairs
+    (702, "café cafe\u0301 façade", "fr", "src_h"),  # pre/decomposed accents
+    (703, "İstanbul Iık straße STRASSE", "de", "src_h"),  # case folding traps
+    (704, "tab\tseparated and\nnewline mixed", "en", "src_h"),  # non-space whitespace
+    (705, "nbsp\u00a0bound zero\u200bwidth", "en", "src_h"),    # nbsp + zero-width
+    (706, "кириллица текст ελληνικά κείμενο", "ru", "src_h"),   # Cyrillic + Greek
     # src_f: long docs that straddle the 512-token packing cap — 200
     # tokens each so four of them cross a boundary; plus a NULL text
     # right at the straddle region to compose both pathologies
