@@ -139,45 +139,21 @@ def hostile_dir(tmp_path_factory):
     return write_corpus(str(tmp_path_factory.mktemp("hostile_sf")), SF)
 
 
-#: the event/order/customer queries the r7 NULL-hostile corpus diverged
-#: before the ingest quarantine (io.timed_events/keyed_orders + the
-#: *_CLEAN_SQL oracle twins) — pinned so the class cannot return
-HOSTILE_STAR_EVENT_QUERIES = [
-    "events_session", "streaming_session", "events_daily_rollup",
-    "streaming_daily_rollup", "events_incremental_rollup",
-    "streaming_user_totals", "events_asof_join", "event_transitions",
-    "events_tumbling", "events_sliding", "session_attribution",
-    "events_hourly_anomaly", "scd2_history", "cdc_latest_state",
-    "customer_rfm", "order_cadence", "order_bookends",
-    "order_value_distribution", "shipping_sla", "incremental_join_view",
-    "revenue_forecast_backtest", "events_pivot", "data_quality_audit",
-    "quarantine_audit",
-    # embeddings-family queries the NULL/short-vector rows diverged
-    # before similarity.valid_embeddings (+ customer/part/supplier
-    # representatives that must stay green over the hostile dims)
-    "embedding_pq", "similarity_pq_topk", "similarity_ivf_topk",
-    "embedding_quantize", "similarity_topk_cosine", "embedding_dim_stats",
-    "customer_analytics", "product_analytics", "regional_sales",
-    "supplier_analytics",
-]
-
-
 def test_oracles_hold_on_hostile_corpus(hostile_dir):
+    """THE FULL REGISTRY — all ~146 queries — against the hostile corpus.
+
+    Historically this pinned only the families that had already diverged
+    (text/dedup/packing, then the NULL-hostile event/order/embedding
+    classes fixed by the io.timed_events / keyed_orders / valid_embeddings
+    ingest quarantine). The driver regenerates testdata every round, so
+    any registered query can meet NULL keys, duplicate ids, Unicode
+    case-folding traps, or negative ids next round: gate everything.
+    No query names passed = verify_oracle runs every queries() entry.
+    """
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
-         hostile_dir, *FUZZ_QUERIES],
-        capture_output=True, text=True, timeout=480, cwd=REPO,
-    )
-    tail = (out.stdout + out.stderr)[-4000:]
-    assert out.returncode == 0, tail
-    assert "PASS (0 failures)" in out.stdout, tail
-
-
-def test_oracles_hold_on_hostile_star_events(hostile_dir):
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
-         hostile_dir, *HOSTILE_STAR_EVENT_QUERIES],
-        capture_output=True, text=True, timeout=480, cwd=REPO,
+         hostile_dir],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
     )
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
