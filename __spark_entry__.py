@@ -34,6 +34,7 @@ from demo_etl_spark.operators import packing as _packing
 from demo_etl_spark.operators import product as _product
 from demo_etl_spark.operators import quality as _quality
 from demo_etl_spark.operators import similarity as _similarity
+from demo_etl_spark.operators import sketch as _sketch
 from demo_etl_spark.operators import skew as _skew
 from demo_etl_spark.operators import sql_interface as _sql
 from demo_etl_spark.operators import sql_suite as _suite
@@ -219,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events.build_funnel,
         "events_incremental_rollup": _events.build_incremental_rollup,
         "salted_order_join": _skew.build_salted_order_join,
+        "key_skew_profile": _skew.build_key_skew_profile,
+        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "corpus_train_split": _curation.build_train_split,
         "corpus_mixture_plan": _curation.build_mixture_plan,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
@@ -377,6 +380,8 @@ def oracle_sql() -> dict[str, str]:
         "events_incremental_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
         # salt is routing-only: the salted join must equal the plain join
         "salted_order_join": _bucketed.ORACLE_SQL_BUCKETED_JOIN,
+        "key_skew_profile": _skew.ORACLE_SQL_KEY_SKEW,
+        "kmv_distinct_ngrams": _sketch.ORACLE_SQL_KMV,
         "corpus_train_split": _curation.ORACLE_SQL_TRAIN_SPLIT,
         "corpus_mixture_plan": _curation.ORACLE_SQL_MIXTURE_PLAN,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,

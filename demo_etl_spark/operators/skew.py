@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demo_etl_spark.functions.fixedpoint import fixed_ratio
+
 DEFAULT_SALTS = 16
 
 
@@ -59,6 +61,82 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    orders: DataFrame, key: str = "o_custkey", top_n: int = 10
+) -> DataFrame:
+    """The diagnostic that decides WHEN to salt: per-key frequency
+    profile of a join key, returning the ``top_n`` heaviest keys with
+    the global context attached — share of total rows in basis points
+    and the skew multiple (freq ÷ mean non-null-key freq, ×100).
+
+    Reads the RAW table (audits bypass the ingest quarantine by design):
+    a NULL join key is often exactly the hot sentinel this profiler
+    exists to catch, so the NULL group competes for a top-N seat like
+    any other key. All ratio columns are integer fixed-point (exact
+    HALF_UP), hash-stable across engines.
+
+    100 TB shape: one groupBy(key) shuffle (map-side partial counts),
+    TakeOrderedAndProject for the top-N, and a 1-row global-totals
+    broadcast attach — the same documented scalar-attach pattern as the
+    other audits. Nothing scales with the number of distinct keys
+    except the groupBy itself.
+    """
+    freq = orders.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    totals = orders.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(key).alias("_nonnull_rows"),
+        F.count_distinct(F.col(key)).alias("n_keys"),
+    )
+    top = (
+        freq.orderBy(F.desc("freq"), F.asc_nulls_last("key"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        "key",
+        "freq",
+        "total_rows",
+        "n_keys",
+        fixed_ratio("freq", "greatest(total_rows, 1)", 4).alias("freq_bp"),
+        # skew multiple ×100 = freq / (nonnull_rows / n_keys) · 100
+        fixed_ratio(
+            "freq * greatest(n_keys, 1)", "greatest(_nonnull_rows, 1)", 2
+        ).alias("skew_x100"),
+    ).orderBy(F.desc("freq"), F.asc_nulls_last("key"))
+
+
+def build_key_skew_profile(spark, sf_dir, ctx=None) -> DataFrame:
+    from demo_etl_spark.io import load_star
+
+    return key_skew_profile(load_star(spark, sf_dir)["orders"])
+
+
+ORACLE_SQL_KEY_SKEW = """
+WITH freq AS (
+  SELECT o_custkey AS key, COUNT(*) AS freq
+  FROM orders GROUP BY o_custkey
+), totals AS (
+  SELECT COUNT(*) AS total_rows,
+         COUNT(o_custkey) AS nonnull_rows,
+         COUNT(DISTINCT o_custkey) AS n_keys
+  FROM orders
+), top AS (
+  SELECT key, freq FROM freq
+  ORDER BY freq DESC, key ASC NULLS LAST
+  LIMIT 10
+)
+SELECT key, freq, total_rows, n_keys,
+       CAST((freq * 10000 * 2 + GREATEST(total_rows, 1))
+            // (2 * GREATEST(total_rows, 1)) AS BIGINT) AS freq_bp,
+       CAST((freq * GREATEST(n_keys, 1) * 100 * 2 + GREATEST(nonnull_rows, 1))
+            // (2 * GREATEST(nonnull_rows, 1)) AS BIGINT) AS skew_x100
+FROM top, totals
+ORDER BY freq DESC, key ASC NULLS LAST
+"""
 
 
 def build_salted_order_join(spark, sf_dir, ctx=None) -> DataFrame:

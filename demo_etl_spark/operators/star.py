@@ -307,6 +307,12 @@ def sales_cube(
             F.grouping("nation").cast("int").alias("is_nation_total"),
             F.grouping("order_year").cast("int").alias("is_year_total"),
         )
+        # populated-cells-only guard: on a ZERO-ROW input the SQL
+        # standard (and DuckDB) emit the () grand-total row with
+        # count=0 while Spark emits nothing; every cell on non-empty
+        # input aggregates >=1 row, so this only pins the empty case
+        # (HAVING COUNT(*) > 0 in the oracle)
+        .where(F.col("n_lines") > 0)
         .select(
             "nation",
             "order_year",
@@ -352,6 +358,9 @@ def regional_rollup(
             F.grouping("region").cast("int").alias("is_region_total"),
             F.grouping("nation").cast("int").alias("is_nation_total"),
         )
+        # populated-cells-only guard (see sales_cube): pins the
+        # empty-input grand-total divergence vs the SQL standard
+        .where(F.col("n_lines") > 0)
         .select(
             "region",
             "nation",
@@ -467,6 +476,7 @@ SELECT nation, order_year,
        CAST(GROUPING(order_year) AS INTEGER) AS is_year_total
 FROM base
 GROUP BY CUBE(nation, order_year)
+HAVING COUNT(*) > 0
 """
 
 def _distribution_oracle() -> str:
@@ -545,6 +555,7 @@ SELECT region, nation,
        CAST(GROUPING(nation) AS INTEGER) AS is_nation_total
 FROM base
 GROUP BY ROLLUP(region, nation)
+HAVING COUNT(*) > 0
 """
 
 
@@ -590,6 +601,9 @@ def sales_grouping_sets(
             F.grouping("nation").cast("int").alias("is_nation_total"),
             F.grouping("order_year").cast("int").alias("is_year_total"),
         )
+        # populated-cells-only guard (see sales_cube): pins the
+        # empty-input grand-total divergence vs the SQL standard
+        .where(F.col("n_lines") > 0)
         .select(
             "region",
             "nation",
@@ -632,6 +646,7 @@ SELECT region, nation, order_year,
        CAST(GROUPING(order_year) AS INTEGER) AS is_year_total
 FROM base
 GROUP BY GROUPING SETS ((region, nation, order_year), (region), ())
+HAVING COUNT(*) > 0
 """
 
 

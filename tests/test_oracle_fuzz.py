@@ -139,6 +139,41 @@ def hostile_dir(tmp_path_factory):
     return write_corpus(str(tmp_path_factory.mktemp("hostile_sf")), SF)
 
 
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """ALL mutable fact tables empty (documents, embeddings, events,
+    orders, lineitem — schema-only parquet). This is the corpus that
+    caught the CUBE/ROLLUP/GROUPING SETS divergence: on zero input rows
+    the SQL standard (and DuckDB) emit the () grand-total row with
+    count=0 while Spark emits nothing — fixed by the both-sides
+    HAVING COUNT(*) > 0 populated-cells guard in operators/star.py.
+    Also proves no operator crashes on empty input (empty .collect()
+    fetches, divide-by-zero denominators, empty-window edge cases)."""
+    d = str(tmp_path_factory.mktemp("degenerate_sf"))
+    empty = {"documents.parquet", "embeddings.parquet", "events.parquet",
+             "orders.parquet", "lineitem.parquet"}
+    import pyarrow.parquet as pq
+    for f in glob.glob(f"{SF}/*.parquet"):
+        name = os.path.basename(f)
+        if name in empty:
+            pq.write_table(pq.read_table(f).schema.empty_table(),
+                           os.path.join(d, name))
+        else:
+            shutil.copy(f, os.path.join(d, name))
+    return d
+
+
+def test_oracles_hold_on_all_empty_corpus(degenerate_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         degenerate_dir],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
 def test_oracles_hold_on_hostile_corpus(hostile_dir):
     """THE FULL REGISTRY — all ~146 queries — against the hostile corpus.
 
