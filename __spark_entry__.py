@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": _streams.build_streaming_session,
         "streaming_dedup": _streams.build_streaming_dedup,
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
+        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "dedup_ngram_containment": _dedup.build_containment,
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _streams.ORACLE_SQL_EVENTS_IDENTITY,
         # drained stream-stream interval join must equal the batch join
         "streaming_purchase_clicks": _streams.ORACLE_SQL_PURCHASE_CLICKS,
+        "streaming_enriched_rollup": _streams.ORACLE_SQL_ENRICHED_ROLLUP,
         "cdc_latest_state": _cdc.ORACLE_SQL_LATEST_STATE,
         "scd2_history": _cdc.ORACLE_SQL_SCD2,
         "orders_merge_upsert": _cdc.ORACLE_SQL_MERGE_UPSERT,

@@ -507,3 +507,83 @@ JOIN events c
  AND c.ts > p.ts
  AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
 """
+
+
+# -------------------------------------------------- stream-static join --
+def enriched_rollup_stream(
+    events: DataFrame, customer_static: DataFrame
+) -> DataFrame:
+    """Stream-static dimension enrichment — the remaining standard
+    Structured Streaming join shape (alongside the stream-stream join in
+    ``purchase_clicks_stream``): each micro-batch equi-joins the STATIC
+    customer dimension, then aggregates a watermarked daily rollup per
+    market segment. The static side holds no streaming state at all —
+    Spark re-plans it per micro-batch, broadcast here (a dimension table
+    at 100 TB stream scale is exactly the classic broadcast-enrichment
+    pattern; the stream side never shuffles for the join).
+
+    LEFT join: stream rows whose user has no dimension row (quarantine
+    keeps non-NULL user_ids that may still be unknown — e.g. negative
+    hostile ids) land in an explicit 'UNKNOWN' segment rather than being
+    silently dropped, so event conservation is auditable downstream.
+    """
+    seg = customer_static.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    win = F.window("ts", "1 day")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .join(F.broadcast(seg), "user_id", "left")
+        .groupBy(
+            win.alias("w"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("TRY_CAST(ROUND(value * 10000, 0) AS BIGINT)")
+            ).alias("_val_c"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "segment",
+            "n_events",
+            round_div("coalesce(_val_c, 0)", "10000", 2).alias("total_value"),
+        )
+    )
+
+
+def build_streaming_enriched_rollup(
+    spark: SparkSession, sf_dir: str, ctx=None
+) -> DataFrame:
+    """Stream-static join under the correctness gate: drain the enriched
+    daily rollup (complete mode — plain watermarked agg) and hash-check
+    it against the batch join+aggregate oracle. (No exact distinct:
+    streaming aggregation rejects COUNT(DISTINCT) — the documented A5
+    substitution is approx_count_distinct, which is non-oracle-able, so
+    this rollup carries count + exact fixed-point sum only.)"""
+    from demo_etl_spark.io import load_star, timed_events
+
+    name = f"stream_enriched_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    customer = load_star(spark, sf_dir)["customer"]
+    return run_available_now(
+        enriched_rollup_stream(
+            timed_events(read_events_stream(spark, sf_dir)), customer
+        ),
+        name,
+    )
+
+
+from demo_etl_spark.functions.fixedpoint import round_div_expr as _rde
+
+ORACLE_SQL_ENRICHED_ROLLUP = f"""
+SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       {_rde("COALESCE(SUM(TRY_CAST(ROUND(e.value * 10000, 0) AS BIGINT)), 0)", "10000", 2, "duckdb")} AS total_value
+FROM (SELECT * FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND (value IS NULL OR isfinite(value))) e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
