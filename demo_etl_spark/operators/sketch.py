@@ -1,44 +1,114 @@
-"""Deterministic cardinality sketches (build-brief "novel sketch" slot).
+"""Sketch summaries (probabilistic data structures — §2.4 A5's family).
 
-``kmv_distinct`` estimates the distinct-token count per source with a
-K-minimum-values sketch — the classic bottom-k estimator (Bar-Yossef et
-al. 2002): hash every distinct value into a uniform M-sized integer
-space, keep the K smallest hashes per group, and estimate
+count-min sketch over the token stream: a fixed-size frequency summary
+built with Spark's native ``count_min_sketch`` aggregate (one pass,
+map-side partial merge — sketches are commutative monoids, so the merge
+tree is exactly a partial aggregation). The sketch is the ONE operator
+family where collect-to-driver is the design: its whole point is that a
+bounded-size (w×d counters) summary of an unbounded stream travels to
+the driver/serving layer while the data does not.
 
-    distinct ≈ (K - 1) · M / h_K        (h_K = K-th smallest hash)
+Cross-engine note: the sketch binary is Spark-specific, so this surface
+is pytest-verified against its (ε, δ) guarantees rather than
+DuckDB-oracled — the one deliberate exception to the oracle-twin rule
+(every estimate is still deterministic given the seed).
 
-Unlike HLL (Spark's ``approx_count_distinct``), KMV is *deterministic
-given the hash function*, so the identical md5-prefix hash on both
-engines makes the estimate oracle-checkable bit-for-bit — the estimator
-itself is under the cross-engine gate, not just smoke-tested. The
-output also carries the exact distinct count and the error in basis
-points, so the sketch's accuracy contract (~1/√K ≈ 12.5 % at K=64) is
-continuously measured by the driver.
-
-100 TB shape: the plan is distinct(source, token) → per-group top-K by
-hash. The distinct is the dominant (and unavoidable for the *exact*
-audit column) shuffle; the sketch side adds only a window rank over the
-already-distinct rows. A production pipeline that wants ONLY the
-estimate drops the exact column and replaces the window with a
-per-partition bottom-K (mapPartitions keep-K-smallest) merged by a
-K-way min — bounded state per partition, no distinct shuffle; the
-registered form keeps exact+estimate together because the gate derives
-its value from comparing them.
-
-Hash space: 13 hex chars of md5 → M = 16^13 = 2^52, so
-(K-1)·M ≈ 2.8e17 stays far below the 2^63 signed headroom in the
-integer-division estimator on both engines.
+``kmv_distinct`` is the deterministic counterpart: a K-minimum-values
+(bottom-K, Bar-Yossef et al. 2002) cardinality sketch whose md5 hashing
+is identical in both engines, so unlike CMS/HLL the estimator ITSELF is
+under the DuckDB oracle gate — hash every distinct value into the
+M=2^52 space, keep the K smallest per group, estimate (K-1)·M/h_K.
+Output carries the exact count and the error in basis points, so the
+~1/√K accuracy contract (12.5 % at K=64) is continuously measured.
+100 TB shape: the registered form keeps the exact-audit distinct
+shuffle; an estimate-only pipeline replaces the window with a
+per-partition bottom-K merge (bounded state, no distinct shuffle).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
+from pyspark.sql.window import Window
+
 from demo_etl_spark.functions.fixedpoint import fixed_ratio
 from demo_etl_spark.io import load_star
+
+#: defaults: ε=0.1% over-estimate bound (of total count) at 99% confidence
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+
+def token_cms(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONFIDENCE,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """One-row DataFrame: (sketch BINARY, n_tokens) over all tokens."""
+    toks = documents.select(F.explode(F.split("text", " ")).alias("token"))
+    return toks.agg(
+        F.expr(
+            f"count_min_sketch(token, {eps}d, {confidence}d, {seed})"
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def cms_estimate(spark: SparkSession, sketch: bytes, items: list[str]) -> dict[str, int]:
+    """Query a collected sketch for item frequencies (driver/serving side)."""
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch))
+    )
+    return {item: cms.estimateCount(item) for item in items}
+
+
+# ------------------------------------------------------ HLL sketches ----
+#: log2 of HLL registers: 12 → 4096 registers, ~1.6% relative standard
+#: error, 2-4 KB per sketch — the classic size/accuracy point
+HLL_LGK = 12
+
+
+def daily_user_sketches(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, lgk: int = HLL_LGK
+) -> DataFrame:
+    """One mergeable HLL sketch of distinct users per day (Apache
+    DataSketches via Spark's native ``hll_sketch_agg``), with its
+    estimate. THE scale story for distinct counts: exact
+    ``countDistinct`` needs a full shuffle of the distinct grid every
+    time a new rollup granularity is asked for, while kilobyte sketches
+    are stored once per day and re-aggregate to ANY coarser period with
+    ``hll_union_agg`` — no second pass over the events (see
+    ``merged_user_estimate``). Same mergeable-monoid contract as the
+    count-min sketch above; pytest-verified (sketch binaries are
+    engine-specific — the family's declared oracle exception)."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(lgk)).alias("user_hll"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(lgk))
+            ).alias("est_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def merged_user_estimate(daily: DataFrame) -> DataFrame:
+    """Fold the per-day sketches into one overall distinct-user estimate
+    WITHOUT touching the raw events again — the re-aggregation path a
+    rollup store serves (week/month/all-time from daily sketches)."""
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias("est_total"),
+        F.sum("n_events").alias("n_events"),
+    )
+
 
 KMV_K = 64
 _HEX = 13
