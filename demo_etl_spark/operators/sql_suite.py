@@ -454,3 +454,41 @@ build_bolt_volume_suppliers = _builder(
 
 ORACLE_SQL_SMALL_QUANTITY_REVENUE = _small_quantity_revenue_sql("duckdb")
 ORACLE_SQL_BOLT_VOLUME_SUPPLIERS = _bolt_volume_suppliers_sql("duckdb")
+
+
+# --- LATERAL correlated top-k ------------------------------------------
+# The remaining modern-SQL join shape: a correlated LATERAL subquery
+# with ORDER BY + LIMIT ("top 2 orders per BUILDING customer").
+# Catalyst DECORRELATES it — the physical plan is a partitioned window
+# top-k (WindowGroupLimit partial top-2 below the shuffle) + equi-join,
+# i.e. exactly the plan you would hand-write; nothing executes
+# per-customer. The quarantined orders subquery keeps NULL keys and
+# non-finite prices out on both engines (Spark lacks isfinite, so the
+# clean clause is spelled per dialect).
+def _lateral_order_topk_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        from demo_etl_spark.io import ORDERS_CLEAN_SQL as clean
+    else:
+        clean = (
+            "(SELECT * FROM orders "
+            "WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL "
+            "AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL "
+            "AND NOT isnan(o_totalprice) "
+            "AND abs(o_totalprice) != double('inf')) orders"
+        )
+    return f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM {clean}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) o ON true
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+build_lateral_order_topk = _builder(
+    _lateral_order_topk_sql, "customer", "orders")
+
+ORACLE_SQL_LATERAL_ORDER_TOPK = _lateral_order_topk_sql("duckdb")
