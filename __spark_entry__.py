@@ -25,7 +25,7 @@ from demo_etl_spark.operators import bucketed as _bucketed
 from demo_etl_spark.operators import cdc as _cdc
 from demo_etl_spark.operators import fingerprint as _fingerprint
 from demo_etl_spark.operators import graph as _graph
-from demo_etl_spark.operators import jsonl as _jsonl
+from demo_etl_spark.operators import formats as _formats
 from demo_etl_spark.operators import curation as _curation
 from demo_etl_spark.operators import customer as _customer
 from demo_etl_spark.operators import dedup as _dedup
@@ -253,7 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        "jsonl_roundtrip": _jsonl.build_jsonl_roundtrip,
+        "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
+        "csv_roundtrip": _formats.build_csv_roundtrip,
+        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
     }
 
 
@@ -420,5 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue_sql": _suite.ORACLE_SQL_SMALL_QUANTITY_REVENUE,
         "bolt_volume_suppliers_sql": _suite.ORACLE_SQL_BOLT_VOLUME_SUPPLIERS,
         "lateral_order_topk_sql": _suite.ORACLE_SQL_LATERAL_ORDER_TOPK,
-        "jsonl_roundtrip": _jsonl.ORACLE_SQL_JSONL_ROUNDTRIP,
+        "jsonl_roundtrip": _formats.ORACLE_SQL_JSONL_ROUNDTRIP,
+        "csv_roundtrip": _formats.ORACLE_SQL_CSV_ROUNDTRIP,
+        "partitioned_corpus_read": _formats.ORACLE_SQL_PARTITIONED_READ,
     }
