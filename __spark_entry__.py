@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
         "csv_roundtrip": _formats.build_csv_roundtrip,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
+        "schema_evolution_read": _formats.build_schema_evolution_read,
+        "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
     }
 
 
@@ -425,4 +427,6 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": _formats.ORACLE_SQL_JSONL_ROUNDTRIP,
         "csv_roundtrip": _formats.ORACLE_SQL_CSV_ROUNDTRIP,
         "partitioned_corpus_read": _formats.ORACLE_SQL_PARTITIONED_READ,
+        "schema_evolution_read": _formats.ORACLE_SQL_SCHEMA_EVOLUTION,
+        "jsonl_malformed_ingest": _formats.ORACLE_SQL_JSONL_MALFORMED,
     }

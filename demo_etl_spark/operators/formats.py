@@ -162,3 +162,128 @@ ORACLE_SQL_PARTITIONED_READ = """
 SELECT doc_id, text, lang, source, n_chars
 FROM documents WHERE lang = 'en'
 """
+
+
+# ------------------------------------------------- schema evolution -----
+def schema_evolution_read(documents: DataFrame) -> DataFrame:
+    """Corpora drift: later shards carry columns earlier shards never
+    had. Stage the corpus as two parquet shard generations — v1 with the
+    base schema, v2 with an added ``quality`` column — and read them as
+    ONE table with ``mergeSchema``: v1 rows surface quality=NULL, v2
+    rows keep their value, nothing is rewritten. This is the upgrade
+    path a 100 TB corpus actually takes (rewriting history to add a
+    column is a full-corpus write; merged-schema reads are free).
+
+    The generation split is deterministic (doc_id parity, NULL ids to
+    v1) and the v2 quality is a pure doc_id expression, so the DuckDB
+    oracle reproduces the merged result from the original table alone.
+    """
+    from pyspark.sql import functions as F
+
+    spark = documents.sparkSession
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"demo_etl_evo_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
+    )
+    base = documents.select(*_COLS)
+    is_v2 = F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    base.where(~is_v2).write.mode("overwrite").parquet(os.path.join(path, "g=1"))
+    (
+        base.where(is_v2)
+        .withColumn("quality", F.pmod(F.col("doc_id"), F.lit(100)).cast("int"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "g=2"))
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "g=1"), os.path.join(path, "g=2")
+    )
+    return merged.select(*_COLS, "quality")
+
+
+def build_schema_evolution_read(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return schema_evolution_read(load_star(spark, sf_dir)["documents"])
+
+
+ORACLE_SQL_SCHEMA_EVOLUTION = """
+SELECT doc_id, text, lang, source, n_chars,
+       -- ((x%100)+100)%100: DuckDB % is sign-of-dividend, Spark pmod is
+       -- always positive — negative even doc_ids would diverge otherwise
+       CASE WHEN doc_id IS NOT NULL AND doc_id % 2 = 0
+            THEN CAST(((doc_id % 100) + 100) % 100 AS INTEGER) END AS quality
+FROM documents
+"""
+
+
+# -------------------------------------------- malformed-line ingest -----
+#: the malformed lines staged into every ingest dir — one truncated
+#: JSON object, one non-JSON line, one wrong-type field (string doc_id
+#: that can't coerce): the three corruption classes a crawler feed ships
+_BAD_LINES = [
+    '{"doc_id": 999001, "text": "truncated',
+    "this is not json at all",
+    '{"doc_id": "not-a-number", "text": "bad type", "lang": "en",'
+    ' "source": "bad", "n_chars": 8}',
+]
+
+
+def jsonl_malformed_ingest(documents: DataFrame) -> DataFrame:
+    """PERMISSIVE-mode JSONL ingest with dead-letter accounting: the
+    corpus plus three deliberately-corrupt lines go through the schema'd
+    reader; well-formed rows pass, malformed lines surface in
+    ``_corrupt_record`` instead of failing the job (the file-ingest twin
+    of the quarantine_audit policy — never let one bad crawler line kill
+    a 100 TB load). Returns one summary row: clean vs quarantined
+    counts. The oracle knows exactly 3 lines are corrupt (the staged
+    constants), so the split itself is under the gate.
+
+    Type-coercion note: a parseable JSON object whose field can't
+    coerce ('not-a-number' doc_id) is ALSO routed to _corrupt_record by
+    PERMISSIVE mode — corruption is schema-relative, not just syntax.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = documents.sparkSession
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"demo_etl_badjsonl_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
+    )
+    write_json(documents.select(*_COLS), path)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        fh.write("\n".join(_BAD_LINES) + "\n")
+    schema = StructType(
+        list(DOCUMENTS) + [StructField("_corrupt_record", StringType())]
+    )
+    from demo_etl_spark.io import register_persist
+
+    # Spark refuses to answer queries that project ONLY the internal
+    # _corrupt_record column from a raw scan (the parser would have to
+    # re-run ambiguously); the documented contract is to materialize the
+    # parse first — which is also the real-pipeline shape, where the
+    # clean/quarantine split writes both halves from one parsed pass
+    raw = register_persist(
+        spark.read.schema(schema)
+        .options(mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+        .json(path)
+    )
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_clean"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+    )
+
+
+def build_jsonl_malformed_ingest(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return jsonl_malformed_ingest(load_star(spark, sf_dir)["documents"])
+
+
+ORACLE_SQL_JSONL_MALFORMED = f"""
+SELECT COUNT(*) + {len(_BAD_LINES)} AS n_lines,
+       COUNT(*) AS n_clean,
+       CAST({len(_BAD_LINES)} AS BIGINT) AS n_quarantined
+FROM documents
+"""
