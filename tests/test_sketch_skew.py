@@ -90,3 +90,59 @@ def test_key_skew_profile_ranks_hot_key(spark):
     assert out[1]["key"] is None and out[1]["freq"] == 3
     # remaining seats: coldest keys ascending (tie-broken by key)
     assert [r["key"] for r in out[2:]] == [100 + i for i in range(8)]
+
+
+# ---------------------------------------------- property: bit-exactness --
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_kmv(texts: list[str | None]) -> tuple[int, int]:
+    """Pure-Python replica of the engine's KMV over one source:
+    (exact_distinct_bigrams, kmv_estimate)."""
+    bigrams = set()
+    for t in texts:
+        toks = (t or "").split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a and b:
+                bigrams.add(f"{a} {b}")
+    exact = len(bigrams)
+    hs = sorted(
+        (int(hashlib.md5(g.encode()).hexdigest()[:13], 16), g)
+        for g in bigrams
+    )
+    if exact < KMV_K:
+        return exact, exact
+    h_k = hs[KMV_K - 1][0]
+    return exact, (KMV_K - 1) * (16 ** 13) // max(h_k, 1)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30),
+            min_size=0, max_size=60,
+        ).map(lambda ws: " ".join(f"w{w}" for w in ws)),
+        min_size=1, max_size=25,
+    )
+)
+def test_kmv_matches_pure_python_replica(spark, docs_texts):
+    # small random vocab (31 words) over up to 25 docs: crosses the
+    # below-K/above-K boundary across examples. The engine result must
+    # BIT-match the pure-Python replica — same md5, same integer
+    # division — not just land in an accuracy envelope.
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in enumerate(docs_texts)
+    ]
+    out = kmv_distinct(spark.createDataFrame(rows)).collect()
+    exact, est = _py_kmv(docs_texts)
+    if exact == 0:
+        assert out == []
+    else:
+        (row,) = out
+        assert (row["n_distinct_exact"], row["kmv_estimate"]) == (exact, est)
