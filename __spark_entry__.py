@@ -60,25 +60,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_ranking": _product.build_ranking,
         "time_analytics": _timeseries.build_time,
         "revenue_trend": _timeseries.build_trend,
-        "date_dim_join": _timeseries.build_date_dim_join,
         "star_join_detail": _star.build_detail,
         "sales_asset_union": _asset.build,
         "pricing_summary_sql": _sql.build,  # S10 SQL-string surface rep
         # --- dedup family ----------------------------------------------
         "dedup_exact": _dedup.build_exact,
         "dedup_minhash_lsh": _dedup.build_minhash,
-        # r7 rotation: simhash + span-scrub promoted (both NULL/dup-id
-        # hardened this round — gate evidence for the fix); the jaccard
-        # and exact-cosine variants of this already-represented family
-        # moved just below the boundary
-        "dedup_simhash": _dedup.build_simhash,
-        "dedup_span_scrub": _dedup.build_span_scrub,
         "dedup_clusters": _dedup.build_clusters,
         "dedup_embedding_ann": _similarity.build_ann_pairs,
-        "contamination_screen": _dedup.build_contamination,
+        # r8 rotation: fuzzy (levenshtein-on-candidates) verify takes its
+        # first driver seat; simhash/span-scrub/contamination (gated
+        # green r7) move just below the boundary
+        "dedup_fuzzy_verify": _dedup.build_fuzzy,
         # --- document fingerprinting (winnowing) ------------------------
         "doc_fingerprints": _fingerprint.build_fingerprints,
-        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         # --- curation ---------------------------------------------------
         "corpus_curation": _curation.build,
         # --- data-quality governance -------------------------------------
@@ -86,34 +81,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---------------------------------------------
         "text_stats": _text.build_stats,
         "lang_id": _text.build_lang_id,
-        "doc_chunks": _text.build_chunks,
-        # r7 rotation: source profile promoted (NULL-percentile
-        # hardening this round); vocab/repetition rotated just below
-        "corpus_source_profile": _text.build_source_profile,
         # --- similarity search -----------------------------------------
         "similarity_topk_cosine": _similarity.build_topk,
-        # product quantization: its own family (codebook training + ADC),
-        # promoted into the window in r4, with its ADC probe half joining
-        # in r5; the LSH/IVF ANN siblings of the already-represented
-        # similarity family moved just below the boundary (r5 rotation —
-        # every §8 family now has an in-window representative)
-        "embedding_pq": _similarity.build_pq,
         # --- multimodal -------------------------------------------------
         "multimodal_features": _multimodal.build_features_checked,
-        "multimodal_frames": _multimodal.build_frames,
         # --- training-data assembly & export ----------------------------
+        # r8: two diagnostic CANARIES bracket the 5-round packing reds
+        # (VERDICT r7 #1a) — per-doc token counts (no window) and per-doc
+        # offsets (window only): whatever the driver's corpus/engine does
+        # differently, next round's CORRECTNESS localizes the stage. The
+        # r8 root-cause fix itself is CAST discipline: every packing
+        # oracle column is now BIGINT-cast (DuckDB HUGEINT from integer
+        # SUM() downcasts to float64 on a pandas-path fetch — the only
+        # red columns in r7 were exactly the uncast HUGEINT ones).
+        "packing_tokens_canary": _packing.build_packing_tokens_canary,
+        "packing_offsets_canary": _packing.build_packing_offsets_canary,
         "sequence_packing": _packing.build_sequence_packing,
         "sequence_spans": _packing.build_sequence_spans,
         "shard_manifest": _packing.build_shard_manifest,
-        # r7 rotation: the writer stage joins the window — the whole
-        # export family is now driver-gated end to end
         "sequence_export": _packing.build_packed_sequences,
         # --- event analytics + streaming --------------------------------
         "events_session": _events.build_session,
-        # (batch daily rollup rotated below — streaming_daily_rollup
-        # shares its oracle, so the rollup semantic stays gated)
+        # r8 rotation: gap-fill (calendar densification) first seat
+        "events_gapfill": _events.build_gapfill,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        "streaming_user_totals": _streams.build_streaming_user_totals,
+        # r8 rotation: the enriched (stream-static join) rollup takes the
+        # second streaming seat from user_totals (gated green r7)
+        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         # --- CDC / mutable-table maintenance ----------------------------
         "cdc_latest_state": _cdc.build_latest_state,
         # --- graph analytics --------------------------------------------
@@ -121,34 +115,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _cdc.build_merge_upsert,
         # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
-        "event_transitions": _temporal.build_transitions,
         # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
-        # r7 rotation: RFM promoted while its rank plan is being melted
-        # to a single exact_global_rank (VERDICT r6 perf task)
         "customer_rfm": _customer.build_rfm,
         # --- tokenizer training -----------------------------------------
-        # r7 rotation: the batched variant (m disjoint merges per job —
-        # the shape you run at 32k vocab) takes the family seat from the
-        # per-merge strict-greedy loop
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         # --- association mining ----------------------------------------
         "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
-        "regional_sales": _star.build_regional,
-        # r7 rotation: §2 A7/U2's representative regains a driver seat
-        # (last driver-green r2)
         "detail_summary_union": _star.build_union,
-        # --- physical-layout lever -------------------------------------
+        # --- physical-layout / skew levers ------------------------------
         "bucketed_order_join": _bucketed.build_bucketed_join,
-        # r7 rotation: three TPC-H shapes take window seats (the 22-query
-        # suite had only local evidence)
+        # r8 rotation: the skew pair and the KMV sketch take first seats
+        "salted_order_join": _skew.build_salted_order_join,
+        "key_skew_profile": _skew.build_key_skew_profile,
+        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
+        # --- TPC-H SQL suite --------------------------------------------
         "shipping_priority_sql": _sql.build_shipping_priority,
         "nation_market_share_sql": _suite.build_nation_market_share,
         "top_supplier_sql": _suite.build_top_supplier,
+        # r8 rotation: four never-gated TPC-H shapes take window seats
+        "last_shipment_sql": _suite.build_last_shipment,
+        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
         # ================= driver window boundary (50) =================
-        # variants of families already covered above (r7 rotation moved
+        # variants of families already covered above (rotation moves
         # these just below the line — all stay oracle-verified locally)
+        "date_dim_join": _timeseries.build_date_dim_join,
+        "dedup_simhash": _dedup.build_simhash,
+        "dedup_span_scrub": _dedup.build_span_scrub,
+        "contamination_screen": _dedup.build_contamination,
+        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
+        "doc_chunks": _text.build_chunks,
+        "corpus_source_profile": _text.build_source_profile,
+        "embedding_pq": _similarity.build_pq,
+        "multimodal_frames": _multimodal.build_frames,
+        "streaming_user_totals": _streams.build_streaming_user_totals,
+        "event_transitions": _temporal.build_transitions,
+        "regional_sales": _star.build_regional,
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_embedding_cosine": _similarity.build_near_dup,
         "vocab_topk": _text.build_vocab,
@@ -173,7 +178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _text.build_pmi_collocations,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
-        "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "dedup_keep_best": _curation.build_keep_best,
         # new in r5: per-column statistics profile (ANALYZE surface)
         "orders_profile": _quality.build_orders_profile,
@@ -214,20 +218,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": _streams.build_streaming_session,
         "streaming_dedup": _streams.build_streaming_dedup,
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
-        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "dedup_ngram_containment": _dedup.build_containment,
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "corpus_sample": _curation.build_sample,
         "events_funnel": _events.build_funnel,
         "events_incremental_rollup": _events.build_incremental_rollup,
-        "salted_order_join": _skew.build_salted_order_join,
-        "key_skew_profile": _skew.build_key_skew_profile,
-        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "corpus_train_split": _curation.build_train_split,
         "corpus_mixture_plan": _curation.build_mixture_plan,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
-        "events_gapfill": _events.build_gapfill,
         "events_lateness_audit": _events.build_lateness_audit,
         "text_noise_scan": _text.build_noise_scan,
         "events_unpivot": _events.build_unpivot,
@@ -244,15 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit_sql": _suite.build_product_profit,
         "important_parts_sql": _suite.build_important_parts,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
-        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
-        "last_shipment_sql": _suite.build_last_shipment,
-        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "idle_customers_sql": _suite.build_idle_customers,
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
-        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
         "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
         "csv_roundtrip": _formats.build_csv_roundtrip,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
@@ -304,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
+        "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,
+        "packing_offsets_canary": _packing.ORACLE_SQL_OFFSETS_CANARY,
         "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,

@@ -75,16 +75,22 @@ def exact_global_rank(
     # regenerated corpus) silently shifts every rank in one engine only
     # (proven on shard_manifest, r7 hostile-corpus repro). desc already
     # defaults NULLS LAST in both engines; made explicit anyway.
+    # NULL value_col rows: the bucket arithmetic yields a NULL pid, and
+    # an un-coalesced pid would silently DROP those rows at the inner
+    # offset join while _egr_n still counts them (ADVICE r7). Coalesce
+    # to bucket ``n_buckets`` — past every value bucket — so NULL-value
+    # rows rank LAST, consistent with the NULLS LAST ordering contract
+    # and with exact_grouped_rank, which already does this.
     if ascending:
         pid = (
-            f"(({value_col} - _egr_lo) * {n_buckets})"
-            f" div (_egr_hi - _egr_lo + 1)"
+            f"coalesce((({value_col} - _egr_lo) * {n_buckets})"
+            f" div (_egr_hi - _egr_lo + 1), {n_buckets})"
         )
         order = [F.asc_nulls_last(value_col)]
     else:
         pid = (
-            f"((_egr_hi - {value_col}) * {n_buckets})"
-            f" div (_egr_hi - _egr_lo + 1)"
+            f"coalesce(((_egr_hi - {value_col}) * {n_buckets})"
+            f" div (_egr_hi - _egr_lo + 1), {n_buckets})"
         )
         order = [F.desc_nulls_last(value_col)]
     order += [F.asc_nulls_last(c) for c in tiebreak]

@@ -118,6 +118,23 @@ def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -
     return customer_analytics(t["lineitem"], t["orders"], t["customer"], ctx)
 
 
+def build_approx(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """A5's documented 100 TB swap, made EXECUTABLE and registered
+    (VERDICT r7 #6): ``customer_analytics`` with ``approx_count_distinct``
+    (HLL++, default rsd 5 %) replacing both exact countDistincts — the
+    distinct grid no longer expands the aggregation buffer, so the
+    per-customer agg stays one map-side-combinable shuffle at any scale.
+    Driver check is rows-only (sketch estimates are engine-specific —
+    the sketch family's declared oracle exception); the error envelope
+    vs the exact build is pinned by tests/test_approx.py."""
+    t = load_star(spark, sf_dir)
+    return customer_analytics(
+        t["lineitem"], t["orders"], t["customer"], ctx, exact_distinct=False
+    )
+
+
 def _oracle(scale_anchor: str = "DATE '2002-01-01'") -> str:
     rd = lambda n, d, s: round_div_expr(n, d, s, "duckdb")  # noqa: E731
     return f"""

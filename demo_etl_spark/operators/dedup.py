@@ -473,6 +473,7 @@ def dedup_clusters(
     max_df: int | None = MAX_SHINGLE_DF,
     max_iterations: int = 20,
     index: DataFrame | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected-component labels over the near-dup pair graph.
 
@@ -595,8 +596,11 @@ def dedup_clusters(
             "a component's diameter exceeds the bound; raise max_iterations"
         )
     # diagnostic for tests/PERF_NOTES: rounds actually used (incl. the
-    # final no-change round that proves the fixpoint)
-    dedup_clusters.last_rounds = rounds
+    # final no-change round that proves the fixpoint), reported through
+    # the caller-owned dict — not a function attribute, which would race
+    # under concurrent callers and go stale if the loop raised
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     return (
         labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", "cluster_id", "is_canonical")

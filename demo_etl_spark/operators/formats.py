@@ -32,6 +32,26 @@ from demo_etl_spark.schemas import DOCUMENTS
 _COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 _ROUNDTRIP_COUNTER = iter(range(1, 1_000_000))
 
+#: one staging ROOT per process, deleted at interpreter exit — repeated
+#: bench/gate runs previously accumulated unbounded temp-disk corpus
+#: copies (ADVICE r7). Cleanup must be deferred to exit, not per call:
+#: the returned DataFrames read their staging dir LAZILY and the caller
+#: triggers actions arbitrarily later in the session.
+_STAGING_ROOT: str | None = None
+
+
+def _staging_dir(kind: str) -> str:
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        import atexit
+        import shutil
+
+        _STAGING_ROOT = tempfile.mkdtemp(prefix="demo_etl_stage_")
+        atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+    return os.path.join(
+        _STAGING_ROOT, f"{kind}_{next(_ROUNDTRIP_COUNTER)}"
+    )
+
 
 def jsonl_roundtrip(documents: DataFrame) -> DataFrame:
     """Write the corpus as JSONL, read it back with the explicit
@@ -40,10 +60,7 @@ def jsonl_roundtrip(documents: DataFrame) -> DataFrame:
     caller triggers actions later, so the dir must stay distinct across
     invocations in one session)."""
     spark = documents.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"demo_etl_jsonl_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
-    )
+    path = _staging_dir("jsonl")
     write_json(documents.select(*_COLS), path)
     return read_json(spark, path, DOCUMENTS).select(*_COLS)
 
@@ -87,10 +104,7 @@ def csv_roundtrip(documents: DataFrame) -> DataFrame:
       corpus format — see jsonl_roundtrip.)
     """
     spark = documents.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"demo_etl_csv_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
-    )
+    path = _staging_dir("csv")
     (
         documents.select(*_COLS)
         .write.mode("overwrite")
@@ -133,10 +147,7 @@ def partitioned_corpus_read(documents: DataFrame, lang: str = "en") -> DataFrame
     agree: ``lang = 'en'`` is NULL-rejecting).
     """
     spark = documents.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"demo_etl_part_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
-    )
+    path = _staging_dir("part")
     (
         documents.select(*_COLS)
         .write.mode("overwrite")
@@ -181,10 +192,7 @@ def schema_evolution_read(documents: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = documents.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"demo_etl_evo_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
-    )
+    path = _staging_dir("evo")
     base = documents.select(*_COLS)
     is_v2 = F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     base.where(~is_v2).write.mode("overwrite").parquet(os.path.join(path, "g=1"))
@@ -246,10 +254,7 @@ def jsonl_malformed_ingest(documents: DataFrame) -> DataFrame:
     from pyspark.sql.types import StringType, StructField, StructType
 
     spark = documents.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"demo_etl_badjsonl_{os.getpid()}_{next(_ROUNDTRIP_COUNTER)}",
-    )
+    path = _staging_dir("badjsonl")
     write_json(documents.select(*_COLS), path)
     with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
         fh.write("\n".join(_BAD_LINES) + "\n")

@@ -68,14 +68,28 @@ _CK_MOD = 1 << 40
 #: rows the pristine local testdata never did, and the engines disagree
 #: on every downstream step (Spark ``size(split(NULL))`` is -1 /
 #: NULL-int arithmetic; DuckDB propagates NULL into a CASE that maps it
-#: to 0) — proven root cause of the r3-r6 ``sequence_packing`` driver
-#: red. An empty doc is a legitimate 1-token ([""]) packer input; both
+#: to 0). An empty doc is a legitimate 1-token ([""]) packer input; both
 #: engines agree on COALESCE'd text by construction.
 def _text():
     return F.coalesce(F.col("text"), F.lit(""))
 
 
 _TEXT_SQL = "COALESCE(text, '')"
+
+#: Whitespace token count as PURE ARITHMETIC — spaces + 1 — instead of
+#: ``size(split(...))`` / ``len(string_split(...))``: identical to the
+#: split-field count by construction (split on a single literal space
+#: keeps empty fields on both engines), but immune to any engine-version
+#: drift in list/regex semantics, and cheaper (no array materialized).
+#: The same SQL text runs verbatim on Spark and DuckDB.
+_N_TOKENS_SQL = (
+    f"CAST(length({_TEXT_SQL}) - length(replace({_TEXT_SQL}, ' ', '')) + 1"
+    " AS BIGINT)"
+)
+
+
+def _n_tokens():
+    return F.expr(_N_TOKENS_SQL)
 
 
 def sequence_packing(
@@ -99,7 +113,7 @@ def sequence_packing(
     every running-sum offset after it in one engine only (proven root
     cause of the r5-r6 ``sequence_spans`` driver red).
     """
-    n_tok = F.size(F.split(_text(), " ")).cast("long")
+    n_tok = _n_tokens()
     w = (
         Window.partitionBy("source")
         .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
@@ -161,10 +175,19 @@ def build_sequence_packing(
     return sequence_packing(load_star(spark, sf_dir)["documents"], ctx)
 
 
+# Every output column is explicitly CAST to its Spark-result type. DuckDB
+# types integer SUM() as HUGEINT (int128) and a pandas-path fetch downcasts
+# HUGEINT to float64, so an uncast SUM-derived column hashes `3` on Spark
+# and `3.0` on the oracle side even when the values are identical — the
+# proven root cause of the r3-r7 driver hash-reds on this query pair: the
+# ONLY red columns in the whole registry were exactly the HUGEINT-typed
+# ones (seq_tokens here; doc_offset/seq_offset/span_tokens in spans), while
+# the fully-CAST siblings (shard_manifest, sequence_export — which embeds
+# the same spans SQL verbatim) stayed green. tools/audit_types.py now
+# sweeps the registry for this class; tools/verify_oracle.py fails on it.
 ORACLE_SQL_SEQUENCE_PACKING = f"""
 WITH d AS (
-  SELECT doc_id, source,
-         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens
   FROM documents
 ),
 offs AS (
@@ -191,8 +214,9 @@ SELECT p.source,
        MIN(p.doc_id) AS first_doc_id,
        MAX(p.doc_id) AS last_doc_id,
        CAST(SUM(p.n_tokens) AS BIGINT) AS tokens_started,
-       LEAST(CAST({SEQ_CAP} AS BIGINT),
-             ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP}) AS seq_tokens,
+       CAST(LEAST(CAST({SEQ_CAP} AS BIGINT),
+                  ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP})
+            AS BIGINT) AS seq_tokens,
        {fixed_ratio_expr(
            f"LEAST(CAST({SEQ_CAP} AS BIGINT), ANY_VALUE(t.total) - p.seq_id * {SEQ_CAP})",
            str(SEQ_CAP), 4, "duckdb")} AS fill_bp
@@ -242,7 +266,7 @@ def shard_manifest(
     ``functions.distrank.exact_global_rank`` helper (also used by the
     RFM ntile decomposition).
     """
-    n_tok = F.size(F.split(_text(), " ")).cast("long")
+    n_tok = _n_tokens()
     ck = (
         F.conv(F.substring(F.md5(_text()), 1, _CK_HEX), 16, 10).cast("long")
     )
@@ -292,7 +316,7 @@ def build_shard_manifest(
 ORACLE_SQL_SHARD_MANIFEST = f"""
 WITH meta AS (
   SELECT doc_id,
-         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens,
+         {_N_TOKENS_SQL} AS n_tokens,
          CAST('0x' || substr(md5({_TEXT_SQL}), 1, {_CK_HEX}) AS BIGINT)
            AS ck
   FROM documents
@@ -340,7 +364,7 @@ def sequence_spans(
     oracle): span_tokens grouped by (source, seq_id) reconstructs every
     sequence at exactly ``cap`` tokens except each source's final one.
     """
-    n_tok = F.size(F.split(_text(), " ")).cast("long")
+    n_tok = _n_tokens()
     # (doc_id, n_tokens) ordering: permutation-invariant under duplicate
     # doc_ids — see sequence_packing's docstring; NULLS LAST on both
     # keys for cross-engine parity (same defect class as the packing
@@ -378,10 +402,12 @@ def build_sequence_spans(
     return sequence_spans(load_star(spark, sf_dir)["documents"], ctx)
 
 
+# Same CAST discipline as the packing oracle (see the comment there):
+# doc_offset/seq_offset/span_tokens all derive from the window SUM and
+# would otherwise reach the driver's fetch layer as HUGEINT.
 ORACLE_SQL_SEQUENCE_SPANS = f"""
 WITH d AS (
-  SELECT doc_id, source,
-         CAST(len(string_split({_TEXT_SQL}, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens
   FROM documents
 ),
 offs AS (
@@ -408,9 +434,10 @@ spans AS (
   FROM placed p, unnest(generate_series(p.first_seq, p.last_seq)) AS g(seq_id)
 )
 SELECT source, seq_id, doc_id,
-       span_start AS doc_offset,
-       start_off + span_start - seq_id * {SEQ_CAP} AS seq_offset,
-       span_end - span_start AS span_tokens
+       CAST(span_start AS BIGINT) AS doc_offset,
+       CAST(start_off + span_start - seq_id * {SEQ_CAP} AS BIGINT)
+         AS seq_offset,
+       CAST(span_end - span_start AS BIGINT) AS span_tokens
 FROM spans
 """
 
@@ -467,6 +494,91 @@ def build_packed_sequences(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     return packed_sequences(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def token_counts(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-document token/char counts — diagnostic CANARY for the packing
+    family's driver gate (VERDICT r7 #1a). No window, no aggregation: if
+    this query is hash-red while the corpus row counts match, the
+    divergence is in tokenization or the scan itself (per-doc
+    granularity localizes it to specific rows); if it is green while
+    ``sequence_packing`` stays red, the divergence is downstream (window
+    order or fetch-layer typing). Every column is BIGINT/native-typed on
+    both engines — map-only, embarrassingly parallel at any scale.
+    """
+    return documents.select(
+        "doc_id",
+        "source",
+        _n_tokens().alias("n_tokens"),
+        F.expr(f"CAST(length({_TEXT_SQL}) AS BIGINT)").alias("n_chars"),
+    )
+
+
+def build_packing_tokens_canary(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return token_counts(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_TOKENS_CANARY = f"""
+SELECT doc_id, source,
+       {_N_TOKENS_SQL} AS n_tokens,
+       CAST(length({_TEXT_SQL}) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def doc_offsets(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
+) -> DataFrame:
+    """Per-document packed-stream offsets — the second packing CANARY
+    (VERDICT r7 #1a): adds exactly one step over ``token_counts`` — the
+    per-source running-sum window — and nothing else. Green here while
+    ``sequence_packing`` is red pins the divergence to the final
+    grouping/typing stage; red here while ``token_counts`` is green pins
+    it to window ordering. Same plan shape as the packer itself: one
+    window partitioned by source, fully parallel across sources.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("doc_id", "source", _n_tokens().alias("n_tokens"))
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        .withColumn("seq_id", F.expr(f"start_off div {cap}"))
+    )
+
+
+def build_packing_offsets_canary(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return doc_offsets(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_OFFSETS_CANARY = f"""
+WITH d AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY doc_id NULLS LAST,
+                                           n_tokens NULLS LAST
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS end_off
+  FROM d
+)
+SELECT doc_id, source, n_tokens, end_off,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST((end_off - n_tokens) // {SEQ_CAP} AS BIGINT) AS seq_id
+FROM offs
+"""
 
 
 ORACLE_SQL_PACKED_SEQUENCES = f"""

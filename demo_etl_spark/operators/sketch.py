@@ -20,9 +20,10 @@ under the DuckDB oracle gate — hash every distinct value into the
 M=2^52 space, keep the K smallest per group, estimate (K-1)·M/h_K.
 Output carries the exact count and the error in basis points, so the
 ~1/√K accuracy contract (12.5 % at K=64) is continuously measured.
-100 TB shape: the registered form keeps the exact-audit distinct
-shuffle; an estimate-only pipeline replaces the window with a
-per-partition bottom-K merge (bounded state, no distinct shuffle).
+100 TB shape: h_K comes from a two-level bottom-K merge (no per-source
+global sort — see kmv_distinct); the remaining corpus-sized stage is
+the exact-audit distinct shuffle, which an estimate-only pipeline
+drops by merging per-partition bottom-Ks directly (bounded state).
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from pyspark.sql.window import Window
 
 from demo_etl_spark.functions.fixedpoint import fixed_ratio
 from demo_etl_spark.io import load_star
@@ -114,6 +114,12 @@ KMV_K = 64
 _HEX = 13
 _M = 16**_HEX  # 2^52
 
+#: level-1 buckets of the bottom-K merge — sizes the parallelism of the
+#: per-source scan; any value ≥1 yields the identical h_K (the global
+#: bottom-K is the bottom-K of bucket bottom-Ks). A cluster run sets
+#: this to its per-source parallelism target.
+KMV_BUCKETS = 32
+
 
 def kmv_distinct(
     documents: DataFrame, k: int = KMV_K, ctx: RunContext = DEFAULT_CONTEXT
@@ -128,8 +134,17 @@ def kmv_distinct(
 
     Hostile-corpus rules: NULL text is coalesced to '' before split;
     bigrams touching an empty token (whitespace runs / empty docs) are
-    dropped on both engine sides; the row_number tie-break includes the
-    bigram itself so 52-bit hash collisions stay deterministic.
+    dropped on both engine sides; the (h, token) ordering keeps 52-bit
+    hash collisions deterministic.
+
+    h_K is found WITHOUT a per-source global sort (the r7-ADVICE shape:
+    ``row_number over (PARTITION BY source)`` funnels each source's full
+    distinct-bigram set through one task): a two-level bottom-K merge —
+    level 1 keeps the K smallest (h, token) per (source, h mod B) bucket
+    in parallel, level 2 merges B arrays of ≤K values per source
+    (bounded state: B·K structs) and reads the K-th. Identical result to
+    the oracle's row_number spec by construction: the global bottom-K is
+    the bottom-K of the buckets' bottom-Ks.
     """
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     bigrams = F.zip_with(
@@ -150,13 +165,23 @@ def kmv_distinct(
             F.conv(F.substring(F.md5("token"), 1, _HEX), 16, 10).cast("long"),
         )
     )
-    w = Window.partitionBy("source").orderBy(
-        F.asc("h"), F.asc("token")
+    lvl1 = dt.groupBy(
+        "source", F.pmod(F.col("h"), F.lit(KMV_BUCKETS)).alias("_b")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h", "token"))), 1, k
+        ).alias("_bot"),
     )
-    ranked = dt.withColumn("rn", F.row_number().over(w))
-    stats = ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_distinct_exact"),
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_h_k"),
+    stats = lvl1.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_distinct_exact"),
+        # K-th smallest hash across the merged bucket minima; F.get is
+        # NULL past the end (sources with < K distinct bigrams), which
+        # routes the estimate to the exact count below — element_at
+        # would ERROR there under ANSI mode
+        F.get(F.array_sort(F.flatten(F.collect_list("_bot"))), k - 1)
+        .getField("h")
+        .alias("_h_k"),
     )
     est = F.when(F.col("_h_k").isNull(), F.col("n_distinct_exact")).otherwise(
         F.expr(f"CAST({k - 1} AS BIGINT) * {_M} div greatest(_h_k, 1)")

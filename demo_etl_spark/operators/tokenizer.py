@@ -285,8 +285,10 @@ ORACLE_SQL_BPE_ENCODE = _bpe_encode_oracle()
 # literal replaces.
 #
 # Round-trip cost: R merges cost R/m pair-count jobs + R/m checkpoints
-# (the expensive vocab-wide work) + R trivial argmax probes against the
-# round's persisted pair-count table. Batched selection is the standard
+# (the expensive vocab-wide work) + R/m top-N probes (ONE
+# TakeOrderedAndProject per round selects all m disjoint merges; the
+# greedy scan over the ordered prefix is provably identical to m
+# sequential argmax-with-exclusion jobs). Batched selection is the standard
 # approximation — it can diverge from strict greedy when a merge's
 # byproduct pair would have out-ranked the round's k-th pick; strict
 # greedy remains ``bpe_merges``.
@@ -334,24 +336,41 @@ def bpe_merges_batched(
             .agg(F.sum("freq").alias("pair_count"))
             .persist()
         )
+        # m disjoint merges from ONE top-N job (VERDICT r7 #5; was m
+        # sequential filtered LIMIT-1 jobs — driver round-trips, not
+        # data volume). Greedy scan of the globally-ordered pair list,
+        # skipping symbol conflicts, selects EXACTLY the pairs the
+        # sequential argmax-with-exclusion loop would (the next
+        # sequential pick is always the highest-ranked non-conflicting
+        # pair, which the scan meets in the same order). If conflicts
+        # exhaust the collected prefix before m picks, escalate N —
+        # the deterministic total order makes the re-collected prefix
+        # identical, so the scan just resumes.
         selected: list[tuple[str, str]] = []
         used: set[str] = set()
-        for j in range(1, m + 1):
-            cand = pairs
-            if used:
-                u = sorted(used)
-                cand = pairs.filter(
-                    ~F.col("lhs").isin(u) & ~F.col("rhs").isin(u)
-                )
-            row = cand.orderBy(
-                F.desc("pair_count"), "lhs", "rhs"
-            ).limit(1).collect()
-            if not row:
-                break
-            lhs, rhs, cnt = row[0]["lhs"], row[0]["rhs"], row[0]["pair_count"]
+        n_take = 4 * m
+        rows = pairs.orderBy(
+            F.desc("pair_count"), "lhs", "rhs"
+        ).limit(n_take).collect()
+        exhausted = len(rows) < n_take
+        i = 0
+        while len(selected) < m:
+            if i == len(rows):
+                if exhausted:
+                    break
+                n_take *= 4
+                rows = pairs.orderBy(
+                    F.desc("pair_count"), "lhs", "rhs"
+                ).limit(n_take).collect()
+                exhausted = len(rows) < n_take
+                continue
+            lhs, rhs, cnt = rows[i]["lhs"], rows[i]["rhs"], rows[i]["pair_count"]
+            i += 1
+            if lhs in used or rhs in used:
+                continue
             selected.append((lhs, rhs))
             used |= {lhs, rhs}
-            out.append((r, j, lhs, rhs, lhs + rhs, cnt))
+            out.append((r, len(selected), lhs, rhs, lhs + rhs, cnt))
         pairs.unpersist()
         if not selected:
             break

@@ -217,11 +217,12 @@ def test_chained_dup_corpus_converges_fast(spark):
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long",
     )
-    labels = D.dedup_clusters(docs)
+    stats: dict = {}
+    labels = D.dedup_clusters(docs, stats_out=stats)
     got = {(r.doc_id, r.cluster_id, r.is_canonical) for r in labels.collect()}
 
-    assert D.dedup_clusters.last_rounds <= 8, (
-        f"pointer jumping regressed: {D.dedup_clusters.last_rounds} rounds"
+    assert stats["rounds"] <= 8, (
+        f"pointer jumping regressed: {stats['rounds']} rounds"
     )
     chain = {r for r in got if r[0] < 2000}
     assert len(chain) == n_docs

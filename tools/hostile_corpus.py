@@ -89,6 +89,18 @@ ROWS = [
     (704, "tab\tseparated and\nnewline mixed", "en", "src_h"),  # non-space whitespace
     (705, "nbsp\u00a0bound zero\u200bwidth", "en", "src_h"),    # nbsp + zero-width
     (706, "кириллица текст ελληνικά κείμενο", "ru", "src_h"),   # Cyrillic + Greek
+    # NULL source (VERDICT r7 #3 — the one untested key axis of the
+    # packing family): forms its own window partition on both engines,
+    # and is dropped by sequence_packing's null-unsafe totals join on
+    # both engines. Composed with NULL doc_id and NULL text so every
+    # pairwise pathology combination on the packing key space exists.
+    (800, "null source doc body here", "en", None),
+    (801, "second null source doc", "en", None),
+    (None, "null source and null id", "en", None),
+    (802, None, "en", None),
+    # embedded NUL byte: parquet strings may carry \x00 — an engine that
+    # truncated at NUL would shift every downstream token/char count
+    (803, "before\x00after nul byte", "en", "src_i"),
     # src_f: long docs that straddle the 512-token packing cap — 200
     # tokens each so four of them cross a boundary; plus a NULL text
     # right at the straddle region to compose both pathologies

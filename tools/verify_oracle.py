@@ -38,6 +38,41 @@ def _norm(v):
     return str(v)
 
 
+#: DuckDB types that a pandas-path fetch (the driver's, unlike this
+#: mirror's exact ``fetchall``) degrades: HUGEINT/UBIGINT -> float64,
+#: DECIMAL -> object/float. A column Spark emits as int64 then hashes
+#: `3` vs `3.0` even when values are identical — the proven root cause
+#: of the r3-r7 sequence_packing/sequence_spans driver reds (the only
+#: red columns in the registry were exactly the HUGEINT-typed ones).
+#: fetchall() masks the class, so we fail on the TYPE, not the value.
+_FETCH_FRAGILE = {"HUGEINT", "UBIGINT", "UINTEGER", "DECIMAL"}
+
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_INTEGRAL_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def type_parity_errors(sdf, rel) -> list[str]:
+    """Hard physical-type mismatches between a Spark result schema and a
+    DuckDB relation: fetch-fragile duck types, and int-vs-float flips in
+    either direction. Width (int vs BIGINT) and timestamp-flavor
+    differences are driver-proven benign (doc_chunks, events_session
+    gated green with them) and are not reported."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    dtypes = dict(zip(rel.columns, [str(t).split("(")[0] for t in rel.types]))
+    errs = []
+    for col, st in stypes.items():
+        dt = dtypes.get(col)
+        if dt is None:
+            continue  # column-name mismatch is reported separately
+        if dt in _FETCH_FRAGILE:
+            errs.append(f"{col}: duck {dt} (fetch-fragile) vs spark {st}")
+        elif dt in ("DOUBLE", "FLOAT") and st in _INTEGRAL_SPARK:
+            errs.append(f"{col}: duck {dt} vs spark {st}")
+        elif dt in _INTEGRAL_DUCK and st in ("double", "float"):
+            errs.append(f"{col}: duck {dt} vs spark {st}")
+    return errs
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -84,15 +119,21 @@ def main() -> int:
             continue
         rel = con.sql(oracles[name])
         ocols = rel.columns
+        type_errs = type_parity_errors(sdf, rel)
         orows = rel.fetchall()
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         sh = value_hash(scols, srows)
         oh = value_hash(ocols, orows)
         ok_hash = sh == oh
-        status = "OK " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        ok = ok_count and ok_cols and ok_hash and not type_errs
+        status = "OK " if ok else "FAIL"
         print(f"  {name:32s} {status} rows={len(srows)}/{len(orows)} "
               f"hash={'=' if ok_hash else f'{sh}!={oh}'} [{spark_s:.1f}s]")
+        if type_errs:
+            failures += 1
+            for e in type_errs:
+                print(f"    type-parity: {e}")
         if not ok_cols:
             print(f"    spark cols:  {sorted(scols)}")
             print(f"    oracle cols: {sorted(ocols)}")
