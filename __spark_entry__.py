@@ -118,10 +118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
         "customer_rfm": _customer.build_rfm,
+        # r8: A5's documented 100 TB swap made executable — HLL++
+        # approx_count_distinct twin of customer_analytics. No oracle
+        # (sketch estimates are engine-specific: the sketch family's
+        # declared exception), so the driver records the weaker
+        # rows-only check; the 5%-rsd error envelope vs the exact build
+        # is pinned by tests/test_approx.py. brand_affinity (gated green
+        # r5-r7) cedes the seat.
+        "customer_analytics_approx": _customer.build_approx,
         # --- tokenizer training -----------------------------------------
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
-        # --- association mining ----------------------------------------
-        "brand_affinity": _product.build_brand_affinity,
         # --- star extensions -------------------------------------------
         "detail_summary_union": _star.build_union,
         # --- physical-layout / skew levers ------------------------------
@@ -149,6 +155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "doc_chunks": _text.build_chunks,
         "corpus_source_profile": _text.build_source_profile,
+        # approx-percentile twin (rows-only: sketch state is
+        # engine-specific; bounds pinned by tests/test_approx.py)
+        "source_profile_approx": _text.build_source_profile_approx,
+        "brand_affinity": _product.build_brand_affinity,
+        # r8: packing-order knob study (straddle cost of arrival vs
+        # length-sorted concat-and-chop; seq count is order-invariant)
+        "packing_policy_compare": _packing.build_packing_policy_compare,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
         "streaming_user_totals": _streams.build_streaming_user_totals,
@@ -299,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
+        "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,
         "packing_offsets_canary": _packing.ORACLE_SQL_OFFSETS_CANARY,
         "sequence_packing": _packing.ORACLE_SQL_SEQUENCE_PACKING,

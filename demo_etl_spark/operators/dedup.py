@@ -903,7 +903,7 @@ def build_fuzzy(
 ORACLE_SQL_FUZZY = f"""
 WITH pairs AS ({{minhash}})
 SELECT p.doc_a, p.doc_b,
-       levenshtein(da.text, db.text) AS edit_distance,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_distance,
        {round_div_expr(
            "CAST((greatest(length(da.text), length(db.text))"
            " - levenshtein(da.text, db.text)) AS BIGINT)",

@@ -496,6 +496,140 @@ def build_packed_sequences(
     return packed_sequences(load_star(spark, sf_dir)["documents"], ctx)
 
 
+#: the three packing orders a real assembly pipeline chooses between
+_POLICIES = (
+    # arrival order — reproducible, zero extra cost, worst straddle
+    ("arrival", ["doc_id", "n_tokens"]),
+    # length-ascending — groups short docs into shared sequences
+    ("length_asc", ["n_tokens", "doc_id"]),
+    # length-descending — big docs first, tail packs the remainder
+    ("length_desc", ["-n_tokens", "doc_id"]),
+)
+
+
+def packing_policy_compare(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
+) -> DataFrame:
+    """Straddle cost of three packing ORDERS, one row per (source,
+    policy) — the knob study behind ``sequence_packing``: concat-and-chop
+    fills every sequence completely, so the sequence count is
+    order-INVARIANT (ceil(total/cap)); what the order buys is fewer
+    boundary-straddling documents (a straddled doc is either split
+    across samples or cross-attention-masked — both cost training
+    signal). Length-sorted orders cluster same-size docs so boundaries
+    fall between docs more often; the report quantifies that in basis
+    points per source.
+
+    Plan: three windows over ONE scan of the doc metadata (each
+    partitioned by source — parallel, no global sort), unioned; the
+    same-key groupBy follows each window. All-integer output.
+    """
+    n_tok = _n_tokens()
+    meta = documents.select("doc_id", "source", n_tok.alias("n_tokens"))
+    legs = []
+    for policy, keys in _POLICIES:
+        order = [
+            F.desc_nulls_last(k[1:]) if k.startswith("-")
+            else F.asc_nulls_last(k)
+            for k in keys
+        ]
+        w = (
+            Window.partitionBy("source")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        placed = (
+            meta.withColumn("end_off", F.sum("n_tokens").over(w))
+            .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+            .withColumn(
+                "straddle",
+                (
+                    F.expr(f"(end_off - 1) div {cap}")
+                    > F.expr(f"start_off div {cap}")
+                ).cast("long"),
+            )
+        )
+        legs.append(
+            placed.groupBy("source").agg(
+                F.lit(policy).alias("policy"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                # every sequence is filled to cap except the last —
+                # ceil(total/cap), identical across policies
+                F.expr(f"(sum(n_tokens) + {cap} - 1) div {cap}")
+                .alias("n_seqs"),
+                F.sum("straddle").alias("n_straddle"),
+                fixed_ratio("sum(straddle)", "count(*)", 4).alias(
+                    "straddle_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "source",
+        "policy",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_seqs").cast("long").alias("n_seqs"),
+        F.col("n_straddle").cast("long").alias("n_straddle"),
+        "straddle_bp",
+    )
+
+
+def build_packing_policy_compare(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return packing_policy_compare(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_PACKING_POLICY = f"""
+WITH d AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT source, policy, n_tokens, end_off,
+         CASE WHEN (end_off - 1) // {SEQ_CAP}
+                   > (end_off - n_tokens) // {SEQ_CAP}
+              THEN 1 ELSE 0 END AS straddle
+  FROM (
+    SELECT source, 'arrival' AS policy, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY doc_id NULLS LAST,
+                                        n_tokens NULLS LAST
+                               ROWS UNBOUNDED PRECEDING) AS end_off
+    FROM d
+    UNION ALL
+    SELECT source, 'length_asc' AS policy, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY n_tokens NULLS LAST,
+                                        doc_id NULLS LAST
+                               ROWS UNBOUNDED PRECEDING) AS end_off
+    FROM d
+    UNION ALL
+    SELECT source, 'length_desc' AS policy, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY n_tokens DESC NULLS LAST,
+                                        doc_id NULLS LAST
+                               ROWS UNBOUNDED PRECEDING) AS end_off
+    FROM d
+  )
+)
+SELECT source, policy,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + {SEQ_CAP} - 1) // {SEQ_CAP} AS BIGINT)
+         AS n_seqs,
+       CAST(SUM(straddle) AS BIGINT) AS n_straddle,
+       {fixed_ratio_expr("SUM(straddle)", "COUNT(*)", 4, "duckdb")}
+         AS straddle_bp
+FROM placed
+GROUP BY source, policy
+"""
+
+
 def token_counts(
     documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:

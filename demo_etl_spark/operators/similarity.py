@@ -1205,7 +1205,7 @@ from demo_etl_spark.functions.fixedpoint import round_div_signed_expr as _rde_ce
 ORACLE_SQL_CENTROIDS = f"""
 WITH e AS (
   SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
          TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
   FROM embeddings
 )
@@ -1290,7 +1290,7 @@ from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
 
 ORACLE_SQL_DIM_STATS = f"""
 WITH e AS (
-  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
          TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings
 ),

@@ -332,7 +332,7 @@ def build_seasonality(
 
 ORACLE_SQL_SEASONALITY = f"""
 WITH m AS (
-  SELECT month(o_orderdate) AS month,
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
          CAST(COUNT(*) AS BIGINT) AS n_orders,
          CAST(SUM(TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
            AS rev_c

@@ -9,12 +9,20 @@ from __future__ import annotations
 
 import __spark_entry__ as entry
 
+#: the ONLY queries allowed to lack a DuckDB oracle twin — the approx
+#: sketch twins (HLL++ / percentile_approx state is engine-specific;
+#: the driver records a rows-only check and tests/test_approx.py pins
+#: the error envelopes). Anything else missing an oracle is a registry
+#: mistake.
+ROWS_ONLY = {"customer_analytics_approx", "source_profile_approx"}
+
 
 def test_every_query_has_an_oracle_twin():
     q, o = entry.queries(), entry.oracle_sql()
-    assert set(q) == set(o), (
-        f"missing oracles: {set(q) - set(o)}; dangling: {set(o) - set(q)}"
+    assert set(q) - set(o) == ROWS_ONLY, (
+        f"missing oracles: {set(q) - set(o) - ROWS_ONLY}"
     )
+    assert not set(o) - set(q), f"dangling oracles: {set(o) - set(q)}"
 
 
 def test_builders_are_callables_and_oracles_are_select_sql():
@@ -28,36 +36,43 @@ def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
     # spot-check that one representative of each extension family sits
-    # inside the driver's 50-entry correctness window
+    # inside the driver's 50-entry correctness window (r8 rotation)
     window = set(q[:50])
     for rep in (
         "dedup_minhash_lsh",      # dedup
+        "dedup_fuzzy_verify",     # fuzzy verify (r8 promotion)
         "doc_fingerprints",       # fingerprinting
-        "fingerprint_profile",    # fingerprint governance (r5 promotion)
         "cdc_latest_state",       # CDC
         "streaming_daily_rollup", # streaming
+        "streaming_enriched_rollup",  # stream-static join (r8 promotion)
         "similarity_topk_cosine", # similarity search (exact baseline)
         "multimodal_features",    # multimodal
-        "brand_affinity",         # association mining
         "corpus_curation",        # curation
         "text_stats",             # text
         "bucketed_order_join",    # physical layout
+        "salted_order_join",      # skew salting (r8 promotion)
+        "key_skew_profile",       # skew diagnostics (r8 promotion)
+        "kmv_distinct_ngrams",    # KMV sketch under the gate (r8)
+        "packing_tokens_canary",  # packing gate canary (r8)
+        "packing_offsets_canary", # packing gate canary (r8)
         "sequence_packing",       # training-data assembly/export
-        "sequence_spans",         # span materialization (r5 promotion)
-        "shard_manifest",         # export-shard manifests (r4 promotion)
-        "embedding_pq",           # product quantization (r4 promotion)
-        "bpe_merges_batched",     # tokenizer training (r7: batched rep)
+        "sequence_spans",         # span materialization
+        "shard_manifest",         # export-shard manifests
+        "sequence_export",        # packing writer stage
+        "customer_analytics_approx",  # A5 approx twin, rows-only (r8)
+        "bpe_merges_batched",     # tokenizer training (batched rep)
         "part_pagerank",          # graph analytics
         "data_quality_audit",     # data-quality governance
-        "sequence_export",        # packing writer stage (r7 promotion)
-        "dedup_span_scrub",       # verbatim-span dedup (r7 promotion)
-        "dedup_simhash",          # simhash near-dup (r7 promotion)
-        "corpus_source_profile",  # corpus governance (r7 promotion)
-        "customer_rfm",           # RFM ntile decomposition (r7 promotion)
-        "detail_summary_union",   # §2 A7/U2 representative (r7 return)
-        "shipping_priority_sql",  # TPC-H Q3 shape (r7 promotion)
-        "nation_market_share_sql",# TPC-H Q8 shape (r7 promotion)
-        "top_supplier_sql",       # TPC-H Q15 shape (r7 promotion)
+        "customer_rfm",           # RFM ntile decomposition
+        "detail_summary_union",   # §2 A7/U2 representative
+        "events_gapfill",         # calendar densification (r8 promotion)
+        "shipping_priority_sql",  # TPC-H Q3 shape
+        "nation_market_share_sql",# TPC-H Q8 shape
+        "top_supplier_sql",       # TPC-H Q15 shape
+        "last_shipment_sql",      # TPC-H Q? shape (r8 promotion)
+        "disjunctive_revenue_sql",    # TPC-H Q19 shape (r8 promotion)
+        "customer_order_distribution_sql",  # TPC-H Q13 (r8 promotion)
+        "lateral_order_topk_sql", # LATERAL decorrelation (r8 promotion)
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 

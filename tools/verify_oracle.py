@@ -114,8 +114,21 @@ def main() -> int:
             print(f"  {name:32s} rows={len(srows):7d} (rows-only, no oracle) "
                   f"[{spark_s:.1f}s]")
             if len(srows) == 0:
-                print(f"    !! EMPTY RESULT")
-                failures += 1
+                # the degenerate corpus (all FACT tables empty, dims
+                # populated) legitimately yields 0 rows from every
+                # query — only flag emptiness when facts hold data
+                base_rows = con.sql(
+                    "SELECT (SELECT COUNT(*) FROM documents)"
+                    " + (SELECT COUNT(*) FROM events)"
+                    " + (SELECT COUNT(*) FROM orders)"
+                    " + (SELECT COUNT(*) FROM lineitem)"
+                    " + (SELECT COUNT(*) FROM embeddings)"
+                ).fetchone()[0]
+                if base_rows > 0:
+                    print(f"    !! EMPTY RESULT")
+                    failures += 1
+                else:
+                    print(f"    (empty corpus — 0 rows accepted)")
             continue
         rel = con.sql(oracles[name])
         ocols = rel.columns
