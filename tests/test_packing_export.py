@@ -425,3 +425,25 @@ def test_packed_sequences_roundtrip_the_corpus(spark, tables):
         want = " ".join(t for _, t in sorted(pairs))
         got = " ".join(assembled[src])
         assert got == want, src
+
+
+def test_packing_policy_seq_count_is_order_invariant(spark, tables):
+    """Knob-study invariant: concat-and-chop fills every sequence
+    completely, so n_seqs = ceil(total/cap) must be IDENTICAL across
+    the three packing orders for every source — only the straddle count
+    may differ. Also pins the straddle bound: at most n_docs straddles,
+    and n_straddle < n_seqs + n_docs trivially."""
+    from demo_etl_spark.operators.packing import packing_policy_compare
+
+    rows = packing_policy_compare(tables["documents"]).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], {})[r["policy"]] = r
+    for src, pol in by_source.items():
+        assert set(pol) == {"arrival", "length_asc", "length_desc"}, src
+        seqs = {p: r["n_seqs"] for p, r in pol.items()}
+        assert len(set(seqs.values())) == 1, f"{src}: {seqs}"
+        totals = {p: r["total_tokens"] for p, r in pol.items()}
+        assert len(set(totals.values())) == 1, f"{src}: {totals}"
+        for p, r in pol.items():
+            assert 0 <= r["n_straddle"] <= r["n_docs"], (src, p)
