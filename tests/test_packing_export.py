@@ -447,3 +447,29 @@ def test_packing_policy_seq_count_is_order_invariant(spark, tables):
         assert len(set(totals.values())) == 1, f"{src}: {totals}"
         for p, r in pol.items():
             assert 0 <= r["n_straddle"] <= r["n_docs"], (src, p)
+
+
+def test_arithmetic_token_count_equals_split_semantics(spark):
+    """The r8 engine-proof token count (spaces + 1 via length-replace)
+    must equal ``size(split(text, ' '))`` for every string shape the
+    hostile corpus carries — empties kept, NUL bytes, unicode,
+    non-space whitespace untouched. This is the equivalence the packing
+    family's oracle parity now rests on."""
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.operators.packing import _n_tokens
+
+    nasty = [
+        "", " ", "  ", "a", "a b", "a  b", " a", "a ", "  a  ",
+        "tab\there", "new\nline", "nbsp x", "zero​w",
+        "中文 文档", "emoji 🚀 x", "café café",
+        "before\x00after nul", "\x00", "a \x00 b",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "text string")
+    bad = df.select(
+        "text",
+        _n_tokens().alias("arith"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("split_n"),
+    ).where(F.col("arith") != F.col("split_n"))
+    assert bad.count() == 0, bad.collect()
