@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: packing-order knob study (straddle cost of arrival vs
         # length-sorted concat-and-chop; seq count is order-invariant)
         "packing_policy_compare": _packing.build_packing_policy_compare,
+        # r8: integer-exact perplexity stand-in (mean corpus term
+        # frequency of each doc's tokens — rare-token docs score low)
+        "doc_typicality": _text.build_doc_typicality,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
         "streaming_user_totals": _streams.build_streaming_user_totals,
@@ -391,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_containment": _dedup.ORACLE_SQL_CONTAINMENT,
         "dedup_method_agreement": _dedup.ORACLE_SQL_METHOD_AGREEMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
+        "doc_typicality": _text.ORACLE_SQL_DOC_TYPICALITY,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
         "orders_profile": _quality.ORACLE_SQL_ORDERS_PROFILE,

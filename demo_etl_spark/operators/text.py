@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
+from demo_etl_spark.functions.fixedpoint import (
+    fixed_ratio,
+    fixed_ratio_expr,
+    round_div,
+    round_div_expr,
+)
 from demo_etl_spark.io import load_star
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -1062,4 +1067,68 @@ JOIN uni ua ON bgc.token_a = ua.token
 JOIN uni ub ON bgc.token_b = ub.token, tot
 ORDER BY assoc DESC, token_a, token_b
 LIMIT {PMI_TOPK}
+"""
+
+
+# ------------------------------------------------- doc typicality -------
+def doc_typicality(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-document TYPICALITY: the mean corpus term-frequency of the
+    doc's tokens, exact-integer (×100). The curation signal that
+    separates boilerplate (every token common → high score) from OCR
+    garbage / code / wrong-language text (rare tokens → low score)
+    without a trained LM — the integer-exact stand-in for perplexity
+    filtering (log-prob scores are transcendental floats and therefore
+    hash-fragile cross-engine; a frequency mean is a ratio of exact
+    BIGINTs).
+
+    Plan shape at 100 TB: the term-frequency table is vocab-sized (≪
+    corpus) and usually broadcastable — AQE picks BHJ at runtime;
+    otherwise tokens⋈tf co-shuffles ON TOKEN once and the per-doc
+    groupBy re-shuffles on doc_id with map-side combine. Nothing is
+    quadratic and no window exists at all. NULL text is a 1-token ('')
+    doc; duplicate doc_ids merge into one scored row — deterministic on
+    both engines (grouping, not windows).
+    """
+    tok = documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("token"),
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(tf, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("sum_token_freq"),
+            fixed_ratio("sum(freq)", "count(*)", 2).alias(
+                "avg_token_freq_x100"
+            ),
+        )
+    )
+
+
+def build_doc_typicality(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return doc_typicality(load_star(spark, sf_dir)["documents"], ctx)
+
+
+# CAST discipline (round 8): SUM over BIGINT freq is HUGEINT in DuckDB —
+# fetch-fragile — so every aggregate output is explicitly cast.
+ORACLE_SQL_DOC_TYPICALITY = f"""
+WITH tok AS (
+  SELECT doc_id, source, u.t AS token
+  FROM documents, unnest(string_split(COALESCE(text, ''), ' ')) AS u(t)
+),
+tf AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+SELECT t.doc_id, t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.freq) AS BIGINT) AS sum_token_freq,
+       {fixed_ratio_expr("SUM(f.freq)", "COUNT(*)", 2, "duckdb")}
+         AS avg_token_freq_x100
+FROM tok t JOIN tf f ON t.token = f.token
+GROUP BY t.doc_id, t.source
 """
