@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: integer-exact perplexity stand-in (mean corpus term
         # frequency of each doc's tokens — rare-token docs score low)
         "doc_typicality": _text.build_doc_typicality,
+        # r8: Spark 4 surface — recursive CTE hierarchy walk and the
+        # VARIANT semi-structured path (try_parse_json/try_variant_get)
+        "part_hierarchy_sql": _suite.build_part_hierarchy,
+        "events_props_variant": _events.build_props_variant_audit,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
         "streaming_user_totals": _streams.build_streaming_user_totals,
@@ -395,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_agreement": _dedup.ORACLE_SQL_METHOD_AGREEMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
         "doc_typicality": _text.ORACLE_SQL_DOC_TYPICALITY,
+        "part_hierarchy_sql": _suite.ORACLE_SQL_PART_HIERARCHY,
+        "events_props_variant": _events.ORACLE_SQL_PROPS_VARIANT,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
         "orders_profile": _quality.ORACLE_SQL_ORDERS_PROFILE,

@@ -441,7 +441,10 @@ def props_breakdown(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Dat
     FIXED payload schema, ``from_json`` + a struct column is the
     schema-checked variant; get_json_object is the schema-on-read one.)
     """
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: a wrong-TYPED payload value ('{"k": "str"}')
+    # must degrade to NULL like the oracle's TRY_CAST — ANSI cast
+    # crashes the whole scan on one bad payload (hostile-corpus find)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     d = events.withColumn("_k", k).withColumn(
         "k_decile", F.expr("CAST(_k div 10 AS INT)")
     )
@@ -472,7 +475,7 @@ ORACLE_SQL_PROPS = f"""
 WITH extracted AS (
   SELECT event_type,
          CASE WHEN json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS INT)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
          END AS k,
          TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
   FROM events
@@ -1134,12 +1137,27 @@ def build_props_typed_audit(
     return props_typed_audit(load_star(spark, sf_dir)["events"], ctx)
 
 
+# "parsed" must mirror PERMISSIVE from_json's RECORD-level conformance,
+# not mere json_valid: a wrong-typed k-as-string / non-integer k /
+# bare JSON-null payload all mark the record corrupt in
+# Spark (k NULL, nothing parsed) while remaining VALID JSON — pinned on
+# the hostile corpus's props-pathology rows. DuckDB twin: valid JSON
+# that is an OBJECT whose $.k (if present) is integer-typed.
 ORACLE_SQL_PROPS_TYPED = f"""
 WITH p AS (
   SELECT event_type,
-         CASE WHEN json_valid(props) THEN 1 END AS parsed,
-         CASE WHEN json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN json_type(props) = 'OBJECT'
+                 AND coalesce(json_type(props, '$.k')
+                              IN ('UBIGINT', 'BIGINT'), TRUE)
+                THEN 1 END
+         END AS parsed,
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN json_type(props) = 'OBJECT'
+                 AND coalesce(json_type(props, '$.k')
+                              IN ('UBIGINT', 'BIGINT'), TRUE)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END
          END AS k
   FROM events
 )
@@ -1408,3 +1426,63 @@ FROM hist, tot
 
 
 ORACLE_SQL_LATENESS = _lateness_oracle()
+
+
+# ---------------------------------------------- VARIANT props audit -----
+def props_variant_audit(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """``props_typed_audit``'s semi-structured twin on Spark 4's VARIANT
+    type: ``try_parse_json`` shreds each payload into a binary variant
+    once, ``try_variant_get`` path-extracts with a target type — the
+    schema-ON-DEMAND path for payloads whose shape drifts (a fixed
+    ``from_json`` schema must be rewritten per drift; variant_get paths
+    don't). Cross-engine edge parity is exact and pinned: a JSON
+    ``null`` payload parses (non-null variant ↔ DuckDB json_valid
+    true), a malformed payload yields a NULL variant (↔ json_valid
+    false), SQL NULL stays NULL, and a missing path is NULL under both
+    extractors. All-JVM expressions — no Python in the row path; one
+    groupBy shuffle with map-side partial aggregation.
+    """
+    v = F.expr("try_parse_json(props)")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+    return (
+        events.select("event_type", v.alias("_v"), k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_v").cast("long").alias("n_parsed"),
+            F.count("_k").cast("long").alias("n_with_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+def build_props_variant_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return props_variant_audit(load_star(spark, sf_dir)["events"], ctx)
+
+
+# CAST discipline (r8): SUM(INTEGER) is HUGEINT in DuckDB — fetch-fragile.
+ORACLE_SQL_PROPS_VARIANT = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN 1 END AS parsed,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INTEGER) AS min_k,
+       CAST(MAX(k) AS INTEGER) AS max_k
+FROM p
+GROUP BY event_type
+"""

@@ -492,3 +492,36 @@ build_lateral_order_topk = _builder(
     _lateral_order_topk_sql, "customer", "orders")
 
 ORACLE_SQL_LATERAL_ORDER_TOPK = _lateral_order_topk_sql("duckdb")
+
+
+# ------------------------------------------ recursive CTE hierarchy -----
+def _part_hierarchy_sql(dialect: str) -> str:
+    """Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL) — the
+    BOM/org-chart query class, exercised on the arithmetic parent chain
+    p → p div 10 (a guaranteed tree: unique parent, no cycles, depth
+    ~log10(key), so UNION ALL recursion touches each ancestor exactly
+    once — Spark's recursive CTEs don't support UNION-distinct, which
+    rules out cyclic closures but is exactly right for hierarchies).
+    NULL keys seed one row and stop (NULL > 0 is false on both
+    engines); per-part output: chain depth, root digit, chain length.
+    """
+    d = "div" if dialect == "spark" else "//"
+    return f"""
+WITH RECURSIVE chain (p_partkey, anc, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT p_partkey, anc {d} 10, depth + 1 FROM chain WHERE anc > 0
+)
+SELECT p_partkey,
+       CAST(MAX(depth) AS INTEGER) AS depth,
+       CAST(MAX(CASE WHEN anc BETWEEN 1 AND 9 THEN anc END) AS INTEGER)
+         AS root_digit,
+       CAST(COUNT(*) AS BIGINT) AS chain_len
+FROM chain
+GROUP BY p_partkey
+"""
+
+
+build_part_hierarchy = _builder(_part_hierarchy_sql, "part")
+
+ORACLE_SQL_PART_HIERARCHY = _part_hierarchy_sql("duckdb")

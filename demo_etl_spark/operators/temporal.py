@@ -103,7 +103,9 @@ def asof_last_purchase(
         F.col("t").alias("ts"),
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("props_k"),
+        # try_cast: wrong-typed payload values degrade to NULL like the
+        # oracle's TRY_CAST instead of crashing the scan (ANSI cast)
+        F.get_json_object("props", "$.k").try_cast("int").alias("props_k"),
         "last_purchase_ts",
         "last_purchase_event_id",
         "last_purchase_value",
@@ -240,7 +242,7 @@ WITH anchors AS (
 lhs AS (SELECT * FROM {EVENTS_CLEAN_SQL} WHERE event_type <> '{ANCHOR_TYPE}')
 SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
        CASE WHEN json_valid(l.props)
-            THEN CAST(json_extract_string(l.props, '$.k') AS INTEGER)
+            THEN TRY_CAST(json_extract_string(l.props, '$.k') AS INTEGER)
        END AS props_k,
        a.p_ts AS last_purchase_ts,
        a.p_event_id AS last_purchase_event_id,

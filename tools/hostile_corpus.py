@@ -151,6 +151,14 @@ HOSTILE_EVENTS = [
     (900007, "2024-01-05 12:01:00", 919, "click", float("inf"), None),
     # negative identity keys: modular bucketing / % sign-of-dividend
     (-900008, "2024-01-05 12:02:00", -920, "view", 1.5, None),
+    # props pathologies for the JSON/VARIANT extractors: malformed
+    # payload (NULL variant ↔ json_valid false), JSON `null` literal
+    # (non-null variant ↔ json_valid TRUE — the engines' one agreed
+    # asymmetry, pinned), missing key, wrong-typed key
+    (900009, "2024-01-05 12:03:00", 921, "view", 1.0, "not json {"),
+    (900010, "2024-01-05 12:04:00", 921, "view", 1.0, "null"),
+    (900011, "2024-01-05 12:05:00", 922, "click", 1.0, '{"x": 5}'),
+    (900012, "2024-01-05 12:06:00", 922, "click", 1.0, '{"k": "str"}'),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
