@@ -331,8 +331,14 @@ def quarantine_audit(
         table_rules(emb, "embeddings", [
             ("null_vec_id", "vec_id IS NULL"),
             ("null_embedding", "embedding IS NULL"),
+            # mirrors similarity.valid_embeddings exactly, including the
+            # r8 component-finiteness screen (one NaN/Inf component
+            # crashes the fixed-point cast)
             ("quarantined",
-             f"vec_id IS NULL OR embedding IS NULL OR size(embedding) <> {modal}"),
+             f"vec_id IS NULL OR embedding IS NULL "
+             f"OR size(embedding) <> {modal} "
+             f"OR NOT forall(embedding, x -> x IS NOT NULL "
+             f"AND NOT isnan(x) AND abs(x) < CAST('Infinity' AS DOUBLE))"),
         ]),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -390,7 +396,9 @@ def _quarantine_audit_oracle() -> str:
             ("null_embedding", "embedding IS NULL"),
             ("quarantined",
              f"vec_id IS NULL OR embedding IS NULL "
-             f"OR len(embedding) <> {modal}"),
+             f"OR len(embedding) <> {modal} "
+             f"OR NOT list_aggregate(list_transform(embedding, "
+             f"x -> x IS NOT NULL AND isfinite(x)), 'bool_and')"),
         ])
     )
     share = round_div_expr("n_flagged * 10000", "greatest(n_rows, 1)", 0,

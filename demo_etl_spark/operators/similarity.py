@@ -68,8 +68,20 @@ def valid_embeddings(embeddings: DataFrame) -> DataFrame:
         .first()
     )
     d = int(row["d"]) if row is not None else EMB_DIMS
+    # component finiteness (r8 hostile wave): ONE NaN/Inf component in
+    # an otherwise-valid vector crashes the whole scan at the ANSI
+    # fixed-point cast (CAST_OVERFLOW on Infinity) while DuckDB's
+    # TRY_CAST silently NULLs it — divergent even when it doesn't
+    # crash. forall's NULL semantics (a NULL element makes the
+    # predicate NULL, which filter drops) match the oracle's bool_and.
+    finite = F.forall(
+        "embedding",
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
     return embeddings.filter(
-        F.col("vec_id").isNotNull() & (F.size("embedding") == d)
+        F.col("vec_id").isNotNull() & (F.size("embedding") == d) & finite
     )
 
 
@@ -78,7 +90,10 @@ _EMB_SRC = (
     "AND embedding IS NOT NULL AND len(embedding) = "
     "(SELECT len(embedding) AS d FROM embeddings "
     "WHERE embedding IS NOT NULL "
-    "GROUP BY 1 ORDER BY COUNT(*) DESC, d LIMIT 1)) embeddings"
+    "GROUP BY 1 ORDER BY COUNT(*) DESC, d LIMIT 1) "
+    # component-finiteness twin of valid_embeddings' forall screen
+    "AND list_aggregate(list_transform(embedding, "
+    "x -> x IS NOT NULL AND isfinite(x)), 'bool_and')) embeddings"
 )
 
 
@@ -135,18 +150,31 @@ def _dot(a, b):
 
 
 def _nonzero(embeddings: DataFrame) -> DataFrame:
-    """Drop zero-norm (and NULL) embeddings at the source of every
-    cosine-family operator: cosine is undefined for the zero vector, a
-    regenerated corpus may contain one, and Spark 4 runs ANSI mode where
-    x/0 RAISES instead of yielding NaN/inf (fuzz-pinned in
-    tests/test_oracle_fuzz.py). The SQL twins filter with the same exact
-    predicate — "some component ≠ 0" is engine-independent, unlike a
-    float-norm comparison."""
-    return embeddings.filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
+    """Drop DEGENERATE embeddings at the source of every cosine-family
+    operator: zero-norm (cosine undefined; Spark 4 ANSI x/0 RAISES —
+    fuzz-pinned) and, since the r8 hostile wave, any vector carrying a
+    NULL/NaN/Inf COMPONENT — one Inf crashes the fixed-point ANSI cast
+    (CAST_OVERFLOW) and one NaN poisons the score on one engine only.
+    The SQL twin filters with the same exact predicates — "some
+    component ≠ 0" and "every component finite" are engine-independent,
+    unlike a float-norm comparison."""
+    finite = F.forall(
+        "embedding",
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+    return embeddings.filter(
+        F.exists("embedding", lambda x: x != F.lit(0.0)) & finite
+    )
 
 
 #: DuckDB twin of the ``_nonzero`` predicate
-_NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+_NONZERO_SQL = (
+    "len(list_filter(embedding, x -> x <> 0)) > 0 AND "
+    "list_aggregate(list_transform(embedding, "
+    "x -> x IS NOT NULL AND isfinite(x)), 'bool_and')"
+)
 
 
 def cosine_topk(
@@ -282,6 +310,8 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    AND list_aggregate(list_transform(embedding,
+        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
@@ -309,6 +339,8 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    AND list_aggregate(list_transform(embedding,
+        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket,
@@ -767,6 +799,8 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    AND list_aggregate(list_transform(embedding,
+        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -932,6 +966,8 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    AND list_aggregate(list_transform(embedding,
+        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
 ),
 sigw AS (SELECT vec_id, {sig_cols} FROM e),
 sig AS (
@@ -1197,7 +1233,9 @@ def build_centroids(
 ) -> DataFrame:
     from demo_etl_spark.io import read_star_table
 
-    return embedding_centroids(read_star_table(spark, sf_dir, "embeddings"), ctx)
+    return embedding_centroids(
+        valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx
+    )
 
 
 from demo_etl_spark.functions.fixedpoint import round_div_signed_expr as _rde_centroids
@@ -1207,7 +1245,7 @@ WITH e AS (
   SELECT label,
          CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
          TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
-  FROM embeddings
+  FROM {_EMB_SRC}
 )
 SELECT label, dim,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -1281,7 +1319,9 @@ def build_dim_stats(
 ) -> DataFrame:
     from demo_etl_spark.io import read_star_table
 
-    return embedding_dim_stats(read_star_table(spark, sf_dir, "embeddings"), ctx)
+    return embedding_dim_stats(
+        valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx
+    )
 
 
 from demo_etl_spark.functions.fixedpoint import (  # noqa: E402
@@ -1292,7 +1332,7 @@ ORACLE_SQL_DIM_STATS = f"""
 WITH e AS (
   SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
          TRY_CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
-  FROM embeddings
+  FROM {_EMB_SRC}
 ),
 g AS (
   SELECT dim,

@@ -204,6 +204,12 @@ HOSTILE_EMBEDDINGS = [
     # negative id with a VALID modal-dim (64) vector — survives the
     # quarantine, so negative ids flow through LSH/IVF bucketing
     (-950004, [((i * 7) % 13 - 6) / 10.0 for i in range(64)], 3),
+    # modal-dim vectors with non-finite COMPONENTS: a NaN/Inf inside an
+    # otherwise-valid vector reaches every similarity kernel unless the
+    # quarantine screens component finiteness (the ANSI cast of NaN to
+    # BIGINT crashes the scan; DuckDB TRY_CAST silently NULLs it)
+    (950005, [float("nan") if i == 7 else 0.1 for i in range(64)], 4),
+    (950006, [float("inf") if i == 11 else -0.2 for i in range(64)], 4),
 ]
 
 
