@@ -222,6 +222,46 @@ EVENTS_CLEAN_SQL = (
 )
 
 
+def gjo_int_oracle(col: str, path: str = "$.k") -> str:
+    """DuckDB fragment mirroring Spark
+    ``get_json_object(col, path).try_cast('int')`` EXACTLY (empirically
+    pinned, r9): Spark's string→int cast accepts only integral text —
+    optional sign, digits, surrounding ASCII whitespace — and NULLs
+    everything else, while a bare DuckDB ``TRY_CAST`` also parses and
+    ROUNDS float text ('5.0'→5, '5.7'→6) and a float-typed payload's
+    extract. The integral-text regex guard closes that gap; int32
+    overflow is NULL under both (TRY_CAST AS INTEGER)."""
+    v = f"trim(json_extract_string({col}, '{path}'), ' \t\n\r\f')"
+    return (
+        f"CASE WHEN json_valid({col}) "
+        f"AND regexp_matches({v}, '^[+-]?[0-9]+$') "
+        f"THEN TRY_CAST({v} AS INTEGER) END"
+    )
+
+
+def vget_int_oracle(col: str, path: str = "$.k") -> str:
+    """DuckDB fragment mirroring Spark
+    ``try_variant_get(try_parse_json(col), path, 'int')`` EXACTLY
+    (empirically pinned, r9) — the cast is TYPE-DIRECTED, so the oracle
+    branches on ``json_type``: integer-typed → value (NULL on int32
+    overflow under both), double-typed → TRUNCATED toward zero
+    (5.7→5, -5.7→-5; DuckDB's bare TRY_CAST would round to 6/-6),
+    boolean → 1/0 (DuckDB TRY_CAST('true') is NULL), string → parsed
+    only when integral text (Spark trims whitespace and accepts a
+    sign; '5.0' is NULL), array/object/json-null/missing → NULL."""
+    s = f"json_extract_string({col}, '{path}')"
+    st = f"trim({s}, ' \t\n\r\f')"
+    return f"""CASE WHEN json_valid({col}) THEN
+      CASE json_type({col}, '{path}')
+        WHEN 'UBIGINT' THEN TRY_CAST({s} AS INTEGER)
+        WHEN 'BIGINT' THEN TRY_CAST({s} AS INTEGER)
+        WHEN 'DOUBLE' THEN TRY_CAST(trunc(TRY_CAST({s} AS DOUBLE)) AS INTEGER)
+        WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1 ELSE 0 END
+        WHEN 'VARCHAR' THEN CASE WHEN regexp_matches({st}, '^[+-]?[0-9]+$')
+                                 THEN TRY_CAST({st} AS INTEGER) END
+      END END"""
+
+
 def keyed_orders(orders: DataFrame) -> DataFrame:
     """Orders usable for customer/time/revenue analytics: key, customer,
     date and a FINITE price all present (see quarantine note above; a

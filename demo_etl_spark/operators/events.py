@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
 from demo_etl_spark.functions.scalars import money_fixed
-from demo_etl_spark.io import EVENTS_CLEAN_SQL, load_star, timed_events
+from demo_etl_spark.io import (
+    EVENTS_CLEAN_SQL,
+    gjo_int_oracle,
+    load_star,
+    timed_events,
+    vget_int_oracle,
+)
 
 SESSION_GAP = "30 minutes"
 
@@ -474,9 +480,7 @@ def build_props_breakdown(
 ORACLE_SQL_PROPS = f"""
 WITH extracted AS (
   SELECT event_type,
-         CASE WHEN json_valid(props)
-              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
-         END AS k,
+         {gjo_int_oracle("props")} AS k,
          TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) AS val_fx
   FROM events
 )
@@ -1142,22 +1146,26 @@ def build_props_typed_audit(
 # bare JSON-null payload all mark the record corrupt in
 # Spark (k NULL, nothing parsed) while remaining VALID JSON — pinned on
 # the hostile corpus's props-pathology rows. DuckDB twin: valid JSON
-# that is an OBJECT whose $.k (if present) is integer-typed.
+# that is an OBJECT whose $.k is absent, JSON null, or integer-typed
+# WITHIN int32 (r9: an overflowing integer k marks the record corrupt
+# in Spark too — empirically pinned, so the in-range TRY_CAST is part
+# of the conformance predicate, and a JSON-null k parses).
 ORACLE_SQL_PROPS_TYPED = f"""
 WITH p AS (
   SELECT event_type,
-         CASE WHEN json_valid(props) THEN
-           CASE WHEN json_type(props) = 'OBJECT'
-                 AND coalesce(json_type(props, '$.k')
-                              IN ('UBIGINT', 'BIGINT'), TRUE)
-                THEN 1 END
-         END AS parsed,
-         CASE WHEN json_valid(props) THEN
-           CASE WHEN json_type(props) = 'OBJECT'
-                 AND coalesce(json_type(props, '$.k')
-                              IN ('UBIGINT', 'BIGINT'), TRUE)
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT' THEN
+           CASE WHEN json_type(props, '$.k') IS NULL
+                  OR json_type(props, '$.k') = 'NULL'
+                THEN 1
+                WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                  AND TRY_CAST(json_extract_string(props, '$.k')
+                               AS INTEGER) IS NOT NULL
+                THEN 1
            END
+         END AS parsed,
+         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
          END AS k
   FROM events
 )
@@ -1467,13 +1475,15 @@ def build_props_variant_audit(
 
 
 # CAST discipline (r8): SUM(INTEGER) is HUGEINT in DuckDB — fetch-fragile.
-ORACLE_SQL_PROPS_VARIANT = """
+# r9 (ADVICE): the k extraction is TYPE-BRANCHED on json_type so it
+# mirrors try_variant_get's type-directed cast on every payload shape
+# (bool→1/0, double→truncate, string→integral-text only) — a bare
+# TRY_CAST agreed with Spark only on the integer-typed payloads.
+ORACLE_SQL_PROPS_VARIANT = f"""
 WITH p AS (
   SELECT event_type,
          CASE WHEN json_valid(props) THEN 1 END AS parsed,
-         CASE WHEN json_valid(props)
-              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-         END AS k
+         {vget_int_oracle("props")} AS k
   FROM events
 )
 SELECT event_type,

@@ -28,7 +28,7 @@ drops by merging per-partition bottom-Ks directly (bounded state).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
@@ -165,13 +165,26 @@ def kmv_distinct(
             F.conv(F.substring(F.md5("token"), 1, _HEX), 16, 10).cast("long"),
         )
     )
-    lvl1 = dt.groupBy(
-        "source", F.pmod(F.col("h"), F.lit(KMV_BUCKETS)).alias("_b")
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("h", "token"))), 1, k
-        ).alias("_bot"),
+    # level 1 as a row_number window, not collect_list+slice: a grouped
+    # collect_list materializes the WHOLE (source, bucket) distinct set
+    # in one non-spillable agg buffer before slicing (O(distinct/B) per
+    # group — r8 ADVICE); the window path runs on Spark's external
+    # (spillable) sort, the per-bucket count shares the same exchange,
+    # and only the K survivors reach the level-2 collect (≤ K structs
+    # per bucket, B·K per source — bounded at BOTH levels now).
+    wb = Window.partitionBy("source", "_b")
+    lvl1 = (
+        dt.withColumn("_b", F.pmod(F.col("h"), F.lit(KMV_BUCKETS)))
+        .withColumn("_rn", F.row_number().over(wb.orderBy("h", "token")))
+        .withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .where(F.col("_rn") <= k)
+        .groupBy("source", "_b")
+        .agg(
+            F.max("_bn").alias("_n"),
+            F.array_sort(F.collect_list(F.struct("h", "token"))).alias(
+                "_bot"
+            ),
+        )
     )
     stats = lvl1.groupBy("source").agg(
         F.sum("_n").cast("long").alias("n_distinct_exact"),

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import EVENTS_CLEAN_SQL, load_star, timed_events
+from demo_etl_spark.io import (
+    EVENTS_CLEAN_SQL,
+    gjo_int_oracle,
+    load_star,
+    timed_events,
+)
 
 ANCHOR_TYPE = "purchase"
 FOLLOW_WINDOW_SECONDS = 3600
@@ -241,9 +246,7 @@ WITH anchors AS (
 ),
 lhs AS (SELECT * FROM {EVENTS_CLEAN_SQL} WHERE event_type <> '{ANCHOR_TYPE}')
 SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
-       CASE WHEN json_valid(l.props)
-            THEN TRY_CAST(json_extract_string(l.props, '$.k') AS INTEGER)
-       END AS props_k,
+       {gjo_int_oracle("l.props")} AS props_k,
        a.p_ts AS last_purchase_ts,
        a.p_event_id AS last_purchase_event_id,
        a.p_value AS last_purchase_value,

@@ -80,3 +80,43 @@ def test_registry_is_large_and_window_covers_families():
 def test_entry_returns_dataframe_builder(spark):
     df = entry.entry(spark)
     assert df.schema is not None and len(df.columns) > 5
+
+
+def test_no_fetch_fragile_oracle_types():
+    """Commit-time twin of verify_oracle.py's sweep-time type gate (r8
+    verdict #4): bind every oracle_sql() against the sf0.001 views in
+    DuckDB ONLY (no Spark session, no execution — relation binding
+    resolves the result types) and fail on any fetch-fragile output
+    type. DuckDB types integer SUM() as HUGEINT, and the driver's
+    pandas-path fetch downcasts HUGEINT → float64, hashing `3.0`
+    against Spark's `3` — the class that cost the r3-r7
+    sequence_packing reds. Every oracle output column must be
+    explicitly CAST to its Spark physical type."""
+    import os
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from verify_oracle import _FETCH_FRAGILE
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        frag = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns,
+                            (str(x).split("(")[0] for x in rel.types))
+            if t in _FETCH_FRAGILE
+        ]
+        if frag:
+            bad[name] = frag
+    assert not bad, f"fetch-fragile oracle output columns: {bad}"

@@ -159,6 +159,27 @@ HOSTILE_EVENTS = [
     (900010, "2024-01-05 12:04:00", 921, "view", 1.0, "null"),
     (900011, "2024-01-05 12:05:00", 922, "click", 1.0, '{"x": 5}'),
     (900012, "2024-01-05 12:06:00", 922, "click", 1.0, '{"k": "str"}'),
+    # r9 (ADVICE): every payload shape where the three JSON extractors
+    # (get_json_object+try_cast / from_json PERMISSIVE / try_variant_get)
+    # disagree with a bare DuckDB TRY_CAST — float-typed k (try_cast
+    # NULLs it, variant_get truncates, DuckDB ROUNDS 5.7→6), boolean k
+    # (variant_get → 1/0), string-typed integral k WITH sign/whitespace
+    # (both engines parse), string float (both NULL), int32 OVERFLOW
+    # (NULL int under both, but marks the from_json record corrupt),
+    # JSON-null k (parses under from_json), scientific notation (DOUBLE
+    # json_type), and an array-typed k
+    (900013, "2024-01-05 12:07:00", 923, "view", 1.0, '{"k": 5.0}'),
+    (900014, "2024-01-05 12:08:00", 923, "view", 1.0, '{"k": 5.7}'),
+    (900015, "2024-01-05 12:09:00", 923, "click", 1.0, '{"k": -5.7}'),
+    (900016, "2024-01-05 12:10:00", 924, "view", 1.0, '{"k": true}'),
+    (900017, "2024-01-05 12:11:00", 924, "view", 1.0, '{"k": "5"}'),
+    (900018, "2024-01-05 12:12:00", 924, "click", 1.0, '{"k": " +7\\t"}'),
+    (900019, "2024-01-05 12:13:00", 925, "view", 1.0,
+     '{"k": 99999999999}'),
+    (900020, "2024-01-05 12:14:00", 925, "view", 1.0, '{"k": null}'),
+    (900021, "2024-01-05 12:15:00", 925, "click", 1.0, '{"k": 1e2}'),
+    (900022, "2024-01-05 12:16:00", 926, "view", 1.0, '{"k": [1]}'),
+    (900023, "2024-01-05 12:17:00", 926, "view", 1.0, '{"k": "5.0"}'),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -143,17 +143,17 @@ def main() -> int:
         status = "OK " if ok else "FAIL"
         print(f"  {name:32s} {status} rows={len(srows)}/{len(orows)} "
               f"hash={'=' if ok_hash else f'{sh}!={oh}'} [{spark_s:.1f}s]")
+        # one failure per QUERY, however many checks it trips (a query
+        # red on both type-parity and hash previously counted twice)
+        failures += 0 if ok else 1
         if type_errs:
-            failures += 1
             for e in type_errs:
                 print(f"    type-parity: {e}")
         if not ok_cols:
             print(f"    spark cols:  {sorted(scols)}")
             print(f"    oracle cols: {sorted(ocols)}")
-            failures += 1
             continue
         if not (ok_count and ok_hash):
-            failures += 1
             # print a few mismatching normalized rows for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
             order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
