@@ -54,100 +54,114 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- core analytics (reference surface) -------------------------
+        # core reference analytics surface (flagships, held every round)
         "customer_analytics": _customer.build,
-        "product_analytics": _product.build,
         "product_ranking": _product.build_ranking,
-        "time_analytics": _timeseries.build_time,
         "revenue_trend": _timeseries.build_trend,
         "star_join_detail": _star.build_detail,
         "sales_asset_union": _asset.build,
-        "pricing_summary_sql": _sql.build,  # S10 SQL-string surface rep
-        # --- dedup family ----------------------------------------------
+        "pricing_summary_sql": _sql.build,
+        # family representatives held from r8 (multi-round driver-green)
         "dedup_exact": _dedup.build_exact,
         "dedup_minhash_lsh": _dedup.build_minhash,
+        "corpus_curation": _curation.build,
+        "text_stats": _text.build_stats,
+        "similarity_topk_cosine": _similarity.build_topk,
+        "multimodal_features": _multimodal.build_features_checked,
+        "sequence_packing": _packing.build_sequence_packing,
+        "events_session": _events.build_session,
+        "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
+        "cdc_latest_state": _cdc.build_latest_state,
+        # r9 rotation: the formats family (5 queries, ZERO driver seats in
+        # r1-r8 — the largest never-gated block) takes its first seats
+        "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
+        "csv_roundtrip": _formats.build_csv_roundtrip,
+        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
+        "schema_evolution_read": _formats.build_schema_evolution_read,
+        "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
+        # r9 rotation: graph analytics beyond part_pagerank
+        "part_triangles": _graph.build_triangles,
+        "part_communities": _graph.build_communities,
+        # r9 rotation: the engine-version-sensitive Spark-4 surface (WITH
+        # RECURSIVE, VARIANT) + the NEW cyclic-closure BFS twin — exactly the
+        # class the packing saga says must not live on local-green alone
+        "part_hierarchy_sql": _suite.build_part_hierarchy,
+        "events_props_variant": _events.build_props_variant_audit,
+        "part_closure": _graph.build_closure,
+        # r9 rotation: the r8 additions get their first driver seats
+        "doc_typicality": _text.build_doc_typicality,
+        "packing_policy_compare": _packing.build_packing_policy_compare,
+        "source_profile_approx": _text.build_source_profile_approx,
+        # r9 rotation: CDC depth beyond latest-state/merge
+        "scd2_history": _cdc.build_scd2_history,
+        "orders_snapshot_diff": _cdc.build_snapshot_diff,
+        # r9 rotation: data-quality governance pair
+        "orders_profile": _quality.build_orders_profile,
+        "quarantine_audit": _quality.build_quarantine_audit,
+        # r9 rotation: time-series decomposition
+        "revenue_decompose": _timeseries.build_decompose,
+        # r9 rotation: event-analytics depth
+        "events_funnel": _events.build_funnel,
+        "session_attribution": _events.build_session_attribution,
+        "events_hourly_anomaly": _events.build_hourly_anomaly,
+        # r9 rotation: text actions
+        "doc_top_terms": _text.build_top_terms,
+        "text_redacted": _text.build_redacted,
+        "lang_confusion": _text.build_lang_confusion,
+        # r9 rotation: dedup governance (agreement/containment/recall audits)
+        "dedup_method_agreement": _dedup.build_method_agreement,
+        "dedup_ngram_containment": _dedup.build_containment,
+        "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
+        # r9 rotation: embedding monitoring
+        "embedding_dim_stats": _similarity.build_dim_stats,
+        # r9 rotation: stateful + stream-stream streaming twins
+        "streaming_session": _streams.build_streaming_session,
+        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
+        # r9 rotation: never-gated TPC-H shapes
+        "important_parts_sql": _suite.build_important_parts,
+        "waiting_suppliers_sql": _suite.build_waiting_suppliers,
+        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
+        # r9 rotation: deterministic corpus splitting
+        "corpus_train_split": _curation.build_train_split,
+        # ================ driver window boundary (50) ================
+        # rotation r9: every query below is oracle-verified by the local
+        # sweep each session; r1-r8 driver-green seats rotate down here to
+        # free seats for never-gated families (union driver coverage after
+        # this rotation: 126/164)
+        "product_analytics": _product.build,
+        "time_analytics": _timeseries.build_time,
         "dedup_clusters": _dedup.build_clusters,
         "dedup_embedding_ann": _similarity.build_ann_pairs,
-        # r8 rotation: fuzzy (levenshtein-on-candidates) verify takes its
-        # first driver seat; simhash/span-scrub/contamination (gated
-        # green r7) move just below the boundary
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
-        # --- document fingerprinting (winnowing) ------------------------
         "doc_fingerprints": _fingerprint.build_fingerprints,
-        # --- curation ---------------------------------------------------
-        "corpus_curation": _curation.build,
-        # --- data-quality governance -------------------------------------
         "data_quality_audit": _quality.build_quality_audit,
-        # --- text analysis ---------------------------------------------
-        "text_stats": _text.build_stats,
         "lang_id": _text.build_lang_id,
-        # --- similarity search -----------------------------------------
-        "similarity_topk_cosine": _similarity.build_topk,
-        # --- multimodal -------------------------------------------------
-        "multimodal_features": _multimodal.build_features_checked,
-        # --- training-data assembly & export ----------------------------
-        # r8: two diagnostic CANARIES bracket the 5-round packing reds
-        # (VERDICT r7 #1a) — per-doc token counts (no window) and per-doc
-        # offsets (window only): whatever the driver's corpus/engine does
-        # differently, next round's CORRECTNESS localizes the stage. The
-        # r8 root-cause fix itself is CAST discipline: every packing
-        # oracle column is now BIGINT-cast (DuckDB HUGEINT from integer
-        # SUM() downcasts to float64 on a pandas-path fetch — the only
-        # red columns in r7 were exactly the uncast HUGEINT ones).
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "packing_offsets_canary": _packing.build_packing_offsets_canary,
-        "sequence_packing": _packing.build_sequence_packing,
         "sequence_spans": _packing.build_sequence_spans,
         "shard_manifest": _packing.build_shard_manifest,
         "sequence_export": _packing.build_packed_sequences,
-        # --- event analytics + streaming --------------------------------
-        "events_session": _events.build_session,
-        # r8 rotation: gap-fill (calendar densification) first seat
         "events_gapfill": _events.build_gapfill,
-        "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        # r8 rotation: the enriched (stream-static join) rollup takes the
-        # second streaming seat from user_totals (gated green r7)
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
-        # --- CDC / mutable-table maintenance ----------------------------
-        "cdc_latest_state": _cdc.build_latest_state,
-        # --- graph analytics --------------------------------------------
         "part_pagerank": _graph.build_pagerank,
         "orders_merge_upsert": _cdc.build_merge_upsert,
-        # --- temporal joins --------------------------------------------
         "events_asof_join": _temporal.build_asof,
-        # --- customer temporal analytics -------------------------------
         "customer_retention": _customer.build_retention,
         "customer_rfm": _customer.build_rfm,
-        # r8: A5's documented 100 TB swap made executable — HLL++
-        # approx_count_distinct twin of customer_analytics. No oracle
-        # (sketch estimates are engine-specific: the sketch family's
-        # declared exception), so the driver records the weaker
-        # rows-only check; the 5%-rsd error envelope vs the exact build
-        # is pinned by tests/test_approx.py. brand_affinity (gated green
-        # r5-r7) cedes the seat.
         "customer_analytics_approx": _customer.build_approx,
-        # --- tokenizer training -----------------------------------------
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
-        # --- star extensions -------------------------------------------
         "detail_summary_union": _star.build_union,
-        # --- physical-layout / skew levers ------------------------------
         "bucketed_order_join": _bucketed.build_bucketed_join,
-        # r8 rotation: the skew pair and the KMV sketch take first seats
         "salted_order_join": _skew.build_salted_order_join,
         "key_skew_profile": _skew.build_key_skew_profile,
         "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
-        # --- TPC-H SQL suite --------------------------------------------
         "shipping_priority_sql": _sql.build_shipping_priority,
         "nation_market_share_sql": _suite.build_nation_market_share,
         "top_supplier_sql": _suite.build_top_supplier,
-        # r8 rotation: four never-gated TPC-H shapes take window seats
         "last_shipment_sql": _suite.build_last_shipment,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        # ================= driver window boundary (50) =================
-        # variants of families already covered above (rotation moves
-        # these just below the line — all stay oracle-verified locally)
         "date_dim_join": _timeseries.build_date_dim_join,
         "dedup_simhash": _dedup.build_simhash,
         "dedup_span_scrub": _dedup.build_span_scrub,
@@ -155,20 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "doc_chunks": _text.build_chunks,
         "corpus_source_profile": _text.build_source_profile,
-        # approx-percentile twin (rows-only: sketch state is
-        # engine-specific; bounds pinned by tests/test_approx.py)
-        "source_profile_approx": _text.build_source_profile_approx,
         "brand_affinity": _product.build_brand_affinity,
-        # r8: packing-order knob study (straddle cost of arrival vs
-        # length-sorted concat-and-chop; seq count is order-invariant)
-        "packing_policy_compare": _packing.build_packing_policy_compare,
-        # r8: integer-exact perplexity stand-in (mean corpus term
-        # frequency of each doc's tokens — rare-token docs score low)
-        "doc_typicality": _text.build_doc_typicality,
-        # r8: Spark 4 surface — recursive CTE hierarchy walk and the
-        # VARIANT semi-structured path (try_parse_json/try_variant_get)
-        "part_hierarchy_sql": _suite.build_part_hierarchy,
-        "events_props_variant": _events.build_props_variant_audit,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
         "streaming_user_totals": _streams.build_streaming_user_totals,
@@ -186,8 +187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _tokenizer.build_bpe_merges,
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
-        # new in r5: cross-document verbatim-span detector (substring-
-        # level dedup — the public train-data dedup operator class)
         "dedup_repeated_spans": _dedup.build_repeated_spans,
         "similarity_ann_recall": _similarity.build_recall,
         "embedding_quantize": _similarity.build_quantize,
@@ -196,28 +195,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cadence": _customer.build_cadence,
         "bpe_encode": _tokenizer.build_bpe_encode,
         "pmi_collocations": _text.build_pmi_collocations,
-        "embedding_dim_stats": _similarity.build_dim_stats,
         "regional_rollup": _star.build_rollup,
         "dedup_keep_best": _curation.build_keep_best,
-        # new in r5: per-column statistics profile (ANALYZE surface)
-        "orders_profile": _quality.build_orders_profile,
-        # new in r7: dead-letter accounting for the ingest quarantine
-        "quarantine_audit": _quality.build_quarantine_audit,
         "lang_profile": _text.build_profile,
         "events_tumbling": _events.build_tumbling,
         "events_props_breakdown": _events.build_props_breakdown,
         "events_active_users": _events.build_active_users,
-        "session_attribution": _events.build_session_attribution,
         "events_cohort_retention": _events.build_cohort_retention,
         "events_value_histogram": _events.build_value_histogram,
         "revenue_seasonality": _timeseries.build_seasonality,
-        "revenue_decompose": _timeseries.build_decompose,
         "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
-        "lang_confusion": _text.build_lang_confusion,
         "incremental_join_view": _star.build_incremental_join_view,
         "ngram_novelty": _dedup.build_novelty,
         "dedup_incremental": _dedup.build_incremental,
-        "text_redacted": _text.build_redacted,
         "supplier_analytics": _product.build_supplier_analytics,
         "order_bookends": _customer.build_bookends,
         "brand_rules": _product.build_brand_rules,
@@ -227,26 +217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rate_audit": _events.build_user_rate_audit,
         "events_props_typed": _events.build_props_typed_audit,
         "market_concentration": _product.build_market_concentration,
-        "scd2_history": _cdc.build_scd2_history,
-        "part_triangles": _graph.build_triangles,
         "part_similarity": _graph.build_part_similarity,
-        "part_communities": _graph.build_communities,
-        "orders_snapshot_diff": _cdc.build_snapshot_diff,
-        "doc_top_terms": _text.build_top_terms,
         "bpe_pair_counts": _text.build_bpe_pairs,
         "embedding_centroids": _similarity.build_centroids,
-        "streaming_session": _streams.build_streaming_session,
         "streaming_dedup": _streams.build_streaming_dedup,
-        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
-        "dedup_ngram_containment": _dedup.build_containment,
-        "dedup_method_agreement": _dedup.build_method_agreement,
-        "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "corpus_sample": _curation.build_sample,
-        "events_funnel": _events.build_funnel,
         "events_incremental_rollup": _events.build_incremental_rollup,
-        "corpus_train_split": _curation.build_train_split,
         "corpus_mixture_plan": _curation.build_mixture_plan,
-        "events_hourly_anomaly": _events.build_hourly_anomaly,
         "events_lateness_audit": _events.build_lateness_audit,
         "text_noise_scan": _text.build_noise_scan,
         "events_unpivot": _events.build_unpivot,
@@ -261,18 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
         "nation_trade_volume_sql": _suite.build_nation_trade_volume,
         "product_profit_sql": _suite.build_product_profit,
-        "important_parts_sql": _suite.build_important_parts,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
         "idle_customers_sql": _suite.build_idle_customers,
-        "waiting_suppliers_sql": _suite.build_waiting_suppliers,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
-        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
-        "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
-        "csv_roundtrip": _formats.build_csv_roundtrip,
-        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
-        "schema_evolution_read": _formats.build_schema_evolution_read,
-        "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
     }
 
 
@@ -378,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props_typed": _events.ORACLE_SQL_PROPS_TYPED,
         "market_concentration": _product.ORACLE_SQL_CONCENTRATION,
         "part_pagerank": _graph.ORACLE_SQL_PAGERANK,
+        # cyclic bounded-depth closure: DuckDB's UNION-distinct recursion
+        # expresses what Spark's UNION ALL recursive CTE cannot
+        "part_closure": _graph.ORACLE_SQL_CLOSURE,
         "part_triangles": _graph.ORACLE_SQL_TRIANGLES,
         "part_similarity": _graph.ORACLE_SQL_PART_SIMILARITY,
         "part_communities": _graph.ORACLE_SQL_COMMUNITIES,

@@ -475,6 +475,85 @@ def build_communities(
     return part_communities(_cached_edges(spark, sf_dir))
 
 
+# ------------------------------------- bounded transitive closure ------
+CLOSURE_DEPTH = 3
+SEED_MOD = 97
+
+
+def part_closure(edges: DataFrame, d_max: int = CLOSURE_DEPTH) -> DataFrame:
+    """Min-hop distance from a seed part set over the CYCLIC co-purchase
+    graph, bounded at ``d_max`` hops — the recall/impact query ("every
+    part within 3 baskets of a recalled part") that recursive UNION ALL
+    cannot express: co-purchase edges are symmetric, so every edge is a
+    2-cycle and an unguarded recursion never terminates (Spark 4's
+    WITH RECURSIVE supports only UNION ALL — see part_hierarchy_sql for
+    the acyclic class it does cover). The cycle guard here is the
+    visited set: each BFS round anti-joins the new frontier against
+    every node already labeled, so a node is labeled exactly once, at
+    its first (= minimum) hop count — textbook level-synchronous
+    multi-source BFS (Pregel SSSP with unit weights).
+
+    Plan shape: per round one join frontier⋈edges on src (frontier is
+    node-sized or smaller — AQE broadcasts it while it fits), one
+    distinct on the next frontier, one anti-join against visited
+    (node-sized), localCheckpoint to keep the unrolled lineage flat.
+    Rounds = d_max (constant), not graph diameter; state never exceeds
+    the node table. At 100 TB the edge set stays put (persisted,
+    partitioned on src) and only node-sized frontiers move per round.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    visited = (
+        nodes.filter(F.col("node") % SEED_MOD == 0)
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select(F.col("node").alias("src"))
+    for d in range(1, d_max + 1):
+        nxt = (
+            edges.join(frontier, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select(F.col("node").alias("src"))
+    return visited.select(
+        F.col("node").alias("p_partkey"), F.col("dist").alias("min_dist")
+    )
+
+
+def build_closure(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return part_closure(_cached_edges(spark, sf_dir))
+
+
+# DuckDB's recursive CTEs allow UNION-distinct recursion (the working
+# table keeps only rows never produced before), so the cyclic closure
+# has an exact one-statement oracle; MIN(dist) collapses the re-reached
+# (node, higher-dist) pairs the distinct recursion still emits.
+ORACLE_SQL_CLOSURE = f"""
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+reach (node, dist) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src % {SEED_MOD} = 0
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.dist < {CLOSURE_DEPTH}
+)
+SELECT node AS p_partkey, CAST(MIN(dist) AS INTEGER) AS min_dist
+FROM reach
+GROUP BY node
+"""
+
+
 def _communities_oracle(rounds: int = LP_ROUNDS) -> str:
     parts = [
         """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

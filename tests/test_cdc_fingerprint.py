@@ -532,3 +532,39 @@ def test_part_similarity_by_hand(spark):
     r = next(x for x in rows if x["part_a"] == 1)
     assert r["co_orders"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
     assert r["jaccard_e6"] == 666_666 and r["rank"] == 1
+
+
+def test_part_closure_cyclic_bfs_min_dist(spark):
+    """Cyclic fixture (every co-purchase edge is a 2-cycle, plus an
+    explicit 3-cycle through the seed): chain orders {97,5},{5,6},
+    {6,7},{7,8},{8,9} and cycle-closer {7,97}. Seed = 97 (mod-97
+    anchor). Min-hop BFS with the visited-set cycle guard: 97→0,
+    5→1, 7→1 (via the closer, NOT 3 via the chain), 6→2, 8→2, 9→3.
+    The back-edges to 97 must not relabel it, and the Spark result
+    must equal the DuckDB UNION-distinct recursive-CTE oracle on the
+    same lineitem rows."""
+    import duckdb
+    from pyspark.sql import Row as R
+    from demo_etl_spark.io import register_persist
+    from demo_etl_spark.operators.graph import (
+        ORACLE_SQL_CLOSURE,
+        _edges,
+        part_closure,
+    )
+
+    rows = [(1, 97), (1, 5), (2, 5), (2, 6), (3, 6), (3, 7),
+            (4, 7), (4, 8), (5, 8), (5, 9), (6, 7), (6, 97)]
+    li = spark.createDataFrame(
+        [R(l_orderkey=o, l_partkey=p) for o, p in rows]
+    )
+    got = {
+        (r["p_partkey"], r["min_dist"])
+        for r in part_closure(register_persist(_edges(li))).collect()
+    }
+    assert got == {(97, 0), (5, 1), (7, 1), (6, 2), (8, 2), (9, 3)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+    exp = {tuple(r) for r in con.sql(ORACLE_SQL_CLOSURE).fetchall()}
+    assert got == exp

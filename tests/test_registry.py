@@ -39,40 +39,52 @@ def test_registry_is_large_and_window_covers_families():
     # inside the driver's 50-entry correctness window (r8 rotation)
     window = set(q[:50])
     for rep in (
+        # held flagships + family reps
+        "customer_analytics",     # reference A1 flagship
         "dedup_minhash_lsh",      # dedup
-        "dedup_fuzzy_verify",     # fuzzy verify (r8 promotion)
-        "doc_fingerprints",       # fingerprinting
         "cdc_latest_state",       # CDC
         "streaming_daily_rollup", # streaming
-        "streaming_enriched_rollup",  # stream-static join (r8 promotion)
         "similarity_topk_cosine", # similarity search (exact baseline)
         "multimodal_features",    # multimodal
         "corpus_curation",        # curation
         "text_stats",             # text
-        "bucketed_order_join",    # physical layout
-        "salted_order_join",      # skew salting (r8 promotion)
-        "key_skew_profile",       # skew diagnostics (r8 promotion)
-        "kmv_distinct_ngrams",    # KMV sketch under the gate (r8)
-        "packing_tokens_canary",  # packing gate canary (r8)
-        "packing_offsets_canary", # packing gate canary (r8)
         "sequence_packing",       # training-data assembly/export
-        "sequence_spans",         # span materialization
-        "shard_manifest",         # export-shard manifests
-        "sequence_export",        # packing writer stage
-        "customer_analytics_approx",  # A5 approx twin, rows-only (r8)
-        "bpe_merges_batched",     # tokenizer training (batched rep)
-        "part_pagerank",          # graph analytics
-        "data_quality_audit",     # data-quality governance
-        "customer_rfm",           # RFM ntile decomposition
-        "detail_summary_union",   # §2 A7/U2 representative
-        "events_gapfill",         # calendar densification (r8 promotion)
-        "shipping_priority_sql",  # TPC-H Q3 shape
-        "nation_market_share_sql",# TPC-H Q8 shape
-        "top_supplier_sql",       # TPC-H Q15 shape
-        "last_shipment_sql",      # TPC-H Q? shape (r8 promotion)
-        "disjunctive_revenue_sql",    # TPC-H Q19 shape (r8 promotion)
-        "customer_order_distribution_sql",  # TPC-H Q13 (r8 promotion)
-        "lateral_order_topk_sql", # LATERAL decorrelation (r8 promotion)
+        "events_session",         # sessionization
+        # r9 rotation promotions (first-ever driver seats)
+        "jsonl_roundtrip",        # formats family
+        "csv_roundtrip",
+        "partitioned_corpus_read",
+        "schema_evolution_read",
+        "jsonl_malformed_ingest",
+        "part_triangles",         # graph beyond pagerank
+        "part_communities",
+        "part_hierarchy_sql",     # Spark-4 WITH RECURSIVE
+        "events_props_variant",   # Spark-4 VARIANT
+        "part_closure",           # NEW r9: cyclic BFS closure
+        "doc_typicality",         # r8 additions
+        "packing_policy_compare",
+        "source_profile_approx",
+        "scd2_history",           # CDC depth
+        "orders_snapshot_diff",
+        "orders_profile",         # governance
+        "quarantine_audit",
+        "revenue_decompose",      # time series
+        "events_funnel",          # event analytics
+        "session_attribution",
+        "events_hourly_anomaly",
+        "doc_top_terms",          # text actions
+        "text_redacted",
+        "lang_confusion",
+        "dedup_method_agreement", # dedup governance
+        "dedup_ngram_containment",
+        "dedup_ann_pair_recall",
+        "embedding_dim_stats",    # embedding monitoring
+        "streaming_session",      # stateful streaming
+        "streaming_purchase_clicks",
+        "important_parts_sql",    # never-gated TPC-H shapes
+        "waiting_suppliers_sql",
+        "small_quantity_revenue_sql",
+        "corpus_train_split",     # corpus splitting
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 

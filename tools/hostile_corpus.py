@@ -89,6 +89,15 @@ ROWS = [
     (704, "tab\tseparated and\nnewline mixed", "en", "src_h"),  # non-space whitespace
     (705, "nbsp\u00a0bound zero\u200bwidth", "en", "src_h"),    # nbsp + zero-width
     (706, "кириллица текст ελληνικά κείμενο", "ru", "src_h"),   # Cyrillic + Greek
+    # r9 wave 5 — ASTRAL-PLANE code points (> U+FFFF, 2 UTF-16 code
+    # units, 4 UTF-8 bytes): Spark length() counts code POINTS but Java
+    # regex \w classes and DuckDB strlen/RE2 can disagree on code units
+    # vs code points vs bytes; mathematical alphanumerics and Gothic are
+    # Unicode LETTERS living entirely above the BMP, ZWJ family + flag
+    # sequences are multi-code-point grapheme clusters
+    (707, "math 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 bold 𝐀𝐁𝐂 digits 𝟙𝟚𝟛", "en", "src_h"),
+    (708, "family 👨‍👩‍👧‍👦 zwj flag 🇺🇸 cluster", "en", "src_h"),
+    (709, "𐌲𐌿𐍄𐌹𐍃𐌺 𐐼𐐯𐑆𐐲𐑉𐐯𐐻", "en", "src_h"),  # only-astral tokens
     # NULL source (VERDICT r7 #3 — the one untested key axis of the
     # packing family): forms its own window partition on both engines,
     # and is dropped by sequence_packing's null-unsafe totals join on
