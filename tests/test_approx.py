@@ -115,5 +115,9 @@ def test_approx_twins_registered_without_oracle():
     for name in ("customer_analytics_approx", "source_profile_approx"):
         assert name in qs
         assert name not in oracles
-    # the A5 twin must hold a driver-window seat (first 50)
-    assert "customer_analytics_approx" in list(qs)[:50]
+    # at least one approx twin must hold a driver-window seat (first 50)
+    # so the rows-only gate path stays driver-exercised every round
+    # (r8: customer_analytics_approx; r9 rotation: source_profile_approx)
+    window = list(qs)[:50]
+    assert ("customer_analytics_approx" in window
+            or "source_profile_approx" in window)
