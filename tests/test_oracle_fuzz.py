@@ -565,3 +565,72 @@ def test_oracles_hold_on_sparse_star_corpus(star_fuzz_dir):
     tail = (out.stdout + out.stderr)[-4000:]
     assert out.returncode == 0, tail
     assert "PASS (0 failures)" in out.stdout, tail
+
+
+def test_json_extractor_parity_fuzz(spark):
+    """Row-level cross-engine pin for the r9 JSON-extraction fragments
+    (io.gjo_int_oracle / io.vget_int_oracle): a seeded grammar of ~400
+    payloads — every JSON value type for $.k (ints across the int32
+    boundary, floats incl. negatives/scientific/huge, bools, strings
+    integral/signed/whitespace-padded/float-text/garbage, arrays,
+    objects, JSON null), missing keys, malformed documents, SQL NULL —
+    must extract IDENTICALLY under Spark's get_json_object+try_cast /
+    try_variant_get and the DuckDB oracle fragments. This is the class
+    the r9 ADVICE flagged (a bare DuckDB TRY_CAST rounds '5.7'→6 where
+    Spark NULLs it; variant_get truncates); one batched job per engine,
+    compared row-by-row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from demo_etl_spark.io import gjo_int_oracle, vget_int_oracle
+
+    rng = random.Random(0xC0FFEE)
+    ints = [0, 1, -1, 7, -42, 2147483647, -2147483648, 2147483648,
+            -2147483649, 99999999999, -99999999999]
+    floats = ["5.0", "5.7", "-5.7", "0.4999", "1e2", "-1e2", "1e10",
+              "2.5e-3", "123456789.987"]
+    strings = ['"5"', '"+5"', '" 5 "', '"\\t7\\t"', '"5.0"', '"abc"',
+               '""', '" "', '"-0"', '"007"', '"2147483648"', '"1e3"',
+               '"+-5"', '"5 5"']
+    others = ["true", "false", "null", "[1]", "[]", '{"x":1}', "{}"]
+    payloads = []
+    for v in ([str(i) for i in ints] + floats + strings + others):
+        payloads.append('{"k": %s}' % v)
+        payloads.append('{"j": 1, "k": %s, "z": "t"}' % v)
+    payloads += ['{"j": 1}', "{}", "null", "5", '"k"', "[1, 2]",
+                 "not json {", "", None, '{"k"', '{"k":}']
+    for _ in range(200):  # random composites of the atoms above
+        v = rng.choice([str(rng.choice(ints)), rng.choice(floats),
+                        rng.choice(strings), rng.choice(others)])
+        payloads.append('{"a": %d, "k": %s}' % (rng.randrange(100), v))
+
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    sdf = (
+        spark.createDataFrame(rows, "rid int, props string")
+        .select(
+            "rid",
+            F.get_json_object("props", "$.k").try_cast("int").alias("g"),
+            F.expr(
+                "try_variant_get(try_parse_json(props), '$.k', 'int')"
+            ).alias("v"),
+        )
+    )
+    got = {r["rid"]: (r["g"], r["v"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (rid INTEGER, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {
+        rid: (g, v)
+        for rid, g, v in con.sql(
+            f"SELECT rid, {gjo_int_oracle('props')} AS g, "
+            f"{vget_int_oracle('props')} AS v FROM t"
+        ).fetchall()
+    }
+    bad = {
+        rid: (payloads[rid], got[rid], exp[rid])
+        for rid in got
+        if got[rid] != exp[rid]
+    }
+    assert not bad, f"{len(bad)} diverging payloads: {dict(list(bad.items())[:5])}"
