@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_sales": _star.build_regional,
         "dedup_ngram_jaccard": _dedup.build_ngram,
         "dedup_embedding_cosine": _similarity.build_near_dup,
+        # NEW r9: SemDeDup-style cluster-then-pair semantic dedup (reuses
+        # the trained Lloyd index; within-cell pairs only)
+        "dedup_semantic_clusters": _similarity.build_semantic_dedup,
         "vocab_topk": _text.build_vocab,
         "doc_repetition": _text.build_repetition,
         "similarity_pq_topk": _similarity.build_pq_topk,
@@ -265,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup.ORACLE_SQL_CLUSTERS,
         "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
+        "dedup_semantic_clusters": _similarity.ORACLE_SQL_SEMANTIC_DEDUP,
         "dedup_embedding_ann": _similarity.ORACLE_SQL_ANN_PAIRS,
         "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
         "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,

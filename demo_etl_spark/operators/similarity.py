@@ -35,6 +35,8 @@ window-over-partition + filter plan does here.
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -453,6 +455,48 @@ def _lloyd_centroids(emb6: DataFrame, stride: int, iters: int) -> DataFrame:
     return cent
 
 
+def _emb6(embeddings: DataFrame) -> DataFrame:
+    """Norm-guarded e6 fixed-point frame shared by the trained-index
+    family: a vector whose every |component| < 5e-7 quantizes to the
+    zero e6 vector and must stay out of the index structure entirely
+    (the int-norm guard is strictly stronger than the float one)."""
+    return (
+        _nonzero(embeddings)
+        .select("vec_id", _e6_vec("embedding").alias("v"))
+        .withColumn("_n", _int_norm("v"))
+        .filter(F.col("_n") > 0)
+    )
+
+
+#: per-(application, sf_dir, stride, iters) memo of the TRAINED centroid
+#: table (tiny: ≤ n/stride rows) — IVF search and semantic dedup share
+#: ONE Lloyd training per session, the same amortization the graph
+#: family applies to its co-purchase edge set (_EDGE_CACHE)
+_CENT_CACHE: dict = {}
+
+
+def _cached_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = CENTROID_STRIDE,
+    iters: int = IVF_LLOYD_ITERS,
+) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        stride,
+        iters,
+    )
+    cent = _CENT_CACHE.get(key)
+    if cent is None:
+        emb6 = _emb6(valid_embeddings(load_star(spark, sf_dir)["embeddings"]))
+        cent = _lloyd_centroids(emb6, stride, iters).localCheckpoint(
+            eager=True
+        )
+        _CENT_CACHE[key] = cent
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
@@ -461,6 +505,7 @@ def ivf_topk(
     stride: int = CENTROID_STRIDE,
     n_probes: int = N_PROBES,
     iters: int = IVF_LLOYD_ITERS,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN with TRAINED centroids: seeded Lloyd
     (``_lloyd_centroids``) coarse-quantizes the corpus, then each query
@@ -477,16 +522,10 @@ def ivf_topk(
     emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    # int-norm guard is strictly stronger than the float one here: a
-    # vector whose every |component| < 5e-7 quantizes to the zero e6
-    # vector and must stay out of the IVF structure entirely
-    emb6 = (
-        _nonzero(embeddings)
-        .select("vec_id", _e6_vec("embedding").alias("v"))
-        .withColumn("_n", _int_norm("v"))
-        .filter(F.col("_n") > 0)
-    )
-    cent = _lloyd_centroids(emb6, stride, iters).withColumn("_cn", _int_norm("cv"))
+    emb6 = _emb6(embeddings)
+    if cent is None:
+        cent = _lloyd_centroids(emb6, stride, iters)
+    cent = cent.withColumn("_cn", _int_norm("cv"))
     cos_e6 = F.round(
         _int_dot("v", "cv").cast("double") / (F.col("_n") * F.col("_cn")) * 1_000_000
     ).cast("long")
@@ -535,7 +574,11 @@ def ivf_topk(
 
 
 def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return ivf_topk(valid_embeddings(load_star(spark, sf_dir)["embeddings"]), ctx)
+    return ivf_topk(
+        valid_embeddings(load_star(spark, sf_dir)["embeddings"]),
+        ctx,
+        cent=_cached_lloyd(spark, sf_dir),
+    )
 
 
 # integer-cosine between an e6 vector x.v and an e6 centroid c.cv — the
@@ -546,16 +589,12 @@ _INT_COS_SQL = """TRY_CAST(ROUND(
            / (x.n * c.cn) * 1000000, 0) AS BIGINT)"""
 
 
-def _ivf_oracle(
-    stride: int = CENTROID_STRIDE,
-    n_probes: int = N_PROBES,
-    iters: int = IVF_LLOYD_ITERS,
-    n_queries: int = N_QUERIES,
-    k: int = TOP_K,
-) -> str:
-    """DuckDB twin of the trained-IVF query: one (assign → per-dim mean)
-    CTE pair per Lloyd round, then the probe/rerank tail — every
-    arithmetic step mirrors the Spark fixed-point ops exactly."""
+def _lloyd_prefix_sql(stride: int, iters: int) -> list[str]:
+    """Shared WITH-prefix of every trained-centroid oracle (IVF top-k,
+    semantic dedup): e6 lift → norm guard → seed centroids c0 → one
+    (assign → per-dim mean → c{t+1}) CTE triple per Lloyd round. Every
+    arithmetic step mirrors the Spark fixed-point ops exactly, so the
+    TRAINED index itself is cross-engine bit-identical."""
     parts = [
         f"""WITH e6 AS (
   SELECT vec_id,
@@ -604,6 +643,19 @@ c{t + 1} AS (
     GROUP BY cell
   ) WHERE list_sum(list_transform(cv, y -> y * y)) > 0
 )""")
+    return parts
+
+
+def _ivf_oracle(
+    stride: int = CENTROID_STRIDE,
+    n_probes: int = N_PROBES,
+    iters: int = IVF_LLOYD_ITERS,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> str:
+    """DuckDB twin of the trained-IVF query: the shared Lloyd prefix,
+    then the probe/rerank tail."""
+    parts = _lloyd_prefix_sql(stride, iters)
     parts.append(f""",
 scored AS (
   SELECT x.vec_id, c.cent_id, {_INT_COS_SQL} AS ce6
@@ -649,6 +701,128 @@ FROM ranked2 WHERE rank <= {k}""")
 
 
 ORACLE_SQL_IVF = _ivf_oracle()
+
+
+# ---------------------------------------------- semantic dedup ----------
+SEM_DEDUP_THRESHOLD_E6 = 450_000  # within-cluster cosine ≥ 0.45 → dup
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    stride: int = CENTROID_STRIDE,
+    iters: int = IVF_LLOYD_ITERS,
+    threshold_e6: int = SEM_DEDUP_THRESHOLD_E6,
+    cent: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): coarse-cluster the corpus with the SAME seeded fixed-point
+    Lloyd index IVF search trains, then compare cosine only WITHIN each
+    cluster and drop every vector that has an above-threshold neighbor
+    with a smaller vec_id — the deterministic keep-the-minimum policy
+    the dedup family uses everywhere (exact dedup, LSH clusters). Output
+    is the full per-vector verdict (vec_id, cell, is_kept), so kept-set
+    extraction AND drop-rate monitoring read from one result.
+
+    The clustering is what makes this sub-quadratic: all-pairs cosine
+    runs per CELL (the SemDeDup design point — K bounds cluster size,
+    so pair work is Σ|cell|² ≪ n²). Plan: the Lloyd rounds are
+    broadcast joins + per-dimension aggs (shared shape with ivf_topk),
+    the final assignment is one broadcast cross + argmax window, the
+    pair scan is ONE self-join shuffled on cell with the exact BIGINT
+    dot evaluated JVM-side (zip_with/aggregate — no Python). At 100 TB:
+    K scales with the corpus (n/stride here) keeping cells bounded;
+    train Lloyd on a sample, and the self-join stays partitioned on
+    cell — no global pair grid ever materializes.
+    """
+    emb6 = _emb6(embeddings)
+    if cent is None:
+        cent = _lloyd_centroids(emb6, stride, iters)
+    cent = cent.withColumn("_cn", _int_norm("cv"))
+    cos_e6 = F.round(
+        _int_dot("v", "cv").cast("double")
+        / (F.col("_n") * F.col("_cn"))
+        * 1_000_000
+    ).cast("long")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("_c_e6"), F.asc("cent_id")
+    )
+    assign = (
+        emb6.join(F.broadcast(cent), how="cross")
+        .withColumn("_c_e6", cos_e6)
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "v", "_n")
+        # consumed twice (both sides of the pair join) and again for the
+        # verdict join — flatten the Lloyd lineage once
+        .localCheckpoint(eager=True)
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pair_cos = F.round(
+        _int_dot("a.v", "b.v").cast("double")
+        / (F.col("a._n") * F.col("b._n"))
+        * 1_000_000
+    ).cast("long")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .withColumn("_p", pair_cos)
+        .filter(F.col("_p") >= threshold_e6)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", F.col("_d").isNull().alias("is_kept"))
+    )
+
+
+def build_semantic_dedup(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return semantic_dedup(
+        valid_embeddings(load_star(spark, sf_dir)["embeddings"]),
+        ctx,
+        cent=_cached_lloyd(spark, sf_dir),
+    )
+
+
+def _semantic_dedup_oracle(
+    stride: int = CENTROID_STRIDE,
+    iters: int = IVF_LLOYD_ITERS,
+    threshold_e6: int = SEM_DEDUP_THRESHOLD_E6,
+) -> str:
+    """DuckDB twin: the shared Lloyd prefix, the same argmax assignment,
+    then the within-cell pair scan with the identical integer-cosine
+    expression and the same keep-the-minimum drop rule."""
+    parts = _lloyd_prefix_sql(stride, iters)
+    parts.append(f""",
+sassign AS (
+  SELECT vec_id, cell, v, n FROM (
+    SELECT x.vec_id, c.cent_id AS cell, x.v, x.n,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY {_INT_COS_SQL} DESC, c.cent_id ASC) AS r
+    FROM en x CROSS JOIN c{iters} c
+  ) WHERE r = 1
+),
+sdrop AS (
+  SELECT DISTINCT a.vec_id
+  FROM sassign a JOIN sassign b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE TRY_CAST(ROUND(
+          CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i])) AS DOUBLE)
+          / (a.n * b.n) * 1000000, 0) AS BIGINT) >= {threshold_e6}
+)
+SELECT s.vec_id, s.cell, d.vec_id IS NULL AS is_kept
+FROM sassign s LEFT JOIN sdrop d ON s.vec_id = d.vec_id""")
+    return "".join(parts)
+
+
+ORACLE_SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
 
 # ------------------------------------------------- embedding near-dup ----

@@ -568,3 +568,50 @@ def test_part_closure_cyclic_bfs_min_dist(spark):
     con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
     exp = {tuple(r) for r in con.sql(ORACLE_SQL_CLOSURE).fetchall()}
     assert got == exp
+
+
+def test_semantic_dedup_within_cluster_keep_min(spark):
+    """Hand fixture on a 4-dim corpus, stride=4/iters=1 so ids 0 and 4
+    seed two clean clusters (dims 1-2 vs dims 3-4). At threshold 0.99
+    only the (near-)identical vectors are semantic dups: 1 and 7
+    duplicate 0 (cos 1.0 / ~0.995), 5 duplicates 4; 2 (cos 0.8), 3 and
+    6 (cos 0.6) stay. Keep-the-minimum: the smaller vec_id survives.
+    The Spark result must equal the parameter-matched DuckDB oracle."""
+    import duckdb
+
+    from demo_etl_spark.operators.similarity import (
+        _semantic_dedup_oracle,
+        semantic_dedup,
+        valid_embeddings,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.8, 0.6, 0.0, 0.0],
+        3: [0.0, 0.0, 0.8, -0.6],
+        4: [0.0, 0.0, 1.0, 0.0],
+        5: [0.0, 0.0, 1.0, 0.0],
+        6: [0.0, 0.0, 0.6, 0.8],
+        7: [0.995, 0.0999, 0.0, 0.0],
+    }
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        valid_embeddings(df), stride=4, iters=1, threshold_e6=990_000
+    )
+    got = {(r["vec_id"], r["cell"], r["is_kept"]) for r in out.collect()}
+    kept = {v for v, _, k in got if k}
+    assert kept == {0, 2, 3, 4, 6}
+    assert {v for v, _, k in got if not k} == {1, 5, 7}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    exp = {
+        tuple(r)
+        for r in con.sql(
+            _semantic_dedup_oracle(stride=4, iters=1, threshold_e6=990_000)
+        ).fetchall()
+    }
+    assert got == exp
