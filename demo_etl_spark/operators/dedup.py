@@ -335,11 +335,30 @@ def build_containment(
     )
 
 
+#: memoized VERIFIED MinHash pair set per (app, sf_dir) — four registered
+#: queries consume the same default-parameter pair set (dedup_minhash_lsh
+#: itself, the fuzzy edit-distance verifier, the connected-component
+#: fixpoint, and method_agreement's MinHash side); the signatures →
+#: banded join → exact-Jaccard verify chain is the expensive stage, so
+#: it runs once per session like the shingle index it builds on
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_PAIRS_CACHE.clear)
+
+
+def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    pairs = _PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            load_star(spark, sf_dir)["documents"],
+            index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        ).localCheckpoint(eager=True)
+        _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def build_minhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return minhash_lsh_pairs(
-        load_star(spark, sf_dir)["documents"], ctx,
-        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
-    )
+    return _cached_minhash_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------- oracles --
@@ -474,6 +493,7 @@ def dedup_clusters(
     max_iterations: int = 20,
     index: DataFrame | None = None,
     stats_out: dict | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected-component labels over the near-dup pair graph.
 
@@ -500,9 +520,9 @@ def dedup_clusters(
     Output: one row per document that belongs to a non-trivial cluster
     (cluster_id ≠ doc_id rows plus the cluster roots).
     """
-    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index).select(
-        "doc_a", "doc_b"
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index)
+    pairs = pairs.select("doc_a", "doc_b")
     # localCheckpoint (eager) truncates the logical plan, not just the
     # physical execution: labels_{n+1} references labels_n TWICE (via
     # ``prop`` and via the join), so without lineage truncation Catalyst
@@ -623,7 +643,7 @@ def _cached_clusters(
     if labels is None:
         labels = dedup_clusters(
             load_star(spark, sf_dir)["documents"], ctx,
-            index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+            pairs=_cached_minhash_pairs(spark, sf_dir),
         )
         _CLUSTERS_CACHE[key] = labels
     return labels
@@ -861,6 +881,7 @@ def fuzzy_verify_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance scoring of the LSH candidate pairs.
 
@@ -871,9 +892,9 @@ def fuzzy_verify_pairs(
     exact integer fraction ((maxlen − dist)/maxlen, HALF_UP at 1e-6) so
     the DuckDB twin hashes identically.
     """
-    pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index).select(
-        "doc_a", "doc_b"
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, ctx, threshold, max_df, index)
+    pairs = pairs.select("doc_a", "doc_b")
     ta = documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     scored = (
@@ -897,7 +918,10 @@ def fuzzy_verify_pairs(
 def build_fuzzy(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return fuzzy_verify_pairs(load_star(spark, sf_dir)["documents"], ctx)
+    return fuzzy_verify_pairs(
+        load_star(spark, sf_dir)["documents"], ctx,
+        pairs=_cached_minhash_pairs(spark, sf_dir),
+    )
 
 
 ORACLE_SQL_FUZZY = f"""
