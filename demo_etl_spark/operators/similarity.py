@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import load_star, register_cache_clearer
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -963,8 +963,27 @@ def embedding_near_dup_bruteforce(
     )
 
 
+#: memoized embedding near-dup pair sets per (app, sf_dir, kind) — the
+#: exact blocked kernel and the banded-LSH path each feed two registered
+#: queries (their own seat + the recall audit that joins them), the same
+#: share-the-expensive-stage pattern as dedup's _PAIRS_CACHE
+_EMB_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+register_cache_clearer(_EMB_PAIRS_CACHE.clear)
+
+
+def _cached_emb_pairs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), kind)
+    pairs = _EMB_PAIRS_CACHE.get(key)
+    if pairs is None:
+        emb = load_star(spark, sf_dir)["embeddings"]
+        fn = embedding_near_dup if kind == "exact" else embedding_ann_pairs
+        pairs = fn(emb).localCheckpoint(eager=True)
+        _EMB_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def build_near_dup(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return embedding_near_dup(load_star(spark, sf_dir)["embeddings"], ctx)
+    return _cached_emb_pairs(spark, sf_dir, "exact")
 
 
 ORACLE_SQL_NEAR_DUP = f"""
@@ -1107,7 +1126,7 @@ def embedding_ann_pairs(
 def build_ann_pairs(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return embedding_ann_pairs(load_star(spark, sf_dir)["embeddings"], ctx)
+    return _cached_emb_pairs(spark, sf_dir, "ann")
 
 
 def _band_sign_sql(band: int, ppb: int = ANN_BAND_PLANES) -> str:
@@ -1177,6 +1196,8 @@ def ann_pair_recall(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = NEAR_DUP_THRESHOLD,
+    exact_pairs: DataFrame | None = None,
+    ann_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Pair-level recall of the banded-LSH near-dup path vs the exact
     blocked kernel — the standing accuracy audit of the registered
@@ -1186,12 +1207,12 @@ def ann_pair_recall(
     hash check, not just a dashboard). Single-row result."""
     from demo_etl_spark.functions.fixedpoint import round_div
 
-    exact = embedding_near_dup(embeddings, ctx, threshold).select("vec_a", "vec_b")
-    ann = (
-        embedding_ann_pairs(embeddings, ctx, threshold)
-        .select("vec_a", "vec_b")
-        .withColumn("_hit", F.lit(1))
-    )
+    if exact_pairs is None:
+        exact_pairs = embedding_near_dup(embeddings, ctx, threshold)
+    if ann_pairs is None:
+        ann_pairs = embedding_ann_pairs(embeddings, ctx, threshold)
+    exact = exact_pairs.select("vec_a", "vec_b")
+    ann = ann_pairs.select("vec_a", "vec_b").withColumn("_hit", F.lit(1))
     return (
         exact.join(ann, ["vec_a", "vec_b"], "left")
         .agg(
@@ -1216,7 +1237,11 @@ def ann_pair_recall(
 def build_ann_pair_recall(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return ann_pair_recall(load_star(spark, sf_dir)["embeddings"], ctx)
+    return ann_pair_recall(
+        load_star(spark, sf_dir)["embeddings"], ctx,
+        exact_pairs=_cached_emb_pairs(spark, sf_dir, "exact"),
+        ann_pairs=_cached_emb_pairs(spark, sf_dir, "ann"),
+    )
 
 
 def _ann_pair_recall_oracle() -> str:
