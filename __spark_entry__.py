@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r9: SemDeDup-style cluster-then-pair semantic dedup (reuses
         # the trained Lloyd index; within-cell pairs only)
         "dedup_semantic_clusters": _similarity.build_semantic_dedup,
+        # NEW r9: per-source dedup-rate governance over the memoized
+        # cluster labels
+        "dedup_cluster_profile": _dedup.build_cluster_profile,
         "vocab_topk": _text.build_vocab,
         "doc_repetition": _text.build_repetition,
         "similarity_pq_topk": _similarity.build_pq_topk,
@@ -197,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _multimodal.build_resize,
         "order_cadence": _customer.build_cadence,
         "bpe_encode": _tokenizer.build_bpe_encode,
+        # NEW r9: held-out vocab coverage / char-fallback audit
+        "bpe_vocab_coverage": _tokenizer.build_bpe_vocab_coverage,
         "pmi_collocations": _text.build_pmi_collocations,
         "regional_rollup": _star.build_rollup,
         "dedup_keep_best": _curation.build_keep_best,
@@ -269,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy_verify": _dedup.ORACLE_SQL_FUZZY,
         "dedup_embedding_cosine": _similarity.ORACLE_SQL_NEAR_DUP,
         "dedup_semantic_clusters": _similarity.ORACLE_SQL_SEMANTIC_DEDUP,
+        "dedup_cluster_profile": _dedup.ORACLE_SQL_CLUSTER_PROFILE,
         "dedup_embedding_ann": _similarity.ORACLE_SQL_ANN_PAIRS,
         "contamination_screen": _dedup.ORACLE_SQL_CONTAMINATION,
         "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
@@ -301,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_export": _packing.ORACLE_SQL_PACKED_SEQUENCES,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
+        "bpe_vocab_coverage": _tokenizer.ORACLE_SQL_BPE_VOCAB_COVERAGE,
         "bpe_merges_batched": _tokenizer.ORACLE_SQL_BPE_MERGES_BATCHED,
         "pmi_collocations": _text.ORACLE_SQL_PMI,
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,

@@ -682,6 +682,69 @@ FROM labels
 """
 
 
+# ------------------------------------------- cluster governance profile --
+def dedup_cluster_profile(
+    documents: DataFrame,
+    labels: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Per-source dedup governance: corpus size, how many document rows
+    sit in a non-trivial near-dup cluster, how many the keep-canonical
+    policy DROPS, how many distinct clusters touch the source, and the
+    drop rate — the per-snapshot dashboard row a curation pipeline
+    watches (a source whose dup_rate jumps is re-crawling itself; one
+    whose n_clusters collapses lost its near-dup detector). Consumes the
+    session-memoized cluster labels (_CLUSTERS_CACHE), so the marginal
+    cost is one broadcast-sized join + one agg over the corpus.
+
+    Row semantics: counts are over document ROWS (duplicate doc_ids each
+    count; they inherit the same label row), NULL-id rows count in
+    n_docs and never in the labeled set, a NULL source is its own group
+    — all pinned by the hostile corpus. Clusters spanning sources count
+    once per source they touch (this is a per-source view, not a
+    partition of the cluster set).
+    """
+    j = documents.select("doc_id", "source").join(labels, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("cluster_id").cast("long").alias("n_in_clusters"),
+            F.sum(
+                F.when(~F.col("is_canonical"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .withColumn("dup_rate", round_div("n_dropped", "n_docs", 4))
+    )
+
+
+def build_cluster_profile(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return dedup_cluster_profile(
+        load_star(spark, sf_dir)["documents"],
+        _cached_clusters(spark, sf_dir, ctx),
+        ctx,
+    )
+
+
+ORACLE_SQL_CLUSTER_PROFILE = f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(l.cluster_id) AS BIGINT) AS n_in_clusters,
+       CAST(COALESCE(SUM(CASE WHEN l.is_canonical = false THEN 1
+                              ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+       CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+       {round_div_expr(
+           "CAST(COALESCE(SUM(CASE WHEN l.is_canonical = false THEN 1"
+           " ELSE 0 END), 0) AS BIGINT)",
+           "CAST(COUNT(*) AS BIGINT)", 4, "duckdb")} AS dup_rate
+FROM documents d LEFT JOIN ({ORACLE_SQL_CLUSTERS}) l USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # ------------------------------------------------------------- SimHash ----
 # 32-bit SimHash with 4×8-bit band LSH + exact Hamming verification.
 # Token hashes are md5-derived (deterministic), so the DuckDB oracle

@@ -123,11 +123,11 @@ def build_bpe_merges(
     return bpe_merges(load_star(spark, sf_dir)["documents"], ctx)
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_oracle(rounds: int = BPE_ROUNDS, src: str = "documents") -> str:
     parts = [
-        """WITH w AS (
+        f"""WITH w AS (
   SELECT u.t AS word, COUNT(*) AS freq
-  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  FROM {src}, unnest(string_split(text, ' ')) AS u(t)
   GROUP BY 1
 ),
 s0 AS (
@@ -267,6 +267,124 @@ GROUP BY doc_id, source
 
 
 ORACLE_SQL_BPE_ENCODE = _bpe_encode_oracle()
+
+
+# --- held-out vocabulary coverage -------------------------------------
+_TRAIN_HALF_SQL = (
+    "(SELECT * FROM documents WHERE doc_id % 2 = 0) documents"
+)
+
+
+def bpe_vocab_coverage(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Held-out tokenizer acceptance audit: train the merge table on the
+    even-``doc_id`` half of the corpus, then measure per source on the
+    ODD half how much of the text the trained vocabulary covers — OOV
+    word rate and the share of tokens produced by the character-level
+    fallback (an OOV word costs length(word) single-char tokens, the
+    BPE byte-fallback at char granularity). The go/no-go check before a
+    tokenizer ships: a source with a high fallback share is
+    under-represented in training data. NULL ``doc_id`` rows belong to
+    neither half (NULL % 2 is NULL) and NULL text explodes to no words
+    — both engines agree, pinned on the hostile corpus.
+
+    Shape: the merge loop runs on the train half's DISTINCT vocabulary
+    (vocab-sized, per-round checkpoints as in bpe_merges); the held-out
+    corpus is ONE scan joined to the broadcast vocab map + one agg.
+    """
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    train = documents.filter(F.col("doc_id") % 2 == 0)
+    held = documents.filter(F.col("doc_id") % 2 != 0)
+    sym, _ = _train(train, rounds)
+    vocab = sym.select(
+        "word",
+        F.when(F.col("word") == "", F.lit(0).cast("long"))
+        .otherwise(
+            F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long")
+        )
+        .alias("word_tokens"),
+    )
+    words = held.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    # word_tokens IS NULL ⇔ OOV (every vocab row has a non-null count,
+    # 0 for the empty word)
+    j = words.join(F.broadcast(vocab), "word", "left")
+    oov_chars = F.when(
+        F.col("word_tokens").isNull(), F.length("word").cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(
+            F.when(F.col("word_tokens").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov_words"),
+        F.sum(
+            F.coalesce("word_tokens", F.length("word").cast("long"))
+        ).cast("long").alias("n_tokens"),
+        F.sum(oov_chars).cast("long").alias("n_fallback_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_oov_words",
+        "n_tokens",
+        "n_fallback_tokens",
+        round_div("n_oov_words", "n_words", 4).alias("oov_rate"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(round_div("n_fallback_tokens", "n_tokens", 4))
+        .alias("fallback_share"),
+    )
+
+
+def build_bpe_vocab_coverage(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return bpe_vocab_coverage(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _bpe_vocab_coverage_oracle(rounds: int = BPE_ROUNDS) -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    base = _bpe_oracle(rounds, src=_TRAIN_HALF_SQL)
+    head = base.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    oov = "CAST(SUM(CASE WHEN v.word_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    ntok = ("CAST(SUM(COALESCE(v.word_tokens, CAST(length(c.word) AS BIGINT)))"
+            " AS BIGINT)")
+    nfb = ("CAST(SUM(CASE WHEN v.word_tokens IS NULL"
+           " THEN CAST(length(c.word) AS BIGINT) ELSE 0 END) AS BIGINT)")
+    return f"""{head},
+vocab AS (
+  SELECT word,
+         CASE WHEN word = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(trim(sym), '  ')) AS BIGINT)
+         END AS word_tokens
+  FROM s{rounds}
+),
+corpus AS (
+  SELECT source, u.t AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE doc_id % 2 <> 0
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       {oov} AS n_oov_words,
+       {ntok} AS n_tokens,
+       {nfb} AS n_fallback_tokens,
+       {round_div_expr(oov, "CAST(COUNT(*) AS BIGINT)", 4, "duckdb")}
+         AS oov_rate,
+       CASE WHEN {ntok} = 0 THEN 0.0
+            ELSE {round_div_expr(nfb, ntok, 4, "duckdb")} END
+         AS fallback_share
+FROM corpus c LEFT JOIN vocab v ON c.word = v.word
+GROUP BY c.source
+"""
+
+
+ORACLE_SQL_BPE_VOCAB_COVERAGE = _bpe_vocab_coverage_oracle()
 
 
 # --- batched-merge BPE training --------------------------------------
