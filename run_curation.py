@@ -7,23 +7,27 @@ non-empty via _SUCCESS + count, and lineage-tracked):
 
   1. curate   — exact dedup → MinHash-LSH near-dup removal → quality
                 gate → language policy (operators.curation)
-  2. scrub    — cross-document verbatim-span removal over the
+  2. semantic — SemDeDup embedding-level near-dup gate over the
+                survivors (operators.similarity.semantic_dedup):
+                cluster-then-within-cell cosine, keep-the-minimum; the
+                embeddings table's vec_id is the corpus doc_id
+  3. scrub    — cross-document verbatim-span removal over the
                 SURVIVORS (operators.dedup.span_scrub): doc-level dedup
-                first, then substring-level; all later stages consume
-                the scrubbed text
-  3. fingerprint — winnowing fingerprints of the scrubbed docs
+                first, embedding-level second, then substring-level;
+                all later stages consume the scrubbed text
+  4. fingerprint — winnowing fingerprints of the scrubbed docs
                 (operators.fingerprint) — the downstream copy-detection
                 index a serving system keeps
-  4. split    — deterministic train/val/test assignment
+  5. split    — deterministic train/val/test assignment
                 (operators.curation.train_split), written partitioned
                 by split so consumers prune
-  5. chunk    — overlapping token-window chunks of the TRAIN split only
+  6. chunk    — overlapping token-window chunks of the TRAIN split only
                 (operators.text.chunk_documents) — the tensor-feed stage
-  6. pack     — concat-and-chop sequence packing of the train split
+  7. pack     — concat-and-chop sequence packing of the train split
                 (operators.packing.sequence_packing)
-  7. shard    — balanced export shards + order-independent integrity
+  8. shard    — balanced export shards + order-independent integrity
                 checksums (operators.packing.shard_manifest)
-  8. tokenize — BPE merge table learned on the train split
+  9. tokenize — BPE merge table learned on the train split
                 (operators.tokenizer.bpe_merges)
 
     python run_curation.py [--sf-dir DIR] [--work-dir DIR] [--job-id ID]
@@ -67,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup,
         fingerprint,
         packing,
+        similarity,
         text,
         tokenizer,
     )
@@ -101,14 +106,34 @@ def main(argv: list[str] | None = None) -> int:
                    curated_path, n_curated)
     print(f"  kept {n_curated}/{n_raw} docs")
 
-    # ---- Stage 2: verbatim-span scrub of the survivors ----------------
-    _stage(2, "cross-document verbatim-span scrub of survivors")
+    # ---- Stage 2: embedding-level semantic dedup gate ------------------
+    _stage(2, "SemDeDup embedding near-dup gate over the survivors")
+    emb = similarity.valid_embeddings(
+        io.read_star_table(spark, src, "embeddings")
+    )
+    verdicts = similarity.semantic_dedup(emb, ctx)
+    sem_path, n_sem = checked_write(verdicts, "semantic_verdicts")
+    tracker.log("semantic dedup verdicts",
+                [f"{src}/embeddings.parquet"], sem_path, n_sem)
+    # vec_id IS the corpus doc_id (TESTDATA contract); docs without an
+    # embedding row pass the gate — the gate only DROPS known near-dups
+    sem_drop = (
+        spark.read.parquet(sem_path)
+        .filter(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    n_sem_drop = sem_drop.count()
+    print(f"  semantic near-dup drops: {n_sem_drop}")
+
+    # ---- Stage 3: verbatim-span scrub of the survivors ----------------
+    _stage(3, "cross-document verbatim-span scrub of survivors")
     kept = docs.join(
         spark.read.parquet(curated_path).select("doc_id"), "doc_id"
-    )
+    ).join(sem_drop, "doc_id", "left_anti")
     scrubbed = dedup.span_scrub(kept, ctx=ctx)
     scrub_path, n_scrub = checked_write(scrubbed, "scrubbed")
-    tracker.log("verbatim span scrub", [curated_path], scrub_path, n_scrub)
+    tracker.log("verbatim span scrub", [curated_path, sem_path],
+                scrub_path, n_scrub)
     # downstream consumes the scrubbed text; a doc whose every token was
     # repeated elsewhere drops out entirely
     kept = (
@@ -119,14 +144,14 @@ def main(argv: list[str] | None = None) -> int:
         .withColumn("n_chars", F.length("text"))
     )
 
-    # ---- Stage 3: fingerprints ----------------------------------------
-    _stage(3, "winnowing fingerprints of scrubbed survivors")
+    # ---- Stage 4: fingerprints ----------------------------------------
+    _stage(4, "winnowing fingerprints of scrubbed survivors")
     fps = fingerprint.winnow_fingerprints(kept, ctx)
     fp_path, n_fps = checked_write(fps, "fingerprints")
     tracker.log("winnowing fingerprints", [scrub_path], fp_path, n_fps)
 
-    # ---- Stage 4: train/val/test split --------------------------------
-    _stage(4, "deterministic train/val/test split (partitioned)")
+    # ---- Stage 5: train/val/test split --------------------------------
+    _stage(5, "deterministic train/val/test split (partitioned)")
     split = curation.train_split(kept, ctx)
     split_path = f"{work}/splits"
     split.write.mode("overwrite").partitionBy("split").parquet(split_path)
@@ -134,29 +159,29 @@ def main(argv: list[str] | None = None) -> int:
     print(f"  splits: {n_split} rows at {split_path}")
     tracker.log("train split", [scrub_path], split_path, n_split)
 
-    # ---- Stage 5: chunk the train split -------------------------------
-    _stage(5, "token-window chunks of the train split")
+    # ---- Stage 6: chunk the train split -------------------------------
+    _stage(6, "token-window chunks of the train split")
     train_ids = spark.read.parquet(split_path).filter(
         F.col("split") == "train").select("doc_id")
     chunks = text.chunk_documents(kept.join(train_ids, "doc_id"), ctx)
     chunk_path, n_chunks = checked_write(chunks, "train_chunks")
     tracker.log("train chunking", [split_path], chunk_path, n_chunks)
 
-    # ---- Stage 6: pack the train split into training sequences --------
-    _stage(6, "concat-and-chop sequence packing of the train split")
+    # ---- Stage 7: pack the train split into training sequences --------
+    _stage(7, "concat-and-chop sequence packing of the train split")
     train_docs = kept.join(train_ids, "doc_id")
     packed = packing.sequence_packing(train_docs, ctx)
     pack_path, n_seqs = checked_write(packed, "train_sequences")
     tracker.log("sequence packing", [split_path], pack_path, n_seqs)
 
-    # ---- Stage 7: balanced export-shard manifest ----------------------
-    _stage(7, "snake-dealt export shards + integrity manifest")
+    # ---- Stage 8: balanced export-shard manifest ----------------------
+    _stage(8, "snake-dealt export shards + integrity manifest")
     manifest = packing.shard_manifest(train_docs, ctx)
     man_path, n_shards = checked_write(manifest, "shard_manifest")
     tracker.log("shard manifest", [split_path], man_path, n_shards)
 
-    # ---- Stage 8: tokenizer merge table over the train split ----------
-    _stage(8, "BPE merge training on the train split")
+    # ---- Stage 9: tokenizer merge table over the train split ----------
+    _stage(9, "BPE merge training on the train split")
     merges = tokenizer.bpe_merges(train_docs, ctx)
     tok_path, n_merges = checked_write(merges, "bpe_merges")
     tracker.log("bpe merge training", [split_path], tok_path, n_merges)
@@ -168,7 +193,7 @@ def main(argv: list[str] | None = None) -> int:
               f"{', '.join(ev.inputs)} -> {ev.output}")
     print(f"DOT graph: {dot}")
     print(f"\nworkflow {job_id} complete: curated={n_curated} "
-          f"scrub_survivors={n_scrub} "
+          f"semantic_drops={n_sem_drop} scrub_survivors={n_scrub} "
           f"fingerprints={n_fps} chunks={n_chunks} "
           f"sequences={n_seqs} shards={n_shards} merges={n_merges}")
     return 0

@@ -288,9 +288,10 @@ def test_fixtures_deterministic(spark):
 
 
 def test_run_curation_workflow_end_to_end(spark, tmp_path):
-    """The LLM-data workflow CLI chains curate -> fingerprint -> split
-    -> chunk with verified materializations and lineage, mirroring
-    run_all.py's stage discipline on the extension surface."""
+    """The LLM-data workflow CLI chains curate -> semantic gate ->
+    scrub -> fingerprint -> split -> chunk with verified
+    materializations and lineage, mirroring run_all.py's stage
+    discipline on the extension surface."""
     import run_curation
 
     work = str(tmp_path / "cur")
@@ -300,13 +301,22 @@ def test_run_curation_workflow_end_to_end(spark, tmp_path):
     ])
     assert rc == 0
     curated = spark.read.parquet(f"{work}/curated")
+    semantic = spark.read.parquet(f"{work}/semantic_verdicts")
     scrub = spark.read.parquet(f"{work}/scrubbed")
     splits = spark.read.parquet(f"{work}/splits")
     fps = spark.read.parquet(f"{work}/fingerprints")
     chunks = spark.read.parquet(f"{work}/train_chunks")
     n_cur = curated.count()
     assert 0 < n_cur < 500  # the gates actually dropped docs
-    assert scrub.count() == n_cur  # scrub audits every survivor
+    # the semantic gate audits every valid embedding and scrub audits
+    # every survivor of BOTH document-level gates
+    assert semantic.count() > 0
+    sem_drop_ids = {
+        r["vec_id"]
+        for r in semantic.filter("NOT is_kept").select("vec_id").collect()
+    }
+    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert scrub.count() == len(cur_ids - sem_drop_ids)
     # token accounting holds on every scrub row
     assert scrub.filter("n_kept + n_removed != n_tokens").count() == 0
     n_surv = scrub.filter("n_kept > 0").count()
