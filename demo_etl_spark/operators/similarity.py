@@ -473,6 +473,7 @@ def _emb6(embeddings: DataFrame) -> DataFrame:
 #: ONE Lloyd training per session, the same amortization the graph
 #: family applies to its co-purchase edge set (_EDGE_CACHE)
 _CENT_CACHE: dict = {}
+register_cache_clearer(_CENT_CACHE.clear)
 
 
 def _cached_lloyd(
