@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers_sql": _suite.build_idle_customers,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
+        # NEW r9: second columnar interchange format (zstd ORC roundtrip)
+        "orc_roundtrip": _formats.build_orc_roundtrip,
     }
 
 
@@ -433,4 +435,5 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_corpus_read": _formats.ORACLE_SQL_PARTITIONED_READ,
         "schema_evolution_read": _formats.ORACLE_SQL_SCHEMA_EVOLUTION,
         "jsonl_malformed_ingest": _formats.ORACLE_SQL_JSONL_MALFORMED,
+        "orc_roundtrip": _formats.ORACLE_SQL_ORC_ROUNDTRIP,
     }

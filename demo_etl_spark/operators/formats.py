@@ -132,6 +132,39 @@ def build_csv_roundtrip(
 ORACLE_SQL_CSV_ROUNDTRIP = ORACLE_SQL_JSONL_ROUNDTRIP
 
 
+# ------------------------------------------------------ ORC roundtrip ---
+def orc_roundtrip(documents: DataFrame) -> DataFrame:
+    """documents → ORC files → back, hash-equal to the parquet truth —
+    the second first-class columnar interchange format (Hive/Trino
+    ecosystems hand Spark ORC as often as parquet). Unlike the CSV leg
+    there are no loss-guarding knobs to pin: ORC is typed and
+    NULL-faithful by construction, so the roundtrip asserts the
+    CODEC/WRITER path, not a text-escaping contract — zstd compression
+    on the write leg exercises the non-default codec, predicate pushdown
+    and column pruning work on the read leg exactly as for parquet
+    (spark.sql.orc.filterPushdown is on by default). The oracle never
+    touches ORC (DuckDB reads none): losslessness means the readback
+    must hash-equal the parquet source."""
+    spark = documents.sparkSession
+    path = _staging_dir("orc")
+    (
+        documents.select(*_COLS)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )
+    return spark.read.schema(DOCUMENTS).orc(path).select(*_COLS)
+
+
+def build_orc_roundtrip(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return orc_roundtrip(load_star(spark, sf_dir)["documents"])
+
+
+ORACLE_SQL_ORC_ROUNDTRIP = ORACLE_SQL_JSONL_ROUNDTRIP
+
+
 # ------------------------------------------- partitioned corpus read ----
 def partitioned_corpus_read(documents: DataFrame, lang: str = "en") -> DataFrame:
     """Hive-style partitioned write + partition-PRUNED read: the corpus

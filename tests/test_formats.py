@@ -17,6 +17,7 @@ from pyspark.sql import Row
 from demo_etl_spark.operators.formats import (
     csv_roundtrip,
     jsonl_roundtrip,
+    orc_roundtrip,
     partitioned_corpus_read,
 )
 
@@ -72,3 +73,26 @@ def test_partitioned_read_prunes_at_listing(spark):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "lang" in pf
     assert sorted(r["doc_id"] for r in df.collect()) == [1, 2, 3, 4, 5, 7]
+
+
+def test_orc_roundtrip_lossless_and_zstd(spark):
+    """ORC is typed/NULL-faithful so losslessness should hold with no
+    knobs — this pins it on the pathological rows (NULs, astral
+    unicode, NULL key) AND that the write leg actually produced
+    zstd-compressed ORC files (the non-default codec requested)."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(PATHOLOGICAL)
+    out = orc_roundtrip(docs)
+    got = sorted(
+        out.collect(),
+        key=lambda r: (r["doc_id"] is None, r["doc_id"] or 0),
+    )
+    want = sorted(
+        PATHOLOGICAL, key=lambda r: (r["doc_id"] is None, r["doc_id"] or 0)
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    path = out.inputFiles()[0]
+    stage_dir = os.path.dirname(path.replace("file:", ""))
+    assert glob.glob(f"{stage_dir}/*.zstd.orc"), os.listdir(stage_dir)
