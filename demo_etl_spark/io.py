@@ -226,12 +226,23 @@ def gjo_int_oracle(col: str, path: str = "$.k") -> str:
     """DuckDB fragment mirroring Spark
     ``get_json_object(col, path).try_cast('int')`` EXACTLY (empirically
     pinned, r9): Spark's string→int cast accepts only integral text —
-    optional sign, digits, surrounding ASCII whitespace — and NULLs
+    optional sign, digits, surrounding trimmable chars — and NULLs
     everything else, while a bare DuckDB ``TRY_CAST`` also parses and
     ROUNDS float text ('5.0'→5, '5.7'→6) and a float-typed payload's
     extract. The integral-text regex guard closes that gap; int32
-    overflow is NULL under both (TRY_CAST AS INTEGER)."""
-    v = f"trim(json_extract_string({col}, '{path}'), ' \t\n\r\f')"
+    overflow is NULL under both (TRY_CAST AS INTEGER).
+
+    Trim set (empirically probed against Spark 4.1, r10): the cast
+    strips EXACTLY ``\\x00``-``\\x20`` and ``\\x7f`` — all C0 controls
+    + space + DEL, but NOT C1 controls (``\\x80``-``\\x9f``), NBSP, or
+    any Unicode space — so the oracle trims that precise class with a
+    RE2 anchor strip rather than DuckDB trim()'s char-set argument
+    (which can't carry a NUL byte in a SQL literal)."""
+    raw = f"json_extract_string({col}, '{path}')"
+    v = (
+        f"regexp_replace({raw}, "
+        "'^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')"
+    )
     return (
         f"CASE WHEN json_valid({col}) "
         f"AND regexp_matches({v}, '^[+-]?[0-9]+$') "
@@ -247,10 +258,14 @@ def vget_int_oracle(col: str, path: str = "$.k") -> str:
     overflow under both), double-typed → TRUNCATED toward zero
     (5.7→5, -5.7→-5; DuckDB's bare TRY_CAST would round to 6/-6),
     boolean → 1/0 (DuckDB TRY_CAST('true') is NULL), string → parsed
-    only when integral text (Spark trims whitespace and accepts a
-    sign; '5.0' is NULL), array/object/json-null/missing → NULL."""
+    only when integral text (Spark trims ``\\x00``-``\\x20``/``\\x7f``
+    — see gjo_int_oracle — and accepts a sign; '5.0' is NULL),
+    array/object/json-null/missing → NULL."""
     s = f"json_extract_string({col}, '{path}')"
-    st = f"trim({s}, ' \t\n\r\f')"
+    st = (
+        f"regexp_replace({s}, "
+        "'^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')"
+    )
     return f"""CASE WHEN json_valid({col}) THEN
       CASE json_type({col}, '{path}')
         WHEN 'UBIGINT' THEN TRY_CAST({s} AS INTEGER)

@@ -346,6 +346,14 @@ register_cache_clearer(_PAIRS_CACHE.clear)
 
 
 def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT-PARAMETERS-ONLY memo (r9 ADVICE): the key carries no
+    threshold/max_df, so this must never serve a parameterized call —
+    every consumer (build_minhash, fuzzy verify, clusters,
+    method_agreement) uses module defaults, and the dict key would
+    silently alias distinct parameter sets otherwise. A caller needing
+    non-default parameters must call minhash_lsh_pairs directly (or
+    extend the key the way similarity._cached_lloyd does). RunContext
+    is identity-only (job id/clock) and never affects the pair set."""
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     pairs = _PAIRS_CACHE.get(key)
     if pairs is None:
@@ -358,6 +366,8 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_minhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
+    # ctx is accepted for registry-signature uniformity only; the memo
+    # below is default-parameters-only (see _cached_minhash_pairs).
     return _cached_minhash_pairs(spark, sf_dir)
 
 

@@ -108,9 +108,18 @@ def main(argv: list[str] | None = None) -> int:
 
     # ---- Stage 2: embedding-level semantic dedup gate ------------------
     _stage(2, "SemDeDup embedding near-dup gate over the survivors")
+    # Restrict the gate to the stage-1 SURVIVORS before clustering: running
+    # it over the full corpus would let an already-removed near-dup act as
+    # a cluster representative and drop every surviving copy of that
+    # content (keep-the-minimum must pick the smallest SURVIVING vec_id).
+    # vec_id IS the corpus doc_id (TESTDATA contract).
+    survivor_ids = (
+        spark.read.parquet(curated_path)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
     emb = similarity.valid_embeddings(
         io.read_star_table(spark, src, "embeddings")
-    )
+    ).join(survivor_ids, "vec_id")  # survivor set scales with the corpus — no broadcast hint, AQE decides
     verdicts = similarity.semantic_dedup(emb, ctx)
     sem_path, n_sem = checked_write(verdicts, "semantic_verdicts")
     tracker.log("semantic dedup verdicts",

@@ -592,7 +592,15 @@ def test_json_extractor_parity_fuzz(spark):
               "2.5e-3", "123456789.987"]
     strings = ['"5"', '"+5"', '" 5 "', '"\\t7\\t"', '"5.0"', '"abc"',
                '""', '" "', '"-0"', '"007"', '"2147483648"', '"1e3"',
-               '"+-5"', '"5 5"']
+               '"+-5"', '"5 5"',
+               # r10 ADVICE: Spark's int cast trims ALL of \x00-\x20 +
+               # \x7f (probed), not just ' \t\n\r\f' — C0 controls,
+               # DEL, NUL-padded, and the NOT-trimmed C1/NBSP/Unicode-
+               # space counterexamples must split identically
+               '"\\u000b5"', '"\\u001c5\\u001d"', '"\\u00005"',
+               '"\\u00075\\u0008"', '"\\u007f5\\u007f"', '"\\u001f5"',
+               '"\\u00855"', '"\\u00a05"', '"\\u20005"', '"\\u30005"',
+               '"\\u200b5"', '"\\ufeff5"']
     others = ["true", "false", "null", "[1]", "[]", '{"x":1}', "{}"]
     payloads = []
     for v in ([str(i) for i in ints] + floats + strings + others):

@@ -308,14 +308,18 @@ def test_run_curation_workflow_end_to_end(spark, tmp_path):
     chunks = spark.read.parquet(f"{work}/train_chunks")
     n_cur = curated.count()
     assert 0 < n_cur < 500  # the gates actually dropped docs
-    # the semantic gate audits every valid embedding and scrub audits
-    # every survivor of BOTH document-level gates
+    # the semantic gate runs over the stage-1 SURVIVORS only (a removed
+    # near-dup must not act as cluster representative and drop every
+    # surviving copy of its content); scrub audits every survivor of
+    # BOTH document-level gates
     assert semantic.count() > 0
+    sem_ids = {r["vec_id"] for r in semantic.select("vec_id").collect()}
+    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert sem_ids <= cur_ids, "semantic gate audited non-survivors"
     sem_drop_ids = {
         r["vec_id"]
         for r in semantic.filter("NOT is_kept").select("vec_id").collect()
     }
-    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert scrub.count() == len(cur_ids - sem_drop_ids)
     # token accounting holds on every scrub row
     assert scrub.filter("n_kept + n_removed != n_tokens").count() == 0

@@ -36,55 +36,63 @@ def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
     # spot-check that one representative of each extension family sits
-    # inside the driver's 50-entry correctness window (r8 rotation)
+    # inside the driver's 50-entry correctness window (r10 rotation: the
+    # 8 core flagships + ALL 42 remaining never-gated queries, closing
+    # union driver coverage to 168/168)
     window = set(q[:50])
     for rep in (
-        # held flagships + family reps
+        # held flagships (3-round re-gate cadence)
         "customer_analytics",     # reference A1 flagship
+        "product_ranking",
+        "revenue_trend",
+        "star_join_detail",
+        "sales_asset_union",
+        "pricing_summary_sql",
         "dedup_minhash_lsh",      # dedup
-        "cdc_latest_state",       # CDC
-        "streaming_daily_rollup", # streaming
-        "similarity_topk_cosine", # similarity search (exact baseline)
-        "multimodal_features",    # multimodal
         "corpus_curation",        # curation
-        "text_stats",             # text
-        "sequence_packing",       # training-data assembly/export
-        "events_session",         # sessionization
-        # r9 rotation promotions (first-ever driver seats)
-        "jsonl_roundtrip",        # formats family
-        "csv_roundtrip",
-        "partitioned_corpus_read",
-        "schema_evolution_read",
-        "jsonl_malformed_ingest",
-        "part_triangles",         # graph beyond pagerank
-        "part_communities",
-        "part_hierarchy_sql",     # Spark-4 WITH RECURSIVE
-        "events_props_variant",   # Spark-4 VARIANT
-        "part_closure",           # NEW r9: cyclic BFS closure
-        "doc_typicality",         # r8 additions
-        "packing_policy_compare",
-        "source_profile_approx",
-        "scd2_history",           # CDC depth
-        "orders_snapshot_diff",
-        "orders_profile",         # governance
-        "quarantine_audit",
-        "revenue_decompose",      # time series
-        "events_funnel",          # event analytics
-        "session_attribution",
-        "events_hourly_anomaly",
-        "doc_top_terms",          # text actions
-        "text_redacted",
-        "lang_confusion",
-        "dedup_method_agreement", # dedup governance
-        "dedup_ngram_containment",
-        "dedup_ann_pair_recall",
-        "embedding_dim_stats",    # embedding monitoring
-        "streaming_session",      # stateful streaming
-        "streaming_purchase_clicks",
-        "important_parts_sql",    # never-gated TPC-H shapes
-        "waiting_suppliers_sql",
-        "small_quantity_revenue_sql",
-        "corpus_train_split",     # corpus splitting
+        # r10 rotation promotions (first-ever driver seats)
+        "dedup_semantic_clusters",  # SemDeDup semantic dedup
+        "dedup_cluster_profile",
+        "dedup_repeated_spans",
+        "dedup_incremental",
+        "ngram_novelty",
+        "multimodal_resize",
+        "bpe_encode",               # tokenizer
+        "bpe_vocab_coverage",
+        "bpe_pair_counts",
+        "pmi_collocations",         # text analysis
+        "text_noise_scan",
+        "doc_length_outliers",
+        "regional_rollup",          # star-schema analytics
+        "sales_grouping_sets",
+        "shipping_sla",
+        "incremental_join_view",
+        "events_props_breakdown",   # event analytics
+        "events_active_users",
+        "events_cohort_retention",
+        "events_value_histogram",
+        "events_props_typed",
+        "events_incremental_rollup",
+        "events_lateness_audit",
+        "events_unpivot",
+        "signup_to_purchase",
+        "user_rate_audit",
+        "revenue_seasonality",      # time series
+        "revenue_forecast_backtest",
+        "supplier_analytics",       # product/customer analytics
+        "brand_rules",
+        "market_concentration",
+        "order_bookends",
+        "part_similarity",          # graph
+        "embedding_centroids",      # embedding monitoring
+        "streaming_dedup",          # streaming
+        "corpus_mixture_plan",      # curation planning
+        "product_profit_sql",       # TPC-H shapes
+        "priority_shipping_split_sql",
+        "idle_customers_sql",
+        "part_supplier_variety_sql",
+        "bolt_volume_suppliers_sql",
+        "orc_roundtrip",            # formats
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
