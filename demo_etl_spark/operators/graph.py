@@ -224,8 +224,14 @@ def copurchase_triangles(edges: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("part").alias("src"), F.col("deg").alias("deg_src"))
     dv = deg.select(F.col("part").alias("dst"), F.col("deg").alias("deg_dst"))
-    # orientation: keep (u, v, deg_v); the deg tables are node-sized so
-    # AQE broadcasts them onto the edge set (edges never re-shuffle here)
+    # orientation: the deg tables are node-sized so AQE broadcasts them
+    # onto the edge set (edges never re-shuffle here); the oriented edge
+    # list flows straight into the adjacency groupBy without its own
+    # materialization — ONLY the node-sized adjacency table is
+    # checkpointed, and the oriented edges are re-derived from it by
+    # explode (zero-shuffle), which drops one eager edge-sized
+    # materialization and one join from the r9 shape (measured -1.2 s
+    # at sf0.1)
     e_or = (
         edges.join(du, "src")
         .join(dv, "dst")
@@ -237,19 +243,23 @@ def copurchase_triangles(edges: DataFrame) -> DataFrame:
             )
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint()
     )
     adj = (
         e_or.groupBy("u")
         .agg(F.collect_set("v").alias("nbrs"))
         .localCheckpoint()
     )
-    adj_u = adj.select("u", F.col("nbrs").alias("nbrs_u"))
     adj_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    # inner joins drop edges whose endpoint has no out-neighbors — those
-    # close no triangle, and the final left join restores every part
+    # each oriented edge (u, v) = one element of N⁺(u): carry nbrs_u
+    # along the explode instead of joining it back; the inner join on v
+    # drops edges whose head has no out-neighbors — those close no
+    # triangle, and the final left join restores every part
     tri = (
-        e_or.join(adj_u, "u")
+        adj.select(
+            "u",
+            F.col("nbrs").alias("nbrs_u"),
+            F.explode("nbrs").alias("v"),
+        )
         .join(adj_v, "v")
         .select(
             "u",
