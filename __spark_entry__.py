@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_affinity": _product.build_brand_affinity,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
+        # NEW r10: media ingest-quarantine governance (enters the r11
+        # window per the standing rotation policy)
+        "multimodal_decode_audit": _multimodal.build_media_decode_audit,
         "streaming_user_totals": _streams.build_streaming_user_totals,
         "event_transitions": _temporal.build_transitions,
         "regional_sales": _star.build_regional,
@@ -295,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
+        "multimodal_decode_audit": _multimodal.ORACLE_SQL_MEDIA_AUDIT,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

@@ -178,12 +178,58 @@ def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, payload[pos : pos + width * height]
 
 
+#: dimension sanity bound for the ingest quarantine: a hostile header
+#: like ``P5 999999999 999999999 255`` passes the grammar but would make
+#: any resample/raster allocation a memory bomb — reject before numpy
+#: ever sees it. 2²⁰ px per axis is far beyond any real 8-bit PGM.
+MAX_MEDIA_DIM = 1 << 20
+
+
+def decode_pgm_safe(
+    payload,
+) -> tuple[int | None, int | None, bytes | None, str | None]:
+    """TOTAL twin of ``decode_pgm`` — the media ingest quarantine
+    (r10 hostile wave 6). Returns ``(w, h, raster, None)`` for a
+    decodable payload and ``(None, None, None, reason)`` otherwise;
+    never raises. Quarantined classes: NULL payload, wrong magic,
+    truncated/non-numeric header, bad maxval, non-positive or
+    memory-bomb dimensions, raster shorter than the header promises.
+    Every media operator routes through this, so one hostile payload
+    quarantines ONE row instead of crashing the job — the same
+    dead-letter policy io.timed_events applies to events."""
+    if payload is None:
+        return None, None, None, "null_payload"
+    try:
+        w, h, raster = decode_pgm(payload)
+    except (ValueError, IndexError, OverflowError) as exc:
+        return None, None, None, f"undecodable: {exc}"
+    if w <= 0 or h <= 0:
+        return None, None, None, "non_positive_dims"
+    if w > MAX_MEDIA_DIM or h > MAX_MEDIA_DIM:
+        return None, None, None, "oversized_dims"
+    if len(raster) < w * h:
+        return None, None, None, "raster_shorter_than_header"
+    return w, h, raster, None
+
+
+def _decodable(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Quarantine filter for one Arrow batch: keep rows with an identity
+    and a decodable payload (drop = dead-letter; the audit query is the
+    place that REPORTS the drops)."""
+    keep = pdf["media_id"].notna() & pdf["payload"].map(
+        lambda p: decode_pgm_safe(p)[3] is None
+    )
+    return pdf[keep]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, schema-declared.
-    width/height come from the real ``decode_pgm`` parse of each payload."""
+    width/height come from the real ``decode_pgm`` parse of each payload;
+    undecodable rows are quarantined (dropped), never a crash."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = _decodable(pdf)
             dims = pdf["payload"].map(lambda p: decode_pgm(p)[:2])
             yield pd.DataFrame(
                 {
@@ -249,6 +295,7 @@ def resize_media(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> D
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = _decodable(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -275,6 +322,7 @@ def sample_frames(
             out: dict[str, list] = {
                 "media_id": [], "frame_index": [], "frame_offset": [], "frame_hash": []
             }
+            pdf = _decodable(pdf)
             vids = pdf[pdf["media_type"] == "video"]
             for mid, payload in zip(vids["media_id"], vids["payload"]):
                 raw = bytes(payload)
@@ -399,6 +447,7 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = _decodable(pdf)
             ids, ns, peaks, energies = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raster = decode_pgm(payload)[2]
@@ -426,6 +475,68 @@ def build_audio_features(
 ) -> DataFrame:
     docs = load_star(spark, sf_dir)["documents"]
     return audio_features(synthesize_media(docs))
+
+
+# ------------------------------------------------ decode-audit branch ----
+def media_decode_audit(media: DataFrame) -> DataFrame:
+    """Per-row quarantine report over a media table — the governance twin
+    of ``_decodable``'s silent dead-letter drop: every row (including the
+    undecodable ones the operators skip) gets a verdict + reason, so an
+    ingest batch with a spike of broken payloads is VISIBLE, not just
+    absent. decode_ok is int (1/0) so the hash gate normalizes across
+    engines; reason is NULL for good rows."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("byte_len", IntegerType()),
+            StructField("decode_ok", IntegerType()),
+            StructField("decode_reason", StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            verdicts = pdf["payload"].map(lambda p: decode_pgm_safe(p)[3])
+            missing_id = pdf["media_id"].isna()
+            reason = verdicts.where(~missing_id, "null_media_id")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ).astype("int32"),
+                    "decode_ok": reason.isna().astype("int32"),
+                    "decode_reason": reason,
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def build_media_decode_audit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Registered audit seat: over the synthesized (always-decodable)
+    media table every row must come back ok — the oracle recomputes the
+    byte lengths from the documents table, so the whole quarantine
+    pipeline (safe decode incl. dimension/raster-length checks) sits
+    under the hash gate. The hostile-payload side (rows that must be
+    REJECTED) is pinned by tests/test_oracle_fuzz.py over the
+    tools/hostile_corpus.py media table."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return media_decode_audit(synthesize_media(docs))
+
+
+ORACLE_SQL_MEDIA_AUDIT = f"""
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(octet_length(encode({_PAYLOAD_SQL})) AS INTEGER) AS byte_len,
+       CAST(1 AS INTEGER) AS decode_ok,
+       CAST(NULL AS VARCHAR) AS decode_reason
+FROM {_MEDIA_SRC} docs
+"""
 
 
 # the oracle rebuilds the raster directly (rpad truncates identically in

@@ -195,6 +195,62 @@ def test_oracles_hold_on_hostile_corpus(hostile_dir):
     assert "PASS (0 failures)" in out.stdout, tail
 
 
+def test_media_quarantine_on_hostile_payloads(spark, hostile_dir):
+    """r10 hostile wave 6 — MEDIA payloads: truncated PGM headers, wrong
+    magic bytes, 0x0 dims, header/payload length mismatch, memory-bomb
+    dimensions, NULL payload/media_id, bad maxval. Every multimodal
+    operator must QUARANTINE exactly the broken rows (dead-letter drop,
+    mirrored by the media_decode_audit reasons) and keep exactly the
+    valid ones — including a comment-laden arbitrary-whitespace header
+    that is legal netpbm (no over-rejection). This is the payload-level
+    class the synthesized star corpus can never produce (its payloads
+    are well-formed by construction), so it is pytest-pinned over
+    tools/hostile_corpus.py's media.parquet rather than oracle-gated."""
+    from hostile_corpus import HOSTILE_MEDIA
+    from demo_etl_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(os.path.join(hostile_dir, "media.parquet"))
+    expect_kept = {r[0] for r in HOSTILE_MEDIA if r[4]}
+    n_rows = len(HOSTILE_MEDIA)
+
+    # audit sees EVERY row and its verdict matches the fixture's intent
+    audit = mm.media_decode_audit(media).collect()
+    assert len(audit) == n_rows
+    ok_ids = {r["media_id"] for r in audit if r["decode_ok"] == 1}
+    assert ok_ids == expect_kept
+    for r in audit:
+        assert (r["decode_reason"] is None) == (r["decode_ok"] == 1)
+
+    # features/resize keep exactly the decodable rows — no crash
+    feats = mm.extract_features(media).collect()
+    assert {r["media_id"] for r in feats} == expect_kept
+    by_id = {r["media_id"]: r for r in feats}
+    assert (by_id[1]["width"], by_id[1]["height"]) == (4, 3)
+    assert (by_id[2]["width"], by_id[2]["height"]) == (4, 3)  # comments OK
+    resized = mm.resize_media(media).collect()
+    assert {r["media_id"] for r in resized} == expect_kept
+    for r in resized:
+        assert len(r["resized_payload"]) > mm.RESIZE_TARGET[0]
+
+    # frames: only the VALID video rows emit frames (null-id video and
+    # short-raster video are quarantined)
+    frames = mm.sample_frames(media).collect()
+    valid_videos = {r[0] for r in HOSTILE_MEDIA
+                    if r[4] and r[1] == "video"}
+    assert {r["media_id"] for r in frames} == valid_videos
+
+    # audio: only the valid audio row survives, with exact features
+    audio = mm.audio_features(media).collect()
+    assert {r["media_id"] for r in audio} == {
+        r[0] for r in HOSTILE_MEDIA if r[4] and r[1] == "audio"
+    }
+    a = audio[0]
+    # raster = b'B' * 12 -> sample = 66 - 128 = -62 each
+    assert (a["n_samples"], a["peak_amplitude"], a["energy"]) == (
+        12, 62, 12 * 62 * 62
+    )
+
+
 def test_chained_dup_corpus_converges_fast(spark):
     """A 48-doc sliding-window chain (adjacent docs share 37/39
     shingles; edges reach ~4 hops before Jaccard drops below 0.8) has

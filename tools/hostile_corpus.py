@@ -243,6 +243,68 @@ HOSTILE_EMBEDDINGS = [
 ]
 
 
+#: r10 hostile wave 6 — MEDIA payloads. Not a star table (verify_oracle
+#: registers only the ten star views); written as media.parquet in the
+#: hostile dir and consumed by tests/test_oracle_fuzz.py, which drives
+#: every multimodal operator over it and asserts the ingest quarantine
+#: (multimodal.decode_pgm_safe / _decodable) drops EXACTLY the broken
+#: rows instead of crashing the Arrow batch. One valid-but-gnarly PGM
+#: (comments + arbitrary header whitespace) pins that the quarantine
+#: does NOT over-reject.
+HOSTILE_MEDIA = [
+    # (media_id, media_type, payload, source_doc_id, expect_kept)
+    # valid baseline: 4x3 raster of 'A'
+    (1, "image", b"P5 4 3 255\n" + b"A" * 12, 1, True),
+    # valid with comments + LF/CR/TAB whitespace mix in the header
+    (2, "audio", b"P5\n# a comment\n 4\t3 # trailing\n255\n" + b"B" * 12,
+     2, True),
+    # extra trailing bytes beyond w*h — tolerated (decoder slices)
+    (3, "video", b"P5 2 2 255\n" + b"C" * 9, 3, True),
+    # wrong magic bytes
+    (10, "image", b"P6 4 3 255\n" + b"D" * 12, 10, False),
+    (11, "image", b"JFIF\x00\x01garbage", 11, False),
+    # truncated header (missing maxval / mid-token EOF)
+    (12, "image", b"P5 4 3", 12, False),
+    (13, "audio", b"P5 4", 13, False),
+    (14, "video", b"P5", 14, False),
+    # non-numeric header field
+    (15, "image", b"P5 four 3 255\n" + b"E" * 12, 15, False),
+    # 0x0 and negative-looking dims (grammar parses 0; '-' splits token)
+    (16, "image", b"P5 0 0 255\n", 16, False),
+    (17, "image", b"P5 4 0 255\n", 17, False),
+    # bad maxval (0, 16-bit, huge)
+    (18, "image", b"P5 4 3 0\n" + b"F" * 12, 18, False),
+    (19, "image", b"P5 4 3 65535\n" + b"G" * 24, 19, False),
+    # header promises more raster than the payload carries
+    (20, "video", b"P5 100 100 255\n" + b"H" * 50, 20, False),
+    # memory-bomb dims (would allocate ~1 PB if not screened)
+    (21, "image", b"P5 999999999 999999999 255\n" + b"I" * 8, 21, False),
+    # NULL payload / empty payload / NULL media_id
+    (22, "image", None, 22, False),
+    (23, "audio", b"", 23, False),
+    (None, "video", b"P5 4 3 255\n" + b"J" * 12, 24, False),
+]
+
+
+def build_media_table() -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array(
+                [r[0] for r in HOSTILE_MEDIA], pa.int64()
+            ),
+            "media_type": pa.array(
+                [r[1] for r in HOSTILE_MEDIA], pa.string()
+            ),
+            "payload": pa.array(
+                [r[2] for r in HOSTILE_MEDIA], pa.binary()
+            ),
+            "source_doc_id": pa.array(
+                [r[3] for r in HOSTILE_MEDIA], pa.int64()
+            ),
+        }
+    )
+
+
 def _append_rows(src_path: str, dst_path: str, rows: list[tuple]) -> None:
     """Copy a parquet table with hostile rows appended, coercing each
     value to the source column's arrow type (timestamps from ISO
@@ -284,6 +346,8 @@ def write_corpus(out_dir: str, src_sf: str = SRC_SF) -> str:
             shutil.copy(src, dst)
     pq.write_table(build_documents_table(),
                    os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(build_media_table(),
+                   os.path.join(out_dir, "media.parquet"))
     return out_dir
 
 
