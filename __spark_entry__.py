@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _temporal.build_followups,
         "order_value_distribution": _star.build_distribution,
         "bpe_merges": _tokenizer.build_bpe_merges,
+        # NEW r10: decode-roundtrip losslessness gate (enters the r11
+        # window per the rotation policy)
+        "bpe_roundtrip": _tokenizer.build_bpe_roundtrip,
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
         "similarity_ann_recall": _similarity.build_recall,
@@ -237,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": _text.build_profile,
         "events_tumbling": _events.build_tumbling,
         "corpus_sample": _curation.build_sample,
+        # NEW r10: alpha-temperature source sampling (enters the r11
+        # window per the rotation policy)
+        "corpus_temperature_sample": _curation.build_temperature_sample,
         "events_sliding": _events.build_sliding,
         "sales_cube": _star.build_cube,
         "late_order_priority_sql": _sql.build_late_priority,
@@ -281,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _curation.ORACLE_SQL_KEEP_BEST,
         "corpus_curation": _curation.ORACLE_SQL_CURATION,
         "corpus_sample": _curation.ORACLE_SQL_SAMPLE,
+        "corpus_temperature_sample": _curation.ORACLE_SQL_TEMPERATURE_SAMPLE,
         "text_stats": _text.ORACLE_SQL_STATS,
         "vocab_topk": _text.ORACLE_SQL_VOCAB,
         "doc_repetition": _text.ORACLE_SQL_REPETITION,
@@ -308,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
         "sequence_export": _packing.ORACLE_SQL_PACKED_SEQUENCES,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
+        "bpe_roundtrip": _tokenizer.ORACLE_SQL_BPE_ROUNDTRIP,
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,
         "bpe_vocab_coverage": _tokenizer.ORACLE_SQL_BPE_VOCAB_COVERAGE,
         "bpe_merges_batched": _tokenizer.ORACLE_SQL_BPE_MERGES_BATCHED,

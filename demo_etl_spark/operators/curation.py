@@ -297,6 +297,130 @@ FROM documents
 ORACLE_SQL_TRAIN_SPLIT = _split_oracle()
 
 
+# ------------------------------------- temperature (alpha) sampling ----
+#: document budget as a fraction of the identified corpus
+TEMP_BUDGET_NUM = 3
+TEMP_BUDGET_DEN = 10
+#: weight scale: w_s = floor(sqrt(n_s * SCALE)) keeps 6 significant
+#: digits of n_s^0.5 in exact integer space
+TEMP_W_SCALE = 1_000_000
+
+
+def temperature_sample(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """α=0.5 temperature-flattened source sampling — the public
+    multinomial α-sampling recipe multilingual LMs use to mix corpora
+    (per-source pick probability ∝ n_s^α, α<1 down-weights huge sources
+    and over-represents small ones vs proportional sampling; cf. the
+    published CC-100 / mT5 data recipes). Complements the existing
+    mixture ops: ``stratified_sample`` = fixed per-language rates,
+    ``mixture_plan`` = token-budget water-filling, THIS = count-budget
+    α-flattening.
+
+    Engine-exact by construction: w_s = floor(sqrt(n_s·10⁶)) — long→
+    double conversion and IEEE sqrt are correctly rounded in both
+    engines, so floor agrees at ANY corpus size; quotas are integer
+    ``div``; within-source selection ranks by (md5(doc_id), doc_id,
+    md5(text), lang, n_chars) with NULL-free coalesced keys, so the
+    picked set is identical on every run, engine, and partition layout
+    (the same reproducibility argument as stratified_sample — no RNG).
+    Docs without a doc_id are excluded (sampling needs identity; the
+    standing dead-letter policy).
+
+    Plan: one corpus groupBy → source counts (tiny), scalar totals
+    broadcast back, one row_number window partitioned by source, one
+    broadcast join of the source-sized quota table. At 100 TB the only
+    corpus-sized stages are the count agg and the per-source rank —
+    both shuffle once on source (salt a mega-source if one dominates).
+    """
+    docs = documents.filter(F.col("doc_id").isNotNull())
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = src.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs") * F.lit(TEMP_W_SCALE))).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("w").alias("_tw"), F.sum("n_docs").alias("_nd")
+    )
+    quota = (
+        w.join(F.broadcast(tot))
+        .withColumn(
+            "_budget",
+            F.expr(f"_nd * {TEMP_BUDGET_NUM} div {TEMP_BUDGET_DEN}"),
+        )
+        .withColumn("quota", F.least("n_docs", F.expr("_budget * w div _tw")))
+        .select("source", "quota")
+    )
+    ranked = docs.withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")).asc(),
+                F.col("doc_id").asc(),
+                F.md5(F.coalesce(F.col("text"), F.lit(""))).asc(),
+                F.coalesce(F.col("lang"), F.lit("")).asc(),
+                F.coalesce(F.col("n_chars"), F.lit(-1)).asc(),
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+            F.col("quota").cast("long").alias("source_quota"),
+        )
+    )
+
+
+def build_temperature_sample(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return temperature_sample(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_TEMPERATURE_SAMPLE = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id IS NOT NULL),
+src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs * {TEMP_W_SCALE})) AS BIGINT) AS w
+  FROM src
+),
+tot AS (SELECT SUM(w) AS tw, SUM(n_docs) AS nd FROM w),
+quota AS (
+  SELECT source,
+         least(n_docs,
+               ((nd * {TEMP_BUDGET_NUM} // {TEMP_BUDGET_DEN}) * w) // tw)
+           AS quota
+  FROM w, tot
+),
+ranked AS (
+  SELECT d.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id,
+                    md5(coalesce(d.text, '')), coalesce(d.lang, ''),
+                    coalesce(d.n_chars, -1)
+         ) AS pick_rank
+  FROM docs d
+)
+SELECT r.doc_id, r.lang, r.source, r.n_chars,
+       CAST(r.pick_rank AS INTEGER) AS pick_rank,
+       CAST(q.quota AS BIGINT) AS source_quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.pick_rank <= q.quota
+"""
+
 
 # ------------------------------------------- mixture planning ----------
 #: token budget as a fraction of the corpus (numerator/denominator —

@@ -269,6 +269,67 @@ GROUP BY doc_id, source
 ORACLE_SQL_BPE_ENCODE = _bpe_encode_oracle()
 
 
+# --- decode-roundtrip losslessness audit --------------------------------
+def bpe_roundtrip(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    rounds: int = BPE_ROUNDS,
+) -> DataFrame:
+    """Tokenizer losslessness gate: DECODING every trained vocabulary
+    word's symbol sequence (strip the double-space separators) must
+    reconstruct the word exactly — BPE merges only ever concatenate
+    adjacent symbols, so a single non-roundtripping word means the
+    merge application corrupted a symbol table. One corpus-frequency-
+    weighted summary row; ``all_roundtrip`` is the go/no-go bit a
+    tokenizer release gate reads. Complements ``bpe_vocab_coverage``
+    (held-out OOV acceptance) — that audits coverage, this audits
+    correctness of the learned table itself.
+
+    Shape: the merge loop runs on the distinct vocabulary exactly as in
+    ``bpe_merges``; the audit adds one vocab-sized projection + a single
+    aggregation — nothing corpus-sized beyond the trainer's word count.
+    """
+    sym, _ = _train(documents, rounds)
+    checked = sym.select(
+        "word",
+        "freq",
+        (F.expr("replace(trim(sym), '  ', '')") == F.col("word"))
+        .cast("int")
+        .alias("_ok"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum("_ok").cast("long").alias("n_roundtrip_ok"),
+        F.sum(F.col("freq").cast("long") * F.col("_ok"))
+        .cast("long")
+        .alias("occurrences_ok"),
+        F.sum(F.col("freq").cast("long")).cast("long").alias("occurrences_total"),
+        F.min("_ok").cast("int").alias("all_roundtrip"),
+    )
+
+
+def build_bpe_roundtrip(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return bpe_roundtrip(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _bpe_roundtrip_oracle(rounds: int = BPE_ROUNDS) -> str:
+    head = _bpe_oracle(rounds).split("\nSELECT CAST(1 AS INTEGER)")[0]
+    ok = "CASE WHEN replace(trim(sym), '  ', '') = word THEN 1 ELSE 0 END"
+    return f"""{head}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+       CAST(SUM({ok}) AS BIGINT) AS n_roundtrip_ok,
+       CAST(SUM(freq * ({ok})) AS BIGINT) AS occurrences_ok,
+       CAST(SUM(freq) AS BIGINT) AS occurrences_total,
+       CAST(MIN({ok}) AS INTEGER) AS all_roundtrip
+FROM s{rounds}
+"""
+
+
+ORACLE_SQL_BPE_ROUNDTRIP = _bpe_roundtrip_oracle()
+
+
 # --- held-out vocabulary coverage -------------------------------------
 _TRAIN_HALF_SQL = (
     "(SELECT * FROM documents WHERE doc_id % 2 = 0) documents"
