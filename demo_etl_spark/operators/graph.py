@@ -442,31 +442,35 @@ def part_communities(edges: DataFrame) -> DataFrame:
     dense regions instead of flooding to one label per component.
 
     Plan: per round one join edges⋈labels on src (labels is
-    node-sized), one (dst, label) count agg, one argmax window per dst —
-    the Pregel-as-joins layout of part_pagerank, localCheckpoint per
-    round to keep the lineage flat. Synchronous update = deterministic =
-    oracle-checkable; the SQL twin unrolls the same three rounds.
+    node-sized), one (dst, label) count agg, then the per-dst argmax as
+    a second agg of min(struct(-count, label)) — lexicographic struct
+    min ≡ (count DESC, label ASC) row_number 1, but it PARTIAL-aggregates
+    map-side instead of sorting a window (r10: was a row_number window).
+    The co-purchase pair grid is symmetric (src≠dst both directions), so
+    every node appears as a dst every round and the picked set IS the
+    new label table — no join-back/coalesce needed (r10: dropped the
+    per-round left join). localCheckpoint per round keeps the lineage
+    flat. Synchronous update = deterministic = oracle-checkable; the SQL
+    twin unrolls the same three rounds.
     """
     nodes = edges.select(F.col("src").alias("part")).distinct()
     labels = nodes.withColumn("lbl", F.col("part")).localCheckpoint(
         eager=True
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(LP_ROUNDS):
-        picked = (
+        labels = (
             edges.join(labels, edges.src == labels.part)
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(F.col("dst").alias("part"), F.col("lbl").alias("_new"))
-        )
-        labels = (
-            labels.join(picked, "part", "left")
-            .select(
-                "part",
-                F.coalesce("_new", "lbl").alias("lbl"),
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_nc"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("_m")
             )
+            .select(F.col("dst").alias("part"), F.col("_m.lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return (
