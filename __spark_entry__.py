@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprint.build_fingerprints,
         "data_quality_audit": _quality.build_quality_audit,
         "lang_id": _text.build_lang_id,
+        # NEW r10: composite FineWeb/Gopher-style quality gate (enters
+        # the r11 window per the rotation policy)
+        "doc_quality_gate": _text.build_quality_gate,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "packing_offsets_canary": _packing.build_packing_offsets_canary,
         "sequence_spans": _packing.build_sequence_spans,
@@ -292,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _text.ORACLE_SQL_VOCAB,
         "doc_repetition": _text.ORACLE_SQL_REPETITION,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
+        "doc_quality_gate": _text.ORACLE_SQL_QUALITY_GATE,
         "lang_profile": _text.ORACLE_SQL_PROFILE,
         "doc_chunks": _text.ORACLE_SQL_CHUNKS,
         "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,

@@ -1132,3 +1132,192 @@ SELECT t.doc_id, t.source,
 FROM tok t JOIN tf f ON t.token = f.token
 GROUP BY t.doc_id, t.source
 """
+
+
+# ---------------------------------------- composite quality gate ----------
+#: the public web-corpus rule stack (Gopher/C4-style heuristics, all
+#: integer-exact). QG_KEEP_LANGS mirrors curation.KEEP_LANGS by value —
+#: defined here because curation imports text (module-level oracle
+#: strings cannot lazily import the other direction).
+QG_KEEP_LANGS = ("de", "en", "es", "fr")
+QG_MIN_TOKENS = 10
+QG_MAX_TOKENS = 100_000
+QG_MIN_MEAN_WORD_LEN = 2   # mean token length bounds (Gopher rule 3-10,
+QG_MAX_MEAN_WORD_LEN = 12  # widened for the synthetic corpus alphabet)
+QG_MIN_STOPWORD_PCT = 2    # ≥ 2% stopword occurrences (Gopher stop-word rule)
+QG_MAX_REP_PCT = 20        # duplicate-3-gram occurrence share < 20%
+QG_KEEP_SCORE = 70         # soft-score keep threshold
+
+_QG_WEIGHTS = {  # rule weights sum to 100
+    "pass_length": 20,
+    "pass_word_len": 15,
+    "pass_stopwords": 15,
+    "pass_noise": 15,
+    "pass_repetition": 15,
+    "pass_lang": 20,
+}
+
+
+def doc_quality_gate(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """FineWeb/Gopher-style composite quality gate: the six standing
+    per-document signals (length bounds, mean word length, stopword
+    share, URL/e-mail noise, duplicate-3-gram repetition, language
+    policy) folded into ONE weighted 0-100 score and a keep decision —
+    hard rules (length, language) must pass AND the score must reach
+    QG_KEEP_SCORE. This is the single filter-stack row a curation run
+    reads per document, built from the same rule family text_stats /
+    noise_scan / doc_repetition expose individually.
+
+    Every comparison is cross-multiplied integer space (no division, no
+    floats) and NULL text is folded to '' up front, so the verdict bits
+    are hash-exact across engines on any corpus — including the hostile
+    NULL/duplicate/Unicode rows. Map-only single pass: all six signals
+    come from the row's own token array (transform/filter/regexp_count)
+    — no shuffle, no join; at 100 TB this is one scan.
+    """
+    t = F.coalesce(F.col("text"), F.lit(""))
+    tokens = F.split(t, " ")
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    lang_list = ", ".join(f"'{lang}'" for lang in QG_KEEP_LANGS)
+    # Spark's sequence(0, n) DESCENDS when n < 0, so the shingle count is
+    # computed arithmetically (size-2, clamped) and the distinct count is
+    # when-guarded for docs shorter than one 3-gram.
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+    )
+    d = documents.withColumns(
+        {
+            "_t": t,
+            "_n_tokens": F.size(tokens).cast("long"),
+            "_token_chars": F.aggregate(
+                F.transform(tokens, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+            "_n_stop": F.size(
+                F.expr(
+                    f"filter(split(coalesce(text, ''), ' '),"
+                    f" t -> t IN ({stop_list}))"
+                )
+            ).cast("long"),
+            "_n_noise": (
+                F.regexp_count(t, F.lit(NOISE_PATTERNS["n_urls"]))
+                + F.regexp_count(t, F.lit(NOISE_PATTERNS["n_emails"]))
+            ).cast("long"),
+            "_n_sh": F.greatest(F.size(tokens) - 2, F.lit(0)).cast("long"),
+            "_n_sh_uniq": F.when(
+                F.size(tokens) >= 3, F.size(F.array_distinct(sh))
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        }
+    )
+    bits = {
+        "pass_length": (
+            (F.col("_n_tokens") >= QG_MIN_TOKENS)
+            & (F.col("_n_tokens") <= QG_MAX_TOKENS)
+        ),
+        "pass_word_len": (
+            (F.col("_token_chars") >= QG_MIN_MEAN_WORD_LEN * F.col("_n_tokens"))
+            & (F.col("_token_chars") <= QG_MAX_MEAN_WORD_LEN * F.col("_n_tokens"))
+        ),
+        "pass_stopwords": (
+            F.col("_n_stop") * 100 >= QG_MIN_STOPWORD_PCT * F.col("_n_tokens")
+        ),
+        "pass_noise": (F.col("_n_noise") * 100 < F.col("_n_tokens")),
+        "pass_repetition": (
+            (F.col("_n_sh") <= 0)
+            | (
+                (F.col("_n_sh") - F.col("_n_sh_uniq")) * 100
+                < QG_MAX_REP_PCT * F.col("_n_sh")
+            )
+        ),
+        "pass_lang": F.col("lang").isin(*QG_KEEP_LANGS),
+    }
+    for name, cond in bits.items():
+        d = d.withColumn(name, F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int"))
+    score = None
+    for name, wt in _QG_WEIGHTS.items():
+        term = F.col(name) * F.lit(wt)
+        score = term if score is None else score + term
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("_n_tokens").alias("n_tokens"),
+        *[F.col(n) for n in _QG_WEIGHTS],
+        score.cast("int").alias("quality_score"),
+        (
+            (F.col("pass_length") == 1)
+            & (F.col("pass_lang") == 1)
+            & (score >= QG_KEEP_SCORE)
+        ).alias("is_kept"),
+    )
+
+
+def build_quality_gate(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return doc_quality_gate(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _quality_gate_oracle() -> str:
+    lang_list = ", ".join(f"'{lang}'" for lang in QG_KEEP_LANGS)
+    score = " + ".join(f"{n} * {wt}" for n, wt in _QG_WEIGHTS.items())
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         string_split(COALESCE(text, ''), ' ') AS toks,
+         COALESCE(text, '') AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS token_chars,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT)
+           AS n_stop,
+         CAST(len(regexp_extract_all(t, '{NOISE_PATTERNS["n_urls"]}'))
+              + len(regexp_extract_all(t, '{NOISE_PATTERNS["n_emails"]}'))
+              AS BIGINT) AS n_noise,
+         CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_sh,
+         CAST(len(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT)
+           AS n_sh_uniq
+  FROM d
+), bits AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CASE WHEN n_tokens >= {QG_MIN_TOKENS}
+               AND n_tokens <= {QG_MAX_TOKENS} THEN 1 ELSE 0 END
+           AS pass_length,
+         CASE WHEN token_chars >= {QG_MIN_MEAN_WORD_LEN} * n_tokens
+               AND token_chars <= {QG_MAX_MEAN_WORD_LEN} * n_tokens
+              THEN 1 ELSE 0 END AS pass_word_len,
+         CASE WHEN n_stop * 100 >= {QG_MIN_STOPWORD_PCT} * n_tokens
+              THEN 1 ELSE 0 END AS pass_stopwords,
+         CASE WHEN n_noise * 100 < n_tokens THEN 1 ELSE 0 END AS pass_noise,
+         CASE WHEN n_sh <= 0
+               OR (n_sh - n_sh_uniq) * 100 < {QG_MAX_REP_PCT} * n_sh
+              THEN 1 ELSE 0 END AS pass_repetition,
+         CASE WHEN lang IN ({lang_list}) THEN 1 ELSE 0 END AS pass_lang
+  FROM sig
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(pass_length AS INTEGER) AS pass_length,
+       CAST(pass_word_len AS INTEGER) AS pass_word_len,
+       CAST(pass_stopwords AS INTEGER) AS pass_stopwords,
+       CAST(pass_noise AS INTEGER) AS pass_noise,
+       CAST(pass_repetition AS INTEGER) AS pass_repetition,
+       CAST(pass_lang AS INTEGER) AS pass_lang,
+       CAST({score} AS INTEGER) AS quality_score,
+       (pass_length = 1 AND pass_lang = 1
+        AND ({score}) >= {QG_KEEP_SCORE}) AS is_kept
+FROM bits
+"""
+
+
+ORACLE_SQL_QUALITY_GATE = _quality_gate_oracle()

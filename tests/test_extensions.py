@@ -841,3 +841,36 @@ def test_span_scrub_removes_exactly_the_shared_run(spark):
     assert out["dc"]["scrubbed_text"] == " ".join(c_all)
     for r in out.values():
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
+def test_doc_quality_gate_rule_boundaries(spark):
+    """Each rule of the composite gate fires on exactly its pathology:
+    too-short doc, stopword-free doc, URL-spam doc, looping 3-gram doc,
+    off-policy language, and NULL text — while a clean English doc
+    passes every bit and is kept."""
+    from demo_etl_spark.operators.text import doc_quality_gate
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "the dog runs far away to the old green hill today")
+    rows = [
+        (1, clean, "en", "s", len(clean)),
+        (2, "too short doc", "en", "s", 13),                # < 10 tokens
+        (3, "zebra quartz vivid jukebox glyph nymph wharf "
+            "crypt dwarf plinth fjord boxer", "en", "s", 70),  # no stopwords
+        (4, " ".join(["the ok http://x.test/a"] * 10), "en", "s", 200),  # noisy
+        (5, " ".join(["the cat sat"] * 12), "en", "s", 140),  # looping
+        (6, clean, "xx", "s", len(clean)),                   # off-policy lang
+        (7, None, "en", "s", None),                          # NULL text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in doc_quality_gate(df).collect()}
+    assert out[1]["is_kept"] and out[1]["quality_score"] == 100
+    assert out[2]["pass_length"] == 0 and not out[2]["is_kept"]
+    assert out[3]["pass_stopwords"] == 0
+    assert out[4]["pass_noise"] == 0
+    assert out[5]["pass_repetition"] == 0
+    assert out[6]["pass_lang"] == 0 and not out[6]["is_kept"]
+    # NULL text folds to '' -> 1 empty token, fails length, never crashes
+    assert out[7]["n_tokens"] == 1 and not out[7]["is_kept"]
