@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r10: composite FineWeb/Gopher-style quality gate (enters
         # the r11 window per the rotation policy)
         "doc_quality_gate": _text.build_quality_gate,
+        # NEW r10: the same gate executed as a file-source stream —
+        # stateless map plans run unchanged on streams; drained result
+        # must hash-match the same batch oracle
+        "streaming_quality_gate": _streams.build_streaming_quality_gate,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "packing_offsets_canary": _packing.build_packing_offsets_canary,
         "sequence_spans": _packing.build_sequence_spans,
@@ -296,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _text.ORACLE_SQL_REPETITION,
         "lang_id": _text.ORACLE_SQL_LANG_ID,
         "doc_quality_gate": _text.ORACLE_SQL_QUALITY_GATE,
+        "streaming_quality_gate": _text.ORACLE_SQL_QUALITY_GATE,
         "lang_profile": _text.ORACLE_SQL_PROFILE,
         "doc_chunks": _text.ORACLE_SQL_CHUNKS,
         "similarity_topk_cosine": _similarity.ORACLE_SQL_TOPK,

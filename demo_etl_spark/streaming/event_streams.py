@@ -587,3 +587,45 @@ FROM (SELECT * FROM events
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+# ------------------------------- streaming corpus quality gate ----------
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the ingest shape
+    of a continuously-crawled corpus (new shards arrive as files). Same
+    directory-staging idiom as read_events_stream; no timestamp
+    munging needed (documents carry no event time)."""
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"demo_etl_spark_streams_{os.getuid()}_{os.getpid()}",
+        src.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(batch_schema).parquet(stream_dir)
+
+
+def build_streaming_quality_gate(
+    spark: SparkSession, sf_dir: str, ctx=None
+) -> DataFrame:
+    """The r10 composite quality gate EXECUTED AS A STREAM under the
+    correctness gate: doc_quality_gate is a stateless map-only plan, so
+    the identical expression tree runs unchanged over the file-source
+    stream (the batch/stream unification Structured Streaming promises
+    — and the shape a continuously-ingested corpus actually filters
+    with: per-shard verdicts as shards land, no state, no watermark).
+    The availableNow drain must hash-match the batch oracle exactly."""
+    from demo_etl_spark.operators.text import doc_quality_gate
+
+    name = f"stream_qgate_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
+    return run_available_now(
+        doc_quality_gate(read_documents_stream(spark, sf_dir)),
+        name,
+        output_mode="append",
+    )
