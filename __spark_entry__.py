@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_bucketed": _similarity.build_lsh,
         "similarity_ivf_topk": _similarity.build_ivf,
         "similarity_ann_recall": _similarity.build_recall,
+        # NEW r10: the IVF default's missing accuracy gate (enters the
+        # r11 window per the rotation policy)
+        "similarity_ivf_recall": _similarity.build_ivf_recall,
         "embedding_quantize": _similarity.build_quantize,
         "events_pivot": _events.build_pivot,
         "order_cadence": _customer.build_cadence,
@@ -309,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_bucketed": _similarity.ORACLE_SQL_LSH,
         "similarity_ivf_topk": _similarity.ORACLE_SQL_IVF,
         "similarity_ann_recall": _similarity.ORACLE_SQL_RECALL,
+        "similarity_ivf_recall": _similarity.ORACLE_SQL_IVF_RECALL,
         "embedding_quantize": _similarity.ORACLE_SQL_QUANTIZE,
         "multimodal_features": _multimodal.ORACLE_SQL_FEATURES,
         "multimodal_frames": _multimodal.ORACLE_SQL_FRAMES,

@@ -1338,6 +1338,72 @@ GROUP BY e.query_id
 ORACLE_SQL_RECALL = _recall_oracle()
 
 
+def ivf_recall(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    cent: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query recall@k of the TRAINED-IVF search against the exact
+    brute-force top-k — closes the audit symmetry (r10): the LSH path
+    has ann_recall + dedup_ann_pair_recall, but the IVF default's
+    n_probes/stride dial had no standing accuracy gate. Same
+    construction: both sides deterministic, so the recall NUMBER sits
+    under the cross-engine hash gate — widening a cell stride that
+    silently loses recall fails correctness, not just a dashboard."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    exact = cosine_topk(embeddings, ctx, n_queries, k).select(
+        "query_id", "candidate_id"
+    )
+    approx = (
+        ivf_topk(embeddings, ctx, n_queries, k, cent=cent)
+        .select("query_id", "candidate_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
+        .select(
+            "query_id", "k", "hits", round_div("hits", "k", 4).alias("recall_at_k")
+        )
+    )
+
+
+def build_ivf_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return ivf_recall(
+        valid_embeddings(load_star(spark, sf_dir)["embeddings"]),
+        ctx,
+        cent=_cached_lloyd(spark, sf_dir),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    hits = "CAST(SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       {hits} AS hits,
+       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
+FROM ({ORACLE_SQL_TOPK}) e
+LEFT JOIN ({ORACLE_SQL_IVF}) a
+  ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
+GROUP BY e.query_id
+"""
+
+
+ORACLE_SQL_IVF_RECALL = _ivf_recall_oracle()
+
+
 # ---------------------------------------------- int8 quantization -----
 def quantize_embeddings(
     embeddings: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
