@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
         # formats
         "orc_roundtrip": _formats.build_orc_roundtrip,
+        # NEW r10: Spark-4 native XML interchange (declared XML-legality
+        # quarantine; enters the r11 window per the rotation policy)
+        "xml_roundtrip": _formats.build_xml_roundtrip,
         # ================ driver window boundary (50) ================
         # Every query below is oracle-verified by the local sweep each
         # session and has held a driver-green seat in r1-r9 (union coverage
@@ -457,4 +460,5 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_read": _formats.ORACLE_SQL_SCHEMA_EVOLUTION,
         "jsonl_malformed_ingest": _formats.ORACLE_SQL_JSONL_MALFORMED,
         "orc_roundtrip": _formats.ORACLE_SQL_ORC_ROUNDTRIP,
+        "xml_roundtrip": _formats.ORACLE_SQL_XML_ROUNDTRIP,
     }

@@ -325,3 +325,75 @@ SELECT COUNT(*) + {len(_BAD_LINES)} AS n_lines,
        CAST({len(_BAD_LINES)} AS BIGINT) AS n_quarantined
 FROM documents
 """
+
+
+# ------------------------------------------------------ XML roundtrip ---
+#: XML 1.0 legally cannot carry C0 control characters other than
+#: tab/LF/CR — Spark's native XML writer (Spark 4) CRASHES the task on
+#: them (probed: woodstox BaseStreamWriter.writeCharacters throws). The
+#: exchange therefore declares a legality quarantine: rows whose text
+#: carries an XML-illegal character are excluded on BOTH engine sides.
+#: Literal char-class only — the verified Java⇔RE2 parity subset.
+_XML_ILLEGAL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def xml_roundtrip(documents: DataFrame) -> DataFrame:
+    """documents → XML files → back, hash-equal to the parquet truth on
+    the XML-legal row set — the third self-describing interchange format
+    (Spark 4 ships the former spark-xml as a native source).
+
+    Loss-guarding options pinned by probe (r10):
+
+    * ``nullValue='__NULL__'`` on both legs — the writer omits a NULL
+      element and serializes '' as an empty element; the sentinel keeps
+      NULL text and empty-string text distinct through the roundtrip;
+    * ``ignoreSurroundingSpaces=false`` on the read leg — the reader's
+      DEFAULT trims element text, eating the hostile corpus's padded
+      docs exactly like the CSV writer's trim defaults did;
+    * XML-legality quarantine (module constant) — control characters
+      are not a data-loss bug but a property of the format, declared
+      and mirrored in the oracle (same dead-letter discipline as
+      io.timed_events).
+
+    100 TB shape: narrow map on both legs, one XML file per input
+    partition, reader parallelizes per file. Like multiLine CSV, a row
+    spans lines, so intra-file splitting is off — per-file parallelism
+    is the scale unit (the writer's partitioning preserves it).
+    """
+    from pyspark.sql import functions as F
+
+    spark = documents.sparkSession
+    path = _staging_dir("xml")
+    legal = documents.filter(
+        F.col("text").isNull() | ~F.col("text").rlike(_XML_ILLEGAL)
+    )
+    (
+        legal.select(*_COLS)
+        .write.mode("overwrite")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .option("nullValue", "__NULL__")
+        .format("xml")
+        .save(path)
+    )
+    return (
+        spark.read.schema(DOCUMENTS)
+        .option("rowTag", "doc")
+        .option("nullValue", "__NULL__")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml")
+        .load(path)
+        .select(*_COLS)
+    )
+
+
+def build_xml_roundtrip(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return xml_roundtrip(load_star(spark, sf_dir)["documents"])
+
+
+ORACLE_SQL_XML_ROUNDTRIP = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE text IS NULL OR NOT regexp_matches(text, '{_XML_ILLEGAL}')
+"""
