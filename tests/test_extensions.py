@@ -874,3 +874,89 @@ def test_doc_quality_gate_rule_boundaries(spark):
     assert out[6]["pass_lang"] == 0 and not out[6]["is_kept"]
     # NULL text folds to '' -> 1 empty token, fails length, never crashes
     assert out[7]["n_tokens"] == 1 and not out[7]["is_kept"]
+
+
+def test_temperature_sample_invariants(spark):
+    """Hypothesis: on random multi-source corpora the α-sample must (a)
+    pick EXACTLY the per-source quota (quota ≤ n_docs by construction),
+    (b) respect the global ≤30% budget in integer-div arithmetic, and
+    (c) be invariant to row order and partitioning — the reproducible-
+    mixture property the operator exists for."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.curation import (
+        TEMP_BUDGET_DEN,
+        TEMP_BUDGET_NUM,
+        TEMP_W_SCALE,
+        temperature_sample,
+    )
+
+    doc = st.tuples(
+        st.integers(min_value=-50, max_value=2000),
+        st.sampled_from(["src_a", "src_b", "src_c"]),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=60, unique_by=lambda d: d[0]))
+    def check(docs):
+        rows = [(i, f"text {i}", "en", s, 6) for i, s in docs]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = temperature_sample(df).collect()
+        n_by_src: dict[str, int] = {}
+        for _, s in docs:
+            n_by_src[s] = n_by_src.get(s, 0) + 1
+        total = sum(n_by_src.values())
+        budget = total * TEMP_BUDGET_NUM // TEMP_BUDGET_DEN
+        tw = sum(
+            math.floor(math.sqrt(n * TEMP_W_SCALE)) for n in n_by_src.values()
+        )
+        picked: dict[str, int] = {}
+        for r in out:
+            picked[r["source"]] = picked.get(r["source"], 0) + 1
+            assert r["pick_rank"] <= r["source_quota"]
+        for s, n in n_by_src.items():
+            w = math.floor(math.sqrt(n * TEMP_W_SCALE))
+            quota = min(n, budget * w // tw) if tw else 0
+            assert picked.get(s, 0) == quota, (s, picked.get(s), quota)
+        # permutation + partitioning invariance: same picked id set
+        ids = sorted(r["doc_id"] for r in out)
+        shuffled = spark.createDataFrame(
+            list(reversed(rows)),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(7)
+        ids2 = sorted(r["doc_id"] for r in temperature_sample(shuffled).collect())
+        assert ids == ids2
+
+    check()
+
+
+def test_bpe_roundtrip_lossless_on_random_corpora(spark):
+    """Hypothesis: the trained symbol table must decode back to every
+    vocabulary word on arbitrary small-alphabet corpora (merge tables
+    only concatenate — a roundtrip failure means table corruption)."""
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.tokenizer import bpe_roundtrip
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(
+        st.lists(word, min_size=1, max_size=5).map(" ".join),
+        min_size=1, max_size=4,
+    ))
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        row = bpe_roundtrip(df).collect()[0]
+        assert row["all_roundtrip"] == 1
+        assert row["n_roundtrip_ok"] == row["n_vocab_words"]
+        assert row["occurrences_ok"] == row["occurrences_total"]
+
+    check()
