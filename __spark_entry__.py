@@ -119,13 +119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
         # formats
         "orc_roundtrip": _formats.build_orc_roundtrip,
+        # ================ driver window boundary (50) ================
         # NEW r10: Spark-4 native XML interchange (declared XML-legality
         # quarantine; enters the r11 window per the rotation policy)
         "xml_roundtrip": _formats.build_xml_roundtrip,
-        # ================ driver window boundary (50) ================
         # Every query below is oracle-verified by the local sweep each
-        # session and has held a driver-green seat in r1-r9 (union coverage
-        # after this rotation: 168/168). Standing policy (PERF_NOTES r10):
+        # session; all but the 7 NEW r10 queries have held a driver-green
+        # seat in r1-r9 (union coverage once this window gates: 168/175,
+        # with exactly the r10 additions pending their r11 seats).
+        # Standing policy (PERF_NOTES r10):
         # new queries enter the next window within one round of landing;
         # flagships re-gate on a 3-round cadence; the two rows-only approx
         # twins stay at the BOTTOM permanently (they can never hash-match

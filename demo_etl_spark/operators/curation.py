@@ -325,8 +325,11 @@ def temperature_sample(
     md5(text), lang, n_chars) with NULL-free coalesced keys, so the
     picked set is identical on every run, engine, and partition layout
     (the same reproducibility argument as stratified_sample — no RNG).
-    Docs without a doc_id are excluded (sampling needs identity; the
-    standing dead-letter policy).
+    Docs without a doc_id OR without a source are excluded (sampling
+    needs identity AND a stratum — a NULL-source doc belongs to no
+    stratum, and counting it in the budget/weight totals while the
+    per-source join can never pick it would silently shrink every real
+    source's quota; the standing dead-letter policy, r10 review).
 
     Plan: one corpus groupBy → source counts (tiny), scalar totals
     broadcast back, one row_number window partitioned by source, one
@@ -334,7 +337,9 @@ def temperature_sample(
     corpus-sized stages are the count agg and the per-source rank —
     both shuffle once on source (salt a mega-source if one dominates).
     """
-    docs = documents.filter(F.col("doc_id").isNotNull())
+    docs = documents.filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
     src = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -387,7 +392,9 @@ def build_temperature_sample(
 
 
 ORACLE_SQL_TEMPERATURE_SAMPLE = f"""
-WITH docs AS (SELECT * FROM documents WHERE doc_id IS NOT NULL),
+WITH docs AS (
+  SELECT * FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
 src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY source
 ),

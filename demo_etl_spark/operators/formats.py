@@ -335,6 +335,7 @@ FROM documents
 #: carries an XML-illegal character are excluded on BOTH engine sides.
 #: Literal char-class only — the verified Java⇔RE2 parity subset.
 _XML_ILLEGAL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+_XML_NULL_SENTINEL = "__NULL__"
 
 
 def xml_roundtrip(documents: DataFrame) -> DataFrame:
@@ -350,10 +351,17 @@ def xml_roundtrip(documents: DataFrame) -> DataFrame:
     * ``ignoreSurroundingSpaces=false`` on the read leg — the reader's
       DEFAULT trims element text, eating the hostile corpus's padded
       docs exactly like the CSV writer's trim defaults did;
-    * XML-legality quarantine (module constant) — control characters
+    * XML-legality quarantine (module constant) on EVERY string column
+      (text, lang, source — the writer serializes all of them, and an
+      illegal char in any one crashes the task) — control characters
       are not a data-loss bug but a property of the format, declared
       and mirrored in the oracle (same dead-letter discipline as
-      io.timed_events).
+      io.timed_events);
+    * sentinel-collision quarantine — XML has no quoteAll/escape
+      mechanism, so a string column whose value is LITERALLY the
+      nullValue sentinel cannot survive the roundtrip (the reader maps
+      it to NULL); such rows are excluded on both sides rather than
+      silently corrupted (r10 review).
 
     100 TB shape: narrow map on both legs, one XML file per input
     partition, reader parallelizes per file. Like multiLine CSV, a row
@@ -364,22 +372,27 @@ def xml_roundtrip(documents: DataFrame) -> DataFrame:
 
     spark = documents.sparkSession
     path = _staging_dir("xml")
-    legal = documents.filter(
-        F.col("text").isNull() | ~F.col("text").rlike(_XML_ILLEGAL)
-    )
+
+    def _ok(col: str):
+        return F.col(col).isNull() | (
+            ~F.col(col).rlike(_XML_ILLEGAL)
+            & (F.col(col) != _XML_NULL_SENTINEL)
+        )
+
+    legal = documents.filter(_ok("text") & _ok("lang") & _ok("source"))
     (
         legal.select(*_COLS)
         .write.mode("overwrite")
         .option("rootTag", "docs")
         .option("rowTag", "doc")
-        .option("nullValue", "__NULL__")
+        .option("nullValue", _XML_NULL_SENTINEL)
         .format("xml")
         .save(path)
     )
     return (
         spark.read.schema(DOCUMENTS)
         .option("rowTag", "doc")
-        .option("nullValue", "__NULL__")
+        .option("nullValue", _XML_NULL_SENTINEL)
         .option("ignoreSurroundingSpaces", "false")
         .format("xml")
         .load(path)
@@ -393,7 +406,14 @@ def build_xml_roundtrip(
     return xml_roundtrip(load_star(spark, sf_dir)["documents"])
 
 
+def _xml_ok_sql(col: str) -> str:
+    return (
+        f"({col} IS NULL OR (NOT regexp_matches({col}, '{_XML_ILLEGAL}') "
+        f"AND {col} <> '{_XML_NULL_SENTINEL}'))"
+    )
+
+
 ORACLE_SQL_XML_ROUNDTRIP = f"""
 SELECT doc_id, text, lang, source, n_chars FROM documents
-WHERE text IS NULL OR NOT regexp_matches(text, '{_XML_ILLEGAL}')
+WHERE {_xml_ok_sql('text')} AND {_xml_ok_sql('lang')} AND {_xml_ok_sql('source')}
 """

@@ -222,6 +222,15 @@ def _decodable(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf[keep]
 
 
+def _decoded(pdf: pd.DataFrame):
+    """Quarantine + decode in ONE parse per row (r10 review: the
+    filter-then-reparse shape decoded every payload twice). Returns
+    (kept rows, aligned Series of (w, h, raster) triples)."""
+    safe = pdf["payload"].map(decode_pgm_safe)
+    keep = pdf["media_id"].notna() & safe.map(lambda t: t[3] is None)
+    return pdf[keep], safe[keep]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, schema-declared.
     width/height come from the real ``decode_pgm`` parse of each payload;
@@ -229,15 +238,14 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            pdf = _decodable(pdf)
-            dims = pdf["payload"].map(lambda p: decode_pgm(p)[:2])
+            pdf, dec = _decoded(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["payload"].map(len).astype("int32"),
-                    "width": dims.map(lambda t: t[0]).astype("int32"),
-                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "width": dec.map(lambda t: t[0]).astype("int32"),
+                    "height": dec.map(lambda t: t[1]).astype("int32"),
                     "feature_hash": pdf["payload"].map(
                         lambda b: hashlib.md5(b).hexdigest()
                     ),
@@ -289,20 +297,19 @@ def resize_media(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> D
     w_t, h_t = target
     out_header = f"P5 {w_t} {h_t} 255\n".encode()
 
-    def one(p: bytes) -> bytes:
-        w, h, raster = decode_pgm(p)
-        return out_header + _resize_nearest(raster, w, h, w_t, h_t)
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            pdf = _decodable(pdf)
+            pdf, dec = _decoded(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "width": w_t,
                     "height": h_t,
-                    "resized_payload": pdf["payload"].map(one),
+                    "resized_payload": dec.map(
+                        lambda t: out_header
+                        + _resize_nearest(t[2], t[0], t[1], w_t, h_t)
+                    ),
                 }
             )
 
@@ -447,10 +454,9 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            pdf = _decodable(pdf)
+            pdf, dec = _decoded(pdf)
             ids, ns, peaks, energies = [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raster = decode_pgm(payload)[2]
+            for mid, (_, _, raster, _) in zip(pdf["media_id"], dec):
                 s = np.frombuffer(raster, dtype=np.uint8).astype(np.int64) - 128
                 ids.append(mid)
                 ns.append(len(s))

@@ -1190,7 +1190,6 @@ def doc_quality_gate(
     )
     d = documents.withColumns(
         {
-            "_t": t,
             "_n_tokens": F.size(tokens).cast("long"),
             "_token_chars": F.aggregate(
                 F.transform(tokens, F.length),

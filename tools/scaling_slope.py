@@ -58,9 +58,15 @@ def main() -> int:
     for k in common[: args.top]:
         raw = tl[k] / max(ts[k], 1e-9)
         adj = max(tl[k] - fl, 0.0) / max(ts[k] - fs, 0.02)
-        # super-linear = overhead-adjusted growth clearly above the
-        # data ratio (1.5x headroom for measurement noise)
-        super_lin = adj > args.data_ratio * 1.5
+        # super-linear = BOTH ratios clearly above the data ratio (1.5x
+        # noise headroom). Requiring the raw ratio too keeps queries
+        # whose small-SF time sits at/below the floor estimate (where
+        # the clamped adj denominator explodes) from being flagged on
+        # noise — by construction ~10% of queries sit under the
+        # 10th-percentile floor.
+        super_lin = (
+            adj > args.data_ratio * 1.5 and raw > args.data_ratio * 1.5
+        )
         n_super += super_lin
         verdict = "SUPER-LINEAR" if super_lin else "ok"
         print(f"| {k} | {ts[k]:.2f} | {tl[k]:.2f} | {raw:.1f}x "
