@@ -523,10 +523,19 @@ def build_incremental_rollup(
     re-aggregate to daily — the result must equal the one-shot daily
     oracle BIT-FOR-BIT (exact integer partials make additive merge
     order-free; the split is deliberately arbitrary to show ANY
-    partitioning of arrivals converges to the same store)."""
+    partitioning of arrivals converges to the same store).
+
+    The split must be a PARTITION of the cleaned events: ``% 2 == 1``
+    misses negative-odd ids (Java remainder gives −1) and a NULL
+    comparison matches neither branch, so the store branch takes
+    ``== 0`` and the increment takes its NULL-inclusive complement
+    (r10 review; EVENTS_CLEAN_SQL does not quarantine event_id)."""
     ev = timed_events(load_star(spark, sf_dir)["events"])
-    store = hourly_partials(ev.filter(F.col("event_id") % 2 == 0), ctx)
-    increment = hourly_partials(ev.filter(F.col("event_id") % 2 == 1), ctx)
+    is_even = F.col("event_id") % 2 == 0
+    store = hourly_partials(ev.filter(is_even), ctx)
+    increment = hourly_partials(
+        ev.filter(is_even.isNull() | ~is_even), ctx
+    )
     return daily_rollup_from_hourly(merge_rollup_increment(store, increment), ctx)
 
 ANOMALY_K = 3  # flag hours beyond k trailing standard deviations
@@ -629,9 +638,15 @@ def active_users(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
     explode + aggregate. At 100 TB the distinct pre-aggregation shrinks
     the fact by the events-per-user-day factor BEFORE the ×7 fanout.
     """
-    du = events.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    # NULL user_id carries no engagement identity: COUNT(DISTINCT)
+    # ignores it on both engines, so the plain-count aggregates below
+    # must not see the (day, NULL) row either — screen it before the
+    # distinct (also saves the ×7 fanout on identity-less rows)
+    du = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
     wau = (
         du.select(
             F.expr(f"explode(sequence(0, {WAU_DAYS - 1}))").alias("_k"),
@@ -642,7 +657,11 @@ def active_users(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
-    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # du is already distinct on (day, user_id), so a plain count per day
+    # IS the distinct-user count — no second dedup/Expand pass (the wau
+    # aggregate above is the only one that genuinely needs distinct,
+    # because the ×7 fanout duplicates users across report days)
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     return (
         dau.join(wau, dau["day"] == wau["report_day"])
         .select(
@@ -699,8 +718,12 @@ def session_attribution(
     flagged = events.withColumn(
         "_new",
         F.expr(
+            # <= : a gap of EXACTLY 30 min merges, matching
+            # session_window / ORACLE_SQL_SESSION's boundary (r10
+            # review — '<' split such a session in two here while
+            # events_session kept it whole)
             f"CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER "
-            f"(PARTITION BY user_id ORDER BY ts, event_id)) < {_GAP_US} "
+            f"(PARTITION BY user_id ORDER BY ts, event_id)) <= {_GAP_US} "
             f"THEN 0 ELSE 1 END"
         ),
     )
@@ -749,7 +772,7 @@ ORACLE_SQL_ATTRIBUTION = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id)) < {_GAP_US}
+                PARTITION BY user_id ORDER BY ts, event_id)) <= {_GAP_US}
               THEN 0 ELSE 1 END AS new_session
   FROM {EVENTS_CLEAN_SQL}
 ),
@@ -803,8 +826,10 @@ def cohort_retention(
     joined = du.join(first, "user_id").withColumn(
         "offset_weeks", F.expr("datediff(week, cohort_week) div 7")
     )
+    # joined is unique per (user_id, week) — hence per (cohort_week,
+    # offset_weeks, user_id) — so a plain count is the distinct count
     active = joined.groupBy("cohort_week", "offset_weeks").agg(
-        F.countDistinct("user_id").alias("n_active")
+        F.count(F.lit(1)).alias("n_active")
     )
     sizes = first.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
@@ -1330,7 +1355,15 @@ def lateness_audit(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
     side of the broadcast join can disagree on partition membership
     (caught by the oracle gate: 354/100k events mis-ranked). Cumulative
     share is exact fixed-point over integer counts.
+
+    An event with a NULL event_id has NO arrival position: Spark's
+    window ORDER BY would place it first, DuckDB's last, and its
+    running-max prefix (hence its lateness bucket) would differ per
+    engine — dead-lettered on both sides (r10 review-pinned hostile
+    row; same identity discipline as io.timed_events, which does not
+    screen event_id).
     """
+    events = events.filter(F.col("event_id").isNotNull())
     bounds = events.agg(
         F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
     )
@@ -1411,10 +1444,13 @@ def _lateness_oracle() -> str:
     label_arr = "[" + ", ".join(f"'{x}'" for x in labels) + "]"
     return f"""
 WITH lat AS (
-  SELECT CAST(epoch(MAX(ts) OVER (ORDER BY event_id
-                                  ROWS UNBOUNDED PRECEDING)) AS BIGINT)
-         - CAST(epoch(ts) AS BIGINT) AS late_s
-  FROM events
+  -- epoch_us // 1000000 TRUNCATES like Spark's unix_timestamp;
+  -- CAST(epoch() AS BIGINT) would ROUND a fractional-second ts and
+  -- shift late_s by ±1 s across a histogram fence (r10 review)
+  SELECT epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING)) // 1000000
+         - epoch_us(ts) // 1000000 AS late_s
+  FROM events WHERE event_id IS NOT NULL
 ),
 hist AS (
   SELECT CASE {conds} ELSE {len(fences)} END AS bucket,

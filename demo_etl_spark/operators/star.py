@@ -407,7 +407,15 @@ def order_value_distribution(
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
     )
-    vals = j.select(F.col("n_name").alias("nation"), tp_c.alias("_v"))
+    # NULL _v (TRY_CAST overflow, or an unquarantined caller) must not
+    # enter the rank: Spark's row_number orders NULLS FIRST while the
+    # DuckDB oracle's ORDER BY is NULLS LAST, so one NULL would shift
+    # every Spark rank by one and move all four percentile brackets
+    # (r10 review; latent behind keyed_orders' finite guard today —
+    # the oracle mirrors the filter)
+    vals = j.select(F.col("n_name").alias("nation"), tp_c.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
     # ties in _v: bracketing rows with equal rank-neighbors carry equal
     # values, so the arbitrary order among ties cannot change any output
     w = Window.partitionBy("nation").orderBy("_v")
@@ -502,11 +510,16 @@ def _distribution_oracle() -> str:
     )
     return f"""
 WITH j AS (
-  SELECT n.n_name AS nation,
-         TRY_CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
-  FROM {_ORDERS_SUBQ} o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  -- v IS NOT NULL mirrors the Spark-side guard: a NULL rank value
+  -- would sort NULLS FIRST under Spark's row_number but NULLS LAST
+  -- here, shifting every bracket (r10 review)
+  SELECT * FROM (
+    SELECT n.n_name AS nation,
+           TRY_CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM {_ORDERS_SUBQ} o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+  ) WHERE v IS NOT NULL
 ),
 ranked AS (
   SELECT nation, v,
@@ -688,7 +701,17 @@ def incremental_join_view(
             )
         )
 
-    old = partial(lineitem.filter(F.col("l_shipdate") < F.lit(IVM_SPLIT)))
+    # the split must PARTITION lineitem: a NULL l_shipdate satisfies
+    # neither comparison and would vanish from both branches while the
+    # one-shot oracle still aggregates the row — Delta(A ⋈ B) = ΔA ⋈ B
+    # only holds when ΔA ∪ A_old covers A (r10 review); NULL-shipdate
+    # rows ride with the historical branch
+    old = partial(
+        lineitem.filter(
+            (F.col("l_shipdate") < F.lit(IVM_SPLIT))
+            | F.col("l_shipdate").isNull()
+        )
+    )
     delta = partial(lineitem.filter(F.col("l_shipdate") >= F.lit(IVM_SPLIT)))
     return (
         old.unionByName(delta)

@@ -215,6 +215,19 @@ def build_transitions(
     return event_transitions(timed_events(load_star(spark, sf_dir)["events"]), ctx)
 
 
+from demo_etl_spark.functions.fixedpoint import round_div_expr as _rde
+
+#: shared HALF_UP fixed-point division for the transitions oracle — the
+#: hand-rolled inline spelling (r10 review) bypassed the helper's
+#: BIGINT-promotion guard and could silently desynchronize from the
+#: Spark-side functions/fixedpoint.round_div
+_SHARE_RD = _rde(
+    "CAST(n_transitions AS BIGINT)",
+    "SUM(n_transitions) OVER (PARTITION BY prev_type)",
+    6,
+    "duckdb",
+)
+
 ORACLE_SQL_TRANSITIONS = f"""
 WITH pairs AS (
   SELECT user_id,
@@ -229,9 +242,7 @@ counts AS (
   GROUP BY prev_type, curr_type
 )
 SELECT prev_type, curr_type, n_transitions,
-       CAST(((n_transitions * 2000000 + SUM(n_transitions) OVER (PARTITION BY prev_type))
-             // (2 * SUM(n_transitions) OVER (PARTITION BY prev_type))) / 1000000 AS DOUBLE)
-         AS share_of_source
+       {_SHARE_RD} AS share_of_source
 FROM counts
 """
 

@@ -189,6 +189,15 @@ HOSTILE_EVENTS = [
     (900021, "2024-01-05 12:15:00", 925, "click", 1.0, '{"k": 1e2}'),
     (900022, "2024-01-05 12:16:00", 926, "view", 1.0, '{"k": [1]}'),
     (900023, "2024-01-05 12:17:00", 926, "view", 1.0, '{"k": "5.0"}'),
+    # r10 (review): split-partition pins for events_incremental_rollup.
+    # A negative ODD event_id — Java remainder gives (-n) % 2 = -1, so a
+    # '% 2 == 1' increment branch silently drops it (== 0 / NULL-safe
+    # complement is the correct partition); and a NULL event_id with a
+    # VALID ts/user/value, which matches NEITHER modulo branch but does
+    # survive the EVENTS_CLEAN quarantine (event_id is not an identity
+    # column there).
+    (-900025, "2024-01-05 12:18:00", 927, "view", 2.5, None),
+    (None, "2024-01-05 12:19:00", 927, "click", 1.5, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -206,6 +215,11 @@ HOSTILE_LINEITEM = [
     #  l_shipdate)
     (990001, None, None, 1, None, None, None, None, None, None, None),
     (990002, 5, 3, None, 2.0, 100.0, 0.05, 0.02, "N", "O", None),
+    # r10 (review): NULL l_shipdate on a CLEAN order (-990006 carries
+    # custkey/date/price) — a shipdate-range split that isn't a
+    # partition (old < s / delta >= s) drops this row from both
+    # branches while the one-shot incremental_join_view oracle keeps it
+    (-990006, 5, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", None),
 ]
 HOSTILE_CUSTOMER = [
     # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
