@@ -124,6 +124,24 @@ def _indexed_shingles(
     return sh.join(dfreq, "h").select("doc_id", "h", "df")
 
 
+def _common_counts(sh: DataFrame) -> DataFrame:
+    """Per-pair shared-shingle counts from the df-capped inverted index:
+    prune singleton shingles (df = 1 contributes no pair), self-join on
+    the hash with doc_a < doc_b, count per pair. Shared by the Jaccard,
+    containment, and incremental exact baselines (r10 review: the block
+    existed verbatim in each — a df-prune or join-hint change must land
+    once, not three times)."""
+    shared = sh.filter(F.col("df") >= 2)
+    a = shared.alias("a")
+    b = shared.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def _jaccard_from_common(
     common: DataFrame,
     sizes: DataFrame,
@@ -131,9 +149,14 @@ def _jaccard_from_common(
     with_union: bool = False,
 ) -> DataFrame:
     """Join per-pair common counts to per-doc sizes; integer-space filter:
-    common/(|A|+|B|−common) ≥ τ  ⟺  common·100 ≥ τ·100·(|A|+|B|−common).
-    ``with_union=True`` additionally exposes the raw common/union counts."""
-    t100 = int(round(threshold * 100))
+    common/(|A|+|B|−common) ≥ τ  ⟺  common·10⁶ ≥ τ·10⁶·(|A|+|B|−common).
+    Threshold resolution is 1e-6 (matching the similarity module's t_e6
+    discipline — the old ·100 scale silently quantized a caller's 0.825
+    to 0.82, r10 review); identical decisions at the 2-decimal default
+    thresholds, so every oracle twin (spelled at the defaults) is
+    unchanged. ``with_union=True`` additionally exposes the raw
+    common/union counts."""
+    t_e6 = int(round(threshold * 1_000_000))
     extra = (
         ["common", (F.col("na") + F.col("nb") - F.col("common")).alias("union_size")]
         if with_union
@@ -142,7 +165,7 @@ def _jaccard_from_common(
     return (
         common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
-        .filter(F.expr(f"common * 100 >= {t100} * (na + nb - common)"))
+        .filter(F.expr(f"common * 1000000 >= {t_e6} * (na + nb - common)"))
         .select(
             "doc_a",
             "doc_b",
@@ -184,19 +207,7 @@ def ngram_jaccard_pairs(
     # fan-out persist — generate-asset.scala:47)
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # singleton shingles (df = 1) cannot contribute a pair — prune them
-    # before the self-join; results identical, join input shrinks by the
-    # unique-shingle mass (most of it, on real corpora)
-    shared = sh.filter(F.col("df") >= 2)
-    a = shared.alias("a")
-    b = shared.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return _jaccard_from_common(common, sizes, threshold, with_union=True)
+    return _jaccard_from_common(_common_counts(sh), sizes, threshold, with_union=True)
 
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -222,26 +233,17 @@ def ngram_containment_pairs(
     contract, same df cap, same memoized index); integer-space predicate
     ``common·100 ≥ τ·100·least(na, nb)`` keeps it engine-exact.
     """
-    t100 = int(round(threshold * 100))
+    t_e6 = int(round(threshold * 1_000_000))  # 1e-6 resolution, see _jaccard_from_common
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    shared = sh.filter(F.col("df") >= 2)
-    a = shared.alias("a")
-    b = shared.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     return (
-        common.join(
+        _common_counts(sh).join(
             sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a"
         )
         .join(
             sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b"
         )
-        .filter(F.expr(f"common * 100 >= {t100} * least(na, nb)"))
+        .filter(F.expr(f"common * 1000000 >= {t_e6} * least(na, nb)"))
         .select(
             "doc_a",
             "doc_b",
@@ -980,11 +982,21 @@ def fuzzy_verify_pairs(
         "doc_a",
         "doc_b",
         "edit_distance",
-        round_div(
-            "CAST((_maxlen - edit_distance) AS BIGINT)",
-            "CAST(_maxlen AS BIGINT)",
-            6,
-        ).alias("edit_similarity"),
+        # fixedpoint contract: a possibly-zero denominator must be
+        # guarded at the call site (r10 review). The default MinHash
+        # candidate path cannot produce two empty/NULL texts (shingling
+        # needs ≥3 tokens), but `pairs` is a public parameter — two
+        # empty texts are identical, so similarity 1.0; a NULL text has
+        # no edit evidence, so NULL.
+        F.when(F.col("_maxlen") == 0, F.lit(1.0))
+        .otherwise(
+            round_div(
+                "CAST((_maxlen - edit_distance) AS BIGINT)",
+                "CAST(_maxlen AS BIGINT)",
+                6,
+            )
+        )
+        .alias("edit_similarity"),
     )
 
 
@@ -1095,7 +1107,7 @@ def incremental_dedup(
     """
     from pyspark.sql.window import Window
 
-    t100 = int(round(threshold * 100))
+    t_e6 = int(round(threshold * 1_000_000))  # 1e-6 resolution, see _jaccard_from_common
     sh = index if index is not None else register_persist(
         _indexed_shingles(documents, max_df)
     )
@@ -1129,11 +1141,17 @@ def incremental_dedup(
         )
         .withColumn(
             "is_dup",
-            F.expr(f"common * 100 >= {t100} * (na + nb - common)"),
+            F.expr(f"common * 1000000 >= {t_e6} * (na + nb - common)"),
         )
     )
+    # is_dup leads the ranking: the 1e-6-rounded jaccard can TIE between
+    # a genuine above-threshold duplicate and a just-below neighbor, and
+    # a doc_old tiebreak could then crown the non-dup and report
+    # is_new=True despite a real duplicate existing (r10 review). The
+    # exact integer predicate, not the rounded score, carries the
+    # threshold decision.
     w = Window.partitionBy("doc_new").orderBy(
-        F.desc("_jacc_e6"), F.asc("doc_old")
+        F.desc("is_dup"), F.desc("_jacc_e6"), F.asc("doc_old")
     )
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
@@ -1180,7 +1198,8 @@ scored AS (
 ),
 best AS (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY doc_new ORDER BY jacc_e6 DESC, doc_old) AS rn
+    PARTITION BY doc_new
+    ORDER BY is_dup DESC, jacc_e6 DESC, doc_old) AS rn
   FROM scored
 )
 SELECT d.doc_id, b.doc_old AS best_match, b.common,

@@ -61,15 +61,7 @@ def valid_embeddings(embeddings: DataFrame) -> DataFrame:
     length is the table's real dimensionality even if hostile rows are
     interleaved; ties break toward the smaller length on both engines.
     The ``_EMB_SRC`` oracle subquery is the exact DuckDB twin."""
-    row = (
-        embeddings.filter(F.col("embedding").isNotNull())
-        .groupBy(F.size("embedding").alias("d"))
-        .count()
-        .orderBy(F.desc("count"), F.asc("d"))
-        .limit(1)
-        .first()
-    )
-    d = int(row["d"]) if row is not None else EMB_DIMS
+    d = _emb_dims(embeddings)  # memoized modal scan (shared, r10)
     # component finiteness (r8 hostile wave): ONE NaN/Inf component in
     # an otherwise-valid vector crashes the whole scan at the ANSI
     # fixed-point cast (CAST_OVERFLOW on Infinity) while DuckDB's
@@ -99,14 +91,46 @@ _EMB_SRC = (
 )
 
 
+#: per-DataFrame-object memo of the modal dimensionality — load_star
+#: hands every builder the SAME persisted scan frame, so the modal scan
+#: runs once per session instead of once per registered seat (r10
+#: review); ad-hoc frames simply recompute. WeakKey: entries die with
+#: their frame.
+import weakref as _weakref
+
+_DIMS_CACHE: "_weakref.WeakKeyDictionary[DataFrame, int]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def _emb_dims(embeddings: DataFrame) -> int:
-    """Actual dimensionality of the embedding column, probed from one
-    row (falls back to EMB_DIMS on an empty table). The plane-weight
-    tables are sized to THIS, not the constant, so a regenerated
-    testdata with different dims cannot silently diverge from the
-    oracle (which always iterates the full vector length)."""
-    row = embeddings.select(F.size("embedding").alias("d")).limit(1).first()
-    return int(row["d"]) if row is not None else EMB_DIMS
+    """MODAL dimensionality of the embedding column over non-NULL rows
+    (falls back to EMB_DIMS on an empty table) — the same definition
+    valid_embeddings uses, NOT a one-row probe: an unordered raw scan
+    whose first row is NULL crashed (size(NULL) is NULL under ANSI) and
+    a hostile short first row silently mis-sized every plane-weight
+    literal while the oracle derives weights per-row (r10 review). The
+    plane-weight tables are sized to THIS, not the constant, so
+    regenerated testdata with different dims cannot diverge from the
+    oracle."""
+    try:
+        return _DIMS_CACHE[embeddings]
+    except (KeyError, TypeError):
+        pass
+    row = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .limit(1)
+        .first()
+    )
+    d = int(row["d"]) if row is not None else EMB_DIMS
+    try:
+        _DIMS_CACHE[embeddings] = d
+    except TypeError:
+        pass
+    return d
 
 
 def _plane_weight(prefix: str, p: int, i: int) -> int:
@@ -306,12 +330,18 @@ def _bucket_sql(n_planes: int = N_PLANES) -> str:
     return signs
 
 
-ORACLE_SQL_TOPK = f"""
+def _topk_oracle(src: str = "embeddings") -> str:
+    """Exact brute-force top-k oracle over ``src`` — parameterized so
+    recall audits can point the exact side at the SAME screened
+    population their approximate side indexes (r10 review: ivf_recall's
+    Spark exact side is valid_embeddings-screened, so its oracle twin
+    must read _EMB_SRC, not the raw table)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+  FROM {src} WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     AND list_aggregate(list_transform(embedding,
         x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
 ),
@@ -333,6 +363,9 @@ SELECT query_id, candidate_id, rank,
        CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+ORACLE_SQL_TOPK = _topk_oracle()
 
 ORACLE_SQL_LSH = f"""
 WITH e AS (
@@ -1084,7 +1117,10 @@ def embedding_ann_pairs(
     emb = _nonzero(embeddings).select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
     )
-    sigs = _band_signatures(_nonzero(embeddings), bands, ppb)
+    # reuse the SAME screened frame for candidates and verify — two
+    # independent _nonzero() subtrees could silently desynchronize the
+    # two populations under a future edit (r10 review)
+    sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), "band", "sig"
     )
@@ -1394,7 +1430,7 @@ SELECT e.query_id,
        COUNT(*) AS k,
        {hits} AS hits,
        {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
-FROM ({ORACLE_SQL_TOPK}) e
+FROM ({_topk_oracle(_EMB_SRC)}) e
 LEFT JOIN ({ORACLE_SQL_IVF}) a
   ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
 GROUP BY e.query_id
