@@ -593,7 +593,11 @@ WHERE len(chunk) >= {CHUNK_MIN_EFF} OR start_token = 0
 #: patterns chosen for verified Java-regex ⇔ RE2 count parity (simple
 #: classes and quantifiers only — no lookaround, no backrefs)
 NOISE_PATTERNS = {
-    "n_urls": r"https?://[^\s]+",
+    # explicit whitespace class, NOT [^\s]: Java's \s includes vertical
+    # tab \x0B, RE2's is [\t\n\f\r ] only — a URL containing \x0B would
+    # end the match in Spark and continue in DuckDB (r10 review; the
+    # hostile corpus pins the character)
+    "n_urls": "https?://[^ \\t\\n\\x0B\\f\\r]+",
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "n_digit_runs": r"[0-9]+",
 }
@@ -629,9 +633,8 @@ def build_noise_scan(
 
 
 def _noise_oracle() -> str:
-    def dq(pat: str) -> str:
-        return pat.replace("\\", "\\")
-
+    # NOISE_PATTERNS backslashes embed RAW in DuckDB single-quoted
+    # strings (escape-free) — do NOT add escaping here
     cols = ",\n       ".join(
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS {col}"
         for col, pat in NOISE_PATTERNS.items()

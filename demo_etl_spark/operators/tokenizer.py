@@ -52,20 +52,30 @@ BPE_ROUNDS = 4
 _CHAR_PAT = r"([\s\S])"
 
 
+def _fenced_vocab(documents: DataFrame) -> DataFrame:
+    """ONE corpus pass → the distinct-word frequency table with the
+    space-fenced symbol encoding (every symbol carries its own leading
+    and trailing space — the encoding the module docstring's literal-
+    replace-≡-greedy-merge argument depends on). Shared by BOTH
+    trainers so a fencing change can never split their semantics
+    (r10 review: the block existed verbatim in each)."""
+    words = (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.withColumn(
+        "sym", F.regexp_replace("word", _CHAR_PAT, " $1 ")
+    ).localCheckpoint(eager=True)
+
+
 def _train(documents: DataFrame, rounds: int):
     """Shared trainer: returns (final symbol table, merge list).
 
     The symbol table is vocab-sized (distinct words) and
     localCheckpoint-ed per round; one argmax row reaches the driver per
     round."""
-    words = (
-        documents.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    sym = words.withColumn(
-        "sym", F.regexp_replace("word", _CHAR_PAT, " $1 ")
-    ).localCheckpoint(eager=True)
+    sym = _fenced_vocab(documents)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -123,7 +133,19 @@ def build_bpe_merges(
     return bpe_merges(load_star(spark, sf_dir)["documents"], ctx)
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS, src: str = "documents") -> str:
+def _bpe_oracle_head(rounds: int = BPE_ROUNDS, src: str = "documents") -> str:
+    """Training CTE chain up to the final symbol table ``s{rounds}`` —
+    the shared prefix the encode/roundtrip/vocab-coverage oracles
+    extend. Exposed from the generator instead of string-splitting
+    _bpe_oracle's output on a literal SELECT spelling, which silently
+    returned the WHOLE string (invalid derived SQL) if the finals
+    section was ever reworded (r10 review)."""
+    return _bpe_oracle(rounds, src, head_only=True)
+
+
+def _bpe_oracle(
+    rounds: int = BPE_ROUNDS, src: str = "documents", head_only: bool = False
+) -> str:
     parts = [
         f"""WITH w AS (
   SELECT u.t AS word, COUNT(*) AS freq
@@ -151,15 +173,22 @@ b{r} AS (
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ),
 s{r} AS (
+  -- COALESCE is the merges-exhausted fixpoint (r10 review): when b{r}
+  -- is EMPTY its scalar subqueries are NULL and replace(sym, NULL,
+  -- NULL) would NULL every symbol table — while the Spark trainer just
+  -- stops merging. NULL-replace -> keep sym unchanged, like the
+  -- batched oracle already does.
   SELECT word, freq,
-         replace(sym,
+         COALESCE(replace(sym,
                  ' ' || (SELECT lhs FROM b{r}) || '  '
                      || (SELECT rhs FROM b{r}) || ' ',
                  ' ' || (SELECT lhs FROM b{r})
-                     || (SELECT rhs FROM b{r}) || ' ') AS sym
+                     || (SELECT rhs FROM b{r}) || ' '), sym) AS sym
   FROM {prev}
 )"""
         )
+    if head_only:
+        return "".join(parts)
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INTEGER) AS round, lhs, rhs, "
         f"lhs || rhs AS merged, pair_count FROM b{r}"
@@ -235,10 +264,9 @@ def build_bpe_encode(
 def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
     from demo_etl_spark.functions.fixedpoint import round_div_expr
 
-    base = _bpe_oracle(rounds)
     # reuse the training CTE chain up to the final symbol table s{rounds},
     # then collapse to a vocabulary map and re-join the exploded corpus
-    head = base.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    head = _bpe_oracle_head(rounds)
     cpt = round_div_expr(
         "CAST(SUM(length(word)) AS BIGINT)",
         "CAST(SUM(word_tokens) AS BIGINT)", 4, "duckdb",
@@ -315,7 +343,7 @@ def build_bpe_roundtrip(
 
 
 def _bpe_roundtrip_oracle(rounds: int = BPE_ROUNDS) -> str:
-    head = _bpe_oracle(rounds).split("\nSELECT CAST(1 AS INTEGER)")[0]
+    head = _bpe_oracle_head(rounds)
     ok = "CASE WHEN replace(trim(sym), '  ', '') = word THEN 1 ELSE 0 END"
     return f"""{head}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
@@ -410,8 +438,7 @@ def build_bpe_vocab_coverage(
 def _bpe_vocab_coverage_oracle(rounds: int = BPE_ROUNDS) -> str:
     from demo_etl_spark.functions.fixedpoint import round_div_expr
 
-    base = _bpe_oracle(rounds, src=_TRAIN_HALF_SQL)
-    head = base.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    head = _bpe_oracle_head(rounds, src=_TRAIN_HALF_SQL)
     oov = "CAST(SUM(CASE WHEN v.word_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
     ntok = ("CAST(SUM(COALESCE(v.word_tokens, CAST(length(c.word) AS BIGINT)))"
             " AS BIGINT)")
@@ -488,14 +515,7 @@ def bpe_merges_batched(
     """Learn up to ``rounds × m`` merges, ``m`` symbol-disjoint merges
     per pair-count round; returns (round, rank, lhs, rhs, merged,
     pair_count)."""
-    words = (
-        documents.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    sym = words.withColumn(
-        "sym", F.regexp_replace("word", _CHAR_PAT, " $1 ")
-    ).localCheckpoint(eager=True)
+    sym = _fenced_vocab(documents)
 
     out: list[tuple[int, int, str, str, str, int]] = []
     for r in range(1, rounds + 1):

@@ -227,3 +227,45 @@ def test_batched_bpe_matches_reference_on_random_corpora(spark):
         _run_batched(spark, docs, rounds=2, m=2)
 
     check()
+
+
+def test_bpe_oracles_survive_merge_exhaustion(spark):
+    """A corpus whose pairs run out before BPE_ROUNDS: the Spark trainer
+    stops merging, and the greedy DuckDB oracle must hold the symbol
+    table FIXED through the empty rounds (r10 review: its NULL scalar
+    subqueries used to NULL every sym, flipping bpe_roundtrip/encode/
+    vocab_coverage oracles red on exactly this corpus class)."""
+    import duckdb
+
+    from demo_etl_spark.operators.tokenizer import (
+        ORACLE_SQL_BPE_ENCODE,
+        _bpe_roundtrip_oracle,
+        bpe_encode,
+        bpe_roundtrip,
+    )
+
+    rows = [(1, "ab ab ab", "en", "s", 8), (2, "ab", "en", "s", 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(str(r) for r in rows)
+        + ") t(doc_id, text, lang, source, n_chars)"
+    )
+
+    rt = bpe_roundtrip(df).collect()[0]
+    ort = con.sql(_bpe_roundtrip_oracle()).fetchall()[0]
+    assert (rt["n_vocab_words"], rt["n_roundtrip_ok"], rt["all_roundtrip"]) == (
+        ort[0], ort[1], ort[4],
+    )
+    assert rt["all_roundtrip"] == 1
+
+    enc = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode(df).collect()}
+    oenc = {
+        r[0]: r[3]
+        for r in con.sql(ORACLE_SQL_BPE_ENCODE).fetchall()
+    }
+    assert enc == oenc, (enc, oenc)
+    assert None not in enc.values()

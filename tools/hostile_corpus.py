@@ -110,6 +110,10 @@ ROWS = [
     # embedded NUL byte: parquet strings may carry \x00 — an engine that
     # truncated at NUL would shift every downstream token/char count
     (803, "before\x00after nul byte", "en", "src_i"),
+    # vertical tab INSIDE a URL: Java's \s includes \x0B, RE2's does
+    # not — a [^\s]+ URL pattern matched different spans per engine
+    # (r10 review; the noise patterns now use an explicit class)
+    (804, "see http://ex.test/a\x0Btail and mail a@b.cd now", "en", "src_i"),
     # src_f: long docs that straddle the 512-token packing cap — 200
     # tokens each so four of them cross a boundary; plus a NULL text
     # right at the straddle region to compose both pathologies
