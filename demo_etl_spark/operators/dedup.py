@@ -231,7 +231,11 @@ def ngram_containment_pairs(
 
     EXACT BASELINE like ``ngram_jaccard_pairs`` (same Σ df² candidate
     contract, same df cap, same memoized index); integer-space predicate
-    ``common·100 ≥ τ·100·least(na, nb)`` keeps it engine-exact.
+    ``common·1_000_000 ≥ τ_e6·least(na, nb)`` (τ at 1e-6 resolution, see
+    ``_jaccard_from_common``) keeps it engine-exact. The hand-written
+    DuckDB twins intentionally stay at the coarser ``·100`` scale: the
+    default thresholds are exact multiples of 0.01, so both scalings
+    select identical pairs there.
     """
     t_e6 = int(round(threshold * 1_000_000))  # 1e-6 resolution, see _jaccard_from_common
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))

@@ -680,7 +680,8 @@ def build_active_users(
 
 
 ORACLE_SQL_ACTIVE_USERS = f"""
-WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE user_id IS NOT NULL),
 d AS (SELECT DISTINCT day AS report_day FROM du),
 wau AS (
   SELECT report_day, COUNT(DISTINCT user_id) AS wau

@@ -1277,11 +1277,16 @@ def build_ann_pair_recall(
     # The two sides are independent subtrees and each materializes via an
     # eager localCheckpoint that underuses the executor on its own —
     # submit both jobs concurrently (standard Spark multi-thread job
-    # submission; the fair scheduler interleaves their stages). Each
-    # thread touches a DIFFERENT memo key, so the cache stays coherent.
-    # Measured: 4.0 → 2.6 s for a cold recall seat at sf0.1.
+    # submission; the fair scheduler interleaves their stages). The two
+    # _EMB_PAIRS_CACHE keys differ, but both threads reach the SHARED
+    # unlocked check-then-set memos underneath (_SCAN_CACHE via
+    # load_star, _DIMS_CACHE via _emb_dims) — so warm those on the
+    # calling thread FIRST; a lost race there would only duplicate scan
+    # work, never corrupt results, but there is no reason to pay it
+    # (r10 ADVICE). Measured: 4.0 → 2.6 s for a cold recall seat at sf0.1.
     from concurrent.futures import ThreadPoolExecutor
 
+    _emb_dims(load_star(spark, sf_dir)["embeddings"])
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_exact = pool.submit(_cached_emb_pairs, spark, sf_dir, "exact")
         f_ann = pool.submit(_cached_emb_pairs, spark, sf_dir, "ann")

@@ -202,6 +202,16 @@ HOSTILE_EVENTS = [
     # column there).
     (-900025, "2024-01-05 12:18:00", 927, "view", 2.5, None),
     (None, "2024-01-05 12:19:00", 927, "click", 1.5, None),
+    # r11 (ADVICE): a day whose EVERY event carries NULL user_id —
+    # active_users must DROP the day on both engines (the Spark side
+    # screens NULL identity before the distinct; the oracle's du CTE
+    # carries the matching WHERE user_id IS NOT NULL — without it the
+    # oracle emits a (day, dau=0) row the engine never produces).
+    # 2024-02-10 is outside the base corpus range (Jan 2024), so no
+    # non-NULL user can rescue the day.
+    (900030, "2024-02-10 09:00:00", None, "view", 1.0, None),
+    (900031, "2024-02-10 10:00:00", None, "click", 2.0, '{"k":4}'),
+    (900032, "2024-02-10 11:00:00", None, "purchase", 3.0, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
