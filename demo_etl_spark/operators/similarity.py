@@ -19,8 +19,10 @@ Approximate-nearest-neighbor surface over the ``embeddings`` table
 * ``embedding_near_dup`` — all pairs with cosine ≥ τ, computed over a
   **block-partitioned pair space**: vectors land in B blocks by
   ``vec_id mod B``; each of the B(B+1)/2 block-cells compares its two
-  blocks with one vectorized numpy matmul (Arrow-batched
-  ``applyInPandas``). Exact (recall = 1) with no full-table broadcast
+  blocks with one vectorized numpy matmul over the **e6 integer lift**
+  (Arrow-batched ``applyInPandas``; every float64 partial sum stays
+  below 2⁵³, so the BLAS dot is the exact integer dot in any summation
+  order). Exact (recall = 1) with no full-table broadcast
   and no O(n²) row explosion through the shuffle — each vector is
   replicated exactly B+1 times regardless of pair count. At cluster
   scale B grows with √executors; the numpy kernel stays the same. The
@@ -167,12 +169,38 @@ def _plane_sign_lit(prefix: str, p: int, dims: int = EMB_DIMS):
     )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _e6_frame(embeddings: DataFrame) -> DataFrame:
+    """The exact-cosine population frame shared by the whole exact
+    kernel family: ``_nonzero`` screen → 1e-6 fixed-point integer lift
+    (``v``: array<bigint>) → exact integer self-dot norm (``_nrm``).
+
+    Every dot product downstream is an EXACT BIGINT sum — no float
+    accumulation anywhere, so the cosine is independent of summation
+    order (the r10-declared BLAS-ulp risk class: a float64 fold and a
+    BLAS matmul can disagree by 1 ulp at an exact .5 rounding boundary
+    and flip a cos_e6 hash). The only float ops left are two correctly-
+    rounded IEEE sqrts, one multiply, one divide, one scale — a fixed
+    sequence identical in Spark, numpy and DuckDB (`_e6_norm_cte`).
+
+    Same int-norm>0 guard as ``_emb6``: a vector whose every component
+    quantizes to zero leaves the population on BOTH engines (an ANSI
+    x/0 would otherwise raise). Keeps the raw ``embedding`` column for
+    bucket/signature derivation."""
+    return (
+        _nonzero(embeddings)
+        .select("vec_id", "embedding", _e6_vec("embedding").alias("v"))
+        .withColumn("_nrm", _int_norm("v"))
+        .filter(_int_dot("v", "v") > 0)
     )
+
+
+def _e6_cos(a: str, b: str, na: str, nb: str):
+    """cos_e6 of two e6 vectors: exact BIGINT dot, then the fixed
+    4-op IEEE sequence ROUND(dot / (na*nb) * 1e6) — the op order every
+    oracle twin spells out verbatim."""
+    return F.round(
+        _int_dot(a, b).cast("double") / (F.col(na) * F.col(nb)) * 1_000_000
+    ).cast("long")
 
 
 def _nonzero(embeddings: DataFrame) -> DataFrame:
@@ -203,31 +231,54 @@ _NONZERO_SQL = (
 )
 
 
+def _e6_norm_cte(src: str = "embeddings") -> str:
+    """DuckDB twin of ``_e6_frame``: the shared WITH-prefix of every
+    exact-cosine oracle — _nonzero screen → e6 BIGINT lift (``v``) →
+    exact integer self-dot norm, with the same all-zero-e6 population
+    guard. Emits CTEs ``_e6l`` and ``e(vec_id, embedding, v, nrm)``."""
+    return f"""_e6l AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           y -> TRY_CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM {src} WHERE {_NONZERO_SQL}
+),
+e AS (
+  SELECT vec_id, embedding, v,
+         sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE)) AS nrm
+  FROM _e6l WHERE list_sum(list_transform(v, y -> y * y)) > 0
+)"""
+
+
+def _e6_cos_sql(x: str, y: str) -> str:
+    """DuckDB twin of ``_e6_cos``: exact BIGINT dot of two e6 vectors
+    (list_sum over BIGINT is exact integer arithmetic), then the same
+    fixed 4-op IEEE sequence ROUND(dot / (nx*ny) * 1e6) as the engine —
+    no float accumulation, so summation order cannot flip the hash."""
+    return f"""TRY_CAST(ROUND(
+           CAST(list_sum(list_transform(range(1, len({x}.v) + 1),
+                i -> {x}.v[i] * {y}.v[i])) AS DOUBLE)
+           / ({x}.nrm * {y}.nrm) * 1000000, 0) AS BIGINT)"""
+
+
 def cosine_topk(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
 ) -> DataFrame:
-    emb = _nonzero(embeddings).select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
-    )
+    emb = _e6_frame(embeddings)
     q = emb.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qe"),
-        F.col("_norm").alias("_qn"),
+        F.col("v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
     ).filter(F.col("query_id") < n_queries)
     c = emb.select(
         F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").alias("_ce"),
-        F.col("_norm").alias("_cn"),
+        F.col("v").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
     )
     pairs = c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
-    scored = pairs.withColumn(
-        "_cos_e6",
-        F.round(_dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn")) * 1_000_000)
-        .cast("long"),
-    )
+    scored = pairs.withColumn("_cos_e6", _e6_cos("_qv", "_cv", "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos_e6"), F.asc("candidate_id")
     )
@@ -270,26 +321,22 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """SimHash-bucketed ANN: same-bucket candidates only → recall < 1 vs
     the exact top-k, shuffle O(N), compare O(N·Q/2^planes)."""
-    emb = _nonzero(embeddings).select(
+    emb = _e6_frame(embeddings).select(
         "vec_id",
-        "embedding",
+        "v",
+        "_nrm",
         _bucket_expr(n_planes, _emb_dims(embeddings)).alias("bucket"),
-        F.sqrt(_dot("embedding", "embedding")).alias("_norm"),
     )
     q = emb.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qe"),
-        F.col("_norm").alias("_qn"),
+        F.col("v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
         "bucket",
     ).filter(F.col("query_id") < n_queries)
     pairs = emb.join(F.broadcast(q), on="bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = pairs.withColumn(
-        "_cos_e6",
-        F.round(_dot("_qe", "embedding") / (F.col("_qn") * F.col("_norm")) * 1_000_000)
-        .cast("long"),
-    )
+    scored = pairs.withColumn("_cos_e6", _e6_cos("_qv", "v", "_qn", "_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos_e6"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -337,20 +384,10 @@ def _topk_oracle(src: str = "embeddings") -> str:
     Spark exact side is valid_embeddings-screened, so its oracle twin
     must read _EMB_SRC, not the raw table)."""
     return f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM {src} WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-    AND list_aggregate(list_transform(embedding,
-        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
-),
+WITH {_e6_norm_cte(src)},
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
-         TRY_CAST(ROUND(
-           list_sum(list_transform(range(1, len(q.embedding) + 1),
-                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-           / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+         {_e6_cos_sql("q", "c")} AS cos_e6
   FROM e q JOIN e c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
@@ -368,22 +405,14 @@ FROM ranked WHERE rank <= {TOP_K}
 ORACLE_SQL_TOPK = _topk_oracle()
 
 ORACLE_SQL_LSH = f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         {_bucket_sql()} AS bucket,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-    AND list_aggregate(list_transform(embedding,
-        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
+WITH {_e6_norm_cte()},
+eb AS (
+  SELECT vec_id, v, nrm, {_bucket_sql()} AS bucket FROM e
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket,
-         TRY_CAST(ROUND(
-           list_sum(list_transform(range(1, len(q.embedding) + 1),
-                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-           / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
-  FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         {_e6_cos_sql("q", "c")} AS cos_e6
+  FROM eb q JOIN eb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 ranked AS (
@@ -553,9 +582,6 @@ def ivf_topk(
     corpus — never all of it; Lloyd trains on a sample there (the agg
     shapes are identical).
     """
-    emb = _nonzero(embeddings).select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
-    )
     emb6 = _emb6(embeddings)
     if cent is None:
         cent = _lloyd_centroids(emb6, stride, iters)
@@ -571,16 +597,16 @@ def ivf_topk(
     assign = (
         ranked.filter(F.col("_r") == 1)
         .select("vec_id", F.col("cent_id").alias("cell"))
-        .join(emb, "vec_id")
+        .join(emb6, "vec_id")
     )
     probes = (
         ranked.filter((F.col("vec_id") < n_queries) & (F.col("_r") <= n_probes))
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
         .join(
-            emb.select(
+            emb6.select(
                 F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("_qe"),
-                F.col("_norm").alias("_qn"),
+                F.col("v").alias("_qv"),
+                F.col("_n").alias("_qn"),
             ),
             "query_id",
         )
@@ -588,10 +614,9 @@ def ivf_topk(
     cand = assign.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    q_cos = (
-        F.round(_dot("_qe", "embedding") / (F.col("_qn") * F.col("_norm")) * 1_000_000)
-        .cast("long")
-    )
+    # query-side rerank dot is the same exact-integer discipline as the
+    # assignment dot above — no float accumulation in any IVF stage
+    q_cos = _e6_cos("_qv", "v", "_qn", "_n")
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("_cos_e6"), F.asc("vec_id"))
     return (
         cand.withColumn("_cos_e6", q_cos)
@@ -706,22 +731,16 @@ probes AS (
   SELECT vec_id AS query_id, cent_id AS cell
   FROM ranked WHERE vec_id < {n_queries} AND r <= {n_probes}
 ),
-eo AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
-  FROM {_EMB_SRC}
-),
 cand AS (
   SELECT p.query_id, a.vec_id AS candidate_id, a.cell,
          TRY_CAST(ROUND(
-           list_sum(list_transform(range(1, len(q.embedding) + 1),
-                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(xx.embedding[i] AS DOUBLE)))
-           / (q.nrm * xx.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * xx.v[i])) AS DOUBLE)
+           / (q.n * xx.n) * 1000000, 0) AS BIGINT) AS cos_e6
   FROM assign a
   JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
-  JOIN eo q ON q.vec_id = p.query_id
-  JOIN eo xx ON xx.vec_id = a.vec_id
+  JOIN en q ON q.vec_id = p.query_id
+  JOIN en xx ON xx.vec_id = a.vec_id
 ),
 ranked2 AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -874,9 +893,14 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ τ over ALL vector pairs — exact,
     via the block-partitioned pair space (module docstring). Each block
-    cell compares its two blocks with one numpy matmul; cosines are
-    rounded to 1e-6 fixed point exactly like the SQL oracle (HALF_UP on
-    positive values), so the result is hash-identical to brute force.
+    cell compares its two blocks with one numpy matmul OVER THE e6
+    INTEGER LIFT: products are ≤ ~1e14 and row sums ≤ dims·1e14 < 2⁵³,
+    so every float64 partial sum is exactly representable and the BLAS
+    result is the exact integer dot REGARDLESS of summation order (the
+    r10-declared ulp risk: a float-embedding matmul could differ from
+    the oracle's sequential fold by 1 ulp at a .5 boundary). Cosines are
+    then rounded to 1e-6 fixed point exactly like the SQL oracle, so the
+    result is hash-identical to brute force.
 
     ``n_blocks`` defaults to auto along BOTH axes: enough blocks that
     the B(B+1)/2 cells fill the cores (measured: 2 blocks = 3 cells left
@@ -888,7 +912,7 @@ def embedding_near_dup(
     """
     t_e6 = int(round(threshold * 1_000_000))
     spark = embeddings.sparkSession
-    emb = _nonzero(embeddings).select("vec_id", "embedding")
+    emb = _e6_frame(embeddings).select("vec_id", F.col("v").alias("embedding"))
     if n_blocks is None:
         n = emb.count()  # cheap: scan is cached/columnar, count-only
         par = spark.sparkContext.defaultParallelism
@@ -925,10 +949,21 @@ def embedding_near_dup(
             )
         ids_a = a["vec_id"].to_numpy()
         ids_b = b["vec_id"].to_numpy()
+        # e6 integers as float64 — exact: every component ≤ ~1e7 ≪ 2⁵³
         ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         mb = ma if bi == bj else np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = na if bi == bj else np.linalg.norm(mb, axis=1)
+        # exactness bound: with |v| ≤ vmax every partial sum of a row dot
+        # is ≤ dims·vmax²; below 2⁵³ all float64 adds are exact, so the
+        # BLAS matmul returns the exact integer dot in any summation
+        # order. e6-lifted unit-ish embeddings sit ~100× inside the
+        # bound; a corpus that exceeded it must fail loudly, not round.
+        vmax = float(max(np.abs(ma).max(), np.abs(mb).max()))
+        if ma.shape[1] * vmax * vmax >= 2.0**53:
+            raise ValueError(
+                "e6 components too large for the exact float64 dot bound"
+            )
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = na if bi == bj else np.sqrt((mb * mb).sum(axis=1))
         cos = (ma @ mb.T) / np.outer(na, nb)
         # fixed-point HALF_UP away from zero — Spark's ROUND semantics for
         # BOTH signs (np.rint would be banker's; floor(x+0.5) alone would
@@ -967,26 +1002,20 @@ def embedding_near_dup_bruteforce(
     """Brute-force O(n²/2) twin of ``embedding_near_dup`` in pure column
     expressions — the small-data baseline the blocked kernel is verified
     against (and the shape of the SQL oracle)."""
-    emb = _nonzero(embeddings).select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
-    )
+    emb = _e6_frame(embeddings)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("_ea"),
-        F.col("_norm").alias("_na"),
+        F.col("v").alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("_eb"),
-        F.col("_norm").alias("_nb"),
+        F.col("v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     t_e6 = int(round(threshold * 1_000_000))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.withColumn(
-        "_cos_e6",
-        F.round(_dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")) * 1_000_000)
-        .cast("long"),
-    )
+    scored = pairs.withColumn("_cos_e6", _e6_cos("_va", "_vb", "_na", "_nb"))
     return (
         scored.filter(F.col("_cos_e6") >= t_e6)
         .select(
@@ -1021,20 +1050,10 @@ def build_near_dup(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_C
 
 
 ORACLE_SQL_NEAR_DUP = f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-    AND list_aggregate(list_transform(embedding,
-        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
-),
+WITH {_e6_norm_cte()},
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         TRY_CAST(ROUND(
-           list_sum(list_transform(range(1, len(a.embedding) + 1),
-                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-           / (a.nrm * b.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+         {_e6_cos_sql("a", "b")} AS cos_e6
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
@@ -1114,9 +1133,7 @@ def embedding_ann_pairs(
     quality.
     """
     t_e6 = int(round(threshold * 1_000_000))
-    emb = _nonzero(embeddings).select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("_norm")
-    )
+    emb = _e6_frame(embeddings)
     # reuse the SAME screened frame for candidates and verify — two
     # independent _nonzero() subtrees could silently desynchronize the
     # two populations under a future edit (r10 review)
@@ -1135,23 +1152,18 @@ def embedding_ann_pairs(
     )
     ea = emb.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("_ea"),
-        F.col("_norm").alias("_na"),
+        F.col("v").alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     eb = emb.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("_eb"),
-        F.col("_norm").alias("_nb"),
+        F.col("v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     scored = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn(
-            "_cos_e6",
-            F.round(
-                _dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")) * 1_000_000
-            ).cast("long"),
-        )
+        .withColumn("_cos_e6", _e6_cos("_va", "_vb", "_na", "_nb"))
     )
     return scored.filter(F.col("_cos_e6") >= t_e6).select(
         "vec_a",
@@ -1191,14 +1203,7 @@ def _ann_pairs_oracle(
     )
     sig_list = ", ".join(f"s{b}" for b in range(bands))
     return f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-    AND list_aggregate(list_transform(embedding,
-        x -> x IS NOT NULL AND isfinite(x)), 'bool_and')
-),
+WITH {_e6_norm_cte()},
 sigw AS (SELECT vec_id, {sig_cols} FROM e),
 sig AS (
   SELECT vec_id,
@@ -1213,10 +1218,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.vec_a, c.vec_b,
-         TRY_CAST(ROUND(
-           list_sum(list_transform(range(1, len(x.embedding) + 1),
-                i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-           / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS cos_e6
+         {_e6_cos_sql("x", "y")} AS cos_e6
   FROM cand c
   JOIN e x ON x.vec_id = c.vec_a
   JOIN e y ON y.vec_id = c.vec_b
