@@ -92,6 +92,33 @@ def _n_tokens():
     return F.expr(_N_TOKENS_SQL)
 
 
+def _running_offsets(documents: DataFrame) -> DataFrame:
+    """THE authoritative packed-stream offset frame — single source of
+    truth for ``sequence_packing`` / ``sequence_spans`` / ``doc_offsets``
+    (three hand-kept copies of this window were the r5-r6 driver-red
+    surface; divergence between them would silently mis-offset spans).
+
+    One per-source running-sum window over (doc_id, n_tokens), both keys
+    NULLS LAST: Spark defaults NULLS FIRST, DuckDB NULLS LAST, so a
+    single NULL doc_id otherwise shifts every later offset in one engine
+    only. The (doc_id, n_tokens) composite key makes the sum
+    permutation-invariant under duplicate doc_ids — rows tied on BOTH
+    keys are indistinguishable to this computation, so both engines
+    agree regardless of which physical row a ROWS frame visits first.
+
+    Returns (doc_id, source, n_tokens, end_off, start_off)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("doc_id", "source", _n_tokens().alias("n_tokens"))
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    )
+
+
 def sequence_packing(
     documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, cap: int = SEQ_CAP
 ) -> DataFrame:
@@ -100,29 +127,12 @@ def sequence_packing(
     One window (partitioned by source — parallel across sources), one
     same-key aggregation; all arithmetic on BIGINT token counts.
 
-    The window orders by (doc_id, n_tokens): if the corpus ever carries
-    duplicate doc_ids within a source, rows tied on BOTH keys are
-    indistinguishable to this computation (only doc_id and n_tokens are
-    consumed), so the running sum — and therefore every output value —
-    is permutation-invariant and both engines agree regardless of which
-    physical row a ROWS frame visits first. A bare orderBy("doc_id")
-    would leave seq_id/straddle engine-arbitrary under such ties.
-
-    Both window keys sort NULLS LAST explicitly: Spark's default is
-    NULLS FIRST, DuckDB's is NULLS LAST, so a single NULL doc_id shifts
-    every running-sum offset after it in one engine only (proven root
-    cause of the r5-r6 ``sequence_spans`` driver red).
+    Window ordering, NULL placement and tie-invariance are owned by
+    ``_running_offsets`` (the shared offset definition — see its
+    docstring for the r5-r6 defect class it pins).
     """
-    n_tok = _n_tokens()
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     d = (
-        documents.select("doc_id", "source", n_tok.alias("n_tokens"))
-        .withColumn("end_off", F.sum("n_tokens").over(w))
-        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        _running_offsets(documents)
         # integer div, not float-divide-and-floor: offsets are BIGINTs
         # and a double round-trip loses exactness past 2^53 total tokens
         .withColumn("seq_id", F.expr(f"start_off div {cap}"))
@@ -364,20 +374,11 @@ def sequence_spans(
     oracle): span_tokens grouped by (source, seq_id) reconstructs every
     sequence at exactly ``cap`` tokens except each source's final one.
     """
-    n_tok = _n_tokens()
-    # (doc_id, n_tokens) ordering: permutation-invariant under duplicate
-    # doc_ids — see sequence_packing's docstring; NULLS LAST on both
-    # keys for cross-engine parity (same defect class as the packing
-    # summary — one NULL doc_id shifts every later offset otherwise)
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # offsets come from the ONE shared running-offset definition —
+    # sequence_packing and this materialization must tile the same
+    # stream or spans silently overlap (_running_offsets docstring)
     d = (
-        documents.select("doc_id", "source", n_tok.alias("n_tokens"))
-        .withColumn("end_off", F.sum("n_tokens").over(w))
-        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        _running_offsets(documents)
         .withColumn("first_seq", F.expr(f"start_off div {cap}"))
         .withColumn("last_seq", F.expr(f"(end_off - 1) div {cap}"))
         .withColumn(
@@ -675,16 +676,8 @@ def doc_offsets(
     it to window ordering. Same plan shape as the packer itself: one
     window partitioned by source, fully parallel across sources.
     """
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.asc_nulls_last("doc_id"), F.asc_nulls_last("n_tokens"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        documents.select("doc_id", "source", _n_tokens().alias("n_tokens"))
-        .withColumn("end_off", F.sum("n_tokens").over(w))
-        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
-        .withColumn("seq_id", F.expr(f"start_off div {cap}"))
+    return _running_offsets(documents).withColumn(
+        "seq_id", F.expr(f"start_off div {cap}")
     )
 
 
