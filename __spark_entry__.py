@@ -54,7 +54,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- r10 window: 8 core flagships (re-gated on a 3-round cadence)
+        # ================ r11 driver window (first 50 entries) ========
+        # Rotation policy (PERF_NOTES r10): 8 first-time seats (the 7
+        # r10 additions + NEW r11 similarity_pq_recall) close union
+        # driver coverage at 176/176; 12 seats re-gate every query whose
+        # code or oracle changed this round (e6 integer-dot conversion,
+        # unified running-offset window, active_users oracle fix); the
+        # remaining 30 rotate through the longest-unseated queries
+        # (last gated r2-r7). Flagships re-gated r10; next cadence r13.
+        # ---- first-time seats
+        "xml_roundtrip": _formats.build_xml_roundtrip,
+        "doc_quality_gate": _text.build_quality_gate,
+        "streaming_quality_gate": _streams.build_streaming_quality_gate,
+        "multimodal_decode_audit": _multimodal.build_media_decode_audit,
+        "bpe_roundtrip": _tokenizer.build_bpe_roundtrip,
+        "similarity_ivf_recall": _similarity.build_ivf_recall,
+        "corpus_temperature_sample": _curation.build_temperature_sample,
+        "similarity_pq_recall": _similarity.build_pq_recall,
+        # ---- r11-touched re-gates
+        "events_active_users": _events.build_active_users,
+        "similarity_topk_cosine": _similarity.build_topk,
+        "similarity_lsh_bucketed": _similarity.build_lsh,
+        "similarity_ivf_topk": _similarity.build_ivf,
+        "dedup_embedding_cosine": _similarity.build_near_dup,
+        "dedup_embedding_ann": _similarity.build_ann_pairs,
+        "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
+        "similarity_ann_recall": _similarity.build_recall,
+        "sequence_packing": _packing.build_sequence_packing,
+        "sequence_spans": _packing.build_sequence_spans,
+        "packing_offsets_canary": _packing.build_packing_offsets_canary,
+        "sequence_export": _packing.build_packed_sequences,
+        # ---- stalest rotation (last gated r2-r7)
+        "corpus_sample": _curation.build_sample,
+        "dedup_keep_best": _curation.build_keep_best,
+        "discount_revenue_sql": _sql.build_discount_revenue,
+        "events_pivot": _events.build_pivot,
+        "events_sliding": _events.build_sliding,
+        "events_tumbling": _events.build_tumbling,
+        "lang_profile": _text.build_profile,
+        "large_orders_sql": _sql.build_large_orders,
+        "late_order_priority_sql": _sql.build_late_priority,
+        "nation_trade_volume_sql": _suite.build_nation_trade_volume,
+        "order_cadence": _customer.build_cadence,
+        "promo_revenue_sql": _sql.build_promo_revenue,
+        "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
+        "returned_items_sql": _sql.build_returned_items,
+        "sales_cube": _star.build_cube,
+        "embedding_quantize": _similarity.build_quantize,
+        "bpe_merges": _tokenizer.build_bpe_merges,
+        "dedup_ngram_jaccard": _dedup.build_ngram,
+        "doc_repetition": _text.build_repetition,
+        "events_daily_rollup": _events.build_daily_rollup,
+        "events_range_join": _temporal.build_followups,
+        "multimodal_audio": _multimodal.build_audio_features,
+        "order_value_distribution": _star.build_distribution,
+        "similarity_pq_topk": _similarity.build_pq_topk,
+        "vocab_topk": _text.build_vocab,
+        "brand_affinity": _product.build_brand_affinity,
+        "contamination_screen": _dedup.build_contamination,
+        "corpus_source_profile": _text.build_source_profile,
+        "date_dim_join": _timeseries.build_date_dim_join,
+        "dedup_simhash": _dedup.build_simhash,
+        # ================ driver window boundary (50) ================
+        # Everything below is oracle-verified by the local sweep each
+        # session and has held a driver-green seat (union coverage is
+        # complete once this window gates). Order below the boundary is
+        # the rotation pool; the two rows-only approx twins stay at the
+        # BOTTOM permanently (no oracle can hash-match a sketch seat).
         "customer_analytics": _customer.build,
         "product_ranking": _product.build_ranking,
         "revenue_trend": _timeseries.build_trend,
@@ -63,33 +129,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary_sql": _sql.build,
         "dedup_minhash_lsh": _dedup.build_minhash,
         "corpus_curation": _curation.build,
-        # ---- r10 rotation: ALL 42 remaining never-gated queries take their
-        # first driver seats this round (tools/coverage_union.py r9 list),
-        # closing union driver coverage to 168/168.
-        # dedup governance / incremental / spans
         "dedup_semantic_clusters": _similarity.build_semantic_dedup,
         "dedup_cluster_profile": _dedup.build_cluster_profile,
         "dedup_repeated_spans": _dedup.build_repeated_spans,
         "dedup_incremental": _dedup.build_incremental,
         "ngram_novelty": _dedup.build_novelty,
-        # multimodal
         "multimodal_resize": _multimodal.build_resize,
-        # tokenizer
         "bpe_encode": _tokenizer.build_bpe_encode,
         "bpe_vocab_coverage": _tokenizer.build_bpe_vocab_coverage,
         "bpe_pair_counts": _text.build_bpe_pairs,
-        # text analysis
         "pmi_collocations": _text.build_pmi_collocations,
         "text_noise_scan": _text.build_noise_scan,
         "doc_length_outliers": _text.build_length_outliers,
-        # star-schema analytics
         "regional_rollup": _star.build_rollup,
         "sales_grouping_sets": _star.build_grouping_sets,
         "shipping_sla": _star.build_shipping_sla,
         "incremental_join_view": _star.build_incremental_join_view,
-        # event analytics
         "events_props_breakdown": _events.build_props_breakdown,
-        "events_active_users": _events.build_active_users,
         "events_cohort_retention": _events.build_cohort_retention,
         "events_value_histogram": _events.build_value_histogram,
         "events_props_typed": _events.build_props_typed_audit,
@@ -98,45 +154,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events.build_unpivot,
         "signup_to_purchase": _events.build_signup_to_purchase,
         "user_rate_audit": _events.build_user_rate_audit,
-        # time series
         "revenue_seasonality": _timeseries.build_seasonality,
         "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
-        # product / customer analytics
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_rules": _product.build_brand_rules,
         "market_concentration": _product.build_market_concentration,
         "order_bookends": _customer.build_bookends,
-        # graph / embeddings / streaming / curation
         "part_similarity": _graph.build_part_similarity,
         "embedding_centroids": _similarity.build_centroids,
         "streaming_dedup": _streams.build_streaming_dedup,
         "corpus_mixture_plan": _curation.build_mixture_plan,
-        # TPC-H-shaped SQL suite
         "product_profit_sql": _suite.build_product_profit,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
         "idle_customers_sql": _suite.build_idle_customers,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
-        # formats
         "orc_roundtrip": _formats.build_orc_roundtrip,
-        # ================ driver window boundary (50) ================
-        # NEW r10: Spark-4 native XML interchange (declared XML-legality
-        # quarantine; enters the r11 window per the rotation policy)
-        "xml_roundtrip": _formats.build_xml_roundtrip,
-        # Every query below is oracle-verified by the local sweep each
-        # session; all but the 7 NEW r10 queries have held a driver-green
-        # seat in r1-r9 (union coverage once this window gates: 168/175,
-        # with exactly the r10 additions pending their r11 seats).
-        # Standing policy (PERF_NOTES r10):
-        # new queries enter the next window within one round of landing;
-        # flagships re-gate on a 3-round cadence; the two rows-only approx
-        # twins stay at the BOTTOM permanently (they can never hash-match
-        # and would burn a window seat as `err` — r9 verdict item 2).
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
-        "similarity_topk_cosine": _similarity.build_topk,
         "multimodal_features": _multimodal.build_features_checked,
-        "sequence_packing": _packing.build_sequence_packing,
         "events_session": _events.build_session,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
         "cdc_latest_state": _cdc.build_latest_state,
@@ -165,7 +201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _text.build_lang_confusion,
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ngram_containment": _dedup.build_containment,
-        "dedup_ann_pair_recall": _similarity.build_ann_pair_recall,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "streaming_session": _streams.build_streaming_session,
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
@@ -176,23 +211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_analytics": _product.build,
         "time_analytics": _timeseries.build_time,
         "dedup_clusters": _dedup.build_clusters,
-        "dedup_embedding_ann": _similarity.build_ann_pairs,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "doc_fingerprints": _fingerprint.build_fingerprints,
         "data_quality_audit": _quality.build_quality_audit,
         "lang_id": _text.build_lang_id,
-        # NEW r10: composite FineWeb/Gopher-style quality gate (enters
-        # the r11 window per the rotation policy)
-        "doc_quality_gate": _text.build_quality_gate,
-        # NEW r10: the same gate executed as a file-source stream —
-        # stateless map plans run unchanged on streams; drained result
-        # must hash-match the same batch oracle
-        "streaming_quality_gate": _streams.build_streaming_quality_gate,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
-        "packing_offsets_canary": _packing.build_packing_offsets_canary,
-        "sequence_spans": _packing.build_sequence_spans,
         "shard_manifest": _packing.build_shard_manifest,
-        "sequence_export": _packing.build_packed_sequences,
         "events_gapfill": _events.build_gapfill,
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "part_pagerank": _graph.build_pagerank,
@@ -213,63 +237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        "date_dim_join": _timeseries.build_date_dim_join,
-        "dedup_simhash": _dedup.build_simhash,
         "dedup_span_scrub": _dedup.build_span_scrub,
-        "contamination_screen": _dedup.build_contamination,
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "doc_chunks": _text.build_chunks,
-        "corpus_source_profile": _text.build_source_profile,
-        "brand_affinity": _product.build_brand_affinity,
         "embedding_pq": _similarity.build_pq,
         "multimodal_frames": _multimodal.build_frames,
-        # NEW r10: media ingest-quarantine governance (enters the r11
-        # window per the standing rotation policy)
-        "multimodal_decode_audit": _multimodal.build_media_decode_audit,
         "streaming_user_totals": _streams.build_streaming_user_totals,
         "event_transitions": _temporal.build_transitions,
         "regional_sales": _star.build_regional,
-        "dedup_ngram_jaccard": _dedup.build_ngram,
-        "dedup_embedding_cosine": _similarity.build_near_dup,
-        "vocab_topk": _text.build_vocab,
-        "doc_repetition": _text.build_repetition,
-        "similarity_pq_topk": _similarity.build_pq_topk,
-        "multimodal_audio": _multimodal.build_audio_features,
-        "events_daily_rollup": _events.build_daily_rollup,
-        "events_range_join": _temporal.build_followups,
-        "order_value_distribution": _star.build_distribution,
-        "bpe_merges": _tokenizer.build_bpe_merges,
-        # NEW r10: decode-roundtrip losslessness gate (enters the r11
-        # window per the rotation policy)
-        "bpe_roundtrip": _tokenizer.build_bpe_roundtrip,
-        "similarity_lsh_bucketed": _similarity.build_lsh,
-        "similarity_ivf_topk": _similarity.build_ivf,
-        "similarity_ann_recall": _similarity.build_recall,
-        # NEW r10: the IVF default's missing accuracy gate (enters the
-        # r11 window per the rotation policy)
-        "similarity_ivf_recall": _similarity.build_ivf_recall,
-        "embedding_quantize": _similarity.build_quantize,
-        "events_pivot": _events.build_pivot,
-        "order_cadence": _customer.build_cadence,
-        "dedup_keep_best": _curation.build_keep_best,
-        "lang_profile": _text.build_profile,
-        "events_tumbling": _events.build_tumbling,
-        "corpus_sample": _curation.build_sample,
-        # NEW r10: alpha-temperature source sampling (enters the r11
-        # window per the rotation policy)
-        "corpus_temperature_sample": _curation.build_temperature_sample,
-        "events_sliding": _events.build_sliding,
-        "sales_cube": _star.build_cube,
-        "late_order_priority_sql": _sql.build_late_priority,
-        "discount_revenue_sql": _sql.build_discount_revenue,
-        "promo_revenue_sql": _sql.build_promo_revenue,
-        "returned_items_sql": _sql.build_returned_items,
-        "large_orders_sql": _sql.build_large_orders,
-        "regional_supplier_volume_sql": _suite.build_regional_supplier_volume,
-        "nation_trade_volume_sql": _suite.build_nation_trade_volume,
-        # rows-only approx twins: PERMANENTLY last — no DuckDB oracle can
-        # hash-match a sketch, so a window seat here is a guaranteed `err`
-        # (burned one in each of r8 and r9; r9 verdict item 2 pins this).
+        # rows-only approx twins: PERMANENTLY last (r9 verdict item 2)
         "customer_analytics_approx": _customer.build_approx,
         "source_profile_approx": _text.build_source_profile_approx,
     }
@@ -341,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _similarity.ORACLE_SQL_DIM_STATS,
         "embedding_pq": _similarity.ORACLE_SQL_PQ,
         "similarity_pq_topk": _similarity.ORACLE_SQL_PQ_TOPK,
+        "similarity_pq_recall": _similarity.ORACLE_SQL_PQ_RECALL,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

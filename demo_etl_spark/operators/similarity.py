@@ -1320,6 +1320,56 @@ ORACLE_SQL_ANN_PAIR_RECALL = _ann_pair_recall_oracle()
 
 
 # ---------------------------------------------------- ANN recall audit ----
+def _recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """THE shared recall@k harness — ann_recall (LSH), ivf_recall and
+    pq_recall are all this one construction over different (exact,
+    approx) top-k pairs: exact LEFT JOIN approx on (query_id,
+    candidate_id), per-query hit count, exact HALF_UP 4dp recall.
+    One definition so the three audits cannot drift (r10 verdict #4);
+    ``_recall_oracle_sql`` is its DuckDB twin generator."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    approx = approx.select("query_id", "candidate_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        exact.select("query_id", "candidate_id")
+        .join(approx, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
+        .select(
+            "query_id", "k", "hits", round_div("hits", "k", 4).alias("recall_at_k")
+        )
+    )
+
+
+def _recall_oracle_sql(
+    exact_sql: str, approx_sql: str, approx_cand_col: str = "candidate_id"
+) -> str:
+    """DuckDB twin of ``_recall_at_k``, parameterized over the two
+    top-k subqueries (and the approx side's candidate column name —
+    pq_topk emits ``vec_id``)."""
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    hits = (
+        f"CAST(SUM(CASE WHEN a.{approx_cand_col} IS NOT NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       {hits} AS hits,
+       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
+FROM ({exact_sql}) e
+LEFT JOIN ({approx_sql}) a
+  ON a.query_id = e.query_id AND a.{approx_cand_col} = e.candidate_id
+GROUP BY e.query_id
+"""
+
+
 def ann_recall(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
@@ -1333,26 +1383,9 @@ def ann_recall(
     a quality regression in the ANN path fails the correctness gate, not
     just a benchmark). At scale this is the standing audit you run on a
     sampled query set after any re-bucketing."""
-    from demo_etl_spark.functions.fixedpoint import round_div
-
-    exact = cosine_topk(embeddings, ctx, n_queries, k).select(
-        "query_id", "candidate_id"
-    )
-    approx = (
-        lsh_bucket_topk(embeddings, ctx, n_queries, k)
-        .select("query_id", "candidate_id")
-        .withColumn("_hit", F.lit(1))
-    )
-    return (
-        exact.join(approx, ["query_id", "candidate_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
-        )
-        .select(
-            "query_id", "k", "hits", round_div("hits", "k", 4).alias("recall_at_k")
-        )
+    return _recall_at_k(
+        cosine_topk(embeddings, ctx, n_queries, k),
+        lsh_bucket_topk(embeddings, ctx, n_queries, k),
     )
 
 
@@ -1362,23 +1395,7 @@ def build_recall(
     return ann_recall(load_star(spark, sf_dir)["embeddings"], ctx)
 
 
-def _recall_oracle() -> str:
-    from demo_etl_spark.functions.fixedpoint import round_div_expr
-
-    hits = "CAST(SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
-    return f"""
-SELECT e.query_id,
-       COUNT(*) AS k,
-       {hits} AS hits,
-       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
-FROM ({ORACLE_SQL_TOPK}) e
-LEFT JOIN ({ORACLE_SQL_LSH}) a
-  ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
-GROUP BY e.query_id
-"""
-
-
-ORACLE_SQL_RECALL = _recall_oracle()
+ORACLE_SQL_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_LSH)
 
 
 def ivf_recall(
@@ -1395,26 +1412,9 @@ def ivf_recall(
     construction: both sides deterministic, so the recall NUMBER sits
     under the cross-engine hash gate — widening a cell stride that
     silently loses recall fails correctness, not just a dashboard."""
-    from demo_etl_spark.functions.fixedpoint import round_div
-
-    exact = cosine_topk(embeddings, ctx, n_queries, k).select(
-        "query_id", "candidate_id"
-    )
-    approx = (
-        ivf_topk(embeddings, ctx, n_queries, k, cent=cent)
-        .select("query_id", "candidate_id")
-        .withColumn("_hit", F.lit(1))
-    )
-    return (
-        exact.join(approx, ["query_id", "candidate_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
-        )
-        .select(
-            "query_id", "k", "hits", round_div("hits", "k", 4).alias("recall_at_k")
-        )
+    return _recall_at_k(
+        cosine_topk(embeddings, ctx, n_queries, k),
+        ivf_topk(embeddings, ctx, n_queries, k, cent=cent),
     )
 
 
@@ -1428,23 +1428,7 @@ def build_ivf_recall(
     )
 
 
-def _ivf_recall_oracle() -> str:
-    from demo_etl_spark.functions.fixedpoint import round_div_expr
-
-    hits = "CAST(SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
-    return f"""
-SELECT e.query_id,
-       COUNT(*) AS k,
-       {hits} AS hits,
-       {round_div_expr(hits, "COUNT(*)", 4, "duckdb")} AS recall_at_k
-FROM ({_topk_oracle(_EMB_SRC)}) e
-LEFT JOIN ({ORACLE_SQL_IVF}) a
-  ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
-GROUP BY e.query_id
-"""
-
-
-ORACLE_SQL_IVF_RECALL = _ivf_recall_oracle()
+ORACLE_SQL_IVF_RECALL = _recall_oracle_sql(_topk_oracle(_EMB_SRC), ORACLE_SQL_IVF)
 
 
 # ---------------------------------------------- int8 quantization -----
@@ -2062,3 +2046,95 @@ JOIN e6 x ON x.vec_id = t.vec_id"""
 
 
 ORACLE_SQL_PQ_TOPK = _pq_topk_oracle()
+
+
+# ------------------------------------------------ PQ-ADC recall audit ----
+def l2_topk(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k over the PQ search's own
+    query/candidate split (queries < n_queries are held OUT of the
+    candidate corpus, mirroring ``pq_topk``) — the exact baseline of
+    ``pq_recall``. All distances are exact BIGINTs (``_int_l2`` over
+    the e6 lift), so ranks are engine-portable with no rounding step
+    at all."""
+    emb6 = embeddings.select("vec_id", _e6_vec("embedding").alias("v"))
+    q = emb6.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb6.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("xv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("_d", _int_l2("qv", "xv"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    stride: int = PQ_STRIDE,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Per-query recall@k of the PQ-ADC search against the exact
+    squared-L2 top-k — the missing third leg of the audit symmetry
+    (LSH → ann_recall, IVF → ivf_recall, PQ → this; r10 verdict #4).
+    Built on the ONE shared ``_recall_at_k`` harness; both sides are
+    deterministic, so the recall number sits under the cross-engine
+    hash gate — a stride/iters/PQ_M retune that silently loses recall
+    fails correctness, not just a dashboard."""
+    approx = pq_topk(embeddings, ctx, n_queries, k, stride, iters).select(
+        "query_id", F.col("vec_id").alias("candidate_id")
+    )
+    return _recall_at_k(l2_topk(embeddings, ctx, n_queries, k), approx)
+
+
+def build_pq_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.io import read_star_table
+
+    return pq_recall(
+        valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx
+    )
+
+
+def _l2_topk_oracle(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    """DuckDB twin of ``l2_topk`` (same held-out query split as the
+    PQ oracle's cand/qsub CTEs)."""
+    return f"""
+WITH e6 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           y -> TRY_CAST(ROUND(CAST(y AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM {_EMB_SRC}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         CAST(COALESCE(list_sum(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 0) AS BIGINT) AS d
+  FROM e6 q JOIN e6 c ON c.vec_id >= {n_queries}
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, candidate_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d ASC, candidate_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, candidate_id FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_SQL_PQ_RECALL = _recall_oracle_sql(
+    _l2_topk_oracle(), ORACLE_SQL_PQ_TOPK, "vec_id"
+)

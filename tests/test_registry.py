@@ -35,64 +35,45 @@ def test_builders_are_callables_and_oracles_are_select_sql():
 def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
-    # spot-check that one representative of each extension family sits
-    # inside the driver's 50-entry correctness window (r10 rotation: the
-    # 8 core flagships + ALL 42 remaining never-gated queries, closing
-    # union driver coverage to 168/168)
+    # spot-check the r11 window composition: the 8 first-time seats
+    # (7 r10 additions + the new similarity_pq_recall) that close union
+    # driver coverage, the 12 re-gates of every query whose code or
+    # oracle changed in r11, and representatives of the stalest-rotation
+    # pool (last gated r2-r7).
     window = set(q[:50])
     for rep in (
-        # held flagships (3-round re-gate cadence)
-        "customer_analytics",     # reference A1 flagship
-        "product_ranking",
-        "revenue_trend",
-        "star_join_detail",
-        "sales_asset_union",
-        "pricing_summary_sql",
-        "dedup_minhash_lsh",      # dedup
-        "corpus_curation",        # curation
-        # r10 rotation promotions (first-ever driver seats)
-        "dedup_semantic_clusters",  # SemDeDup semantic dedup
-        "dedup_cluster_profile",
-        "dedup_repeated_spans",
-        "dedup_incremental",
-        "ngram_novelty",
-        "multimodal_resize",
-        "bpe_encode",               # tokenizer
-        "bpe_vocab_coverage",
-        "bpe_pair_counts",
-        "pmi_collocations",         # text analysis
-        "text_noise_scan",
-        "doc_length_outliers",
-        "regional_rollup",          # star-schema analytics
-        "sales_grouping_sets",
-        "shipping_sla",
-        "incremental_join_view",
-        "events_props_breakdown",   # event analytics
+        # first-time seats (union coverage 176/176 once gated)
+        "xml_roundtrip",
+        "doc_quality_gate",
+        "streaming_quality_gate",
+        "multimodal_decode_audit",
+        "bpe_roundtrip",
+        "similarity_ivf_recall",
+        "corpus_temperature_sample",
+        "similarity_pq_recall",
+        # r11-touched re-gates (e6 integer-dot conversion, unified
+        # running-offset window, active_users oracle fix)
         "events_active_users",
-        "events_cohort_retention",
-        "events_value_histogram",
-        "events_props_typed",
-        "events_incremental_rollup",
-        "events_lateness_audit",
-        "events_unpivot",
-        "signup_to_purchase",
-        "user_rate_audit",
-        "revenue_seasonality",      # time series
-        "revenue_forecast_backtest",
-        "supplier_analytics",       # product/customer analytics
-        "brand_rules",
-        "market_concentration",
-        "order_bookends",
-        "part_similarity",          # graph
-        "embedding_centroids",      # embedding monitoring
-        "streaming_dedup",          # streaming
-        "corpus_mixture_plan",      # curation planning
-        "product_profit_sql",       # TPC-H shapes
-        "priority_shipping_split_sql",
-        "idle_customers_sql",
-        "part_supplier_variety_sql",
-        "bolt_volume_suppliers_sql",
-        "orc_roundtrip",            # formats
+        "similarity_topk_cosine",
+        "similarity_lsh_bucketed",
+        "similarity_ivf_topk",
+        "dedup_embedding_cosine",
+        "dedup_embedding_ann",
+        "dedup_ann_pair_recall",
+        "similarity_ann_recall",
+        "sequence_packing",
+        "sequence_spans",
+        "packing_offsets_canary",
+        "sequence_export",
+        # stalest-rotation representatives
+        "corpus_sample",
+        "lang_profile",
+        "sales_cube",
+        "embedding_quantize",
+        "bpe_merges",
+        "similarity_pq_topk",
+        "date_dim_join",
+        "dedup_simhash",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
