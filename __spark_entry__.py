@@ -328,7 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_user_totals": _streams.ORACLE_SQL_USER_TOTALS,
         # the drained session_window stream must equal the batch
         # gaps-and-islands session reconstruction
-        "streaming_session": _events.ORACLE_SQL_SESSION,
+        # epoch-bounded domain twin (watermarked row-level stream)
+        "streaming_session": _streams.ORACLE_SQL_SESSION_STREAMING,
         # 2x-redelivered drained dedup must equal the raw table
         "streaming_dedup": _streams.ORACLE_SQL_EVENTS_IDENTITY,
         # drained stream-stream interval join must equal the batch join

@@ -56,9 +56,13 @@ def customer_analytics(
         F.sum(money_fixed(fp)).alias("_spent_c"),
         F.min(F.to_date("o_orderdate")).alias("first_purchase_date"),
         F.max(F.to_date("o_orderdate")).alias("last_purchase_date"),
-        F.sum(money_fixed(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
-            "_unit_c"
-        ),
+        # try_divide, not /: a zero l_quantity raises DIVIDE_BY_ZERO under
+        # Spark 4 ANSI even for doubles, while DuckDB (and the reference's
+        # non-ANSI Spark 3) yield NULL — try_divide restores the NULL
+        # semantics both the oracle and the reference compute (r11 review)
+        F.sum(
+            money_fixed(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+        ).alias("_unit_c"),
         F.count(F.lit(1)).alias("_n_lines"),
         F.sum(F.when(weekend, money_fixed(fp)).otherwise(F.lit(0))).alias("_we_c"),
         F.sum(F.when(~weekend, money_fixed(fp)).otherwise(F.lit(0))).alias("_wd_c"),

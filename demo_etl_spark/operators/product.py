@@ -54,9 +54,11 @@ def _product_agg(
         F.countDistinct("l_orderkey").alias("order_count"),
         F.sum("l_quantity").alias("total_quantity"),
         F.sum(money_fixed(fp)).alias("rev_c"),
-        F.sum(money_fixed(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
-            "unit_c"
-        ),
+        # try_divide: zero l_quantity must NULL (as DuckDB and the
+        # reference's non-ANSI Spark do), not raise DIVIDE_BY_ZERO
+        F.sum(
+            money_fixed(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+        ).alias("unit_c"),
         F.sum(money_fixed(F.col("l_discount"))).alias("disc_c"),
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("o_custkey").alias("unique_customers"),
@@ -80,9 +82,14 @@ def product_analytics(
         round_div("unit_c", "n_lines * 10000", 2).alias("avg_price"),
         round_div("disc_c", "n_lines * 10000", 6).alias("avg_discount_rate"),
         F.col("unique_customers"),
-        round_div("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2).alias(
-            "revenue_per_unit"
-        ),
+        # guard: total_quantity can be 0 (a part whose only lines carry
+        # zero quantity) — round_div's precondition is a nonzero
+        # denominator (Spark ANSI `div 0` raises, DuckDB `// 0` yields
+        # NULL). NULL-on-zero matches what the oracle computes.
+        F.when(
+            F.col("total_quantity") != 0,
+            round_div("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2),
+        ).alias("revenue_per_unit"),
     )
 
 
@@ -422,9 +429,15 @@ def market_concentration(
     )
     w = Window.partitionBy("nation")
     shared = rev.withColumn("_tot_c", F.sum("_rev_c").over(w)).withColumn(
-        # exact HALF_UP basis points: (rev·10⁴·2 + tot) div (2·tot)
+        # exact HALF_UP basis points: (rev·10⁴·2 + tot) div (2·tot);
+        # guarded — a zero-revenue nation would raise under Spark ANSI
+        # while DuckDB's `// 0` yields NULL (same class as
+        # revenue_per_unit above)
         "_share_bp",
-        F.expr("(_rev_c * 20000 + _tot_c) div (2 * _tot_c)"),
+        F.expr(
+            "CASE WHEN _tot_c <> 0 "
+            "THEN (_rev_c * 20000 + _tot_c) div (2 * _tot_c) END"
+        ),
     )
     return (
         shared.groupBy("nation")

@@ -66,7 +66,11 @@ def star_join_detail(
 
     enriched = joined.withColumns(
         {
-            "_price_c": money_fixed(F.col("l_extendedprice") / F.col("l_quantity")),
+            # try_divide: zero l_quantity must NULL (as DuckDB and the
+            # reference's non-ANSI Spark do), not raise DIVIDE_BY_ZERO
+            "_price_c": money_fixed(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ),
             "_disc_c": money_fixed(F.col("l_extendedprice") * F.col("l_discount")),
             "_fp_c": money_fixed(
                 final_price(F.col("l_extendedprice"), F.col("l_discount"))

@@ -114,9 +114,15 @@ def time_analytics(
         round_div("rev_c", "n_lines * 10000", 2).alias("avg_line_value"),
         "total_quantity",
         "unique_products",
-        round_div("rev_c", "unique_customers * 10000", 2).alias(
-            "revenue_per_customer"
-        ),
+        # guard: unique_customers is COUNT(DISTINCT o_custkey) and NULL
+        # custkeys don't count — a date whose only orders carry NULL
+        # custkey has 0 here while rev_c is real money. Spark ANSI
+        # `div 0` raises; DuckDB `// 0` yields NULL — NULL-on-zero is
+        # what the oracle computes (r11 review, hostile-pinned)
+        F.when(
+            F.col("unique_customers") != 0,
+            round_div("rev_c", "unique_customers * 10000", 2),
+        ).alias("revenue_per_customer"),
         round_div("CAST(total_quantity AS BIGINT)", "order_count", 2).alias(
             "items_per_order"
         ),
@@ -318,9 +324,12 @@ def revenue_seasonality(
         "month",
         "n_orders",
         round_div("_rev_c", "10000", 2).alias("total_revenue"),
-        round_div("(_rev_c div 100) * 12", "_total_c div 100", 4).alias(
-            "seasonality_idx"
-        ),
+        # zero-total guard: same DIVIDE_BY_ZERO-vs-NULL class as
+        # revenue_per_customer (a corpus of all-zero prices)
+        F.when(
+            F.expr("_total_c div 100") != 0,
+            round_div("(_rev_c div 100) * 12", "_total_c div 100", 4),
+        ).alias("seasonality_idx"),
     )
 
 

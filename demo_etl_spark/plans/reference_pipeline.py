@@ -140,7 +140,12 @@ def job2_asset(
             F.sum("final_price").alias("total_spent"),
             F.max("order_date").alias("last_purchase_date"),
             F.min("order_date").alias("first_purchase_date"),
-            F.avg(F.col("final_price") / F.col("quantity")).alias("avg_unit_price"),
+            # try_divide throughout this plan: the reference ran non-ANSI
+            # Spark where x/0 yields NULL; under our ANSI session a raw /
+            # would instead abort the whole job on one zero divisor
+            F.avg(F.try_divide(F.col("final_price"), F.col("quantity"))).alias(
+                "avg_unit_price"
+            ),
             F.sum(F.when(F.col("is_weekend"), F.col("final_price")).otherwise(0.0))
             .alias("weekend_spending"),
             F.sum(F.when(~F.col("is_weekend"), F.col("final_price")).otherwise(0.0))
@@ -185,13 +190,14 @@ def job2_asset(
             F.sum("quantity").alias("total_quantity_sold"),
             F.sum("final_price").alias("total_revenue"),
             F.avg("price").alias("avg_price"),
-            F.avg(F.col("discount_amount") / F.col("extended_price")).alias(
-                "avg_discount_rate"
-            ),
+            F.avg(
+                F.try_divide(F.col("discount_amount"), F.col("extended_price"))
+            ).alias("avg_discount_rate"),
             F.countDistinct("customer_id").alias("unique_customers"),
         )
         .withColumn(
-            "revenue_per_unit", F.col("total_revenue") / F.col("total_quantity_sold")
+            "revenue_per_unit",
+            F.try_divide(F.col("total_revenue"), F.col("total_quantity_sold")),
         )
     )
     w = Window.partitionBy("category").orderBy(F.desc("total_revenue"))

@@ -157,7 +157,12 @@ def user_totals_stateful_stream(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import numpy as np
 
-        n, val_c, last_us = state.get if state.exists else (0, 0, 0)
+        # last_us seeds at LONG_MIN, not 0: a pre-1970 event carries a
+        # NEGATIVE epoch-µs and max(0, negative) would silently report 0
+        # while the oracle's MAX(epoch_us(ts)) goes negative (r11 review,
+        # hostile-pinned). Every update sees ≥1 row, so the sentinel
+        # never escapes into output.
+        n, val_c, last_us = state.get if state.exists else (0, 0, -(1 << 63))
         for pdf in pdf_iter:
             n += len(pdf)
             v = pdf["value"].to_numpy(dtype="float64") * 10_000
@@ -181,6 +186,26 @@ def user_totals_stateful_stream(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def epoch_bounded(events: DataFrame) -> DataFrame:
+    """Watermarked-streaming DOMAIN screen: Spark initializes every
+    stream's event-time watermark at epoch 0, so a pre-1970 event time
+    is born LATE for the watermark-consuming row-level operators
+    (dropDuplicatesWithinWatermark, session_window merge, stream-stream
+    join) and the engine drops it on arrival — hostile-pinned (a
+    1969-12-30 event vanished from streaming_dedup/streaming_session
+    while every batch twin kept it). This screen makes the restriction
+    EXPLICIT and Spark-version-independent; each streaming twin's
+    oracle carries the matching ``ts >= TIMESTAMP '1970-01-01'``
+    predicate. NULL event times pass through (they are neither late nor
+    on-time to the watermark filter, and the dedup shape keeps them).
+    Complete-mode windowed aggregates keep total state and are NOT
+    domain-restricted."""
+    return events.filter(
+        F.col("ts").isNull()
+        | (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
     )
 
 
@@ -265,7 +290,15 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False on expiry WITHOUT
+        # stopping the query — reading the sink then would hand back a
+        # silently PARTIAL result as if the drain completed (r11 review).
+        # Fail loudly instead.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream drain '{table_name}' did not complete in {timeout_s}s"
+            )
     finally:
         if prev is not None:
             conf.set("spark.sql.shuffle.partitions", prev)
@@ -338,7 +371,8 @@ def build_streaming_session(spark: SparkSession, sf_dir: str, ctx=None) -> DataF
     from demo_etl_spark.io import timed_events
 
     return run_available_now(
-        session_stream(timed_events(read_events_stream(spark, sf_dir))), name
+        session_stream(epoch_bounded(timed_events(read_events_stream(spark, sf_dir)))),
+        name,
     )
 
 
@@ -428,7 +462,9 @@ def user_totals_tws_stream(events: DataFrame) -> DataFrame:
             if self._state.exists():
                 n, val_c, last_us = tuple(self._state.get())
             else:
-                n, val_c, last_us = 0, 0, 0
+                # LONG_MIN sentinel — same pre-1970 reasoning as the
+                # applyInPandasWithState twin above
+                n, val_c, last_us = 0, 0, -(1 << 63)
             for pdf in rows:
                 n += len(pdf)
                 v = pdf["value"].to_numpy(dtype="float64") * 10_000
@@ -468,7 +504,7 @@ def build_streaming_dedup(spark: SparkSession, sf_dir: str, ctx=None) -> DataFra
     back to one row per event). Oracle: SELECT * FROM events."""
     name = f"stream_dedup_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
     return run_available_now(
-        dedup_stream(read_events_stream(spark, sf_dir, copies=2)),
+        dedup_stream(epoch_bounded(read_events_stream(spark, sf_dir, copies=2))),
         name,
         output_mode="append",
     )
@@ -484,14 +520,19 @@ def build_streaming_purchase_clicks(
     join, spelled directly in the SQL oracle."""
     name = f"stream_pc_{os.getpid()}_{next(_STREAM_Q_COUNTER)}"
     return run_available_now(
-        purchase_click_stream_join(read_events_stream(spark, sf_dir)),
+        purchase_click_stream_join(epoch_bounded(read_events_stream(spark, sf_dir))),
         name,
         output_mode="append",
     )
 
 
-ORACLE_SQL_EVENTS_IDENTITY = """
+# epoch_bounded's oracle predicate — see its docstring for why the
+# watermarked row-level streaming twins restrict to the post-epoch domain
+_EPOCH_SQL = "(ts IS NULL OR ts >= TIMESTAMP '1970-01-01 00:00:00')"
+
+ORACLE_SQL_EVENTS_IDENTITY = f"""
 SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE {_EPOCH_SQL}
 """
 
 ORACLE_SQL_PURCHASE_CLICKS = """
@@ -506,7 +547,23 @@ JOIN events c
  AND p.user_id = c.user_id
  AND c.ts > p.ts
  AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+WHERE p.ts >= TIMESTAMP '1970-01-01 00:00:00'
+  AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
 """
+
+# the session stream shares the batch gaps-and-islands oracle, but over
+# the epoch-bounded domain (timed_events already demands a non-NULL ts,
+# so the screen reduces to the >= predicate)
+from demo_etl_spark.operators.events import ORACLE_SQL_SESSION as _SESS_SQL  # noqa: E402
+
+ORACLE_SQL_SESSION_STREAMING = _SESS_SQL.replace(
+    _EV_CLEAN,
+    _EV_CLEAN.replace(
+        ") events",
+        " AND ts >= TIMESTAMP '1970-01-01 00:00:00') events",
+    ),
+)
+assert ORACLE_SQL_SESSION_STREAMING != _SESS_SQL  # replace must have hit
 
 
 # -------------------------------------------------- stream-static join --

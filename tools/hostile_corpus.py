@@ -212,6 +212,11 @@ HOSTILE_EVENTS = [
     (900030, "2024-02-10 09:00:00", None, "view", 1.0, None),
     (900031, "2024-02-10 10:00:00", None, "click", 2.0, '{"k":4}'),
     (900032, "2024-02-10 11:00:00", None, "purchase", 3.0, None),
+    # r11 (review): PRE-EPOCH event — epoch-µs is NEGATIVE, so any
+    # "running max" state seeded at 0 silently reports 0 while the
+    # oracle's MAX(epoch_us(ts)) goes negative (streaming_user_totals'
+    # last_event_us); also exercises negative unix_date/day arithmetic
+    (900033, "1969-12-30 23:00:00", 928, "view", 1.0, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -234,6 +239,23 @@ HOSTILE_LINEITEM = [
     # partition (old < s / delta >= s) drops this row from both
     # branches while the one-shot incremental_join_view oracle keeps it
     (-990006, 5, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", None),
+    # r11 (review): ZERO l_quantity on a fully-joinable order (990002 →
+    # custkey 7, partkey 5) — extendedprice/quantity raises
+    # DIVIDE_BY_ZERO under Spark 4 ANSI even for doubles, while DuckDB
+    # and the reference's non-ANSI Spark yield NULL; the unit-price
+    # expressions must try_divide or one such row aborts the whole
+    # customer/product/star analytics job
+    (990002, 5, 3, 2, 0.0, 120.0, 0.05, 0.02, "N", "O", "2024-03-05"),
+    # r11 (review): the ONLY line of part 970001 carries zero quantity
+    # AND zero price — SUM(l_quantity) = 0 for the part, so
+    # revenue_per_unit's denominator is exactly 0 (Spark ANSI `div 0`
+    # raises; the guard must NULL the ratio as DuckDB does)
+    (990002, 970001, 960001, 3, 0.0, 0.0, 0.0, 0.0, "N", "O", "2024-03-05"),
+    # r11 (review): a REAL-money line whose ship-date's only order
+    # carries a NULL custkey (990001) — that date's unique_customers is
+    # COUNT(DISTINCT NULL) = 0 with non-NULL rev_c, so
+    # revenue_per_customer divides by zero unless guarded
+    (990001, 5, 3, 2, 1.0, 80.0, 0.0, 0.0, "N", "O", "2024-03-20"),
 ]
 HOSTILE_CUSTOMER = [
     # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
@@ -268,6 +290,11 @@ HOSTILE_EMBEDDINGS = [
     # BIGINT crashes the scan; DuckDB TRY_CAST silently NULLs it)
     (950005, [float("nan") if i == 7 else 0.1 for i in range(64)], 4),
     (950006, [float("inf") if i == 11 else -0.2 for i in range(64)], 4),
+    # r11 (review): MODAL-dim all-zero vector — survives valid_embeddings
+    # (right dims, finite, has id) so it reaches every kernel: the
+    # cosine family must screen it (_nonzero / int-norm guard, else an
+    # ANSI x/0) and quantize must hit its greatest(absmax, 1e-12) guard
+    (950007, [0.0] * 64, 5),
 ]
 
 
