@@ -105,14 +105,21 @@ def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
         contrib_src = pr.select(
             F.col("part").alias("src"), F.expr("pr div outdeg").alias("_c")
         )
+        # EXPLICIT broadcast: contrib_src is node-sized but checkpointed
+        # (LogicalRDD — no stats), so the planner can't prove it small
+        # and falls back to shuffling the EDGE side. Measured r11: the
+        # 12-slowest byte-slope audit caught pagerank's shuffle growing
+        # 70× on 10× data at sf0.1 purely from this join; with the hint
+        # the edges never move. At a scale where the node table outgrows
+        # broadcast, drop the hint and pre-partition edges by src.
         contrib = (
-            edges.join(contrib_src, "src")
+            edges.join(F.broadcast(contrib_src), "src")
             .groupBy("dst")
             .agg(F.sum("_c").alias("_in"))
         )
         pr = (
             nodes.join(
-                contrib.select(F.col("dst").alias("part"), "_in"),
+                F.broadcast(contrib.select(F.col("dst").alias("part"), "_in")),
                 "part",
                 "left",
             )
@@ -458,8 +465,11 @@ def part_communities(edges: DataFrame) -> DataFrame:
         eager=True
     )
     for _ in range(LP_ROUNDS):
+        # EXPLICIT broadcast of the node-sized checkpointed label table —
+        # same no-stats fallback as pagerank/closure (r11 byte-slope
+        # audit); the edge set stays put, only the (dst,lbl) agg shuffles
         labels = (
-            edges.join(labels, edges.src == labels.part)
+            edges.join(F.broadcast(labels), edges.src == labels.part)
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("dst")
@@ -523,11 +533,16 @@ def part_closure(edges: DataFrame, d_max: int = CLOSURE_DEPTH) -> DataFrame:
     )
     frontier = visited.select(F.col("node").alias("src"))
     for d in range(1, d_max + 1):
+        # EXPLICIT broadcasts: frontier/visited are node-sized but
+        # checkpointed (no stats) — without the hint the planner shuffles
+        # the EDGE side every round (r11 byte-slope audit: closure's
+        # shuffle grew 534× on 10× data; with the hints the edges never
+        # move and only node-sized frontiers shuffle for the distinct)
         nxt = (
-            edges.join(frontier, "src")
+            edges.join(F.broadcast(frontier), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("dist", F.lit(d).cast("int"))
             .localCheckpoint(eager=True)
         )

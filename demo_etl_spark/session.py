@@ -51,7 +51,12 @@ def get_spark(
         # concurrent task buffers or full GCs serialize the whole session
         # (observed: 8g/32 threads → queries degrade 14s → 474s)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench noise); tools/scaling_slope.py --measure
+        # flips it on via env to read per-stage shuffle/spill bytes from
+        # the REST API. retainedStages sized so a full measured sweep
+        # never evicts a stage out of the cumulative counters.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.retainedStages", "20000")
         # stdout hygiene: console progress bars write to the driver's
         # stdout and can interleave with (and truncate) the single JSON
         # line bench.py's consumer parses

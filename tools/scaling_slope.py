@@ -22,6 +22,105 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+
+
+# ---------------------------------------------------------------- bytes ----
+# r10 verdict item 7: wall-clock at sf0.01/sf0.1 is overhead-dominated, so
+# BYTE slopes (shuffle write + spill) are the honest linearity evidence.
+# --measure runs named queries against one SF dir and records the per-query
+# DELTA of cumulative completed-stage metrics from the Spark UI REST API
+# (the session factory enables the UI when SPARK_GRAFT_UI=true, which this
+# mode sets before building the session — run it as its own process).
+# --bytes joins two such recordings and prints the ratio table.
+
+def _stage_totals(spark) -> dict[str, int]:
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = (
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        "/stages?status=complete"
+    )
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.load(r)
+    tot = {"shuffle_write": 0, "spilled": 0, "input": 0}
+    for s in stages:
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["spilled"] += s.get("memoryBytesSpilled", 0) + s.get(
+            "diskBytesSpilled", 0
+        )
+        tot["input"] += s.get("inputBytes", 0)
+    return tot
+
+
+def measure(sf_dir: str, names: list[str], out: str) -> int:
+    os.environ["SPARK_GRAFT_UI"] = "true"
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from demo_etl_spark.session import get_spark
+
+    spark = get_spark()
+    if spark.sparkContext.uiWebUrl is None:
+        raise SystemExit(
+            "Spark UI is off — --measure must run in a fresh process "
+            "(an existing session was joined with spark.ui.enabled=false)"
+        )
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    results: dict[str, dict] = {}
+    for name in names:
+        before = _stage_totals(spark)
+        t0 = time.monotonic()
+        # noop sink: executes the full physical plan (every exchange and
+        # spill happens) without driver-side collection
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        after = _stage_totals(spark)
+        results[name] = {
+            "sec": round(dt, 3),
+            **{k: after[k] - before[k] for k in after},
+        }
+        print(
+            f"  {name:32s} {dt:6.2f}s shuffle={results[name]['shuffle_write']:>12,}"
+            f" spilled={results[name]['spilled']:>10,}"
+        )
+    with open(out, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "queries": results}, fh, indent=1)
+    print(f"wrote {out}")
+    return 0
+
+
+def bytes_table(small: str, large: str, data_ratio: float) -> int:
+    with open(small) as fh:
+        s = json.load(fh)["queries"]
+    with open(large) as fh:
+        l = json.load(fh)["queries"]
+    common = sorted(set(s) & set(l), key=lambda k: -l[k]["shuffle_write"])
+    print("| query | shfl_small | shfl_large | ratio | spill_large | verdict |")
+    print("|---|---|---|---|---|---|")
+    n_super = 0
+    for k in common:
+        a, b = s[k]["shuffle_write"], l[k]["shuffle_write"]
+        ratio = b / a if a > 0 else (float("inf") if b > 0 else 0.0)
+        # a byte slope materially above the data ratio means the
+        # operator's shuffle grows super-linearly in the input
+        super_lin = a > 0 and ratio > data_ratio * 1.5
+        n_super += super_lin
+        r = f"{ratio:.1f}x" if a > 0 else ("new" if b else "0")
+        print(
+            f"| {k} | {a:,} | {b:,} | {r} | {l[k]['spilled']:,} "
+            f"| {'SUPER-LINEAR' if super_lin else 'ok'} |"
+        )
+    print()
+    print(f"data ratio {data_ratio:.0f}x; {n_super} super-linear byte slopes")
+    return 0
 
 
 def load(path: str) -> dict[str, float]:
@@ -40,11 +139,26 @@ def floor_estimate(times: dict[str, float]) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("small")
-    ap.add_argument("large")
+    ap.add_argument("small", nargs="?")
+    ap.add_argument("large", nargs="?")
     ap.add_argument("--data-ratio", type=float, default=10.0)
     ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--measure", metavar="SF_DIR",
+                    help="run queries against SF_DIR recording byte metrics")
+    ap.add_argument("--queries", help="comma-separated query names (--measure)")
+    ap.add_argument("--out", help="output json (--measure)")
+    ap.add_argument("--bytes", nargs=2, metavar=("SMALL", "LARGE"),
+                    help="compare two --measure recordings")
     args = ap.parse_args()
+
+    if args.measure:
+        if not (args.queries and args.out):
+            raise SystemExit("--measure requires --queries and --out")
+        return measure(args.measure, args.queries.split(","), args.out)
+    if args.bytes:
+        return bytes_table(args.bytes[0], args.bytes[1], args.data_ratio)
+    if not (args.small and args.large):
+        raise SystemExit("need BENCH_small.json BENCH_large.json (or --measure/--bytes)")
 
     ts, tl = load(args.small), load(args.large)
     common = sorted(set(ts) & set(tl), key=lambda k: -tl[k])
