@@ -514,7 +514,12 @@ def mixture_plan(
         F.col("alloc").cast("long").alias("tokens_allocated"),
         (F.col("alloc") == F.col("tokens_available")).alias("saturated"),
         round_div("alloc", "tokens_available", 4).alias("alloc_frac"),
-        round_div("alloc", "_budget", 4).alias("budget_share"),
+        # guard: a tiny corpus can floor the budget to 0 (_total·NUM div
+        # DEN) — Spark ANSI div-by-zero raises where DuckDB `// 0`
+        # yields NULL (r11 review; same class as revenue_per_unit)
+        F.when(
+            F.col("_budget") != 0, round_div("alloc", "_budget", 4)
+        ).alias("budget_share"),
     )
 
 

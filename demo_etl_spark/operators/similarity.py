@@ -949,22 +949,36 @@ def embedding_near_dup(
             )
         ids_a = a["vec_id"].to_numpy()
         ids_b = b["vec_id"].to_numpy()
-        # e6 integers as float64 — exact: every component ≤ ~1e7 ≪ 2⁵³
-        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
-        mb = ma if bi == bj else np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ia = np.stack(a["embedding"].to_numpy())  # int64 e6 lift
+        ib = ia if bi == bj else np.stack(b["embedding"].to_numpy())
         # exactness bound: with |v| ≤ vmax every partial sum of a row dot
-        # is ≤ dims·vmax²; below 2⁵³ all float64 adds are exact, so the
+        # is ≤ dims·vmax². Below 2⁵³ all float64 adds are exact, so the
         # BLAS matmul returns the exact integer dot in any summation
-        # order. e6-lifted unit-ish embeddings sit ~100× inside the
-        # bound; a corpus that exceeded it must fail loudly, not round.
-        vmax = float(max(np.abs(ma).max(), np.abs(mb).max()))
-        if ma.shape[1] * vmax * vmax >= 2.0**53:
+        # order — e6-lifted unit-ish embeddings sit ~100× inside that.
+        # Up to 2⁶³ the int64 matmul is exact instead (slower, no BLAS);
+        # the final int64→float64 casts are correctly rounded, i.e. the
+        # same value DuckDB's CAST(exact int AS DOUBLE) and Spark's
+        # long→double produce (fuzz corpus with |x| = 100 exercises this
+        # branch). Beyond 2⁶³ the dot itself overflows — fail loudly.
+        vmax = float(max(np.abs(ia).max(), np.abs(ib).max()))
+        bound = ia.shape[1] * vmax * vmax
+        if bound < 2.0**53:
+            ma = ia.astype(np.float64)
+            mb = ma if bi == bj else ib.astype(np.float64)
+            dot = ma @ mb.T
+            sa = (ma * ma).sum(axis=1)
+            sb = sa if bi == bj else (mb * mb).sum(axis=1)
+        elif bound < 2.0**63:
+            dot = (ia @ ib.T).astype(np.float64)
+            sa = (ia * ia).sum(axis=1).astype(np.float64)
+            sb = sa if bi == bj else (ib * ib).sum(axis=1).astype(np.float64)
+        else:
             raise ValueError(
-                "e6 components too large for the exact float64 dot bound"
+                "e6 components overflow the exact int64 dot bound"
             )
-        na = np.sqrt((ma * ma).sum(axis=1))
-        nb = na if bi == bj else np.sqrt((mb * mb).sum(axis=1))
-        cos = (ma @ mb.T) / np.outer(na, nb)
+        na = np.sqrt(sa)
+        nb = na if bi == bj else np.sqrt(sb)
+        cos = dot / np.outer(na, nb)
         # fixed-point HALF_UP away from zero — Spark's ROUND semantics for
         # BOTH signs (np.rint would be banker's; floor(x+0.5) alone would
         # round negative halves toward +inf and diverge from the oracle

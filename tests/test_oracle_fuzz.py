@@ -174,6 +174,38 @@ def test_oracles_hold_on_all_empty_corpus(degenerate_dir):
     assert "PASS (0 failures)" in out.stdout, tail
 
 
+def test_mixture_plan_zero_budget_corpus(tmp_path_factory):
+    """r11 review pin: a near-empty corpus floors the mixture budget to
+    0 (_total·NUM div DEN with a 1-token total) — budget_share must NULL
+    as DuckDB's `// 0` does, not raise Spark's ANSI DIVIDE_BY_ZERO."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("tiny_sf"))
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], "int64"),
+                "text": pa.array(["hi"], "string"),
+                "lang": pa.array(["en"], "string"),
+                "source": pa.array(["s"], "string"),
+                "n_chars": pa.array([2], "int64"),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"),
+         d, "corpus_mixture_plan"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    tail = (out.stdout + out.stderr)[-4000:]
+    assert out.returncode == 0, tail
+    assert "PASS (0 failures)" in out.stdout, tail
+
+
 def test_oracles_hold_on_hostile_corpus(hostile_dir):
     """THE FULL REGISTRY — all ~146 queries — against the hostile corpus.
 
