@@ -351,12 +351,46 @@ def lsh_bucket_topk(
     )
 
 
+#: memoized top-k result frames per (application, sf_dir, kind) — every
+#: recall audit joins the SAME top-k set its standalone seat computes
+#: (exact brute-force baseline, LSH, trained IVF, PQ-ADC), so one
+#: localCheckpoint serves both consumers. Same share-the-expensive-stage
+#: pattern as _EMB_PAIRS_CACHE; results are tiny (n_queries × k rows).
+_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+register_cache_clearer(_TOPK_CACHE.clear)
+
+
+def _cached_topk(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), kind)
+    df = _TOPK_CACHE.get(key)
+    if df is None:
+        from demo_etl_spark.io import read_star_table
+
+        raw = lambda: load_star(spark, sf_dir)["embeddings"]  # noqa: E731
+        valid = lambda: valid_embeddings(  # noqa: E731
+            read_star_table(spark, sf_dir, "embeddings")
+        )
+        make = {
+            # populations mirror each standalone builder exactly
+            "cos_raw": lambda: cosine_topk(raw()),
+            "lsh_raw": lambda: lsh_bucket_topk(raw()),
+            "cos_valid": lambda: cosine_topk(valid()),
+            "ivf_valid": lambda: ivf_topk(
+                valid(), cent=_cached_lloyd(spark, sf_dir)
+            ),
+            "pq_valid": lambda: pq_topk(valid()),
+        }[kind]
+        df = make().localCheckpoint(eager=True)
+        _TOPK_CACHE[key] = df
+    return df
+
+
 def build_topk(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return cosine_topk(load_star(spark, sf_dir)["embeddings"], ctx)
+    return _cached_topk(spark, sf_dir, "cos_raw")
 
 
 def build_lsh(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return lsh_bucket_topk(load_star(spark, sf_dir)["embeddings"], ctx)
+    return _cached_topk(spark, sf_dir, "lsh_raw")
 
 
 def _weight_sql(p: int) -> str:
@@ -633,11 +667,7 @@ def ivf_topk(
 
 
 def build_ivf(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return ivf_topk(
-        valid_embeddings(load_star(spark, sf_dir)["embeddings"]),
-        ctx,
-        cent=_cached_lloyd(spark, sf_dir),
-    )
+    return _cached_topk(spark, sf_dir, "ivf_valid")
 
 
 # integer-cosine between an e6 vector x.v and an e6 centroid c.cv — the
@@ -1406,7 +1436,12 @@ def ann_recall(
 def build_recall(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return ann_recall(load_star(spark, sf_dir)["embeddings"], ctx)
+    # joins the SAME memoized top-k frames the standalone topk/lsh seats
+    # return — the recall audit costs one tiny join, not a recompute
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_raw"),
+        _cached_topk(spark, sf_dir, "lsh_raw"),
+    )
 
 
 ORACLE_SQL_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_LSH)
@@ -1435,10 +1470,9 @@ def ivf_recall(
 def build_ivf_recall(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return ivf_recall(
-        valid_embeddings(load_star(spark, sf_dir)["embeddings"]),
-        ctx,
-        cent=_cached_lloyd(spark, sf_dir),
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_valid"),
+        _cached_topk(spark, sf_dir, "ivf_valid"),
     )
 
 
@@ -1957,9 +1991,7 @@ def pq_topk(
 def build_pq_topk(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    from demo_etl_spark.io import read_star_table
-
-    return pq_topk(valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx)
+    return _cached_topk(spark, sf_dir, "pq_valid")
 
 
 def _pq_topk_oracle(
@@ -2117,9 +2149,13 @@ def build_pq_recall(
 ) -> DataFrame:
     from demo_etl_spark.io import read_star_table
 
-    return pq_recall(
+    exact = l2_topk(
         valid_embeddings(read_star_table(spark, sf_dir, "embeddings")), ctx
     )
+    approx = _cached_topk(spark, sf_dir, "pq_valid").select(
+        "query_id", F.col("vec_id").alias("candidate_id")
+    )
+    return _recall_at_k(exact, approx)
 
 
 def _l2_topk_oracle(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
