@@ -21,9 +21,10 @@ Two sources of cross-engine float divergence exist for money metrics:
    with p, q BIGINT. Both engines then divide the *same* integer by the
    same power of ten — bit-identical doubles out.
 
-``div`` (Spark) and ``//`` (DuckDB) both truncate toward zero; all engine
-quantities rounded this way are non-negative, so truncation == floor and
-the formula is exact HALF_UP. Overflow headroom: p·10^s·2 must stay below
+``div`` (Spark) truncates toward zero while ``//`` (DuckDB) FLOORS — they
+agree only for non-negative operands, so the formula rounds the MAGNITUDE
+and reapplies the sign (half away from zero — also both engines' native
+ROUND semantics). Overflow headroom: |p|·10^s·2 must stay below
 2^63 ≈ 9.2e18 — with money fixed-point p ≤ 1e13 (1e9 money units/group)
 and s=6 the worst case is ~2e19; callers with ratio-scale rounding must
 keep p below ~4.6e12, which every per-key group satisfies by orders of
@@ -39,24 +40,40 @@ _DIV = {"spark": "div", "duckdb": "//"}
 
 
 def round_div_expr(num: str, den: str, scale: int, dialect: str) -> str:
-    """SQL text for exact HALF_UP(num/den, scale) → DOUBLE.
+    """SQL text for exact HALF-AWAY-FROM-ZERO(num/den, scale) → DOUBLE.
 
-    ``num`` and ``den`` are integer-typed SQL expressions. The internal
-    multiplications are BIGINT-promoted here (the scale factor and the
-    2× are CAST to BIGINT), so INT-typed inputs — e.g. bare SQL integer
-    literals, which parse as INT in Spark's ANSI mode — can't overflow
-    32-bit intermediates; found by the hypothesis property test with
-    p=1074, s=6 (1074·2·10⁶ > 2³¹). The documented 2⁶³ headroom bound
-    on p·10^s·2 (module docstring) still applies.
+    ``num`` and ``den`` are integer-typed SQL expressions; ``den`` must
+    be positive (zero is the cross-engine crash-vs-NULL class — guard at
+    the call site; see fixed_ratio_expr's precondition note). The
+    internal multiplications are BIGINT-promoted here (the scale factor
+    and the 2× are CAST to BIGINT), so INT-typed inputs — e.g. bare SQL
+    integer literals, which parse as INT in Spark's ANSI mode — can't
+    overflow 32-bit intermediates; found by the hypothesis property test
+    with p=1074, s=6 (1074·2·10⁶ > 2³¹). The documented 2⁶³ headroom
+    bound on |p|·10^s·2 (module docstring) still applies.
+
+    SIGN-SAFE as of r11: the bare ``(p·2s + q) div (2q)`` shortcut is
+    exact HALF_UP only for p ≥ 0. For negative p both engines truncate
+    toward zero identically (hash-consistent, empirically pinned:
+    DuckDB's integer ``//`` truncates like Spark's ``div``), but the
+    produced value is NOT half-away-from-zero — e.g. p=-3, q=2, s=0
+    yields -1 instead of -2 under a .5 boundary. The magnitude is
+    rounded and the sign reapplied, which is exactly both engines'
+    native ROUND semantics. For p ≥ 0 the result is bit-identical to
+    the old formula.
     """
     ps = 10**scale
     d = _DIV[dialect]
+    mag = (
+        f"((ABS({num}) * CAST({2 * ps} AS BIGINT) + ({den})) {d} "
+        f"(CAST(2 AS BIGINT) * ({den})))"
+    )
     # divide by an *integer* literal: int/int is DOUBLE true-division in
     # both Spark SQL and DuckDB, while `x / 100.0` would be DECIMAL math
     # in Spark (decimal-point literals parse as DecimalType).
     return (
-        f"CAST(((({num}) * CAST({2 * ps} AS BIGINT) + ({den})) {d} "
-        f"(CAST(2 AS BIGINT) * ({den}))) / {ps} AS DOUBLE)"
+        f"CAST((CASE WHEN ({num}) >= 0 THEN {mag} ELSE -{mag} END) "
+        f"/ {ps} AS DOUBLE)"
     )
 
 
@@ -94,18 +111,10 @@ def fixed_ratio(num: str, den: str, scale: int) -> Column:
 
 
 def round_div_signed_expr(num: str, den: str, scale: int, dialect: str) -> str:
-    """Sign-safe exact HALF-AWAY-FROM-ZERO(num/den, scale) → DOUBLE.
-
-    ``round_div_expr`` relies on integer division truncating toward
-    zero equaling floor — true only for non-negative numerators (every
-    money/ratio call site). Signed quantities (e.g. embedding centroid
-    sums) need the mirrored formula: round the magnitude, reapply the
-    sign. Both Spark's ROUND and DuckDB's ROUND are also
-    half-away-from-zero, so this matches either engine's native double
-    rounding while staying in exact integer space. ``den`` must be
-    positive."""
-    mag = round_div_expr(f"ABS({num})", den, scale, dialect)
-    return f"(CASE WHEN ({num}) >= 0 THEN {mag} ELSE -{mag} END)"
+    """Alias of ``round_div_expr`` — which is itself sign-safe as of
+    r11 (see its docstring); kept so existing signed call sites read
+    explicitly."""
+    return round_div_expr(num, den, scale, dialect)
 
 
 def round_div_signed(num: str, den: str, scale: int) -> Column:

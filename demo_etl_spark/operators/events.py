@@ -451,8 +451,17 @@ def props_breakdown(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Dat
     # must degrade to NULL like the oracle's TRY_CAST — ANSI cast
     # crashes the whole scan on one bad payload (hostile-corpus find)
     k = F.get_json_object("props", "$.k").try_cast("int")
+    # FLOOR-division decile: both Spark's `div` and DuckDB's `//`
+    # truncate toward zero, which puts a negative payload (k = -15) in
+    # decile -1 — overlapping decile 0's range. Floor is the right bin
+    # semantics (lo ≤ k < hi); spelled sign-split on BOTH engines so it
+    # stays in exact integers (r11 review, hostile-pinned).
     d = events.withColumn("_k", k).withColumn(
-        "k_decile", F.expr("CAST(_k div 10 AS INT)")
+        "k_decile",
+        F.expr(
+            "CAST(CASE WHEN _k >= 0 THEN _k div 10 "
+            "ELSE -((-_k + 9) div 10) END AS INT)"
+        ),
     )
     return (
         d.groupBy("event_type", "k_decile")
@@ -477,6 +486,13 @@ def build_props_breakdown(
     return props_breakdown(load_star(spark, sf_dir)["events"], ctx)
 
 
+# FLOOR decile on both engines (DuckDB integer `//` truncates like
+# Spark's `div` — see ORACLE_SQL_VALUE_HISTOGRAM's note)
+_K_DECILE_SQL = (
+    "CAST(CASE WHEN k >= 0 THEN k // 10 "
+    "ELSE -((-k + 9) // 10) END AS INT)"
+)
+
 ORACLE_SQL_PROPS = f"""
 WITH extracted AS (
   SELECT event_type,
@@ -485,12 +501,12 @@ WITH extracted AS (
   FROM events
 )
 SELECT event_type,
-       CAST(k // 10 AS INT) AS k_decile,
+       {_K_DECILE_SQL} AS k_decile,
        COUNT(*) AS n_events,
        {_rd("CAST(SUM(CAST(k AS BIGINT)) AS BIGINT)", "COUNT(*)", 2)} AS avg_k,
        {_rd("CAST(SUM(val_fx) AS BIGINT)", "10000", 2)} AS total_value
 FROM extracted
-GROUP BY event_type, CAST(k // 10 AS INT)
+GROUP BY event_type, {_K_DECILE_SQL}
 """
 
 
@@ -894,13 +910,19 @@ def value_histogram(
     percentiles — a histogram pre-aggregates in one map-side pass and
     MERGES across partitions/days (percentiles don't), which is why
     monitoring pipelines ship histograms. Binning happens on the exact
-    fixed-point integer (`div` truncation toward zero — values here are
-    non-negative so it equals floor in both engines); the share uses a
-    window total over the ~10 bin rows (trivially single-partition)."""
+    fixed-point integer with FLOOR division — both Spark's `div` and
+    DuckDB's `//` truncate toward zero, which would fold a negative
+    value (a refund) into a bin that overlaps bin 0's range; the
+    sign-split spelling floors exactly on both engines (r11 review,
+    hostile-pinned). The share uses a window total over the ~10 bin
+    rows (trivially single-partition)."""
     b = events.select(
-        F.expr(f"TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED}").alias(
-            "bin"
-        )
+        F.expr(
+            f"CASE WHEN value >= 0 OR value IS NULL "
+            f"THEN TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED} "
+            f"ELSE -((-TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) "
+            f"+ {_BIN_FIXED - 1}) div {_BIN_FIXED}) END"
+        ).alias("bin")
     )
     counts = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
     return (
@@ -922,10 +944,17 @@ def build_value_histogram(
     return value_histogram(load_star(spark, sf_dir)["events"], ctx)
 
 
+# NOTE: DuckDB's integer `//` TRUNCATES toward zero exactly like
+# Spark's `div` (empirically: -3 // 2 = -1), so FLOOR binning needs the
+# same sign-split spelling on both engines
 ORACLE_SQL_VALUE_HISTOGRAM = f"""
-WITH b AS (
-  SELECT TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) // {_BIN_FIXED} AS bin
-  FROM events
+WITH fx AS (
+  SELECT TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) AS v FROM events
+),
+b AS (
+  SELECT CASE WHEN v >= 0 OR v IS NULL THEN v // {_BIN_FIXED}
+              ELSE -((-v + {_BIN_FIXED - 1}) // {_BIN_FIXED}) END AS bin
+  FROM fx
 ),
 c AS (SELECT bin, COUNT(*) AS n_events FROM b GROUP BY 1)
 SELECT bin,

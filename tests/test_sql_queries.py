@@ -189,7 +189,8 @@ def test_rollup_late_data_merge_is_exact(spark, sf_dir):
 
 def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
     """Property test for the load-bearing primitive: the integer-space
-    HALF_UP formula must equal Python decimal's ROUND_HALF_UP in BOTH
+    formula must equal Python decimal's ROUND_HALF_UP (half away from
+    zero for either sign — round_div is sign-safe as of r11) in BOTH
     dialect spellings, for any (p, q, scale) within the documented
     overflow bound."""
     import decimal
@@ -201,11 +202,12 @@ def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
 
     @settings(max_examples=25, deadline=None)
     @given(
-        p=st.integers(min_value=0, max_value=4_000_000_000_000),
+        p=st.integers(min_value=-4_000_000_000_000, max_value=4_000_000_000_000),
         q=st.integers(min_value=1, max_value=10**9),
         s=st.integers(min_value=0, max_value=6),
     )
     def check(p, q, s):
+        # decimal ROUND_HALF_UP is half-away-from-zero for either sign
         exp = float(
             (decimal.Decimal(p) / decimal.Decimal(q)).quantize(
                 decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP

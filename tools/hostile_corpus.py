@@ -217,6 +217,14 @@ HOSTILE_EVENTS = [
     # oracle's MAX(epoch_us(ts)) goes negative (streaming_user_totals'
     # last_event_us); also exercises negative unix_date/day arithmetic
     (900033, "1969-12-30 23:00:00", 928, "view", 1.0, None),
+    # r11 (review): NEGATIVE finite value (a refund) + NEGATIVE integral
+    # JSON k — both engines' integer division truncates toward zero, so
+    # truncation-based binning folds negatives into bins overlapping bin
+    # 0's range and the HALF_UP shortcut mis-rounds net-negative sums
+    # (consistently on both engines, i.e. semantically wrong while
+    # hash-green): pins the FLOOR bin spellings (value_histogram,
+    # k_decile) and the sign-safe round_div
+    (900034, "2024-01-06 09:30:00", 929, "view", -75.0, '{"k": -15}'),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
