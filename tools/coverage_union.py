@@ -6,8 +6,15 @@ entries per round, so driver confidence accumulates by ROTATION; this
 tool is the bookkeeping for it (the r8 verdict's coverage audit, as a
 command):
 
-    python tools/coverage_union.py          # summary + never-gated list
-    python tools/coverage_union.py --family # group never-gated by module
+    python tools/coverage_union.py           # summary + never-gated list
+    python tools/coverage_union.py --family  # group never-gated by module
+    python tools/coverage_union.py --suggest # mechanical next-window draft
+                                             # (rules 1+4 of the standing
+                                             # rotation policy: never-gated
+                                             # first, then stalest; the
+                                             # builder adds rule-2 flagship
+                                             # cadence and this round's
+                                             # touched-query re-gates)
 """
 
 from __future__ import annotations
@@ -45,6 +52,26 @@ def main() -> int:
     print(f"current window first-time seats: {len(first_time)}")
     for fname, seats in per_round.items():
         print(f"  {fname}: {len(seats)} seats")
+
+    if "--suggest" in sys.argv:
+        import re
+
+        last: dict[str, int] = {}
+        for fname, seats in per_round.items():
+            r = int(re.search(r"r(\d+)", fname).group(1))
+            for q in seats:
+                last[q] = max(last.get(q, 0), r)
+        approx = {"customer_analytics_approx", "source_profile_approx"}
+        stale = sorted(
+            (n for n in names if n in last and n not in approx),
+            key=lambda n: (last[n], n),
+        )
+        draft = never + [n for n in stale if n not in never]
+        print("\nsuggested next window (never-gated first, then stalest;")
+        print("splice in flagship-cadence and touched-query re-gates):")
+        for n in draft[:50]:
+            print(f"  {n}  (last gated r{last.get(n, 0) or '-'})")
+        return 0
 
     if "--family" in sys.argv:
         fams: dict[str, list[str]] = {}
