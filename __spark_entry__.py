@@ -6,12 +6,14 @@ run by DuckDB on the same parquet tables (pre-registered views: region
 nation customer supplier part orders lineitem events documents embeddings).
 
 Ordering contract: the driver's correctness gate covers the FIRST 50
-entries of ``queries()``, so the dict is ordered one-representative-per-
-operator-family first — every distinct operator family lands inside the
-window. Entries past 50 are either TPC-H-shaped variants or additional
-extension operators of families already represented in the window; every
-one still has an oracle twin and is verified by tools/verify_oracle.py
-locally (the full sweep is green at sf0.001, sf0.01 and sf0.1).
+entries of ``queries()``, so the dict head is the per-round ROTATION
+window (standing policy, PERF_NOTES r10: new queries seat within one
+round, flagships re-gate every ≤3 rounds, remaining seats rotate through
+the longest-unseated — ``tools/coverage_union.py --suggest`` drafts it).
+Every entry below the boundary has held a driver-green seat in an
+earlier round and every registered query is verified by
+tools/verify_oracle.py locally (the full sweep is green at sf0.001,
+sf0.01 and sf0.1, on the hostile corpus and on the degenerate corpora).
 """
 
 from __future__ import annotations

@@ -255,3 +255,33 @@ def test_versioned_append_shares_files_across_versions(spark, tmp_path):
     dropped, deleted = vacuum_versions(path, keep_last=1)
     assert dropped == 1 and deleted == 0  # v1's files live on in v2
     assert read_version(spark, path).count() == 12
+
+
+def test_scaling_slope_bytes_table(tmp_path, capsys):
+    """The byte-slope comparison mode (r11: the honest 100x linearity
+    evidence) — ratio math, new-query handling and the SUPER-LINEAR
+    verdict threshold over two synthetic recordings."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import scaling_slope
+
+    small = tmp_path / "small.json"
+    large = tmp_path / "large.json"
+    small.write_text(json.dumps({"sf_dir": "a", "queries": {
+        "linear": {"sec": 1, "shuffle_write": 1_000_000, "spilled": 0, "input": 0},
+        "blowup": {"sec": 1, "shuffle_write": 100_000, "spilled": 0, "input": 0},
+    }}))
+    large.write_text(json.dumps({"sf_dir": "b", "queries": {
+        "linear": {"sec": 2, "shuffle_write": 10_500_000, "spilled": 0, "input": 0},
+        "blowup": {"sec": 9, "shuffle_write": 5_000_000, "spilled": 0, "input": 0},
+        "fresh": {"sec": 1, "shuffle_write": 7, "spilled": 0, "input": 0},
+    }}))
+    assert scaling_slope.bytes_table(str(small), str(large), 10.0) == 0
+    out = capsys.readouterr().out
+    assert "| linear | 1,000,000 | 10,500,000 | 10.5x | 0 | ok |" in out
+    assert "| blowup | 100,000 | 5,000,000 | 50.0x | 0 | SUPER-LINEAR |" in out
+    assert "1 super-linear" in out
