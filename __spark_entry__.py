@@ -10,6 +10,12 @@ entries of ``queries()``, so the dict head is the per-round ROTATION
 window (standing policy, PERF_NOTES r10: new queries seat within one
 round, flagships re-gate every ≤3 rounds, remaining seats rotate through
 the longest-unseated — ``tools/coverage_union.py --suggest`` drafts it).
+LATE-LANDING clause (r11 verdict item 8): any commit that touches a
+registered query's code or oracle AFTER the round's window has rotated
+must either (a) re-rotate the window so the touched query re-seats this
+round, or (b) put the touched query at the HEAD of the next round's
+window — a query's driver seat must never be older than its last
+semantic change plus one round.
 Every entry below the boundary has held a driver-green seat in an
 earlier round and every registered query is verified by
 tools/verify_oracle.py locally (the full sweep is green at sf0.001,
@@ -56,15 +62,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ================ r11 driver window (first 50 entries) ========
-        # Rotation policy (PERF_NOTES r10): 8 first-time seats (the 7
-        # r10 additions + NEW r11 similarity_pq_recall) close union
-        # driver coverage at 176/176; 12 seats re-gate every query whose
-        # code or oracle changed this round (e6 integer-dot conversion,
-        # unified running-offset window, active_users oracle fix); the
-        # remaining 30 rotate through the longest-unseated queries
-        # (last gated r2-r7). Flagships re-gated r10; next cadence r13.
-        # ---- first-time seats
+        # ================ r12 driver window (first 50 entries) ========
+        # Rotation policy (PERF_NOTES r10 + late-landing clause, r12):
+        # 8 seats re-gate the r11 commits that landed AFTER the r11
+        # window rotated (floor binning af8e889, streaming epoch domain
+        # + stateful seed bf0e13e, sign-safe round_div consumers) plus
+        # the r12 overflow-safe floor spelling; 8 seats pull the whole
+        # flagship set forward to the cadence (product/time_analytics
+        # were 4 rounds stale); the remaining 34 rotate through every
+        # r7- and r8-seated query (the stalest in the pool).
+        # ---- post-rotation r11/r12 re-gates
+        "events_value_histogram": _events.build_value_histogram,
+        "events_props_breakdown": _events.build_props_breakdown,
+        "streaming_session": _streams.build_streaming_session,
+        "streaming_dedup": _streams.build_streaming_dedup,
+        "streaming_user_totals": _streams.build_streaming_user_totals,
+        "embedding_centroids": _similarity.build_centroids,
+        "market_concentration": _product.build_market_concentration,
+        "revenue_seasonality": _timeseries.build_seasonality,
+        # ---- flagship cadence (all 8, last seats r8-r11)
+        "customer_analytics": _customer.build,
+        "product_analytics": _product.build,
+        "time_analytics": _timeseries.build_time,
+        "product_ranking": _product.build_ranking,
+        "revenue_trend": _timeseries.build_trend,
+        "sales_asset_union": _asset.build,
+        "star_join_detail": _star.build_detail,
+        "date_dim_join": _timeseries.build_date_dim_join,
+        # ---- stalest rotation (last gated r7)
+        "dedup_span_scrub": _dedup.build_span_scrub,
+        "doc_chunks": _text.build_chunks,
+        "embedding_pq": _similarity.build_pq,
+        "event_transitions": _temporal.build_transitions,
+        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
+        "multimodal_frames": _multimodal.build_frames,
+        "regional_sales": _star.build_regional,
+        # ---- stalest rotation (last gated r8)
+        "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
+        "bucketed_order_join": _bucketed.build_bucketed_join,
+        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        "customer_retention": _customer.build_retention,
+        "customer_rfm": _customer.build_rfm,
+        "data_quality_audit": _quality.build_quality_audit,
+        "dedup_clusters": _dedup.build_clusters,
+        "dedup_fuzzy_verify": _dedup.build_fuzzy,
+        "detail_summary_union": _star.build_union,
+        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        "doc_fingerprints": _fingerprint.build_fingerprints,
+        "events_asof_join": _temporal.build_asof,
+        "events_gapfill": _events.build_gapfill,
+        "key_skew_profile": _skew.build_key_skew_profile,
+        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
+        "lang_id": _text.build_lang_id,
+        "last_shipment_sql": _suite.build_last_shipment,
+        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
+        "nation_market_share_sql": _suite.build_nation_market_share,
+        "orders_merge_upsert": _cdc.build_merge_upsert,
+        "packing_tokens_canary": _packing.build_packing_tokens_canary,
+        "part_pagerank": _graph.build_pagerank,
+        "salted_order_join": _skew.build_salted_order_join,
+        "shard_manifest": _packing.build_shard_manifest,
+        "shipping_priority_sql": _sql.build_shipping_priority,
+        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
+        "top_supplier_sql": _suite.build_top_supplier,
+        # ================ driver window boundary (50) ================
+        # Everything below is oracle-verified by the local sweep each
+        # session and has held a driver-green seat (union coverage
+        # 176/176 since r11). Order below the boundary is the rotation
+        # pool (current order ~= recency of last seat); the two
+        # rows-only approx twins stay at the BOTTOM permanently (no
+        # oracle can hash-match a sketch seat).
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -73,7 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": _similarity.build_ivf_recall,
         "corpus_temperature_sample": _curation.build_temperature_sample,
         "similarity_pq_recall": _similarity.build_pq_recall,
-        # ---- r11-touched re-gates
         "events_active_users": _events.build_active_users,
         "similarity_topk_cosine": _similarity.build_topk,
         "similarity_lsh_bucketed": _similarity.build_lsh,
@@ -86,7 +152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_spans": _packing.build_sequence_spans,
         "packing_offsets_canary": _packing.build_packing_offsets_canary,
         "sequence_export": _packing.build_packed_sequences,
-        # ---- stalest rotation (last gated r2-r7)
         "corpus_sample": _curation.build_sample,
         "dedup_keep_best": _curation.build_keep_best,
         "discount_revenue_sql": _sql.build_discount_revenue,
@@ -115,19 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_affinity": _product.build_brand_affinity,
         "contamination_screen": _dedup.build_contamination,
         "corpus_source_profile": _text.build_source_profile,
-        "date_dim_join": _timeseries.build_date_dim_join,
         "dedup_simhash": _dedup.build_simhash,
-        # ================ driver window boundary (50) ================
-        # Everything below is oracle-verified by the local sweep each
-        # session and has held a driver-green seat (union coverage is
-        # complete once this window gates). Order below the boundary is
-        # the rotation pool; the two rows-only approx twins stay at the
-        # BOTTOM permanently (no oracle can hash-match a sketch seat).
-        "customer_analytics": _customer.build,
-        "product_ranking": _product.build_ranking,
-        "revenue_trend": _timeseries.build_trend,
-        "star_join_detail": _star.build_detail,
-        "sales_asset_union": _asset.build,
         "pricing_summary_sql": _sql.build,
         "dedup_minhash_lsh": _dedup.build_minhash,
         "corpus_curation": _curation.build,
@@ -147,24 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_grouping_sets": _star.build_grouping_sets,
         "shipping_sla": _star.build_shipping_sla,
         "incremental_join_view": _star.build_incremental_join_view,
-        "events_props_breakdown": _events.build_props_breakdown,
         "events_cohort_retention": _events.build_cohort_retention,
-        "events_value_histogram": _events.build_value_histogram,
         "events_props_typed": _events.build_props_typed_audit,
         "events_incremental_rollup": _events.build_incremental_rollup,
         "events_lateness_audit": _events.build_lateness_audit,
         "events_unpivot": _events.build_unpivot,
         "signup_to_purchase": _events.build_signup_to_purchase,
         "user_rate_audit": _events.build_user_rate_audit,
-        "revenue_seasonality": _timeseries.build_seasonality,
         "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_rules": _product.build_brand_rules,
-        "market_concentration": _product.build_market_concentration,
         "order_bookends": _customer.build_bookends,
         "part_similarity": _graph.build_part_similarity,
-        "embedding_centroids": _similarity.build_centroids,
-        "streaming_dedup": _streams.build_streaming_dedup,
         "corpus_mixture_plan": _curation.build_mixture_plan,
         "product_profit_sql": _suite.build_product_profit,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
@@ -204,49 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ngram_containment": _dedup.build_containment,
         "embedding_dim_stats": _similarity.build_dim_stats,
-        "streaming_session": _streams.build_streaming_session,
         "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "important_parts_sql": _suite.build_important_parts,
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
         "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "corpus_train_split": _curation.build_train_split,
-        "product_analytics": _product.build,
-        "time_analytics": _timeseries.build_time,
-        "dedup_clusters": _dedup.build_clusters,
-        "dedup_fuzzy_verify": _dedup.build_fuzzy,
-        "doc_fingerprints": _fingerprint.build_fingerprints,
-        "data_quality_audit": _quality.build_quality_audit,
-        "lang_id": _text.build_lang_id,
-        "packing_tokens_canary": _packing.build_packing_tokens_canary,
-        "shard_manifest": _packing.build_shard_manifest,
-        "events_gapfill": _events.build_gapfill,
-        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
-        "part_pagerank": _graph.build_pagerank,
-        "orders_merge_upsert": _cdc.build_merge_upsert,
-        "events_asof_join": _temporal.build_asof,
-        "customer_retention": _customer.build_retention,
-        "customer_rfm": _customer.build_rfm,
-        "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
-        "detail_summary_union": _star.build_union,
-        "bucketed_order_join": _bucketed.build_bucketed_join,
-        "salted_order_join": _skew.build_salted_order_join,
-        "key_skew_profile": _skew.build_key_skew_profile,
-        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
-        "shipping_priority_sql": _sql.build_shipping_priority,
-        "nation_market_share_sql": _suite.build_nation_market_share,
-        "top_supplier_sql": _suite.build_top_supplier,
-        "last_shipment_sql": _suite.build_last_shipment,
-        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
-        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
-        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        "dedup_span_scrub": _dedup.build_span_scrub,
-        "fingerprint_profile": _fingerprint.build_fingerprint_profile,
-        "doc_chunks": _text.build_chunks,
-        "embedding_pq": _similarity.build_pq,
-        "multimodal_frames": _multimodal.build_frames,
-        "streaming_user_totals": _streams.build_streaming_user_totals,
-        "event_transitions": _temporal.build_transitions,
-        "regional_sales": _star.build_regional,
         # rows-only approx twins: PERMANENTLY last (r9 verdict item 2)
         "customer_analytics_approx": _customer.build_approx,
         "source_profile_approx": _text.build_source_profile_approx,

@@ -21,10 +21,13 @@ Two sources of cross-engine float divergence exist for money metrics:
    with p, q BIGINT. Both engines then divide the *same* integer by the
    same power of ten — bit-identical doubles out.
 
-``div`` (Spark) truncates toward zero while ``//`` (DuckDB) FLOORS — they
-agree only for non-negative operands, so the formula rounds the MAGNITUDE
-and reapplies the sign (half away from zero — also both engines' native
-ROUND semantics). Overflow headroom: |p|·10^s·2 must stay below
+``div`` (Spark) and ``//`` (DuckDB) BOTH truncate toward zero
+(empirically pinned: -3 // 2 = -1 in DuckDB, same as Spark's div) — the
+engines agree on every sign. The sign-split is needed anyway because
+truncation is not HALF-AWAY-FROM-ZERO for negative numerators (the bare
+``(p·2s + q) div (2q)`` shortcut lands a hash-consistent but wrongly
+rounded value), so the formula rounds the MAGNITUDE and reapplies the
+sign (half away from zero — also both engines' native ROUND semantics). Overflow headroom: |p|·10^s·2 must stay below
 2^63 ≈ 9.2e18 — with money fixed-point p ≤ 1e13 (1e9 money units/group)
 and s=6 the worst case is ~2e19; callers with ratio-scale rounding must
 keep p below ~4.6e12, which every per-key group satisfies by orders of

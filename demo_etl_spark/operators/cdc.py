@@ -97,8 +97,16 @@ def scd2_history(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
     versions — one shuffle total, and the run-length compression
     happens before the second window, so state is bounded by the
     number of CHANGES, not events (the point of SCD2 at scale).
+
+    event_id sorts NULLS LAST explicitly (r12 review): the cleaned
+    events keep NULL event_id rows, and on a (user_id, ts) tie Spark's
+    ASC default (NULLS FIRST) and DuckDB's (NULLS LAST) would chain
+    lag()/lead() through the tie in opposite orders — divergent change
+    detection while both engines look internally consistent.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.asc_nulls_last("event_id")
+    )
     changes = (
         events.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(
@@ -112,7 +120,9 @@ def scd2_history(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
             "event_id",
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy(
+        "valid_from", F.asc_nulls_last("event_id")
+    )
     return (
         changes.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("version_no", F.row_number().over(w2).cast("long"))

@@ -42,7 +42,12 @@ import os as _os
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
 from demo_etl_spark.functions.fixedpoint import round_div, round_div_expr
-from demo_etl_spark.io import load_star, register_cache_clearer, register_persist
+from demo_etl_spark.io import (
+    load_star,
+    register_cache_clearer,
+    register_memo_warmer,
+    register_persist,
+)
 
 # The hashed shingle index feeds four registered queries (ngram, minhash,
 # clusters, curation's near-dup stage) — memoize the persisted index per
@@ -1558,3 +1563,21 @@ SELECT b.doc_id, b.n_tokens,
        COALESCE(k.scrubbed_text, '') AS scrubbed_text
 FROM base b LEFT JOIN kept k USING (doc_id)
 """
+
+
+def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Shared-memo warmer (io.register_memo_warmer contract): builds the
+    frames consumed by SEVERAL registered queries — the df-capped shingle
+    index (ngram/containment/fuzzy/agreement/curation), the default
+    MinHash-LSH pair set, the cluster labels (clusters/profile/keep_best)
+    and the repeated-span set (detector + scrub) — so a bench harness can
+    charge them to a declared warm-up stage instead of the rotation-
+    dependent first family seat. The uncapped index (kmv profile) is
+    single-consumer and deliberately NOT warmed."""
+    _cached_index(spark, sf_dir, MAX_SHINGLE_DF).count()
+    _cached_minhash_pairs(spark, sf_dir)  # eager localCheckpoint
+    _cached_clusters(spark, sf_dir).count()
+    _cached_repeated_spans(spark, sf_dir).count()
+
+
+register_memo_warmer(_warm_shared_memos)

@@ -454,13 +454,18 @@ def props_breakdown(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Dat
     # FLOOR-division decile: both Spark's `div` and DuckDB's `//`
     # truncate toward zero, which puts a negative payload (k = -15) in
     # decile -1 — overlapping decile 0's range. Floor is the right bin
-    # semantics (lo ≤ k < hi); spelled sign-split on BOTH engines so it
-    # stays in exact integers (r11 review, hostile-pinned).
+    # semantics (lo ≤ k < hi). Spelled via the remainder correction
+    # (trunc + 1-step-down when the remainder is negative) rather than
+    # magnitude negation: ``-(-_k + 9)`` overflows at k = INT_MIN and
+    # under ANSI aborts the whole scan on one hostile payload (r12
+    # ADVICE fix, hostile-pinned). Both engines' `%` takes the
+    # dividend's sign, so the correction is engine-identical and
+    # overflow-free for every representable input.
     d = events.withColumn("_k", k).withColumn(
         "k_decile",
         F.expr(
-            "CAST(CASE WHEN _k >= 0 THEN _k div 10 "
-            "ELSE -((-_k + 9) div 10) END AS INT)"
+            "CAST(_k div 10 + "
+            "(CASE WHEN _k % 10 < 0 THEN -1 ELSE 0 END) AS INT)"
         ),
     )
     return (
@@ -487,10 +492,12 @@ def build_props_breakdown(
 
 
 # FLOOR decile on both engines (DuckDB integer `//` truncates like
-# Spark's `div` — see ORACLE_SQL_VALUE_HISTOGRAM's note)
+# Spark's `div` — see ORACLE_SQL_VALUE_HISTOGRAM's note); remainder
+# correction instead of magnitude negation so k = INT_MIN can't
+# overflow (r12 ADVICE fix, mirrors the Spark expr above)
 _K_DECILE_SQL = (
-    "CAST(CASE WHEN k >= 0 THEN k // 10 "
-    "ELSE -((-k + 9) // 10) END AS INT)"
+    "CAST(k // 10 + "
+    "(CASE WHEN k % 10 < 0 THEN -1 ELSE 0 END) AS INT)"
 )
 
 ORACLE_SQL_PROPS = f"""
@@ -913,15 +920,16 @@ def value_histogram(
     fixed-point integer with FLOOR division — both Spark's `div` and
     DuckDB's `//` truncate toward zero, which would fold a negative
     value (a refund) into a bin that overlaps bin 0's range; the
-    sign-split spelling floors exactly on both engines (r11 review,
-    hostile-pinned). The share uses a window total over the ~10 bin
-    rows (trivially single-partition)."""
+    remainder-correction spelling floors exactly on both engines and,
+    unlike the magnitude-negation spelling, cannot overflow at
+    v = LONG_MIN (r12 ADVICE-class hardening — same crash mode as the
+    props decile). The share uses a window total over the ~10 bin rows
+    (trivially single-partition)."""
     b = events.select(
         F.expr(
-            f"CASE WHEN value >= 0 OR value IS NULL "
-            f"THEN TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED} "
-            f"ELSE -((-TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) "
-            f"+ {_BIN_FIXED - 1}) div {_BIN_FIXED}) END"
+            f"TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) div {_BIN_FIXED} "
+            f"+ (CASE WHEN TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) "
+            f"% {_BIN_FIXED} < 0 THEN -1 ELSE 0 END)"
         ).alias("bin")
     )
     counts = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
@@ -946,14 +954,15 @@ def build_value_histogram(
 
 # NOTE: DuckDB's integer `//` TRUNCATES toward zero exactly like
 # Spark's `div` (empirically: -3 // 2 = -1), so FLOOR binning needs the
-# same sign-split spelling on both engines
+# same remainder-correction spelling on both engines (overflow-free at
+# v = LONG_MIN, unlike magnitude negation)
 ORACLE_SQL_VALUE_HISTOGRAM = f"""
 WITH fx AS (
   SELECT TRY_CAST(ROUND(value * 10000, 0) AS BIGINT) AS v FROM events
 ),
 b AS (
-  SELECT CASE WHEN v >= 0 OR v IS NULL THEN v // {_BIN_FIXED}
-              ELSE -((-v + {_BIN_FIXED - 1}) // {_BIN_FIXED}) END AS bin
+  SELECT v // {_BIN_FIXED}
+         + (CASE WHEN v % {_BIN_FIXED} < 0 THEN -1 ELSE 0 END) AS bin
   FROM fx
 ),
 c AS (SELECT bin, COUNT(*) AS n_events FROM b GROUP BY 1)

@@ -32,13 +32,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star, register_persist
+from demo_etl_spark.io import (
+    load_star,
+    register_cache_clearer,
+    register_memo_warmer,
+    register_persist,
+)
 
 #: per-(application, sf_dir) memo of the persisted edge set — the same
 #: amortization the dedup family applies to its shingle index: the
 #: pair-grid explode + distinct is the expensive one-time stage (~4 s
 #: at sf0.1, the whole query ~8 s cold); later calls skip it
 _EDGE_CACHE: dict = {}
+# r12 review: without this clearer, clear_operator_memos() unpersisted
+# the edge frame (it sits in io._PERSISTED) but left the dict entry
+# alive, so every later graph query silently re-derived the edges from
+# the lineitem scan on EACH use instead of rebuilding the persist
+register_cache_clearer(_EDGE_CACHE.clear)
 
 PR_SCALE = 1_000_000  # 1e-6 fixed-point score units
 DAMP_NUM = 850_000  # 0.85 in score units
@@ -624,3 +634,14 @@ GROUP BY lbl"""
 
 
 ORACLE_SQL_COMMUNITIES = _communities_oracle()
+
+
+def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Shared-memo warmer (io.register_memo_warmer contract): the
+    co-purchase edge set feeds pagerank, triangles, communities and
+    closure — materialize its persist once so per-query bench figures
+    measure the graph algorithms, not the edge derivation."""
+    _cached_edges(spark, sf_dir).count()
+
+
+register_memo_warmer(_warm_shared_memos)

@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star, register_cache_clearer
+from demo_etl_spark.io import (
+    load_star,
+    register_cache_clearer,
+    register_memo_warmer,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -2188,3 +2192,20 @@ SELECT query_id, candidate_id FROM ranked WHERE rank <= {k}
 ORACLE_SQL_PQ_RECALL = _recall_oracle_sql(
     _l2_topk_oracle(), ORACLE_SQL_PQ_TOPK, "vec_id"
 )
+
+
+def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Shared-memo warmer (io.register_memo_warmer contract): the Lloyd
+    centroids (IVF + semantic dedup), every multi-consumer top-k memo
+    (standalone seat + the recall audit that joins it), and the two
+    embedding pair sets (standalone seat + ann-pair recall). pq_recall's
+    exact-L2 baseline is computed inline by that query alone and is
+    deliberately NOT warmed — it is that query's own work."""
+    _cached_lloyd(spark, sf_dir)  # eager localCheckpoint
+    for kind in ("cos_raw", "lsh_raw", "cos_valid", "ivf_valid", "pq_valid"):
+        _cached_topk(spark, sf_dir, kind)  # eager localCheckpoint
+    for kind in ("exact", "ann"):
+        _cached_emb_pairs(spark, sf_dir, kind)  # eager localCheckpoint
+
+
+register_memo_warmer(_warm_shared_memos)

@@ -225,6 +225,21 @@ HOSTILE_EVENTS = [
     # hash-green): pins the FLOOR bin spellings (value_histogram,
     # k_decile) and the sign-safe round_div
     (900034, "2024-01-06 09:30:00", 929, "view", -75.0, '{"k": -15}'),
+    # r12 (ADVICE): k = INT_MIN exactly — the r11 magnitude-negation
+    # floor spelling computed -(-_k + 9) which overflows INT at this one
+    # payload and (under Spark 4 ANSI) ABORTS the whole props_breakdown
+    # scan; the remainder-correction spelling bins it to -214748365 on
+    # both engines with no negation. The extreme negative value pins the
+    # histogram's BIGINT fixed-point path the same way.
+    (900035, "2024-01-06 09:31:00", 930, "view", -1234567.89,
+     '{"k": -2147483648}'),
+    # r12 (cdc review): an exact (user_id, ts) TIE against the NULL
+    # event_id row above (user 927 @ 12:19:00), with a DIFFERENT
+    # event_type — any window ordered (ts, event_id) now chains through
+    # the tie in Spark's ASC default order (NULLS FIRST) vs DuckDB's
+    # (NULLS LAST) unless the sort spells NULLS LAST explicitly
+    # (scd2_history's lag/lead change detection was the exposed site)
+    (900036, "2024-01-05 12:19:00", 927, "purchase", 4.5, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
