@@ -114,7 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _skew.build_key_skew_profile,
         "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "lang_id": _text.build_lang_id,
-        "last_shipment_sql": _suite.build_last_shipment,
+        # r12-touched re-gate (late-landing clause): session_attribution
+        # went explicit NULLS LAST this round; last_shipment_sql (r8)
+        # yields its seat and joins top_supplier_sql at the head of the
+        # r13 stalest pool
+        "session_attribution": _events.build_session_attribution,
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
         "nation_market_share_sql": _suite.build_nation_market_share,
         "orders_merge_upsert": _cdc.build_merge_upsert,
@@ -124,7 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _packing.build_shard_manifest,
         "shipping_priority_sql": _sql.build_shipping_priority,
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
-        "top_supplier_sql": _suite.build_top_supplier,
+        # r12-touched re-gate (late-landing clause): scd2_history's sort
+        # went explicit NULLS LAST this round; top_supplier_sql (r8)
+        # yields its seat and heads the r13 stalest pool
+        "scd2_history": _cdc.build_scd2_history,
         # ================ driver window boundary (50) ================
         # Everything below is oracle-verified by the local sweep each
         # session and has held a driver-green seat (union coverage
@@ -219,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
         "orc_roundtrip": _formats.build_orc_roundtrip,
+        "top_supplier_sql": _suite.build_top_supplier,
+        "last_shipment_sql": _suite.build_last_shipment,
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
         "multimodal_features": _multimodal.build_features_checked,
@@ -237,13 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_closure": _graph.build_closure,
         "doc_typicality": _text.build_doc_typicality,
         "packing_policy_compare": _packing.build_packing_policy_compare,
-        "scd2_history": _cdc.build_scd2_history,
         "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "orders_profile": _quality.build_orders_profile,
         "quarantine_audit": _quality.build_quarantine_audit,
         "revenue_decompose": _timeseries.build_decompose,
         "events_funnel": _events.build_funnel,
-        "session_attribution": _events.build_session_attribution,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
         "doc_top_terms": _text.build_top_terms,
         "text_redacted": _text.build_redacted,

@@ -31,6 +31,14 @@ from demo_etl_spark.schemas import DATA_LINEAGE_REGISTRY
 logger = logging.getLogger("demo_etl_spark.lineage")
 
 
+def _dot_quote(s: str) -> str:
+    """Quoted DOT node id / label: a path or description carrying ``"``
+    or a trailing backslash would otherwise break the emitted graph
+    (r12 review — the old emitters interpolated raw strings between
+    double quotes)."""
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
 @dataclass
 class LineageEvent:
     step: int
@@ -121,11 +129,11 @@ class LineageTracker:
         lines.append('  rankdir=LR;')
         for ev in self.events:
             step = f"step_{ev.step}"
-            label = ev.description.replace('"', "'")
-            lines.append(f'  {step} [shape=box, label="{ev.step}: {label}"];')
+            label = _dot_quote(f"{ev.step}: {ev.description}")
+            lines.append(f'  {step} [shape=box, label={label}];')
             for src in ev.inputs:
-                lines.append(f'  "{src}" -> {step};')
-            lines.append(f'  {step} -> "{ev.output}";')
+                lines.append(f'  {_dot_quote(src)} -> {step};')
+            lines.append(f'  {step} -> {_dot_quote(ev.output)};')
         lines.append("}")
         return "\n".join(lines)
 
@@ -317,10 +325,10 @@ def column_lineage_dot(df: DataFrame, name: str = "columns") -> str:
     safe = "".join(ch if ch.isalnum() else "_" for ch in name)
     lines = [f"digraph column_lineage_{safe} {{", "  rankdir=LR;"]
     for src in sorted({s for ss in lin.values() for s in ss}):
-        lines.append(f'  "{src}" [shape=ellipse];')
+        lines.append(f"  {_dot_quote(src)} [shape=ellipse];")
     for out, srcs in lin.items():  # insertion order == output schema order
-        lines.append(f'  "out.{out}" [shape=box];')
+        lines.append(f"  {_dot_quote('out.' + out)} [shape=box];")
         for src in sorted(srcs):
-            lines.append(f'  "{src}" -> "out.{out}";')
+            lines.append(f"  {_dot_quote(src)} -> {_dot_quote('out.' + out)};")
     lines.append("}")
     return "\n".join(lines)

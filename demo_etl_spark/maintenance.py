@@ -42,6 +42,11 @@ def merge_upsert(
     inserted; untouched keys → kept. Writes to ``out_path`` (default:
     rewrite target in place via an overwrite) and returns the merged
     frame re-read from disk.
+
+    Contract (r12 review): ``updates`` must carry at most one row per
+    key and non-NULL keys — duplicate update keys all insert (standard
+    MERGE engines raise instead), and a NULL update key can never match
+    a target row (SQL equality), so it always lands as an insert.
     """
     target = spark.read.parquet(target_path)
     kept = target.join(updates.select(key), key, "left_anti")
@@ -122,7 +127,10 @@ def scd2_upsert(
     broadcast-able updates side joins the current slice; history unions
     back untouched — then the same checkpoint-before-overwrite discipline
     as merge_upsert. ``updates`` must carry ``key``, ``effective_date``
-    and the payload columns of the target.
+    and the payload columns of the target — and, like ``merge_upsert``,
+    at most one row per key per call (two same-key updates would close
+    the current version twice at different dates; apply multi-version
+    feeds in effective-date order, one call per batch).
     """
     target = spark.read.parquet(target_path)
     if "valid_from" not in target.columns:
@@ -203,6 +211,14 @@ def zorder_write(
     top = (1 << bits) - 1
     for c in cluster_by:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo is None or hi is None:
+            # empty input or an all-NULL cluster column: there is no
+            # range to normalize — surface a clear contract error
+            # instead of int(None)'s TypeError (r12 review)
+            raise ValueError(
+                f"zorder_write: cluster column {c!r} has no non-NULL "
+                "values (empty input?) — nothing to Z-order on"
+            )
         span = max(int(hi) - int(lo), 1)
         norm.append(
             f"CAST(((CAST({c} AS BIGINT) - {int(lo)}) * {top}) DIV {span} AS BIGINT)"

@@ -737,8 +737,16 @@ def session_attribution(
     One shuffle on user_id drives all three window passes (lag → running
     sum → per-session row_number share the sort); the channel rollup is
     a tiny final aggregate. Gap math is integer µs so the session split
-    is bit-identical cross-engine."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is bit-identical cross-engine.
+
+    event_id ties sort NULLS LAST explicitly (r12 review, same class as
+    event_transitions): cleaned events keep NULL event_id, and on an
+    exact (user_id, ts) tie at a session HEAD, Spark's ASC default
+    (NULLS FIRST) would crown a different first_touch than DuckDB's
+    (NULLS LAST). Hostile-pinned by the user-931 session-head tie."""
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.asc_nulls_last("event_id")
+    )
     flagged = events.withColumn(
         "_new",
         F.expr(
@@ -747,15 +755,17 @@ def session_attribution(
             # review — '<' split such a session in two here while
             # events_session kept it whole)
             f"CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER "
-            f"(PARTITION BY user_id ORDER BY ts, event_id)) <= {_GAP_US} "
-            f"THEN 0 ELSE 1 END"
+            f"(PARTITION BY user_id ORDER BY ts, event_id NULLS LAST)) "
+            f"<= {_GAP_US} THEN 0 ELSE 1 END"
         ),
     )
     numbered = flagged.withColumn(
         "_sid",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    w2 = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id", "_sid").orderBy(
+        "ts", F.asc_nulls_last("event_id")
+    )
     sess = (
         numbered.withColumn("_rn", F.row_number().over(w2))
         .groupBy("user_id", "_sid")

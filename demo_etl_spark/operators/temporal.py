@@ -175,10 +175,16 @@ def event_transitions(
     ``lag(event_type)`` over each user's timeline gives (prev → curr)
     pairs; the rollup counts transitions and their share of each source
     state's outgoing edges — the first-order Markov view of the event
-    stream. Ordering ties on identical timestamps break on event_id, so
-    the lag sequence (and the oracle) is fully deterministic.
+    stream. Ordering ties on identical timestamps break on event_id —
+    spelled NULLS LAST explicitly (r12 review): cleaned events keep NULL
+    event_id, and on an exact (user_id, ts) tie Spark's ASC default
+    (NULLS FIRST) would chain lag() opposite to DuckDB's (NULLS LAST),
+    flipping which (prev → curr) pairs exist. Hostile-pinned by the
+    900036 tie row.
     """
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.asc_nulls_last("event_id")
+    )
     pairs = events.select(
         "user_id",
         F.lag("event_type").over(w).alias("prev_type"),

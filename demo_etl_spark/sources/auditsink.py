@@ -60,12 +60,21 @@ class _Writer(DataSourceWriter):
             "checksum": sum(m.checksum for m in messages) % (1 << 61),
             "partitions": len(messages),
         }
-        with open(self.path, "w") as f:
+        # publish atomically (tmp + rename): a reader never observes a
+        # torn audit, and abort() can clean the tmp without ever touching
+        # a PREVIOUS successful run's audit — the old spelling deleted
+        # self.path on abort, destroying the prior artifact when a later
+        # write failed (r12 review; contradicts the two-phase contract
+        # this sink exists to demonstrate)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(audit, f)
+        os.replace(tmp, self.path)
 
     def abort(self, messages) -> None:
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        tmp = self.path + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 class AuditSinkDataSource(DataSource):

@@ -215,9 +215,20 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     hash-groupBy. State holds one entry per key only until the watermark
     passes it (bounded, unlike plain ``dropDuplicates`` whose state
     grows forever); at-least-once upstream delivery becomes exactly-once
-    downstream as long as redelivery lag stays inside the watermark."""
-    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    downstream as long as redelivery lag stays inside the watermark.
+
+    NULL-key rows are quarantined first (r12 review, repo-wide identity
+    policy): a row with no delivery key cannot be RECOGNIZED as a
+    redelivery, and Spark's dedup treats NULL keys as equal — two
+    DISTINCT keyless events would silently collapse into one (caught by
+    the second hostile NULL-id row; the oracle twin carries the matching
+    predicate). The documented variant for keyless feeds is a
+    content-hash key (md5 over the payload), which trades that collapse
+    for exactly-once on identical content."""
+    return (
+        events.filter(F.col("event_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 
@@ -532,7 +543,7 @@ _EPOCH_SQL = "(ts IS NULL OR ts >= TIMESTAMP '1970-01-01 00:00:00')"
 
 ORACLE_SQL_EVENTS_IDENTITY = f"""
 SELECT event_id, ts, user_id, event_type, value, props FROM events
-WHERE {_EPOCH_SQL}
+WHERE {_EPOCH_SQL} AND event_id IS NOT NULL
 """
 
 ORACLE_SQL_PURCHASE_CLICKS = """

@@ -35,45 +35,45 @@ def test_builders_are_callables_and_oracles_are_select_sql():
 def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
-    # spot-check the r11 window composition: the 8 first-time seats
-    # (7 r10 additions + the new similarity_pq_recall) that close union
-    # driver coverage, the 12 re-gates of every query whose code or
-    # oracle changed in r11, and representatives of the stalest-rotation
-    # pool (last gated r2-r7).
+    # spot-check the r12 window composition: the 8 post-rotation r11
+    # re-gates (floor binning / streaming epoch domain / sign-safe
+    # round_div consumers), the full 8-flagship cadence pull-forward,
+    # the r12-touched NULLS-LAST re-gates, and representatives of the
+    # stalest-rotation pool (every r7/r8 seat).
     window = set(q[:50])
     for rep in (
-        # first-time seats (union coverage 176/176 once gated)
-        "xml_roundtrip",
-        "doc_quality_gate",
-        "streaming_quality_gate",
-        "multimodal_decode_audit",
-        "bpe_roundtrip",
-        "similarity_ivf_recall",
-        "corpus_temperature_sample",
-        "similarity_pq_recall",
-        # r11-touched re-gates (e6 integer-dot conversion, unified
-        # running-offset window, active_users oracle fix)
-        "events_active_users",
-        "similarity_topk_cosine",
-        "similarity_lsh_bucketed",
-        "similarity_ivf_topk",
-        "dedup_embedding_cosine",
-        "dedup_embedding_ann",
-        "dedup_ann_pair_recall",
-        "similarity_ann_recall",
-        "sequence_packing",
-        "sequence_spans",
-        "packing_offsets_canary",
-        "sequence_export",
-        # stalest-rotation representatives
-        "corpus_sample",
-        "lang_profile",
-        "sales_cube",
-        "embedding_quantize",
-        "bpe_merges",
-        "similarity_pq_topk",
+        # post-rotation r11/r12 re-gates
+        "events_value_histogram",
+        "events_props_breakdown",
+        "streaming_session",
+        "streaming_dedup",
+        "streaming_user_totals",
+        "embedding_centroids",
+        "market_concentration",
+        "revenue_seasonality",
+        # flagship cadence (all 8)
+        "customer_analytics",
+        "product_analytics",
+        "time_analytics",
+        "product_ranking",
+        "revenue_trend",
+        "sales_asset_union",
+        "star_join_detail",
         "date_dim_join",
-        "dedup_simhash",
+        # r12-touched re-gates (NULLS-LAST tie class)
+        "event_transitions",
+        "session_attribution",
+        "scd2_history",
+        # stalest-rotation representatives (r7/r8 pool)
+        "dedup_span_scrub",
+        "doc_chunks",
+        "embedding_pq",
+        "multimodal_frames",
+        "regional_sales",
+        "bpe_merges_batched",
+        "part_pagerank",
+        "kmv_distinct_ngrams",
+        "streaming_enriched_rollup",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
@@ -121,3 +121,33 @@ def test_no_fetch_fragile_oracle_types():
         if frag:
             bad[name] = frag
     assert not bad, f"fetch-fragile oracle output columns: {bad}"
+
+
+def test_memo_warmers_cover_every_shared_cache(spark):
+    """The bench accounting contract (r12): every module-level memo dict
+    that registers a cache CLEARER and is consumed by more than one
+    registered query must also register a WARMER, and one
+    warm→clear→warm cycle must leave every warmed cache populated then
+    empty then populated — otherwise bench per-query numbers silently
+    re-absorb shared builds after a clear."""
+    from demo_etl_spark import io as io_mod
+    from demo_etl_spark.operators import dedup, graph, similarity
+
+    sf = "/root/testdata/sf0.001"
+    assert len(io_mod._MEMO_WARMERS) >= 3  # dedup, graph, similarity
+    io_mod.warm_operator_memos(spark, sf)
+    shared_caches = [
+        dedup._INDEX_CACHE, dedup._PAIRS_CACHE, dedup._CLUSTERS_CACHE,
+        dedup._SPANS_CACHE, graph._EDGE_CACHE, similarity._CENT_CACHE,
+        similarity._TOPK_CACHE, similarity._EMB_PAIRS_CACHE,
+    ]
+    for c in shared_caches:
+        assert c, "warmer left a shared cache empty"
+    io_mod.clear_operator_memos()
+    for c in shared_caches:
+        # the r12 graph._EDGE_CACHE bug class: a cleared persist whose
+        # dict entry survives serves an unpersisted frame forever
+        assert not c, "clear_operator_memos left a shared cache populated"
+    io_mod.warm_operator_memos(spark, sf)
+    for c in shared_caches:
+        assert c, "re-warm after clear left a shared cache empty"

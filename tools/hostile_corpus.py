@@ -240,6 +240,14 @@ HOSTILE_EVENTS = [
     # (NULLS LAST) unless the sort spells NULLS LAST explicitly
     # (scd2_history's lag/lead change detection was the exposed site)
     (900036, "2024-01-05 12:19:00", 927, "purchase", 4.5, None),
+    # r12 (events review): a (user_id, ts) tie at a session HEAD — NULL
+    # event_id "click" vs event_id 900037 "view" as user 931's very
+    # first events. first-touch attribution crowns whichever sorts
+    # first, so the Spark side must spell event_id NULLS LAST to match
+    # the DuckDB oracle's default (first_touch = 'view' on both); under
+    # Spark's bare ASC default the NULL row would win instead.
+    (None, "2024-01-06 10:00:00", 931, "click", 1.0, None),
+    (900037, "2024-01-06 10:00:00", 931, "view", 2.0, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
