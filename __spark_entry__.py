@@ -107,7 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup.build_clusters,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "detail_summary_union": _star.build_union,
-        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        # r12 first-time seat (new queries gate within one round):
+        # systematic PPS token-budget sampling; disjunctive_revenue_sql
+        # (r8) yields its seat and joins the r13 stalest pool head
+        "corpus_pps_sample": _curation.build_pps_sample,
         "doc_fingerprints": _fingerprint.build_fingerprints,
         "events_asof_join": _temporal.build_asof,
         "events_gapfill": _events.build_gapfill,
@@ -228,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _formats.build_orc_roundtrip,
         "top_supplier_sql": _suite.build_top_supplier,
         "last_shipment_sql": _suite.build_last_shipment,
+        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
         "multimodal_features": _multimodal.build_features_checked,
@@ -297,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _curation.ORACLE_SQL_CURATION,
         "corpus_sample": _curation.ORACLE_SQL_SAMPLE,
         "corpus_temperature_sample": _curation.ORACLE_SQL_TEMPERATURE_SAMPLE,
+        "corpus_pps_sample": _curation.ORACLE_SQL_PPS_SAMPLE,
         "text_stats": _text.ORACLE_SQL_STATS,
         "vocab_topk": _text.ORACLE_SQL_VOCAB,
         "doc_repetition": _text.ORACLE_SQL_REPETITION,

@@ -586,3 +586,121 @@ FROM {prev}
 
 
 ORACLE_SQL_MIXTURE_PLAN = _mixture_oracle()
+
+
+# ------------------------------- systematic PPS token-budget sample -----
+#
+# Probability-proportional-to-size document sampling — the standard
+# survey-sampling technique (systematic PPS; Madow 1949, public
+# algorithm) applied to training-data curation: pick ~K documents per
+# source with inclusion probability proportional to TOKEN LENGTH, so a
+# token-budget subsample represents the corpus by volume, not by doc
+# count (a uniform doc sample over-represents short documents in token
+# space). Deterministic and integer-exact: lay every source's documents
+# end-to-end on the packed token line (the SAME authoritative
+# _running_offsets frame sequence_packing uses), then take K evenly
+# spaced ticks at stride = total div K anchored at the stride midpoint —
+# no RNG, no floats, bit-identical on both engines. A document longer
+# than the stride is selected with certainty (possibly multiple hits,
+# reported in n_hits) — the defining PPS property.
+#
+# Scale: one per-source running-sum window (the packing shape) + a tiny
+# per-source totals broadcast. Nothing corpus-sized crosses one task.
+
+PPS_K = 12  # target picks per source
+
+
+def pps_sample(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT, k: int = PPS_K
+) -> DataFrame:
+    """(source, doc_id, n_tokens, start_off, n_hits) for selected docs.
+
+    Tick i (i = 0..k-1) sits at ``h + i*stride`` with ``h = stride div
+    2``; a document owning interval [start_off, end_off) is selected iff
+    it contains ≥1 tick. Degenerate guard: a source with fewer than k
+    total tokens (stride 0) selects every non-empty document once (the
+    budget exceeds the population — sampling degrades to identity).
+    All division operands are non-negative, so Spark's ``div`` and
+    DuckDB's ``//`` agree exactly (truncation == floor here)."""
+    from demo_etl_spark.operators.packing import _running_offsets
+
+    offs = _running_offsets(documents)
+    totals = offs.groupBy("source").agg(
+        F.max("end_off").alias("_total")
+    ).withColumn("_stride", F.expr(f"_total div {k}"))
+    d = offs.join(F.broadcast(totals), "source").filter(F.col("n_tokens") > 0)
+    # ticks below x (x ≥ 0): 0 when x ≤ h, else min(ceil((x-h)/stride), k)
+    def _ticks_below(x: str) -> str:
+        return (
+            f"CASE WHEN _stride = 0 THEN NULL "
+            f"WHEN {x} <= _stride div 2 THEN 0 "
+            f"ELSE LEAST(({x} - _stride div 2 + _stride - 1) div _stride, "
+            f"CAST({k} AS BIGINT)) END"
+        )
+
+    n_hits = (
+        f"CASE WHEN _stride = 0 THEN 1 "
+        f"ELSE {_ticks_below('end_off')} - {_ticks_below('start_off')} END"
+    )
+    return (
+        d.withColumn("n_hits", F.expr(n_hits).cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .select("source", "doc_id", "n_tokens", "start_off", "n_hits")
+    )
+
+
+def build_pps_sample(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return pps_sample(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _pps_oracle() -> str:
+    from demo_etl_spark.operators.packing import _N_TOKENS_SQL
+
+    k = PPS_K
+
+    def ticks_below(x: str) -> str:
+        return (
+            f"CASE WHEN stride = 0 THEN NULL "
+            f"WHEN {x} <= stride // 2 THEN 0 "
+            f"ELSE LEAST(({x} - stride // 2 + stride - 1) // stride, "
+            f"CAST({k} AS BIGINT)) END"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id NULLS LAST, n_tokens NULLS LAST
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM d
+),
+t AS (
+  SELECT source, MAX(end_off) AS total, MAX(end_off) // {k} AS stride
+  FROM offs GROUP BY source
+),
+j AS (
+  SELECT o.source, o.doc_id, o.n_tokens,
+         o.end_off - o.n_tokens AS start_off, o.end_off, t.stride
+  FROM offs o JOIN t USING (source)
+  WHERE o.n_tokens > 0
+),
+h AS (
+  SELECT source, doc_id, n_tokens, start_off,
+         CAST(CASE WHEN stride = 0 THEN 1
+              ELSE {ticks_below('end_off')} - {ticks_below('start_off')}
+              END AS BIGINT) AS n_hits
+  FROM j
+)
+SELECT source, doc_id, n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       n_hits
+FROM h WHERE n_hits > 0
+"""
+
+
+ORACLE_SQL_PPS_SAMPLE = _pps_oracle()

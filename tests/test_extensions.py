@@ -960,3 +960,44 @@ def test_bpe_roundtrip_lossless_on_random_corpora(spark):
         assert row["occurrences_ok"] == row["occurrences_total"]
 
     check()
+
+
+def test_pps_sample_semantics(spark):
+    """Pins the defining systematic-PPS properties on a hand-built
+    corpus: (1) a document longer than the stride is selected with
+    CERTAINTY and its n_hits counts every tick it spans; (2) total hits
+    per source equal exactly PPS_K when total tokens >= PPS_K; (3) the
+    stride-0 degenerate (source smaller than the budget) selects every
+    non-empty doc once; (4) inclusion is deterministic (two runs
+    identical)."""
+    from demo_etl_spark.operators.curation import PPS_K, pps_sample
+
+    rows = (
+        # source "big": one 600-token giant among 60 ten-token docs
+        [("big", f"b{i:03d}", "t " * 9 + "t") for i in range(60)]
+        + [("big", "zzz_giant", "t " * 599 + "t")]
+        # source "tiny": 3 docs of 2 tokens each (total 6 < PPS_K=12)
+        + [("tiny", f"t{i}", "a b") for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        [(s, d, t) for s, d, t in rows], "source string, doc_id string, text string"
+    )
+    out = {
+        (r["source"], r["doc_id"]): r
+        for r in pps_sample(docs).collect()
+    }
+    big = [v for (s, _), v in out.items() if s == "big"]
+    # total = 1200 tokens, stride = 100: the 600-token giant spans ~6
+    # ticks — certainty inclusion with multi-hit
+    giant = out[("big", "zzz_giant")]
+    assert giant["n_hits"] >= 5
+    assert sum(r["n_hits"] for r in big) == PPS_K
+    # stride-0 source: every non-empty doc once
+    tiny = [v for (s, _), v in out.items() if s == "tiny"]
+    assert len(tiny) == 3 and all(r["n_hits"] == 1 for r in tiny)
+    # determinism
+    again = {
+        (r["source"], r["doc_id"]): r["n_hits"]
+        for r in pps_sample(docs).collect()
+    }
+    assert again == {k: v["n_hits"] for k, v in out.items()}
