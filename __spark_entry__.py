@@ -123,7 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 stalest pool
         "session_attribution": _events.build_session_attribution,
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        "nation_market_share_sql": _suite.build_nation_market_share,
+        # r12-touched re-gate (late-landing clause): snapshot_diff's
+        # oracle embeds the hardened merge SQL (NULL-key routing + dup-
+        # key tiebreak); nation_market_share_sql (r8) yields its seat
+        # and joins the r13 stalest pool head
+        "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "orders_merge_upsert": _cdc.build_merge_upsert,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "part_pagerank": _graph.build_pagerank,
@@ -232,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_sql": _suite.build_top_supplier,
         "last_shipment_sql": _suite.build_last_shipment,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        "nation_market_share_sql": _suite.build_nation_market_share,
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
         "multimodal_features": _multimodal.build_features_checked,
@@ -250,7 +255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_closure": _graph.build_closure,
         "doc_typicality": _text.build_doc_typicality,
         "packing_policy_compare": _packing.build_packing_policy_compare,
-        "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "orders_profile": _quality.build_orders_profile,
         "quarantine_audit": _quality.build_quarantine_audit,
         "revenue_decompose": _timeseries.build_decompose,

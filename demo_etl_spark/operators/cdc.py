@@ -170,7 +170,10 @@ FROM changes
 
 # ------------------------------------------------------------- MERGE ----
 def merge_latest_wins(
-    base: DataFrame, updates: DataFrame, key_cols: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics (matched → update, not-matched → insert)
     as a pure DataFrame plan: union both sides with a source priority
@@ -182,11 +185,26 @@ def merge_latest_wins(
     a partial top-1-per-key below the shuffle (plan-pinned in
     tests/test_cdc_fingerprint.py), so the exchange moves ≤ 1 row per
     (key, side).
+
+    Contract (r12 review, mirrors maintenance.merge_upsert): keys
+    should be non-NULL and updates carry at most one row per key. Two
+    failure modes of dirty inputs are handled defensively rather than
+    silently: (1) NULL keys — SQL window PARTITION BY groups every NULL
+    key together, so two DISTINCT keyless rows would collapse into one;
+    the caller should quarantine NULL-key rows around the merge (see
+    build_merge_upsert). (2) duplicate BASE keys (a dup-PK quality
+    violation) tie on ``_pri`` — pass ``tiebreak_cols`` to make the
+    surviving row deterministic and engine-identical (ascending, NULLS
+    LAST, matching DuckDB's default); without it the pick is
+    partition-order arbitrary.
     """
     tagged = base.withColumn("_pri", F.lit(0)).unionByName(
         updates.withColumn("_pri", F.lit(1))
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.col("_pri").desc())
+    order = [F.col("_pri").desc()] + [
+        F.asc_nulls_last(c) for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -200,37 +218,71 @@ _UPLIFT_NUM = "TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT) * 11"
 _UPLIFT_DEN = "100000"
 
 
+_MERGE_TIEBREAK = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+
+
 def build_merge_upsert(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     """Registered MERGE exercise: apply a repriced-open-orders update
     feed onto the orders table. Update rows (o_orderstatus = 'O') carry
     o_totalprice × 1.1 rounded to cents; all other orders pass through
-    unchanged. The oracle replays the same merge with QUALIFY."""
+    unchanged. The oracle replays the same merge with QUALIFY.
+
+    Dirty-input policy (r12 review, hostile-pinned): NULL-key orders
+    route AROUND the merge unchanged — a MERGE cannot address a row
+    without a key, and the window spelling would collapse distinct
+    keyless rows into one (same class as streaming_dedup's NULL-key
+    quarantine). Duplicate base keys (dup-PK violation, surfaced by
+    data_quality_audit) survive deterministically via the full payload
+    tiebreak — both engines keep the same row."""
     orders = load_star(spark, sf_dir)["orders"]
-    updates = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+    keyed = orders.filter(F.col("o_orderkey").isNotNull())
+    keyless = orders.filter(F.col("o_orderkey").isNull())
+    updates = keyed.filter(F.col("o_orderstatus") == "O").withColumn(
         "o_totalprice", round_div(_UPLIFT_NUM, _UPLIFT_DEN, 2)
     )
-    return merge_latest_wins(orders, updates, ["o_orderkey"])
+    merged = merge_latest_wins(
+        keyed, updates, ["o_orderkey"], tiebreak_cols=_MERGE_TIEBREAK
+    )
+    return merged.unionByName(keyless)
 
 
+# tiebreak columns ascending NULLS LAST (DuckDB's default) mirror the
+# Spark-side _MERGE_TIEBREAK exactly; keyless rows bypass the window
 ORACLE_SQL_MERGE_UPSERT = f"""
-WITH updates AS (
+WITH keyed AS (
+  SELECT * FROM orders WHERE o_orderkey IS NOT NULL
+),
+updates AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
          {round_div_expr(_UPLIFT_NUM, _UPLIFT_DEN, 2, "duckdb")} AS o_totalprice,
          o_orderdate, o_orderpriority
-  FROM orders WHERE o_orderstatus = 'O'
+  FROM keyed WHERE o_orderstatus = 'O'
 ),
 tagged AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-         o_orderpriority, 0 AS _pri FROM orders
+         o_orderpriority, 0 AS _pri FROM keyed
   UNION ALL
   SELECT *, 1 AS _pri FROM updates
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM tagged
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY _pri DESC, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority) = 1
 )
+SELECT * FROM merged
+UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority
-FROM tagged
-QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _pri DESC) = 1
+FROM orders WHERE o_orderkey IS NULL
 """
 
 

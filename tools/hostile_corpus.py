@@ -258,6 +258,21 @@ HOSTILE_ORDERS = [
     (990004, 8, "O", float("nan"), "2024-03-02", "2-HIGH"),
     (990005, 9, "O", float("inf"), "2024-03-03", "3-MEDIUM"),
     (-990006, -11, "O", 250.25, "2024-03-04", "4-NOT SPECIFIED"),
+    # r12 (cdc merge review): a DUPLICATE primary key with fully
+    # different payloads — latest-wins merge ties on priority alone and
+    # picked a partition-order-arbitrary survivor (possible engine hash
+    # divergence); the full-payload tiebreak keeps the same row on both
+    # engines. data_quality_audit's orders_dup_pk now counts 1.
+    (990010, 20, "O", 100.0, "2024-03-05", "5-LOW"),
+    (990010, 21, "F", 200.0, "2024-03-06", "1-URGENT"),
+    # r12 (cdc merge review): TWO distinct NULL-key orders — window
+    # PARTITION BY groups all NULL keys together, so a keyed merge
+    # would collapse them into one row on BOTH engines (consistently
+    # wrong); they must route around the merge unchanged. One carries
+    # status 'O' so the update-feed derivation is also exercised on a
+    # keyless row (it must NOT produce an update).
+    (None, 22, "O", 50.0, "2024-03-07", "2-HIGH"),
+    (None, 23, "F", 75.0, "2024-03-08", "3-MEDIUM"),
 ]
 HOSTILE_LINEITEM = [
     # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
