@@ -100,7 +100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- stalest rotation (last gated r8)
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "bucketed_order_join": _bucketed.build_bucketed_join,
-        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        # r12-touched re-gate (late-landing clause): latest_state's sort
+        # extended through the payload columns (keyless-timestamp-tie
+        # determinism); customer_order_distribution_sql (r8) yields its
+        # seat and joins the r13 stalest pool head
+        "cdc_latest_state": _cdc.build_latest_state,
         "customer_retention": _customer.build_retention,
         "customer_rfm": _customer.build_rfm,
         "data_quality_audit": _quality.build_quality_audit,
@@ -237,12 +241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_shipment_sql": _suite.build_last_shipment,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "nation_market_share_sql": _suite.build_nation_market_share,
+        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
         "multimodal_features": _multimodal.build_features_checked,
         "events_session": _events.build_session,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        "cdc_latest_state": _cdc.build_latest_state,
         "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
         "csv_roundtrip": _formats.build_csv_roundtrip,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,

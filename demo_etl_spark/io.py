@@ -224,6 +224,18 @@ def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # consuming operator, never inside read_star_table. Every consumer's
 # DuckDB oracle embeds the matching *_CLEAN_SQL source so both engines
 # see the identical row set.
+#
+# Declared ordering contract (r12): event windows tie-break on event_id
+# with explicit NULLS LAST, which totally orders every corpus with AT
+# MOST ONE keyless row per (user_id, ts) instant. TWO keyless rows at
+# the same instant are indistinguishable to a (ts, event_id) sort, so
+# lag/lead-chain operators (event_transitions, scd2_history,
+# session_attribution) would chain them arbitrarily — in any engine.
+# Single-row-pick operators extend their sort through the output
+# payload columns instead (cdc.latest_state, r12); chain operators
+# declare the one-keyless-row-per-instant contract, which real CDC/event
+# feeds satisfy by construction (a log offset or ingest sequence breaks
+# residual ties — at 100 TB, carry that offset and add it to the sort).
 
 def timed_events(events: DataFrame) -> DataFrame:
     """Events with an event time and a user identity (see above). A

@@ -48,9 +48,20 @@ def latest_state(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
     the same partitioning (Catalyst computes both in one WindowExec).
     At 100 TB this is the standard log-compaction job; the output
     partitioning (user_id) is exactly what the serving table wants.
+
+    Determinism (r12 review): (ts, event_id) is not a total order when
+    two keyless versions share a timestamp — both engines would pick a
+    partition-order-arbitrary winner. The sort therefore extends through
+    the OUTPUT payload columns (event_type, value), making the selected
+    row engine-identical for every input; DESC defaults NULLS LAST on
+    both engines, spelled explicitly anyway. Pinned by a hand-built
+    frame in tests/test_cdc_fingerprint.py.
     """
     w_latest = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.desc_nulls_last("ts"),
+        F.desc_nulls_last("event_id"),
+        F.desc_nulls_last("event_type"),
+        F.desc_nulls_last("value"),
     )
     w_all = Window.partitionBy("user_id")
     return (
@@ -81,7 +92,8 @@ SELECT user_id,
        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
 FROM events
 QUALIFY row_number() OVER (
-  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+  PARTITION BY user_id
+  ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC) = 1
 """
 
 

@@ -615,3 +615,34 @@ def test_semantic_dedup_within_cluster_keep_min(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_latest_state_deterministic_on_keyless_timestamp_tie(spark):
+    """r12 review pin: two keyless versions (NULL event_id) at the SAME
+    timestamp with different payloads — (ts, event_id) alone is not a
+    total order there and both engines would pick an arbitrary winner.
+    The extended sort (event_type DESC, value DESC tiebreak) must crown
+    the same row on every run and match the DuckDB oracle's spelling:
+    'view' > 'click' lexicographically, so last_event_type = 'view'."""
+    import datetime
+
+    from demo_etl_spark.operators.cdc import latest_state
+
+    ts = datetime.datetime(2024, 1, 6, 11, 0, 0)
+    rows = [
+        (None, ts, 932, "click", 1.0, None),
+        (None, ts, 932, "view", 2.0, None),
+        (5, ts - datetime.timedelta(hours=1), 932, "purchase", 9.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    outs = [
+        {r["user_id"]: (r["last_event_type"], r["last_value"], r["n_versions"])
+         for r in latest_state(events).collect()}
+        for _ in range(3)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][932] == ("view", 2.0, 3)
