@@ -63,6 +63,15 @@ def exact_global_rank(
     ``value_col`` must be an integral column (the bucket arithmetic is
     exact integer division); the full sort key must be unique per row
     for a deterministic rank (same contract as any rank window).
+
+    Overflow headroom (r12 review): the bucket id computes
+    ``(value − lo) · n_buckets``, so the value SPAN must satisfy
+    ``(hi − lo + 1) · n_buckets < 2^63`` — with the default 32 buckets
+    that is a span below ~2.9e17, far above every current consumer
+    (fixed-point money ≤ ~9.2e14, day counts, row ids) but NOT the full
+    BIGINT domain. Callers ranking raw unbounded longs should pre-clamp
+    or raise ``n_buckets`` awareness accordingly; a span overflow under
+    ANSI raises rather than mis-bucketing.
     """
     bounds = df.agg(
         F.min(value_col).alias("_egr_lo"),
