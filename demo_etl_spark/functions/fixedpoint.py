@@ -27,11 +27,21 @@ engines agree on every sign. The sign-split is needed anyway because
 truncation is not HALF-AWAY-FROM-ZERO for negative numerators (the bare
 ``(p·2s + q) div (2q)`` shortcut lands a hash-consistent but wrongly
 rounded value), so the formula rounds the MAGNITUDE and reapplies the
-sign (half away from zero — also both engines' native ROUND semantics). Overflow headroom: |p|·10^s·2 must stay below
+sign (half away from zero — also both engines' native ROUND semantics).
+Overflow headroom: |p|·10^s·2 must stay below
 2^63 ≈ 9.2e18 — with money fixed-point p ≤ 1e13 (1e9 money units/group)
 and s=6 the worst case is ~2e19; callers with ratio-scale rounding must
 keep p below ~4.6e12, which every per-key group satisfies by orders of
 magnitude (grand totals at 100 TB should use DECIMAL paths instead).
+
+Second-tier bound (r12, hypothesis-found): ENGINE parity (identical
+doubles out — what the oracle hash gate stands on) holds for every
+input, but equality with the exact decimal additionally requires the
+scaled integer |round(p·10^s/q)| ≤ 2^53 — past double's integer-exact
+range the final ÷10^s itself rounds, identically on both engines but
+one ulp off the true decimal. Every money (cents ≤ ~9e14) and ratio
+(≤ 10^10 at s=6) column satisfies it; outputs that could exceed ~9e15
+at scale s should lower s or emit the fixed-point BIGINT directly.
 """
 
 from __future__ import annotations

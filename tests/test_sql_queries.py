@@ -227,10 +227,21 @@ def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
 def test_round_div_signed_matches_decimal_half_away(spark):
     """Signed variant: HALF-AWAY-FROM-ZERO for any sign of p (the plain
     round_div contract only covers p >= 0 — embedding centroids need
-    negatives)."""
+    negatives).
+
+    Two-tier contract (r12 — hypothesis found p=440413589247, q=21,
+    s=6): the ENGINES are bit-identical for every input (they divide the
+    same integer by the same power of ten), but the result equals the
+    exact-decimal float only while the scaled integer |round(p·10^s/q)|
+    stays within 2^53 — beyond double's integer-exact range the final
+    division itself rounds, identically on both engines but one ulp off
+    the exact decimal. Hash parity (the oracle gate) rests on the first
+    tier; value-exactness on the second, which every money/ratio column
+    satisfies by the documented headroom bounds."""
     import decimal
 
     import duckdb
+    import pytest
     from hypothesis import given, settings, strategies as st
 
     from demo_etl_spark.functions.fixedpoint import round_div_signed_expr
@@ -252,6 +263,14 @@ def test_round_div_signed_matches_decimal_half_away(spark):
         got_duck = duckdb.sql(
             f"SELECT {round_div_signed_expr(str(p), str(q), s, 'duckdb')} AS v"
         ).fetchone()[0]
-        assert got_spark == exp == got_duck, (p, q, s, got_spark, got_duck, exp)
+        # tier 1 — engine parity, unconditional (what the oracle hash
+        # gate stands on)
+        assert got_spark == got_duck, (p, q, s, got_spark, got_duck)
+        # tier 2 — exact-decimal equality, guaranteed only within
+        # double's integer-exact range of the scaled result
+        if abs(int(mag.scaleb(s))) <= 2**53:
+            assert got_spark == exp, (p, q, s, got_spark, exp)
+        else:
+            assert got_spark == pytest.approx(exp, rel=1e-12)
 
     check()
