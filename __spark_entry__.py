@@ -117,8 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pps_sample": _curation.build_pps_sample,
         "doc_fingerprints": _fingerprint.build_fingerprints,
         "events_asof_join": _temporal.build_asof,
-        "events_gapfill": _events.build_gapfill,
-        "key_skew_profile": _skew.build_key_skew_profile,
+        # r12 first-time seat: corpus_budget_take (mixture EXECUTION,
+        # shared water-fill arithmetic); events_gapfill (r8) yields its
+        # seat and joins the r13 stalest pool head
+        "corpus_budget_take": _curation.build_budget_take,
+        # r12-touched re-gate (late-landing clause): the water-fill
+        # allocator was refactor-shared with corpus_budget_take
+        # (hash-verified identical); key_skew_profile (r8) yields its
+        # seat and joins the r13 stalest pool head
+        "corpus_mixture_plan": _curation.build_mixture_plan,
         "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "lang_id": _text.build_lang_id,
         # r12-touched re-gate (late-landing clause): session_attribution
@@ -230,7 +237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_rules": _product.build_brand_rules,
         "order_bookends": _customer.build_bookends,
         "part_similarity": _graph.build_part_similarity,
-        "corpus_mixture_plan": _curation.build_mixture_plan,
         "product_profit_sql": _suite.build_product_profit,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
         "idle_customers_sql": _suite.build_idle_customers,
@@ -242,6 +248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
         "nation_market_share_sql": _suite.build_nation_market_share,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        "events_gapfill": _events.build_gapfill,
+        "key_skew_profile": _skew.build_key_skew_profile,
         "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
         "multimodal_features": _multimodal.build_features_checked,
@@ -434,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_ngrams": _sketch.ORACLE_SQL_KMV,
         "corpus_train_split": _curation.ORACLE_SQL_TRAIN_SPLIT,
         "corpus_mixture_plan": _curation.ORACLE_SQL_MIXTURE_PLAN,
+        "corpus_budget_take": _curation.ORACLE_SQL_BUDGET_TAKE,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
         "events_gapfill": _events.ORACLE_SQL_GAPFILL,
         "events_lateness_audit": _events.ORACLE_SQL_LATENESS,

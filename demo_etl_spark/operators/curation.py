@@ -439,35 +439,14 @@ MIX_BUDGET_DEN = 2
 MIX_ROUNDS = 3
 
 
-def mixture_plan(
-    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
-) -> DataFrame:
-    """Training-mixture design: allocate a corpus-wide token budget
-    across sources by deterministic water-filling — every source gets
-    up to the common cap, caps rise as small sources saturate, all in
-    exact integer arithmetic (floor-division caps, no floats).
-
-    The op a mixture designer runs before export: "take 50% of the
-    corpus, but never more than a source has, and spread the headroom
-    from small sources across the big ones evenly." Three rounds of
-    cap-raising are fixed in the contract (and mirrored CTE-for-CTE in
-    the oracle); remainders smaller than the unsaturated-source count
-    stay unallocated.
-
-    Plan shape: one corpus aggregation to per-source token counts
-    (everything after runs on the sources table — dozens of rows), then
-    three rounds of 1-row scalar aggs broadcast back. At 100 TB only
-    the first agg sees the corpus.
-    """
-    from demo_etl_spark.functions.fixedpoint import round_div
-
-    src = (
-        documents.selectExpr(
-            "source", "size(split(text, ' ')) AS _n"
-        )
-        .groupBy("source")
-        .agg(F.sum("_n").cast("long").alias("tokens_available"))
-    )
+def _water_fill(src: DataFrame) -> DataFrame:
+    """The shared water-filling allocator (r12 refactor — extracted
+    verbatim from mixture_plan so the PLAN operator and the EXECUTION
+    operator, corpus_budget_take, run one arithmetic): given a
+    (source, tokens_available) frame, returns it with ``alloc`` and the
+    carried ``_budget`` after MIX_ROUNDS deterministic cap-raising
+    rounds. All integer; each round is a 1-row scalar agg broadcast
+    back onto the sources frame."""
     totals = src.agg(
         F.sum("tokens_available").alias("_total"),
         F.count(F.lit(1)).alias("_n_src"),
@@ -508,6 +487,39 @@ def mixture_plan(
                 ).otherwise(F.col("alloc")),
             )
         )
+    return cur
+
+
+def mixture_plan(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Training-mixture design: allocate a corpus-wide token budget
+    across sources by deterministic water-filling — every source gets
+    up to the common cap, caps rise as small sources saturate, all in
+    exact integer arithmetic (floor-division caps, no floats).
+
+    The op a mixture designer runs before export: "take 50% of the
+    corpus, but never more than a source has, and spread the headroom
+    from small sources across the big ones evenly." Three rounds of
+    cap-raising are fixed in the contract (and mirrored CTE-for-CTE in
+    the oracle); remainders smaller than the unsaturated-source count
+    stay unallocated.
+
+    Plan shape: one corpus aggregation to per-source token counts
+    (everything after runs on the sources table — dozens of rows), then
+    three rounds of 1-row scalar aggs broadcast back. At 100 TB only
+    the first agg sees the corpus.
+    """
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    src = (
+        documents.selectExpr(
+            "source", "size(split(text, ' ')) AS _n"
+        )
+        .groupBy("source")
+        .agg(F.sum("_n").cast("long").alias("tokens_available"))
+    )
+    cur = _water_fill(src)
     return cur.select(
         "source",
         "tokens_available",
@@ -529,16 +541,14 @@ def build_mixture_plan(
     return mixture_plan(load_star(spark, sf_dir)["documents"], ctx)
 
 
-def _mixture_oracle() -> str:
-    from demo_etl_spark.functions.fixedpoint import round_div_expr
-
-    sql = f"""
-WITH src AS (
-  SELECT source,
-         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-           AS tokens_available
-  FROM documents GROUP BY source
-),
+def _water_fill_sql(src_sql: str) -> tuple[str, str]:
+    """(WITH-clause body, final relation name) for the water-filling
+    allocator over a caller-supplied ``src`` relation of
+    (source, tokens_available) — the SQL twin of :func:`_water_fill`,
+    shared by the mixture-plan oracle and the budget-take oracle (r12
+    refactor). The returned body starts with ``src AS (...)`` and must
+    be embedded in a WITH."""
+    sql = f"""src AS ({src_sql}),
 tot AS (
   SELECT CAST(SUM(tokens_available) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN}
               AS BIGINT) AS budget,
@@ -574,15 +584,30 @@ r{i} AS (
   FROM {prev} p, a{i} a
 )"""
         prev = f"r{i}"
-    sql += f"""
+    return sql, prev
+
+
+_MIX_SRC_SQL = """
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS tokens_available
+  FROM documents GROUP BY source
+"""
+
+
+def _mixture_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    body, final = _water_fill_sql(_MIX_SRC_SQL)
+    return f"""
+WITH {body}
 SELECT source, tokens_available,
        CAST(alloc AS BIGINT) AS tokens_allocated,
        alloc = tokens_available AS saturated,
        {round_div_expr("alloc", "tokens_available", 4, "duckdb")} AS alloc_frac,
        {round_div_expr("alloc", "budget", 4, "duckdb")} AS budget_share
-FROM {prev}
+FROM {final}
 """
-    return sql
 
 
 ORACLE_SQL_MIXTURE_PLAN = _mixture_oracle()
@@ -704,3 +729,121 @@ FROM h WHERE n_hits > 0
 
 
 ORACLE_SQL_PPS_SAMPLE = _pps_oracle()
+
+
+# ------------------------------- budget-take (mixture EXECUTION) --------
+#
+# corpus_mixture_plan DESIGNS per-source token allocations; this is the
+# missing EXECUTION half: greedily take whole documents per source, in
+# deterministic doc_id order along the packed token line, until the
+# next document would overflow the source's water-filled allocation.
+# The per-source report carries docs/tokens taken and the utilization —
+# the export manifest a training-data build actually consumes. Exact
+# integers end-to-end; the allocator is the SAME _water_fill arithmetic
+# the plan query runs (refactor-shared on both engines), fed with the
+# packed-line token convention (packing._N_TOKENS_SQL) so selection
+# offsets and budgets are one currency.
+#
+# Scale: one per-source running-sum window (the packing shape), a
+# sources-table water-fill (scalar rounds), one broadcast join, one
+# per-source aggregate. Nothing corpus-sized crosses a single task.
+
+
+def budget_take(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """(source, tokens_available, tokens_allocated, n_docs_taken,
+    tokens_taken, utilization) — whole-document greedy take against
+    the water-filled allocation. A document is taken iff its packed
+    interval fits entirely inside the allocation (end_off ≤ alloc), so
+    ``tokens_taken ≤ tokens_allocated`` always; utilization is the
+    exact HALF_UP 4-dp fill fraction (NULL for a zero allocation — the
+    tiny-corpus budget-floor case, guarded on both engines)."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+    from demo_etl_spark.operators.packing import _running_offsets
+
+    offs = _running_offsets(documents)
+    src = offs.groupBy("source").agg(
+        F.max("end_off").cast("long").alias("tokens_available")
+    )
+    alloc = _water_fill(src).select(
+        "source", "tokens_available", F.col("alloc").cast("long").alias("_alloc")
+    )
+    taken = (
+        offs.join(F.broadcast(alloc.select("source", "_alloc")), "source")
+        .filter(F.col("end_off") <= F.col("_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_taken"),
+            F.max("end_off").cast("long").alias("tokens_taken"),
+        )
+    )
+    return (
+        alloc.join(taken, "source", "left")
+        .select(
+            "source",
+            "tokens_available",
+            F.col("_alloc").alias("tokens_allocated"),
+            F.coalesce("n_docs_taken", F.lit(0)).cast("long").alias(
+                "n_docs_taken"
+            ),
+            F.coalesce("tokens_taken", F.lit(0)).cast("long").alias(
+                "tokens_taken"
+            ),
+            F.when(
+                F.col("_alloc") > 0,
+                round_div("coalesce(tokens_taken, 0)", "_alloc", 4),
+            ).alias("utilization"),
+        )
+    )
+
+
+def build_budget_take(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return budget_take(load_star(spark, sf_dir)["documents"], ctx)
+
+
+def _budget_take_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+    from demo_etl_spark.operators.packing import _N_TOKENS_SQL
+
+    src_sql = """
+  SELECT source, CAST(MAX(end_off) AS BIGINT) AS tokens_available
+  FROM offs GROUP BY source
+"""
+    body, final = _water_fill_sql(src_sql)
+    util = round_div_expr(
+        "COALESCE(t.tokens_taken, 0)", "CAST(w.alloc AS BIGINT)", 4, "duckdb"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id NULLS LAST, n_tokens NULLS LAST
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM d
+),
+{body},
+taken AS (
+  SELECT o.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_taken,
+         CAST(MAX(o.end_off) AS BIGINT) AS tokens_taken
+  FROM offs o JOIN {final} w USING (source)
+  WHERE o.end_off <= w.alloc
+  GROUP BY o.source
+)
+SELECT w.source,
+       w.tokens_available,
+       CAST(w.alloc AS BIGINT) AS tokens_allocated,
+       COALESCE(t.n_docs_taken, 0) AS n_docs_taken,
+       COALESCE(t.tokens_taken, 0) AS tokens_taken,
+       CASE WHEN w.alloc > 0 THEN {util} END AS utilization
+FROM {final} w LEFT JOIN taken t USING (source)
+"""
+
+
+ORACLE_SQL_BUDGET_TAKE = _budget_take_oracle()

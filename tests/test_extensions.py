@@ -1001,3 +1001,45 @@ def test_pps_sample_semantics(spark):
         for r in pps_sample(docs).collect()
     }
     assert again == {k: v["n_hits"] for k, v in out.items()}
+
+
+def test_budget_take_semantics(spark):
+    """Pins the mixture-EXECUTION contract: whole documents only
+    (tokens_taken never exceeds the allocation and stops before a doc
+    that would overflow), deterministic doc_id take order, saturated
+    small sources taken whole, and utilization as an exact 4-dp fraction."""
+    from demo_etl_spark.operators.curation import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+        budget_take,
+    )
+
+    # two sources, 10-token docs: "huge" 40 docs (400 tokens), "small"
+    # 2 docs (20 tokens). total=420 → budget=210, round1 cap=105:
+    # small saturates at 20, huge gets 105 then cap rises by
+    # (210-125)//1=85 → alloc 190 → 19 whole docs.
+    assert (MIX_BUDGET_NUM, MIX_BUDGET_DEN) == (1, 2)
+    rows = [("huge", f"h{i:02d}", "t " * 9 + "t") for i in range(40)]
+    rows += [("small", f"s{i}", "t " * 9 + "t") for i in range(2)]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id string, text string"
+    )
+    out = {r["source"]: r for r in budget_take(docs).collect()}
+    assert out["small"]["tokens_allocated"] == 20
+    assert out["small"]["n_docs_taken"] == 2
+    assert out["small"]["tokens_taken"] == 20
+    assert out["small"]["utilization"] == 1.0
+    assert out["huge"]["tokens_allocated"] == 190
+    assert out["huge"]["n_docs_taken"] == 19      # 19 whole docs = 190
+    assert out["huge"]["tokens_taken"] == 190
+    assert out["huge"]["utilization"] == 1.0
+    # non-divisible allocation: 7-token docs against the same machinery
+    # leave a partial-doc remainder untaken (whole-doc contract)
+    rows2 = [("a", f"a{i}", "t " * 6 + "t") for i in range(10)]  # 70 tok
+    docs2 = spark.createDataFrame(
+        rows2, "source string, doc_id string, text string"
+    )
+    r2 = {r["source"]: r for r in budget_take(docs2).collect()}
+    # budget = 35, alloc = 35 → 5 whole docs (35 tokens) exactly
+    assert r2["a"]["tokens_allocated"] == 35
+    assert r2["a"]["n_docs_taken"] == 5 and r2["a"]["tokens_taken"] == 35
