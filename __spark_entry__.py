@@ -133,7 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # yields its seat and joins top_supplier_sql at the head of the
         # r13 stalest pool
         "session_attribution": _events.build_session_attribution,
-        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
+        # r12 first-time seat (new queries gate within one round):
+        # two-stage hybrid retrieval — shingle-inverted-index candidates
+        # → exact e6 integer-cosine rerank; lateral_order_topk_sql (r8)
+        # yields its seat and joins the r13 stalest pool head
+        "similarity_hybrid_rerank": _similarity.build_hybrid,
         # r12-touched re-gate (late-landing clause): snapshot_diff's
         # oracle embeds the hardened merge SQL (NULL-key routing + dup-
         # key tiebreak); nation_market_share_sql (r8) yields its seat
@@ -144,7 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": _graph.build_pagerank,
         "salted_order_join": _skew.build_salted_order_join,
         "shard_manifest": _packing.build_shard_manifest,
-        "shipping_priority_sql": _sql.build_shipping_priority,
+        # r12 first-time seat (new queries gate within one round):
+        # per-user token-bucket admission — the applyInPandas stateful
+        # recurrence class with a recursive-CTE oracle twin;
+        # shipping_priority_sql (r8) yields its seat and joins the r13
+        # stalest pool head
+        "events_rate_limit": _temporal.build_rate_limit,
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         # r12-touched re-gate (late-landing clause): scd2_history's sort
         # went explicit NULLS LAST this round; top_supplier_sql (r8)
@@ -157,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pool (current order ~= recency of last seat); the two
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
+        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
+        "shipping_priority_sql": _sql.build_shipping_priority,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -357,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq": _similarity.ORACLE_SQL_PQ,
         "similarity_pq_topk": _similarity.ORACLE_SQL_PQ_TOPK,
         "similarity_pq_recall": _similarity.ORACLE_SQL_PQ_RECALL,
+        "similarity_hybrid_rerank": _similarity.ORACLE_SQL_HYBRID,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,
@@ -414,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _text.ORACLE_SQL_BPE_PAIRS,
         "embedding_centroids": _similarity.ORACLE_SQL_CENTROIDS,
         "events_asof_join": _temporal.ORACLE_SQL_ASOF,
+        "events_rate_limit": _temporal.ORACLE_SQL_RATE_LIMIT,
         "events_range_join": _temporal.ORACLE_SQL_FOLLOWUPS,
         "event_transitions": _temporal.ORACLE_SQL_TRANSITIONS,
         "customer_retention": _customer.ORACLE_SQL_RETENTION,

@@ -2194,6 +2194,155 @@ ORACLE_SQL_PQ_RECALL = _recall_oracle_sql(
 )
 
 
+# ------------------------------------- hybrid lexical→vector retrieval ----
+#: minimum shared df-capped shingles for a doc to become a rerank
+#: candidate. 1 is the recall setting — the lexical stage is the
+#: CANDIDATE GENERATOR, not the scorer; precision comes from the vector
+#: rerank. (The word-level unit is useless on this corpus: 31 distinct
+#: tokens with median df 388/500 — every doc matches every doc. The
+#: 3-word shingle space is 16k-distinct with median df 1, which is what
+#: an inverted index needs.)
+HYBRID_MIN_OVERLAP = 1
+
+
+def hybrid_rerank(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    min_overlap: int = HYBRID_MIN_OVERLAP,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage HYBRID retrieval — the production search architecture
+    (lexical recall stage → vector precision stage; cf. BM25+dense
+    rerank in public IR literature):
+
+    1. **Lexical candidates**: the df-capped 3-word-shingle inverted
+       index (``dedup._indexed_shingles`` — the SAME shared index the
+       near-dup family builds) joins query postings to corpus postings
+       on the 40-bit shingle hash; docs sharing ≥ ``min_overlap``
+       shingles with a query become candidates. Candidate volume is
+       O(n_queries × df-capped posting mass) — sub-linear in corpus
+       size, never O(Q×N).
+    2. **Vector rerank**: ONLY the candidates get an exact e6
+       integer-cosine score (``_e6_frame`` lift — bit-identical across
+       engines); per-query top-k by (cos DESC, candidate_id ASC).
+
+    Identity convention: ``doc_id == vec_id`` (TESTDATA.md — the
+    embeddings table is the documents' vector column stored long-form).
+    A candidate or query without a valid embedding (NULL / degenerate /
+    wrong-dim — ``_e6_frame`` screens) silently drops from the rerank on
+    both engines.
+
+    At 100 TB: the query posting set broadcasts (queries ≪ corpus); the
+    candidate set re-shuffles once on candidate_id to meet the embedding
+    table; the rerank window runs over ≤ candidates-per-query rows, not
+    the corpus. The df cap (``dedup.MAX_SHINGLE_DF``) is the same scale
+    lever the dedup family uses — a boilerplate shingle shared by
+    millions of docs never floods the candidate join."""
+    from demo_etl_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        _indexed_shingles,
+    )
+
+    sh = (
+        index
+        if index is not None
+        else _indexed_shingles(documents, MAX_SHINGLE_DF)
+    )
+    q_post = sh.select(F.col("doc_id").alias("query_id"), "h").filter(
+        F.col("query_id") < n_queries
+    )
+    c_post = sh.select(F.col("doc_id").alias("candidate_id"), "h")
+    cand = (
+        q_post.join(c_post, "h")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .groupBy("query_id", "candidate_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    emb = _e6_frame(embeddings)
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("v").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qe.filter(F.col("query_id") < n_queries)), "query_id")
+        .join(ce, "candidate_id")
+        .withColumn("_cos_e6", _e6_cos("_qv", "_cv", "_qn", "_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos_e6"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "candidate_id",
+            "overlap",
+            "rank",
+            F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+        )
+    )
+
+
+def build_hybrid(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.operators.dedup import MAX_SHINGLE_DF, _cached_index
+
+    star = load_star(spark, sf_dir)
+    return hybrid_rerank(
+        star["documents"],
+        star["embeddings"],
+        ctx,
+        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+    )
+
+
+def _hybrid_oracle() -> str:
+    from demo_etl_spark.operators.dedup import _INDEXED_SH_SQL
+
+    return f"""
+WITH {_INDEXED_SH_SQL},
+{_e6_norm_cte()},
+cand AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS candidate_id,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM sh q JOIN sh c ON c.h = q.h AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {N_QUERIES}
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {HYBRID_MIN_OVERLAP}
+),
+scored AS (
+  SELECT cand.query_id, cand.candidate_id, cand.overlap,
+         {_e6_cos_sql("qe", "ce")} AS cos_e6
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.candidate_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e6 DESC, candidate_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, candidate_id, overlap, rank,
+       CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE_SQL_HYBRID = _hybrid_oracle()
+
+
 def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     """Shared-memo warmer (io.register_memo_warmer contract): the Lloyd
     centroids (IVF + semantic dedup), every multi-consumer top-k memo

@@ -288,3 +288,144 @@ JOIN events f
  AND epoch_us(f.ts) <= epoch_us(p.ts) + CAST({FOLLOW_WINDOW_SECONDS} AS BIGINT) * 1000000
 WHERE p.event_type = '{ANCHOR_TYPE}' AND f.event_type <> '{ANCHOR_TYPE}'
 """
+
+
+# ------------------------------------------ token-bucket rate limiter ----
+#: burst capacity (tokens) / refill rate (µtokens per day) / cost per
+#: event (µtokens). 1 token = 1_000_000 µtokens keeps the whole
+#: recurrence in exact integer space: refill for a gap Δµs is
+#: (min(Δµs, RL_GAP_FULL_US) · RL_REFILL_MTOK_PER_DAY) div DAY_US —
+#: truncating division agrees across Python, Spark and DuckDB because
+#: every operand is non-negative, and the gap clamp (the gap past which
+#: the bucket is full anyway) bounds the product far below 2^63 even
+#: for hostile far-future timestamps.
+RL_CAPACITY_TOKENS = 3
+RL_COST_MTOK = 1_000_000
+RL_CAP_MTOK = RL_CAPACITY_TOKENS * 1_000_000
+RL_REFILL_MTOK_PER_DAY = 1_000_000  # 1 token/day sustained
+DAY_US = 86_400_000_000
+RL_GAP_FULL_US = RL_CAP_MTOK * DAY_US // RL_REFILL_MTOK_PER_DAY
+
+
+def rate_limit_events(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-user TOKEN-BUCKET admission over the event stream — the
+    ingest-side abuse/rate-policy screen (burst ``RL_CAPACITY_TOKENS``,
+    sustained ``RL_REFILL_MTOK_PER_DAY``): each event consumes one
+    token if available; the bucket refills linearly with elapsed time
+    and clamps at capacity. Emits EVERY cleaned event with its
+    ``admitted`` flag and the post-decision bucket level — the audit
+    view a drop-filter consumes.
+
+    The recurrence b_k = min(CAP, b_{k-1} + refill(Δt_k)) − admit_k·COST
+    is prefix-dependent with a clamp — NOT expressible as a window
+    function (no running-min/max closed form survives the conditional
+    consume), so this is the custom-stateful-operator class: an
+    Arrow-batched ``applyInPandas`` kernel per user, O(events-per-user)
+    per group with plain-Python integer arithmetic (exact, no int64
+    overflow on hostile timestamps). The DuckDB twin is a recursive CTE
+    marching rn → rn+1 — genuinely SQL-expressible, so the seat keeps a
+    full oracle.
+
+    Ordering contract (io.py quarantine note): events order per user by
+    (ts ASC, event_id ASC NULLS LAST) — the repo-wide chain convention.
+    Keyless ties at one instant stay hash-deterministic here even
+    beyond that contract: tied rows see Δt = 0, so the multiset of
+    (identity, admitted, bucket) tuples is order-invariant within the
+    tie group.
+
+    At 100 TB: one shuffle on user_id (window + grouped kernel share
+    the partitioning), kernel state is one integer per user, groups are
+    per-user event counts — bounded; the reattach join is a co-keyed
+    equi-join on (user_id, rn)."""
+    import pandas as pd
+
+    base = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("_ts_us"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.asc_nulls_last("event_id")
+            )
+        ),
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        bucket = RL_CAP_MTOK
+        prev_us: int | None = None
+        admitted: list[bool] = []
+        levels: list[int] = []
+        for us in pdf["_ts_us"]:
+            us = int(us)  # Python int: exact past 2^53, no overflow
+            if prev_us is not None:
+                gap = min(us - prev_us, RL_GAP_FULL_US)
+                bucket = min(
+                    RL_CAP_MTOK,
+                    bucket + (gap * RL_REFILL_MTOK_PER_DAY) // DAY_US,
+                )
+            ok = bucket >= RL_COST_MTOK
+            if ok:
+                bucket -= RL_COST_MTOK
+            admitted.append(ok)
+            levels.append(bucket)
+            prev_us = us
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "_rn": pdf["_rn"],
+                "admitted": admitted,
+                "bucket_mtok": levels,
+            }
+        )
+
+    decided = base.select("user_id", "_rn", "_ts_us").groupBy("user_id").applyInPandas(
+        _kernel, "user_id long, _rn int, admitted boolean, bucket_mtok long"
+    )
+    return base.join(decided, ["user_id", "_rn"]).select(
+        "user_id", "ts", "event_id", "admitted", "bucket_mtok"
+    )
+
+
+def build_rate_limit(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return rate_limit_events(timed_events(load_star(spark, sf_dir)["events"]), ctx)
+
+
+ORACLE_SQL_RATE_LIMIT = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC NULLS LAST) AS INTEGER) AS rn
+  FROM {EVENTS_CLEAN_SQL}
+),
+rl AS (
+  SELECT user_id, us, rn,
+         {RL_CAP_MTOK} >= {RL_COST_MTOK} AS admitted,
+         CAST({RL_CAP_MTOK} - CASE WHEN {RL_CAP_MTOK} >= {RL_COST_MTOK}
+              THEN {RL_COST_MTOK} ELSE 0 END AS BIGINT) AS bucket_mtok
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT user_id, us, rn,
+         nb >= {RL_COST_MTOK} AS admitted,
+         nb - CASE WHEN nb >= {RL_COST_MTOK} THEN {RL_COST_MTOK} ELSE 0 END
+           AS bucket_mtok
+  FROM (
+    SELECT o.user_id, o.us, o.rn,
+           LEAST({RL_CAP_MTOK},
+                 r.bucket_mtok
+                 + (LEAST(o.us - r.us, {RL_GAP_FULL_US})
+                    * {RL_REFILL_MTOK_PER_DAY}) // {DAY_US}) AS nb
+    FROM rl r JOIN ordered o
+      ON o.user_id = r.user_id AND o.rn = r.rn + 1
+  )
+)
+SELECT o.user_id, o.ts, o.event_id, r.admitted, r.bucket_mtok
+FROM rl r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn
+"""

@@ -170,6 +170,53 @@ def test_asof_join_tie_and_cutoff_semantics(spark):
     assert out[6]["last_purchase_value"] == 9.0
 
 
+def test_rate_limit_burst_refill_clamp(spark):
+    """Pins the token-bucket recurrence: burst exhaustion at capacity,
+    rejection once empty, linear refill with truncation, clamp back at
+    capacity after a long gap, and per-user isolation."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.temporal import (
+        RL_CAP_MTOK,
+        rate_limit_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 7: 4 rapid events — 3 admitted (burst), 4th rejected
+        (1, s(0), 7, "click", 1.0, None),
+        (2, s(1), 7, "click", 1.0, None),
+        (3, s(2), 7, "click", 1.0, None),
+        (4, s(3), 7, "click", 1.0, None),
+        # half a day later: refill = 0.5 token < cost → still rejected
+        (5, s(43_200), 7, "click", 1.0, None),
+        # 1.5 days after event 5 → bucket 0.5 + 1.5 = 2.0 → admitted
+        (6, s(43_200 + 129_600), 7, "click", 1.0, None),
+        # 100 days later: clamped at capacity, then one consume
+        (7, s(43_200 + 129_600 + 8_640_000), 7, "click", 1.0, None),
+        # user 8 is isolated: full burst available
+        (8, s(2), 8, "click", 1.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in rate_limit_events(events).collect()}
+    assert [out[i]["admitted"] for i in range(1, 8)] == [
+        True, True, True, False, False, True, True,
+    ]
+    # 1-second gaps each refill (1e6·1e6)//86.4e9 = 11 µtok
+    assert out[3]["bucket_mtok"] == 22
+    # 43_197 s ≈ half a day → +499_965; 33 + it < cost, kept on reject
+    assert out[5]["bucket_mtok"] == 499_998
+    # +1.5 days = +1_500_000 exactly → admitted, one consume
+    assert out[6]["bucket_mtok"] == 999_998
+    assert out[7]["bucket_mtok"] == RL_CAP_MTOK - 1_000_000  # clamped
+    assert out[8]["admitted"] and out[8]["bucket_mtok"] == RL_CAP_MTOK - 1_000_000
+
+
 def test_range_join_window_boundaries(spark):
     """Bucketized range join: inclusive at +window, exclusive after, and
     pairs crossing an hour-bucket boundary are found exactly once."""

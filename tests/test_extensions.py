@@ -154,6 +154,60 @@ def test_cosine_topk_ranks(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_hybrid_rerank_lexical_gate_and_cosine_order(spark):
+    """The hybrid's two contracts on a hand-built frame: (1) the
+    LEXICAL stage gates — the globally-nearest vector is EXCLUDED when
+    its document shares no shingle with the query (hybrid ≠ pure ANN);
+    (2) among lexical candidates the rank follows the exact cosine."""
+    from demo_etl_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),  # the query
+            (1, "alpha beta gamma zeta"),  # shares 'alpha beta gamma'
+            (2, "totally different words here"),  # no shared shingle
+            (3, "beta gamma delta omega"),  # shares 'beta gamma delta'
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.6, 0.8, 0.0, 0.0]),  # cos 0.6 to the query
+            (2, [1.0, 0.01, 0.0, 0.0]),  # cos ~1.0 — nearest, but gated
+            (3, [0.9, 0.0, 0.4359, 0.0]),  # cos ~0.9
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.hybrid_rerank(docs, emb, n_queries=1).collect()
+    got = [(r["candidate_id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(3, 1), (1, 2)]  # doc2 excluded; cosine order 3 > 1
+    assert all(r["overlap"] >= 1 for r in rows)
+
+
+def test_hybrid_rerank_registry_shape(spark, sf_dir):
+    """Registry seat sanity at sf0.001: ≤ k rows per query, contiguous
+    ranks from 1, rank order consistent with the cosine."""
+    from demo_etl_spark.operators import similarity
+
+    out = similarity.build_hybrid(spark, sf_dir).cache()
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("mx"),
+        F.min("rank").alias("mn"),
+    )
+    assert per_q.filter(
+        (F.col("n") > 5) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+    ).count() == 0
+    bad = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank") < F.col("b.rank"))
+        & (F.col("a.cosine") < F.col("b.cosine")),
+    )
+    assert bad.count() == 0
+
+
 def test_blocked_near_dup_matches_bruteforce(spark, tables):
     """The block-partitioned numpy kernel is EXACT: identical pairs and
     fixed-point cosines as the brute-force column-expression twin."""
