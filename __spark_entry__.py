@@ -144,7 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and joins the r13 stalest pool head
         "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "orders_merge_upsert": _cdc.build_merge_upsert,
-        "packing_tokens_canary": _packing.build_packing_tokens_canary,
+        # r12 first-time seat (new queries gate within one round): the
+        # hybrid path's recall audit on the shared _recall_at_k harness
+        # (fourth member: LSH, IVF, PQ, hybrid); packing_tokens_canary
+        # (r8) yields its seat — its twin offsets canary sat r11 — and
+        # joins the r13 stalest pool head
+        "similarity_hybrid_recall": _similarity.build_hybrid_recall,
         "part_pagerank": _graph.build_pagerank,
         "salted_order_join": _skew.build_salted_order_join,
         "shard_manifest": _packing.build_shard_manifest,
@@ -168,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle can hash-match a sketch seat).
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
         "shipping_priority_sql": _sql.build_shipping_priority,
+        "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -369,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_pq_topk": _similarity.ORACLE_SQL_PQ_TOPK,
         "similarity_pq_recall": _similarity.ORACLE_SQL_PQ_RECALL,
         "similarity_hybrid_rerank": _similarity.ORACLE_SQL_HYBRID,
+        "similarity_hybrid_recall": _similarity.ORACLE_SQL_HYBRID_RECALL,
         "events_tumbling": _events.ORACLE_SQL_TUMBLING,
         "events_session": _events.ORACLE_SQL_SESSION,
         "events_daily_rollup": _events.ORACLE_SQL_DAILY_ROLLUP,

@@ -2343,6 +2343,55 @@ FROM ranked WHERE rank <= {TOP_K}
 ORACLE_SQL_HYBRID = _hybrid_oracle()
 
 
+def hybrid_recall(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query recall@k of the hybrid lexical→vector path against the
+    exact brute-force top-k — the fourth member of the shared
+    ``_recall_at_k`` audit family (LSH, IVF, PQ, hybrid). On this
+    synthetic corpus text shingles and embedding geometry are largely
+    independent, so the number reads LOW by construction (0.0–0.4) —
+    the gate's value is that the number is deterministic and
+    hash-pinned: a lexical-stage change that silently shifts what the
+    rerank can see fails correctness, not a dashboard."""
+    return _recall_at_k(
+        cosine_topk(embeddings, ctx, n_queries, k),
+        hybrid_rerank(
+            documents, embeddings, ctx, n_queries, k, index=index
+        ),
+    )
+
+
+def build_hybrid_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.operators.dedup import MAX_SHINGLE_DF, _cached_index
+
+    star = load_star(spark, sf_dir)
+    # exact side joins the SAME memoized top-k frame the standalone
+    # topk seat returns; the hybrid side is cheap (memoized shingle
+    # index + candidate-only rerank) and is recomputed
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_raw"),
+        hybrid_rerank(
+            star["documents"],
+            star["embeddings"],
+            ctx,
+            index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        ),
+    )
+
+
+ORACLE_SQL_HYBRID_RECALL = _recall_oracle_sql(
+    ORACLE_SQL_TOPK, ORACLE_SQL_HYBRID
+)
+
+
 def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     """Shared-memo warmer (io.register_memo_warmer contract): the Lloyd
     centroids (IVF + semantic dedup), every multi-consumer top-k memo

@@ -341,18 +341,26 @@ def rate_limit_events(
     equi-join on (user_id, rn)."""
     import pandas as pd
 
-    base = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("_ts_us"),
-    ).withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("user_id").orderBy(
-                F.col("ts").asc(), F.asc_nulls_last("event_id")
-            )
-        ),
+    from demo_etl_spark.io import register_persist
+
+    # base fans out to two consumers (the kernel input and the identity
+    # reattach join) — persist so the ordering window runs once (C1
+    # discipline; without it the static plan duplicates the whole
+    # window subtree)
+    base = register_persist(
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("_ts_us"),
+        ).withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc(), F.asc_nulls_last("event_id")
+                )
+            ),
+        )
     )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:

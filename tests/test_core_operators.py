@@ -217,6 +217,69 @@ def test_rate_limit_burst_refill_clamp(spark):
     assert out[8]["admitted"] and out[8]["bucket_mtok"] == RL_CAP_MTOK - 1_000_000
 
 
+def test_rate_limit_matches_reference_on_random_streams(spark):
+    """Property pin: the distributed applyInPandas kernel equals an
+    independent driver-side implementation of the same recurrence on
+    random event streams (including exact-timestamp ties, where
+    event_id order decides), and the bucket stays within [0, CAP]."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.temporal import (
+        DAY_US,
+        RL_CAP_MTOK,
+        RL_COST_MTOK,
+        RL_GAP_FULL_US,
+        RL_REFILL_MTOK_PER_DAY,
+        rate_limit_events,
+    )
+
+    def reference(offsets_sorted):
+        b, prev, out = RL_CAP_MTOK, None, []
+        for off in offsets_sorted:
+            us = off * 1_000_000
+            if prev is not None:
+                gap = min(us - prev, RL_GAP_FULL_US)
+                b = min(RL_CAP_MTOK, b + gap * RL_REFILL_MTOK_PER_DAY // DAY_US)
+            ok = b >= RL_COST_MTOK
+            if ok:
+                b -= RL_COST_MTOK
+            out.append((ok, b))
+            prev = us
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=400_000),  # ≤ ~4.6 days
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(offsets):
+        offsets = sorted(offsets)  # ties stay adjacent; event_id decides
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i + 1, t0 + dt.timedelta(seconds=off), 7, "click", 1.0, None)
+            for i, off in enumerate(offsets)
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        got = {
+            r["event_id"]: (r["admitted"], r["bucket_mtok"])
+            for r in rate_limit_events(events).collect()
+        }
+        for i, expect in enumerate(reference(offsets)):
+            assert got[i + 1] == expect
+            assert 0 <= got[i + 1][1] <= RL_CAP_MTOK
+
+    check()
+
+
 def test_range_join_window_boundaries(spark):
     """Bucketized range join: inclusive at +window, exclusive after, and
     pairs crossing an hour-bucket boundary are found exactly once."""

@@ -208,6 +208,20 @@ def test_hybrid_rerank_registry_shape(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_hybrid_recall_bounds_and_k(spark, sf_dir):
+    """The hybrid recall audit: k rows per query (the exact side's k),
+    hits ≤ k, recall in [0, 1], and hits consistent with recall."""
+    from demo_etl_spark.operators import similarity
+
+    rows = similarity.build_hybrid_recall(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["k"] == similarity.TOP_K
+        assert 0 <= r["hits"] <= r["k"]
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert abs(r["recall_at_k"] - round(r["hits"] / r["k"], 4)) < 1e-9
+
+
 def test_blocked_near_dup_matches_bruteforce(spark, tables):
     """The block-partitioned numpy kernel is EXACT: identical pairs and
     fixed-point cosines as the brute-force column-expression twin."""

@@ -123,6 +123,22 @@ ROWS = [
     ],
     (610, None, "en", "src_f"),                      # NULL text mid-pack
     (611, " ".join(f"tail{j}" for j in range(200)), "en", "src_f"),
+    # r12 wave — hybrid retrieval (similarity_hybrid_rerank treats
+    # doc_id < 10 as its query docs; the hostile base tables copy
+    # sf0.001's embeddings, which cover vec_id 0..499, so these ids
+    # rerank against REAL vectors while the pathologies ride along).
+    # Without this wave the hybrid emitted 0 rows on the hostile corpus
+    # — a green that exercised nothing.
+    (1, "alpha beta gamma delta", "en", "src_q"),    # query; shares
+    #   shingles with doc 2 (embedded) AND doc 100 (no embedding —
+    #   pins the silent rerank-drop of an unembedded candidate)
+    (2, "alpha beta gamma zeta eta", "en", "src_q"),  # query+candidate
+    (1, "omega psi chi phi upsilon", "en", "src_q"),  # DUP query id,
+    #   different text: posting sets union under the hash-level distinct
+    (3, None, "en", "src_q"),                        # NULL-text query
+    (4, "pi rho sigma tau omega", "en", "src_q"),    # query whose ONLY
+    #   lexical match (doc 200) has no embedding → contributes no rows
+    (5, " ", "en", "src_q"),                         # whitespace query
 ]
 
 
