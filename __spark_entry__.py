@@ -151,7 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins the r13 stalest pool head
         "similarity_hybrid_recall": _similarity.build_hybrid_recall,
         "part_pagerank": _graph.build_pagerank,
-        "salted_order_join": _skew.build_salted_order_join,
+        # r12 first-time seat (new queries gate within one round):
+        # two-sided CUSUM revenue drift detection (prefix-min closed
+        # form — pure windows); salted_order_join (r8) yields its seat
+        # (its oracle twin bucketed_order_join stays seated this round)
+        # and joins the r13 stalest pool head
+        "revenue_cusum": _timeseries.build_cusum,
         "shard_manifest": _packing.build_shard_manifest,
         # r12 first-time seat (new queries gate within one round):
         # per-user token-bucket admission — the applyInPandas stateful
@@ -174,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_order_topk_sql": _suite.build_lateral_order_topk,
         "shipping_priority_sql": _sql.build_shipping_priority,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
+        "salted_order_join": _skew.build_salted_order_join,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -403,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _events.ORACLE_SQL_COHORT_RETENTION,
         "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
         "revenue_seasonality": _timeseries.ORACLE_SQL_SEASONALITY,
+        "revenue_cusum": _timeseries.ORACLE_SQL_CUSUM,
         "revenue_decompose": _timeseries.ORACLE_SQL_DECOMPOSE,
         "revenue_forecast_backtest": _timeseries.ORACLE_SQL_FORECAST_BACKTEST,
         "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,

@@ -354,6 +354,126 @@ FROM m
 """
 
 
+# ----------------------------------- CUSUM drift detection -------------
+#: alarm when the cumulative revenue excess/deficit tops this many
+#: MEAN-DAYS of revenue (the CUSUM decision interval h, expressed
+#: scale-free so the threshold survives any corpus size)
+CUSUM_ALARM_MEAN_DAYS = 2
+
+
+def revenue_cusum(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint/drift detection over daily revenue —
+    the statistical-process-control monitor (Page 1954): upward CUSUM
+    S⁺_k = max(0, S⁺_{k-1} + dev_k) flags sustained drift ABOVE the
+    corpus mean, downward symmetric. The clamped recurrence looks
+    stateful, but has the classic prefix closed form
+    S⁺_k = S'_k − min(0, min_{j≤k} S'_j) over the plain running sum S'
+    of deviations — so the whole operator is TWO ordered windows
+    (running sum, running min/max) over the date-grain aggregate, no
+    kernel, no iteration; rows = distinct days, bounded at any corpus
+    size (the W2/W3 argument).
+
+    Exactness: deviations are cross-multiplied (rev·D − total — no mean
+    division), computed on CENTS (``rev_c div 100``, truncated toward
+    zero identically in both engines; revenue ten-thousandths are not
+    cent-multiples after the 4-decimal discount product, so cents are
+    the DECLARED unit) for the same 100× overflow headroom as
+    seasonality: |S'| ≤ D·max|dev| ≈ 2.4e16 at sf0.1, 2.4e18 only at
+    sf100. The alarm compares integers (S⁺ > h·total_cc); only the
+    report ratios round, NULL-guarded on a zero-revenue corpus.
+
+    Reading the flags: deviations are vs the GLOBAL mean, so a series
+    with a long ramp (TPC-H revenue grows over its 6 years) spends its
+    early half under the mean and its late half over it — both CUSUMs
+    ratchet and most late days alarm both directions. That is CUSUM's
+    documented behavior on a trending series (the monitor says "this
+    is not a flat process", loudly); h (CUSUM_ALARM_MEAN_DAYS) is the
+    sensitivity dial and every number is hash-pinned regardless."""
+    daily = _daily_agg(lineitem, orders).select("date", "rev_c")
+    w_all = Window.partitionBy()
+    w_run = Window.orderBy(F.asc_nulls_last("date")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = (
+        daily.withColumn("_rev_cc", F.expr("rev_c div 100"))
+        .withColumn("_total_cc", F.sum("_rev_cc").over(w_all))
+        .withColumn("_days", F.count(F.lit(1)).over(w_all))
+        .withColumn("_dev", F.expr("_rev_cc * _days - _total_cc"))
+        .withColumn("_s", F.sum("_dev").over(w_run))
+        .withColumn("_runmin", F.min("_s").over(w_run))
+        .withColumn("_runmax", F.max("_s").over(w_run))
+        .withColumn("_cu", F.expr("_s - least(0L, _runmin)"))
+        .withColumn("_cd", F.expr("greatest(0L, _runmax) - _s"))
+    )
+    thr = CUSUM_ALARM_MEAN_DAYS
+    return d.select(
+        "date",
+        round_div("rev_c", "10000", 2).alias("total_revenue"),
+        round_div("_dev", "_days * 100", 2).alias("dev_from_mean"),
+        F.when(
+            F.col("_total_cc") != 0, round_div("_cu", "_total_cc", 4)
+        ).alias("cusum_up_mean_days"),
+        F.expr(f"_cu > {thr} * _total_cc").alias("drift_up"),
+        F.when(
+            F.col("_total_cc") != 0, round_div("_cd", "_total_cc", 4)
+        ).alias("cusum_down_mean_days"),
+        F.expr(f"_cd > {thr} * _total_cc").alias("drift_down"),
+    )
+
+
+def build_cusum(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return revenue_cusum(t["lineitem"], t["orders"], ctx)
+
+
+ORACLE_SQL_CUSUM = f"""
+WITH a AS ({_DAILY_SQL}),
+d AS (
+  SELECT date, rev_c,
+         rev_c // 100 AS rev_cc,
+         CAST(SUM(rev_c // 100) OVER () AS BIGINT) AS total_cc,
+         CAST(COUNT(*) OVER () AS BIGINT) AS days
+  FROM a
+),
+s AS (
+  SELECT *,
+         CAST(rev_cc * days - total_cc AS BIGINT) AS dev,
+         CAST(SUM(rev_cc * days - total_cc) OVER w AS BIGINT) AS srun
+  FROM d
+  WINDOW w AS (ORDER BY date ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT *,
+         CAST(MIN(srun) OVER w AS BIGINT) AS runmin,
+         CAST(MAX(srun) OVER w AS BIGINT) AS runmax
+  FROM s
+  WINDOW w AS (ORDER BY date ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT date,
+       {_rd("rev_c", "10000", 2)} AS total_revenue,
+       {_rd("dev", "days * 100", 2)} AS dev_from_mean,
+       CASE WHEN total_cc <> 0 THEN
+         {_rd("srun - LEAST(0, runmin)", "total_cc", 4)} END
+         AS cusum_up_mean_days,
+       srun - LEAST(0, runmin) > {CUSUM_ALARM_MEAN_DAYS} * total_cc
+         AS drift_up,
+       CASE WHEN total_cc <> 0 THEN
+         {_rd("GREATEST(0, runmax) - srun", "total_cc", 4)} END
+         AS cusum_down_mean_days,
+       GREATEST(0, runmax) - srun > {CUSUM_ALARM_MEAN_DAYS} * total_cc
+         AS drift_down
+FROM r
+"""
+
+
 # ----------------------------------- classical decomposition -----------
 def revenue_decompose(
     orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT

@@ -106,6 +106,38 @@ def test_trend_moving_avg_calendar_frame(spark):
     assert out[datetime.date(2001, 1, 12)]["revenue_7day_avg"] == 400.0
 
 
+def test_cusum_closed_form_hand_series(spark):
+    """Pins the CUSUM prefix closed form on a hand-computed series
+    (100, 100, 100, 1000 dollars): the deficit CUSUM peaks on day 3
+    (drift_down fires), the day-4 spike pays it back and trips
+    drift_up, and the mean-days ratios are exact HALF_UP 4dp."""
+    from demo_etl_spark.operators.timeseries import revenue_cusum
+
+    revs = [100.0, 100.0, 100.0, 1000.0]  # mean 325 → dev -225 ×3, +675
+    lineitem = spark.createDataFrame(
+        [
+            (k + 1, 1, 1.0, v, 0.0, datetime.datetime(2024, 1, k + 1))
+            for k, v in enumerate(revs)
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(k + 1, 1) for k in range(4)], "o_orderkey long, o_custkey long"
+    )
+    out = {r["date"]: r for r in revenue_cusum(lineitem, orders).collect()}
+    d = lambda n: datetime.date(2024, 1, n)  # noqa: E731
+    assert out[d(1)]["dev_from_mean"] == -225.0
+    assert out[d(4)]["dev_from_mean"] == 675.0
+    # S' = (-90000, -180000, -270000, 0) cents·days; total_cc = 130000
+    assert out[d(3)]["cusum_down_mean_days"] == round(270000 / 130000, 4)
+    assert out[d(3)]["drift_down"] is True  # 270000 > 2·130000
+    assert out[d(2)]["drift_down"] is False  # 180000 < 260000
+    assert out[d(4)]["cusum_up_mean_days"] == round(270000 / 130000, 4)
+    assert out[d(4)]["drift_up"] is True
+    assert out[d(1)]["cusum_up_mean_days"] == 0.0  # clamped at zero
+
+
 def test_asset_union_size_and_null_padding(spark, tables, sf_dir):
     from demo_etl_spark.operators import asset, customer, product
     from demo_etl_spark.schemas import SALES_ANALYTICS_ASSET

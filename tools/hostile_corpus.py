@@ -264,6 +264,14 @@ HOSTILE_EVENTS = [
     # Spark's bare ASC default the NULL row would win instead.
     (None, "2024-01-06 10:00:00", 931, "click", 1.0, None),
     (900037, "2024-01-06 10:00:00", 931, "view", 2.0, None),
+    # r12 (rate limiter): a PER-USER gap of 380 days. Any gap past ~107
+    # days makes the unclamped refill product Δµs·1e6 overflow BIGINT —
+    # DuckDB would raise OUT_OF_RANGE while the Python-int kernel sails
+    # on, so this pair is the corpus pin of events_rate_limit's
+    # LEAST(Δµs, RL_GAP_FULL_US) clamp (no single user spanned more
+    # than a day before this wave).
+    (900038, "2024-01-06 10:00:00", 932, "view", 1.0, None),
+    (900039, "2025-01-21 10:00:00", 932, "click", 1.0, None),
 ]
 HOSTILE_ORDERS = [
     # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
