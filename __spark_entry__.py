@@ -164,7 +164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shipping_priority_sql (r8) yields its seat and joins the r13
         # stalest pool head
         "events_rate_limit": _temporal.build_rate_limit,
-        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
+        # r12 first-time seat (new queries gate within one round):
+        # linear-interpolation gapfill (interpolate() companion of the
+        # locf gapfill, exact cross-multiplied cents);
+        # streaming_enriched_rollup (r8) yields its seat and joins the
+        # r13 stalest pool head
+        "events_gapfill_interp": _events.build_gapfill_interp,
         # r12-touched re-gate (late-landing clause): scd2_history's sort
         # went explicit NULLS LAST this round; top_supplier_sql (r8)
         # yields its seat and heads the r13 stalest pool
@@ -180,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_sql": _sql.build_shipping_priority,
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "salted_order_join": _skew.build_salted_order_join,
+        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -472,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_budget_take": _curation.ORACLE_SQL_BUDGET_TAKE,
         "events_hourly_anomaly": _events.ORACLE_SQL_HOURLY_ANOMALY,
         "events_gapfill": _events.ORACLE_SQL_GAPFILL,
+        "events_gapfill_interp": _events.ORACLE_SQL_GAPFILL_INTERP,
         "events_lateness_audit": _events.ORACLE_SQL_LATENESS,
         "text_noise_scan": _text.ORACLE_SQL_NOISE,
         "events_unpivot": _events.ORACLE_SQL_UNPIVOT,

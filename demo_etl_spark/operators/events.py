@@ -1372,6 +1372,156 @@ FROM filled
 """
 
 
+def gapfill_interp_hourly(
+    events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """LINEAR-interpolation gapfill — the ``interpolate()`` companion
+    of ``gapfill_hourly``'s locf(): every gap hour between two observed
+    hours gets the time-weighted line between them,
+    v = v_p + (v_n − v_p)·(h − p)/(n − p), evaluated as ONE exact
+    rational — cross-multiplied integer numerator
+    v_p·(n − p) + (v_n − v_p)·(h − p) over (n − p) hours, HALF_UP at
+    2dp via the sign-safe ``round_div`` (values may be negative).
+    Arithmetic runs on truncated CENTS (``div 100``, identical
+    truncation both engines — same declared unit as revenue_cusum) so
+    the hour-span product keeps 100× overflow headroom (1e11 cents ×
+    1e5 hours = 1e16 ≪ 2^63 at 100 TB).
+
+    Bracketing: an hour with events but an all-NULL value column is
+    NOT an observation (the carried (hour, value) pair comes from the
+    same ``WHEN value IS NOT NULL`` rows on both engines); rows before
+    the first / after the last observation of a type interpolate to
+    NULL. Observed hours report their own value. Same plan scaling as
+    gapfill_hourly: the grid is types × hours — time range, not event
+    volume; two ordered windows per type (prev-carry, next-carry) over
+    the grid."""
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(money_fixed(F.col("value"))).alias("_val_fx"))
+        .withColumn("_val_cc", F.expr("CAST(_val_fx div 100 AS BIGINT)"))
+        .drop("_val_fx")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_lo"),
+        F.date_trunc("hour", F.max("ts")).alias("_hi"),
+    )
+    types = F.array(*[F.lit(t) for t in EVENT_TYPES])
+    grid = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        )
+    ).crossJoin(
+        F.broadcast(
+            events.sparkSession.range(1).select(
+                F.explode(types).alias("event_type")
+            )
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # "next observation" via the REVERSED ordering with an unbounded-
+    # PRECEDING frame: Spark's UnboundedPreceding frame keeps O(1)
+    # running state per row, while first(ignorenulls) over
+    # (currentRow, unboundedFollowing) RE-SCANS forward per row —
+    # O(rows²) per partition, measured MINUTES on the hostile grid's
+    # 483k-hour gap-heavy partitions vs seconds for this spelling
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_h = F.when(F.col("_val_cc").isNotNull(), F.expr("unix_seconds(hour) div 3600"))
+    filled = (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("_h", F.expr("unix_seconds(hour) div 3600"))
+        .withColumn("_pv", F.last("_val_cc", ignorenulls=True).over(w_prev))
+        .withColumn("_ph", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("_nv", F.last("_val_cc", ignorenulls=True).over(w_next))
+        .withColumn("_nh", F.last(obs_h, ignorenulls=True).over(w_next))
+    )
+    # at an observed hour _ph == _nh == _h and the formula degenerates
+    # to the observed value with denominator 0 — select it directly
+    interp = F.when(F.col("_val_cc").isNotNull(), round_div("_val_cc", "100", 2)).otherwise(
+        F.when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            round_div(
+                "_pv * (_nh - _ph) + (_nv - _pv) * (_h - _ph)",
+                "(_nh - _ph) * 100",
+                2,
+            ),
+        )
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("_val_cc").isNull().alias("is_gap"),
+        F.when(
+            F.col("_val_cc").isNotNull(), round_div("_val_cc", "100", 2)
+        ).alias("hour_value"),
+        interp.alias("interp_value"),
+    )
+
+
+def build_gapfill_interp(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return gapfill_interp_hourly(load_star(spark, sf_dir)["events"], ctx)
+
+
+ORACLE_SQL_GAPFILL_INTERP = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM({_VAL_C}) AS BIGINT) // 100 AS val_cc
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT unnest({list(EVENT_TYPES)}) AS event_type) t,
+       bounds,
+       unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR))
+         AS g(hour)
+),
+filled AS (
+  SELECT g.event_type, g.hour, h.val_cc,
+         CAST(epoch(g.hour) AS BIGINT) // 3600 AS hn,
+         last_value(h.val_cc IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN h.val_cc IS NOT NULL
+                    THEN CAST(epoch(g.hour) AS BIGINT) // 3600 END
+                    IGNORE NULLS) OVER wp AS ph,
+         last_value(h.val_cc IGNORE NULLS) OVER wn AS nv,
+         last_value(CASE WHEN h.val_cc IS NOT NULL
+                    THEN CAST(epoch(g.hour) AS BIGINT) // 3600 END
+                    IGNORE NULLS) OVER wn AS nh
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour = h.hour
+  WINDOW
+    wp AS (PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY g.event_type ORDER BY g.hour DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour,
+       val_cc IS NULL AS is_gap,
+       CASE WHEN val_cc IS NOT NULL
+            THEN {round_div_expr("val_cc", "100", 2, "duckdb")} END
+         AS hour_value,
+       CASE WHEN val_cc IS NOT NULL
+            THEN {round_div_expr("val_cc", "100", 2, "duckdb")}
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN {round_div_expr("pv * (nh - ph) + (nv - pv) * (hn - ph)",
+                                 "(nh - ph) * 100", 2, "duckdb")}
+       END AS interp_value
+FROM filled
+"""
+
+
 # ------------------------------------------ watermark design audit -----
 #: lateness histogram fence-posts (seconds); ∞ bucket catches the rest
 LATENESS_BUCKETS = (0, 60, 300, 3600, 86400)

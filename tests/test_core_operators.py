@@ -106,6 +106,50 @@ def test_trend_moving_avg_calendar_frame(spark):
     assert out[datetime.date(2001, 1, 12)]["revenue_7day_avg"] == 400.0
 
 
+def test_gapfill_interp_line_and_brackets(spark):
+    """Pins the linear interpolation: gap hours land exactly on the
+    time-weighted line between bracketing observations, a valueless
+    hour (events present, NULL value) is NOT an observation, and hours
+    outside the bracket interpolate to NULL."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.events import gapfill_interp_hourly
+
+    h = lambda k: dt.datetime(2024, 1, 1, k)  # noqa: E731
+    rows = [
+        (1, h(0), 7, "purchase", 10.0, None),
+        # h(1), h(2): true gaps → 20.0, 30.0 on the line to h(3)
+        (2, h(3), 7, "purchase", 40.0, None),
+        # h(4): events exist but value NULL → NOT an observation
+        (3, h(4), 7, "purchase", None, None),
+        (4, h(6), 7, "purchase", 100.0, None),  # h(5): line 40→100
+        # a second type pins partition isolation + the outside-bracket NULL
+        (5, h(2), 7, "view", 1.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["event_type"], r["hour"].hour): r
+        for r in gapfill_interp_hourly(events).collect()
+    }
+    p = lambda k: out[("purchase", k)]  # noqa: E731
+    assert p(0)["interp_value"] == 10.0 and p(0)["is_gap"] is False
+    assert p(1)["interp_value"] == 20.0 and p(1)["is_gap"] is True
+    assert p(2)["interp_value"] == 30.0
+    assert p(3)["interp_value"] == 40.0
+    # h(4) is valueless: interpolates 40 → 100 over 3 hours = 60
+    assert p(4)["is_gap"] is True and p(4)["interp_value"] == 60.0
+    assert p(5)["interp_value"] == 80.0
+    assert p(6)["interp_value"] == 100.0
+    # 'view' observed only at h(2): before/after the bracket → NULL
+    assert out[("view", 2)]["interp_value"] == 1.0
+    assert out[("view", 0)]["interp_value"] is None
+    assert out[("view", 6)]["interp_value"] is None
+
+
 def test_cusum_closed_form_hand_series(spark):
     """Pins the CUSUM prefix closed form on a hand-computed series
     (100, 100, 100, 1000 dollars): the deficit CUSUM peaks on day 3
