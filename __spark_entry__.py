@@ -126,8 +126,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (hash-verified identical); key_skew_profile (r8) yields its
         # seat and joins the r13 stalest pool head
         "corpus_mixture_plan": _curation.build_mixture_plan,
-        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
-        "lang_id": _text.build_lang_id,
+        # r12 first-time seat (new queries gate within one round):
+        # log-domain per-doc surprisal in whole bits (integer-exact
+        # ⌊log₂⌋ via length(bin(x)) — the hash-exact unigram-LM quality
+        # score); kmv_distinct_ngrams (r8) yields its seat and joins
+        # the r13 stalest pool head
+        "doc_surprisal_bits": _text.build_doc_surprisal,
+        # r12 first-time seat (new queries gate within one round):
+        # Benford first-digit forensics over order amounts (integer
+        # leading digit from the BIGINT lift's decimal string, bp
+        # literals); lang_id (r8) yields its seat and joins the r13
+        # stalest pool head
+        "orders_benford_audit": _quality.build_benford,
         # r12-touched re-gate (late-landing clause): session_attribution
         # went explicit NULLS LAST this round; last_shipment_sql (r8)
         # yields its seat and joins top_supplier_sql at the head of the
@@ -186,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_tokens_canary": _packing.build_packing_tokens_canary,
         "salted_order_join": _skew.build_salted_order_join,
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
+        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
+        "lang_id": _text.build_lang_id,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -460,11 +472,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_agreement": _dedup.ORACLE_SQL_METHOD_AGREEMENT,
         "corpus_source_profile": _text.ORACLE_SQL_SOURCE_PROFILE,
         "doc_typicality": _text.ORACLE_SQL_DOC_TYPICALITY,
+        "doc_surprisal_bits": _text.ORACLE_SQL_DOC_SURPRISAL,
         "part_hierarchy_sql": _suite.ORACLE_SQL_PART_HIERARCHY,
         "events_props_variant": _events.ORACLE_SQL_PROPS_VARIANT,
         "dedup_ann_pair_recall": _similarity.ORACLE_SQL_ANN_PAIR_RECALL,
         "data_quality_audit": _quality.ORACLE_SQL_QUALITY_AUDIT,
         "orders_profile": _quality.ORACLE_SQL_ORDERS_PROFILE,
+        "orders_benford_audit": _quality.ORACLE_SQL_BENFORD,
         "quarantine_audit": _quality.ORACLE_SQL_QUARANTINE_AUDIT,
         "events_funnel": _events.ORACLE_SQL_FUNNEL,
         # merged split-half rollup must equal the one-shot daily oracle

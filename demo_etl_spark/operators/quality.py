@@ -413,3 +413,142 @@ def _quarantine_audit_oracle() -> str:
 
 ORACLE_SQL_QUARANTINE_AUDIT = _quarantine_audit_oracle()
 
+
+
+# ------------------------------------------ Benford first-digit audit ----
+#: HALF_UP basis points of log10(1 + 1/d) — the Benford expectation per
+#: leading digit; the nine constants sum to exactly 10000 bp. Literals
+#: (public mathematical constants), so no transcendental log runs in
+#: either engine.
+BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+              6: 669, 7: 580, 8: 512, 9: 458}
+
+
+def orders_benford_audit(
+    orders: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the classic
+    fabricated-numbers screen (accounting forensics; Nigrini's test):
+    naturally-grown multiplicative amounts follow P(d) = log10(1+1/d),
+    while generated/fabricated/capped amounts (TPC-H's uniform prices
+    very much included — the audit EXISTS to say so) deviate loudly.
+
+    Exactness: the leading digit comes from the ten-thousandths BIGINT
+    lift's decimal string (integer→string is identical across engines;
+    no float repr is ever consulted), shares are exact-integer basis
+    points (``fixed_ratio``), and the Benford expectations are HALF_UP
+    bp literals summing to exactly 10000 — so deviation_bp is pure
+    integer arithmetic under the hash gate. NULL / non-positive
+    amounts are excluded from the digit population (a leading digit is
+    undefined there) and surface in the excluded_rows count on the
+    digit-1 row. One map-side pass + a 9-row grid join; nothing scales
+    with anything but the scan."""
+    from demo_etl_spark.functions.fixedpoint import fixed_ratio
+    from demo_etl_spark.functions.scalars import money_fixed
+
+    amt = money_fixed(F.col("o_totalprice"))
+    pos = orders.select(amt.alias("_c")).filter(F.col("_c") > 0)
+    digits = pos.select(
+        F.expr("CAST(substr(CAST(_c AS STRING), 1, 1) AS INT)").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_amounts")
+    )
+    spark = orders.sparkSession
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("digit")
+    )
+    # COALESCE to 0: SUM over an EMPTY table is NULL in Spark while the
+    # oracle's COUNT(*) FILTER is 0 (all-empty-corpus divergence)
+    excluded = orders.select(
+        F.coalesce(
+            F.sum(
+                F.when(amt.isNull() | (amt <= 0), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("_excluded")
+    )
+    benford = F.create_map(
+        *[x for d, bp in BENFORD_BP.items() for x in (F.lit(d), F.lit(bp))]
+    )
+    w_all = F.expr("SUM(n_amounts) OVER ()")
+    return (
+        grid.join(counts, "digit", "left")
+        .withColumn("n_amounts", F.coalesce("n_amounts", F.lit(0)).cast("long"))
+        .withColumn("_total", w_all.cast("long"))
+        .crossJoin(F.broadcast(excluded))
+        .select(
+            "digit",
+            "n_amounts",
+            F.when(
+                F.col("_total") > 0,
+                fixed_ratio("n_amounts", "_total", 4),
+            ).alias("observed_bp"),
+            benford[F.col("digit")].cast("long").alias("benford_bp"),
+            F.when(
+                F.col("_total") > 0,
+                fixed_ratio("n_amounts", "_total", 4)
+                - benford[F.col("digit")].cast("long"),
+            ).alias("deviation_bp"),
+            F.when(F.col("digit") == 1, F.col("_excluded"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("excluded_rows"),
+        )
+    )
+
+
+def build_benford(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return orders_benford_audit(load_star(spark, sf_dir)["orders"], ctx)
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN {bp}" for d, bp in BENFORD_BP.items())
+        + " END"
+    )
+
+
+ORACLE_SQL_BENFORD = f"""
+WITH amt AS (
+  SELECT TRY_CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT) AS c
+  FROM orders
+),
+counts AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_amounts
+  FROM amt WHERE c > 0 GROUP BY 1
+),
+excluded AS (
+  SELECT CAST(COUNT(*) FILTER (c IS NULL OR c <= 0) AS BIGINT) AS ex
+  FROM amt
+),
+grid AS (SELECT unnest(range(1, 10)) AS digit),
+g AS (
+  SELECT grid.digit,
+         CAST(COALESCE(counts.n_amounts, 0) AS BIGINT) AS n_amounts,
+         CAST(SUM(COALESCE(counts.n_amounts, 0)) OVER () AS BIGINT) AS total
+  FROM grid LEFT JOIN counts ON grid.digit = counts.digit
+)
+SELECT CAST(g.digit AS INTEGER) AS digit,
+       g.n_amounts,
+       CASE WHEN g.total > 0 THEN
+         CAST((((g.n_amounts) * CAST(20000 AS BIGINT) + (g.total)) //
+               (CAST(2 AS BIGINT) * (g.total))) AS BIGINT) END
+         AS observed_bp,
+       CAST({_benford_case_sql().replace("digit", "g.digit")} AS BIGINT)
+         AS benford_bp,
+       CASE WHEN g.total > 0 THEN
+         CAST((((g.n_amounts) * CAST(20000 AS BIGINT) + (g.total)) //
+               (CAST(2 AS BIGINT) * (g.total))) AS BIGINT)
+         - CAST({_benford_case_sql().replace("digit", "g.digit")} AS BIGINT)
+       END AS deviation_bp,
+       CASE WHEN g.digit = 1 THEN excluded.ex ELSE CAST(0 AS BIGINT) END
+         AS excluded_rows
+FROM g, excluded
+"""

@@ -1137,6 +1137,92 @@ GROUP BY t.doc_id, t.source
 """
 
 
+def doc_surprisal_bits(
+    documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Per-document SURPRISAL in whole bits — the log-domain quality
+    twin of ``doc_typicality``: Σ over the doc's token occurrences of
+    (⌊log₂ N⌋ − ⌊log₂ tf⌋), N the corpus token-occurrence total and tf
+    the token's corpus count. Rare tokens dominate (each contributes up
+    to ~⌊log₂ N⌋ bits) — the shape of a unigram-LM negative
+    log-likelihood, which is exactly what perplexity filters rank by,
+    while typicality's linear-domain mean is boilerplate-dominated.
+    The integer trick making it hash-exact: ⌊log₂ x⌋ =
+    ``length(bin(x)) − 1`` on BIGINT in BOTH engines (no transcendental
+    float ln anywhere — the reason true log-prob scoring was declared
+    hash-fragile in doc_typicality's docstring; floor-quantized bits
+    are the exact-integer version of that score).
+
+    Plan shape: identical to doc_typicality — vocab-sized tf table
+    (broadcastable at any corpus size), one token-stream join, per-doc
+    agg with map-side combine; the N scalar is a window total over the
+    VOCAB-sized frame, never the corpus. Nothing quadratic, no
+    corpus-sized window."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("token"),
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tf = tf.withColumn(
+        "_n_total", F.sum("freq").over(Window.partitionBy())
+    ).withColumn(
+        "_bits",
+        F.expr(
+            "CAST(length(bin(_n_total)) - length(bin(freq)) AS BIGINT)"
+        ),
+    )
+    return (
+        tok.join(tf, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_bits").cast("long").alias("surprisal_bits"),
+        )
+        .withColumn(
+            "bits_per_token", round_div("surprisal_bits", "n_tokens", 2)
+        )
+    )
+
+
+def build_doc_surprisal(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return doc_surprisal_bits(load_star(spark, sf_dir)["documents"], ctx)
+
+
+ORACLE_SQL_DOC_SURPRISAL = f"""
+WITH tok AS (
+  SELECT doc_id, source, u.t AS token
+  FROM documents, unnest(string_split(COALESCE(text, ''), ' ')) AS u(t)
+),
+tf AS (
+  SELECT token, COUNT(*) AS freq,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM tok GROUP BY token
+),
+b AS (
+  SELECT token, freq,
+         CAST(length(bin(n_total)) - length(bin(freq)) AS BIGINT) AS bits
+  FROM tf
+),
+agg AS (
+  SELECT t.doc_id, t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(b.bits) AS BIGINT) AS surprisal_bits
+  FROM tok t JOIN b ON t.token = b.token
+  GROUP BY t.doc_id, t.source
+)
+SELECT doc_id, source, n_tokens, surprisal_bits,
+       {{BPT}} AS bits_per_token
+FROM agg
+""".replace(
+    "{BPT}", round_div_expr("surprisal_bits", "n_tokens", 2, "duckdb")
+)
+
+
 # ---------------------------------------- composite quality gate ----------
 #: the public web-corpus rule stack (Gopher/C4-style heuristics, all
 #: integer-exact). QG_KEEP_LANGS mirrors curation.KEEP_LANGS by value —

@@ -426,6 +426,30 @@ def test_funnel_requires_ordered_progression(spark):
     assert r["n_purchase_users"] == 1  # only user 2 purchased after click
 
 
+def test_benford_digit_extraction_and_bp(spark):
+    """Pins the leading-digit lift and exact-bp math: digits come from
+    the ten-thousandths BIGINT string, NULL/zero/negative amounts are
+    excluded (and counted on the digit-1 row), zero-count digits emit
+    grid rows, and the Benford literals sum to exactly 10000 bp."""
+    from demo_etl_spark.operators.quality import (
+        BENFORD_BP,
+        orders_benford_audit,
+    )
+
+    assert sum(BENFORD_BP.values()) == 10000
+    orders = spark.createDataFrame(
+        [(123.45,), (19.99,), (2000.0,), (-5.0,), (None,), (0.0,)],
+        "o_totalprice double",
+    )
+    out = {r["digit"]: r for r in orders_benford_audit(orders).collect()}
+    assert sorted(out) == list(range(1, 10))  # all 9 grid rows
+    assert out[1]["n_amounts"] == 2 and out[2]["n_amounts"] == 1
+    assert out[1]["observed_bp"] == 6667  # HALF_UP(2/3 · 10⁴)
+    assert out[1]["deviation_bp"] == 6667 - 3010
+    assert out[3]["n_amounts"] == 0 and out[3]["observed_bp"] == 0
+    assert out[1]["excluded_rows"] == 3 and out[2]["excluded_rows"] == 0
+
+
 def test_quality_audit_flags_injected_violations(spark, sf_dir, tables):
     """All-zero on the healthy warehouse; injected orphans/dups/domain
     breaches are counted exactly."""

@@ -208,6 +208,30 @@ def test_hybrid_rerank_registry_shape(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_doc_surprisal_integer_bits(spark):
+    """Pins the floor-log₂ surprisal on a hand corpus: tf(a)=5, tf(b)=
+    tf(c)=tf('')=1, N=8 → bits(a)=len(bin 8)−len(bin 5)=4−3=1,
+    bits(rare)=4−1=3; NULL text scores as the '' token like
+    doc_typicality."""
+    from demo_etl_spark.operators.text import doc_surprisal_bits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a", "s"),
+            (1, "a b", "s"),
+            (2, "c", "s"),
+            (3, None, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in doc_surprisal_bits(docs).collect()}
+    assert (out[0]["surprisal_bits"], out[0]["bits_per_token"]) == (4, 1.0)
+    assert (out[1]["surprisal_bits"], out[1]["bits_per_token"]) == (4, 2.0)
+    assert (out[2]["surprisal_bits"], out[2]["bits_per_token"]) == (3, 3.0)
+    assert out[3]["surprisal_bits"] == 3  # NULL text → one '' token
+    assert out[1]["n_tokens"] == 2
+
+
 def test_hybrid_recall_bounds_and_k(spark, sf_dir):
     """The hybrid recall audit: k rows per query (the exact side's k),
     hits ≤ k, recall in [0, 1], and hits consistent with recall."""

@@ -46,6 +46,7 @@ INTENDED = {
     "customer_rfm": "1-row min/max/count bounds attach per exact_global_rank call — the deterministic bucket split's input (optimal scalar attach)",
     "key_skew_profile": "1-row global-totals (count/nonnull/distinct) broadcast × the top-10 heavy-hitter rows (optimal scalar attach)",
     "corpus_temperature_sample": "1-row (Σw, Σdocs) totals broadcast × the sources table (dozens of rows) (optimal scalar attach)",
+    "orders_benford_audit": "1-row excluded-count scalar broadcast × the 9-digit grid (optimal scalar attach)",
     "similarity_pq_recall": "exact side is l2_topk's brute-force baseline: held-out query set (50 vectors) broadcast × candidates (same class as similarity_topk_cosine)",
 }
 
