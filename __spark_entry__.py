@@ -96,7 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _temporal.build_transitions,
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "multimodal_frames": _multimodal.build_frames,
-        "regional_sales": _star.build_regional,
+        # r12 first-time seat (new queries gate within one round):
+        # the COLOR netpbm branch — real P6 decode, per-channel RGB
+        # stats in exact integers; regional_sales (r7) yields its seat
+        # and heads the r13 stalest pool
+        "multimodal_color": _multimodal.build_color_channels,
         # ---- stalest rotation (last gated r8)
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "bucketed_order_join": _bucketed.build_bucketed_join,
@@ -198,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "lang_id": _text.build_lang_id,
+        "regional_sales": _star.build_regional,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -380,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _multimodal.ORACLE_SQL_AUDIO,
         "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
         "multimodal_decode_audit": _multimodal.ORACLE_SQL_MEDIA_AUDIT,
+        "multimodal_color": _multimodal.ORACLE_SQL_COLOR,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

@@ -624,3 +624,177 @@ SELECT media_id, media_type,
 FROM px
 GROUP BY media_id, media_type
 """
+
+
+# ------------------------------------------ P6 color-channel branch ----
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL binary-PPM (P6) decode — the COLOR netpbm branch: same
+    token/comment header grammar as ``decode_pgm`` but magic ``P6`` and
+    a 3-byte-per-pixel RGB raster. Kept as its own function (not a
+    parameterized refactor of decode_pgm) so the P5 decoder's
+    error-reason strings — hash-pinned by the media_decode_audit
+    oracle — cannot drift."""
+    payload = bytes(payload)
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return width, height, payload[pos : pos + 3 * width * height]
+
+
+def synthesize_color_media(documents: DataFrame) -> DataFrame:
+    """P6 twin of ``synthesize_media``: each payload is a REAL binary
+    PPM whose 3·w·h-byte RGB raster is the sanitized document text
+    space-padded/truncated — so byte j carries channel j mod 3. Same
+    identity discipline (NULL/negative ids out, duplicate ids collapse
+    to min text) and the same doc_id-modular geometry."""
+    d = (
+        documents.filter(F.col("doc_id") >= 0)
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "?"
+                )
+            ).alias("text")
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.expr(_W_EXPR).alias("_w"),
+            F.expr(_H_EXPR).alias("_h"),
+        )
+        .withColumn("_nbytes", (F.col("_w") * F.col("_h") * 3).cast("int"))
+    )
+    header = F.concat(
+        F.lit("P6 "),
+        F.col("_w").cast("string"),
+        F.lit(" "),
+        F.col("_h").cast("string"),
+        F.lit(" 255\n"),
+    )
+    raster = F.expr("rpad(text, _nbytes, ' ')")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(header, raster), "utf-8").alias("payload"),
+    )
+
+
+COLOR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_mean_x100", LongType()),
+        StructField("g_mean_x100", LongType()),
+        StructField("b_mean_x100", LongType()),
+        StructField("r_min", IntegerType()),
+        StructField("r_max", IntegerType()),
+        StructField("g_min", IntegerType()),
+        StructField("g_max", IntegerType()),
+        StructField("b_min", IntegerType()),
+        StructField("b_max", IntegerType()),
+    ]
+)
+
+
+def color_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel RGB statistics via the REAL P6 decode: numpy
+    stride-3 slices of the raster give each channel's sum/min/max; the
+    mean is exact HALF_UP ×100 in pure Python integers — the same
+    (s·200 + n) div (2n) spelling as functions.fixedpoint, so the SQL
+    twin reproduces every value bit-for-bit. Undecodable or
+    short-raster payloads quarantine (drop), never crash the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, raster = decode_ppm(payload)
+                except (ValueError, IndexError):
+                    continue
+                n = w * h
+                if n <= 0 or len(raster) != 3 * n:
+                    continue
+                arr = np.frombuffer(bytes(raster), dtype=np.uint8)
+                rec = [mid, w, h]
+                means, mins, maxs = [], [], []
+                for c in range(3):
+                    ch = arr[c::3]
+                    s = int(ch.sum(dtype=np.int64))
+                    means.append((s * 200 + n) // (2 * n))
+                    mins.append(int(ch.min()))
+                    maxs.append(int(ch.max()))
+                rec += means + [
+                    mins[0], maxs[0], mins[1], maxs[1], mins[2], maxs[2]
+                ]
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in COLOR_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, COLOR_SCHEMA)
+
+
+def build_color_channels(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    docs = load_star(spark, sf_dir)["documents"]
+    return color_channel_stats(synthesize_color_media(docs))
+
+
+def _ch_list_sql(c: int) -> str:
+    # channel c chars live at 1-based raster positions 3·i + c + 1
+    return (
+        "list_transform(range(0, CAST(w * h AS BIGINT)), "
+        f"i -> ascii(substr(raster, CAST(3 * i + {c + 1} AS BIGINT), 1)))"
+    )
+
+
+def _ch_cols_sql(c: int, name: str) -> str:
+    lst = _ch_list_sql(c)
+    return (
+        f"CAST((CAST(list_sum({lst}) AS BIGINT) * 200 + w * h) // "
+        f"(2 * (w * h)) AS BIGINT) AS {name}_mean_x100,\n"
+        f"       CAST(list_min({lst}) AS INTEGER) AS {name}_min,\n"
+        f"       CAST(list_max({lst}) AS INTEGER) AS {name}_max"
+    )
+
+
+ORACLE_SQL_COLOR = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST({_W_EXPR} AS INTEGER) AS w,
+         CAST({_H_EXPR} AS INTEGER) AS h,
+         rpad(text, CAST(3 * {_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+),
+s AS (
+  SELECT doc_id, w, h,
+       {_ch_cols_sql(0, "r")},
+       {_ch_cols_sql(1, "g")},
+       {_ch_cols_sql(2, "b")}
+  FROM m
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       r_mean_x100, g_mean_x100, b_mean_x100,
+       r_min, r_max, g_min, g_max, b_min, b_max
+FROM s
+"""

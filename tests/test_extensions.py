@@ -544,6 +544,42 @@ def test_pgm_decoder_is_a_real_decoder():
         multimodal.decode_pgm(b"P5 1 1 70000\nx")
 
 
+def test_ppm_color_decoder_and_channel_stats(spark):
+    """decode_ppm handles the full P6 grammar (comments, whitespace),
+    rejects P5/bad maxval, and the channel kernel computes exact
+    per-channel HALF_UP means and min/max on a hand raster."""
+    import pytest as _pytest
+
+    from demo_etl_spark.operators import multimodal
+
+    raster = bytes([10, 20, 30, 11, 21, 31])  # 2 px: R=(10,11) G=(20,21) B=(30,31)
+    p = b"P6\n# c\n 2\t1 # t\n255\n" + raster
+    assert multimodal.decode_ppm(p) == (2, 1, raster)
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5 1 1 255\nx")
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6 1 1 70000\nxxx")
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(p)),
+            (2, bytearray(b"not a ppm")),  # quarantined, not a crash
+            (3, bytearray(b"P6 9 9 255\nshort")),  # short raster → drop
+        ],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.color_channel_stats(media).collect()
+    assert [r["media_id"] for r in rows] == [1]
+    r = rows[0]
+    # mean×100 HALF_UP: R (10+11)/2=10.5 → 1050
+    assert (r["r_mean_x100"], r["g_mean_x100"], r["b_mean_x100"]) == (
+        1050, 2050, 3050,
+    )
+    assert (r["r_min"], r["r_max"]) == (10, 11)
+    assert (r["b_min"], r["b_max"]) == (30, 31)
+    assert (r["width"], r["height"]) == (2, 1)
+
+
 def test_streaming_dedup_absorbs_redelivery(spark, sf_dir):
     """At-least-once input (every event delivered twice) drains to
     exactly the batch-distinct event set."""
