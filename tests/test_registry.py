@@ -64,16 +64,28 @@ def test_registry_is_large_and_window_covers_families():
         "event_transitions",
         "session_attribution",
         "scd2_history",
-        # stalest-rotation representatives (r7/r8 pool)
+        # stalest-rotation representatives (r7/r8 pool; three earlier
+        # representatives — regional_sales, kmv_distinct_ngrams,
+        # streaming_enriched_rollup — yielded their seats to the r12
+        # late first-time queries below, per the new-queries-gate-
+        # within-one-round rule, and head the r13 stalest pool)
         "dedup_span_scrub",
         "doc_chunks",
         "embedding_pq",
         "multimodal_frames",
-        "regional_sales",
         "bpe_merges_batched",
         "part_pagerank",
-        "kmv_distinct_ngrams",
-        "streaming_enriched_rollup",
+        # r12 first-time seats (each must gate this round)
+        "similarity_hybrid_rerank",
+        "similarity_hybrid_recall",
+        "events_rate_limit",
+        "revenue_cusum",
+        "events_gapfill_interp",
+        "doc_surprisal_bits",
+        "orders_benford_audit",
+        "multimodal_color",
+        "corpus_pps_sample",
+        "corpus_budget_take",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
