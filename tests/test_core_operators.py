@@ -150,6 +150,62 @@ def test_gapfill_interp_line_and_brackets(spark):
     assert out[("view", 6)]["interp_value"] is None
 
 
+def test_gapfill_interp_matches_reference_on_random_series(spark):
+    """Property pin: on random sparse hourly observations the grid
+    interpolation equals an independent Python implementation of the
+    cross-multiplied formula (exact cents, HALF_UP 2dp), including the
+    outside-bracket NULLs."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.events import gapfill_interp_hourly
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=30),  # hour slots
+            st.integers(min_value=-50_00, max_value=50_00),  # cents
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(obs):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i + 1, t0 + dt.timedelta(hours=hr), 7, "view", c / 100.0, None)
+            for i, (hr, c) in enumerate(sorted(obs.items()))
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        got = {
+            int((r["hour"] - t0).total_seconds() // 3600): r["interp_value"]
+            for r in gapfill_interp_hourly(events).collect()
+            if r["event_type"] == "view"
+        }
+        hours = sorted(obs)
+        lo, hi = hours[0], hours[-1]
+        assert set(got) == set(range(lo, hi + 1))  # grid spans bounds
+
+        def half_up(num, den):  # sign-safe HALF_UP(num/den, 2) on cents
+            m, s = (num, 1) if num >= 0 else (-num, -1)
+            return s * ((m * 2 + den) // (2 * den)) / 100.0
+
+        for h in range(lo, hi + 1):
+            if h in obs:
+                assert got[h] == half_up(obs[h], 1)
+                continue
+            p = max(x for x in hours if x < h)
+            n = min(x for x in hours if x > h)
+            num = obs[p] * (n - p) + (obs[n] - obs[p]) * (h - p)
+            assert got[h] == half_up(num, n - p)
+
+    check()
+
+
 def test_cusum_closed_form_hand_series(spark):
     """Pins the CUSUM prefix closed form on a hand-computed series
     (100, 100, 100, 1000 dollars): the deficit CUSUM peaks on day 3
@@ -180,6 +236,66 @@ def test_cusum_closed_form_hand_series(spark):
     assert out[d(4)]["cusum_up_mean_days"] == round(270000 / 130000, 4)
     assert out[d(4)]["drift_up"] is True
     assert out[d(1)]["cusum_up_mean_days"] == 0.0  # clamped at zero
+
+
+def test_cusum_equals_direct_recurrence_on_random_series(spark):
+    """Property pin: the window closed form S'_k − min(0, runmin)
+    equals the DIRECT clamped recurrence max(0, S_{k-1} + dev_k) (and
+    symmetrically for the downward side) on random daily series."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from demo_etl_spark.operators.timeseries import revenue_cusum
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2_000_00),  # cents
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(cents):
+        lineitem = spark.createDataFrame(
+            [
+                (k + 1, 1, 1.0, c / 100.0, 0.0,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(days=k))
+                for k, c in enumerate(cents)
+            ],
+            "l_orderkey long, l_partkey long, l_quantity double, "
+            "l_extendedprice double, l_discount double, l_shipdate timestamp",
+        )
+        orders = spark.createDataFrame(
+            [(k + 1, 1) for k in range(len(cents))],
+            "o_orderkey long, o_custkey long",
+        )
+        rows = sorted(
+            revenue_cusum(lineitem, orders).collect(), key=lambda r: r["date"]
+        )
+        # direct recurrence reference (cents·days units, like the op)
+        d_days = len(cents)
+        total = sum(cents)
+        up = down = 0
+        for r, c in zip(rows, cents):
+            dev = c * d_days - total
+            up = max(0, up + dev)
+            down = max(0, down - dev)
+            assert r["drift_up"] == (up > 2 * total)
+            assert r["drift_down"] == (down > 2 * total)
+            if total:
+                # exact HALF_UP(up/total, 4) in integer space — the
+                # round_div spelling (operands non-negative here)
+                assert r["cusum_up_mean_days"] == (
+                    (up * 20000 + total) // (2 * total)
+                ) / 10000.0
+                assert r["cusum_down_mean_days"] == (
+                    (down * 20000 + total) // (2 * total)
+                ) / 10000.0
+            else:
+                assert r["cusum_up_mean_days"] is None
+
+    check()
 
 
 def test_asset_union_size_and_null_padding(spark, tables, sf_dir):
