@@ -171,7 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (its oracle twin bucketed_order_join stays seated this round)
         # and joins the r13 stalest pool head
         "revenue_cusum": _timeseries.build_cusum,
-        "shard_manifest": _packing.build_shard_manifest,
+        # r12 first-time seat (new queries gate within one round):
+        # ABC/Pareto revenue classification over a DISTRIBUTED global
+        # prefix sum (distrank.exact_global_prefix_sum — no single-task
+        # window); shard_manifest (r8) yields its seat and joins the
+        # r13 stalest pool head
+        "part_revenue_abc": _product.build_part_abc,
         # r12 first-time seat (new queries gate within one round):
         # per-user token-bucket admission — the applyInPandas stateful
         # recurrence class with a recursive-CTE oracle twin;
@@ -203,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
         "lang_id": _text.build_lang_id,
         "regional_sales": _star.build_regional,
+        "shard_manifest": _packing.build_shard_manifest,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -452,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "user_rate_audit": _events.ORACLE_SQL_USER_RATE,
         "events_props_typed": _events.ORACLE_SQL_PROPS_TYPED,
         "market_concentration": _product.ORACLE_SQL_CONCENTRATION,
+        "part_revenue_abc": _product.ORACLE_SQL_PART_ABC,
         "part_pagerank": _graph.ORACLE_SQL_PAGERANK,
         # cyclic bounded-depth closure: DuckDB's UNION-distinct recursion
         # expresses what Spark's UNION ALL recursive CTE cannot

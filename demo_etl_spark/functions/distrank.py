@@ -128,6 +128,80 @@ def exact_global_rank(
     return out.drop("_egr_pid", "_egr_off", "_egr_lo", "_egr_hi", "_egr_n")
 
 
+def exact_global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: list[str],
+    sum_col: str | None = None,
+    ascending: bool = True,
+    n_buckets: int = 32,
+    prefix_col: str = "prefix_sum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append an exact global RUNNING SUM of ``sum_col`` over
+    (value_col asc|desc NULLS LAST, *tiebreak asc NULLS LAST) as
+    ``prefix_col`` — the distributed prefix-sum sibling of
+    ``exact_global_rank`` (same arithmetic bucketing of the leading
+    key, per-bucket window cumsum in parallel, earlier-bucket totals
+    from the triangular self-join over the ≤n_buckets-row totals table
+    — no single-task global window at any row count). ``sum_col``
+    defaults to ``value_col``; NULL addends contribute nothing on both
+    engines (SUM skips NULLs); optionally also emits the grand total
+    as ``total_col``. Same integral-value and span-overflow contract
+    as exact_global_rank; the PREFIX itself must also fit BIGINT —
+    callers summing money pre-scale to cents for headroom."""
+    sum_col = sum_col or value_col
+    bounds = df.agg(
+        F.min(value_col).alias("_egr_lo"),
+        F.max(value_col).alias("_egr_hi"),
+        F.sum(sum_col).cast("long").alias("_egr_t"),
+    )
+    if ascending:
+        pid = (
+            f"coalesce((({value_col} - _egr_lo) * {n_buckets})"
+            f" div (_egr_hi - _egr_lo + 1), {n_buckets})"
+        )
+        order = [F.asc_nulls_last(value_col)]
+    else:
+        pid = (
+            f"coalesce(((_egr_hi - {value_col}) * {n_buckets})"
+            f" div (_egr_hi - _egr_lo + 1), {n_buckets})"
+        )
+        order = [F.desc_nulls_last(value_col)]
+    order += [F.asc_nulls_last(c) for c in tiebreak]
+    b = df.join(F.broadcast(bounds)).withColumn("_egr_pid", F.expr(pid))
+    tot = b.groupBy("_egr_pid").agg(
+        F.sum(sum_col).cast("long").alias("_egr_s")
+    )
+    off = (
+        tot.alias("a")
+        .join(
+            tot.alias("b"),
+            F.col("b._egr_pid") < F.col("a._egr_pid"),
+            "left",
+        )
+        .groupBy(F.col("a._egr_pid").alias("_egr_pid"))
+        .agg(
+            F.coalesce(F.sum("b._egr_s"), F.lit(0))
+            .cast("long")
+            .alias("_egr_off")
+        )
+    )
+    w = (
+        Window.partitionBy("_egr_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = b.join(F.broadcast(off), "_egr_pid").withColumn(
+        prefix_col,
+        (F.col("_egr_off") + F.coalesce(F.sum(sum_col).over(w), F.lit(0)))
+        .cast("long"),
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_egr_t"))
+    return out.drop("_egr_pid", "_egr_off", "_egr_lo", "_egr_hi", "_egr_t")
+
+
 def exact_grouped_rank(
     df: DataFrame,
     group_col: str,

@@ -488,3 +488,96 @@ SELECT nation,
        {round_div_expr("CAST(SUM(share_bp * share_bp) AS BIGINT)", "10000", 2, "duckdb")} AS hhi
 FROM bp GROUP BY nation
 """
+
+
+# --------------------------------------------- ABC / Pareto classes ----
+#: cumulative-revenue-share class boundaries (bp): A ≤ 8000, B ≤ 9500
+ABC_A_BP = 8000
+ABC_B_BP = 9500
+
+
+def part_revenue_abc(
+    lineitem: DataFrame, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    80/15/5 analysis: parts whose CUMULATIVE revenue share (ranked
+    richest-first) stays ≤ 80% are class A, ≤ 95% B, the tail C (the
+    part that crosses a boundary falls to the next class — the
+    deterministic convention both engines share).
+
+    The cumulative sum is a GLOBAL prefix sum over the part-grain
+    aggregate — computed by ``distrank.exact_global_prefix_sum``
+    (arithmetic bucketing + per-bucket window + triangular offset
+    join), so no single task ever holds the whole part dimension (at
+    100 TB parts are ~10⁸ rows — a naive unpartitioned running-sum
+    window funnels them through one task). Revenue is truncated CENTS
+    (the declared unit, same as revenue_cusum) so the prefix fits
+    BIGINT with 100× headroom; class predicates are integer
+    cross-multiplications; only the report share rounds (sign-safe,
+    NULL-guarded on a zero-revenue corpus; classes are NULL when the
+    corpus total is non-positive — shares are meaningless there)."""
+    from demo_etl_spark.functions.distrank import exact_global_prefix_sum
+
+    fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    per_part = (
+        lineitem.groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(F.sum(money_fixed(fp)).alias("_rev_fx"))
+        .withColumn("rev_cc", F.expr("CAST(_rev_fx div 100 AS BIGINT)"))
+        .drop("_rev_fx")
+    )
+    c = exact_global_prefix_sum(
+        per_part,
+        "rev_cc",
+        ["part_id"],
+        ascending=False,
+        prefix_col="_cum",
+        total_col="_tot",
+    )
+    cls = F.when(
+        F.col("_tot") > 0,
+        F.when(F.expr(f"_cum * 10000 <= {ABC_A_BP} * _tot"), F.lit("A"))
+        .when(F.expr(f"_cum * 10000 <= {ABC_B_BP} * _tot"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return c.select(
+        "part_id",
+        round_div("rev_cc", "100", 2).alias("revenue"),
+        F.when(F.col("_tot") != 0, round_div("_cum", "_tot", 4)).alias(
+            "cum_share"
+        ),
+        cls.alias("abc_class"),
+    )
+
+
+def build_part_abc(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return part_revenue_abc(load_star(spark, sf_dir)["lineitem"], ctx)
+
+
+ORACLE_SQL_PART_ABC = f"""
+WITH p AS (
+  SELECT l_partkey AS part_id,
+         CAST(SUM(TRY_CAST(ROUND((l_extendedprice * (1 - l_discount))
+              * 10000, 0) AS BIGINT)) AS BIGINT) // 100 AS rev_cc
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT *,
+         CAST(SUM(rev_cc) OVER (ORDER BY rev_cc DESC, part_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(rev_cc) OVER () AS BIGINT) AS tot
+  FROM p
+)
+SELECT part_id,
+       {round_div_expr("rev_cc", "100", 2, "duckdb")} AS revenue,
+       CASE WHEN tot <> 0 THEN
+         {round_div_expr("cum", "tot", 4, "duckdb")} END AS cum_share,
+       CASE WHEN tot > 0 THEN
+         CASE WHEN cum * 10000 <= {ABC_A_BP} * tot THEN 'A'
+              WHEN cum * 10000 <= {ABC_B_BP} * tot THEN 'B'
+              ELSE 'C' END
+       END AS abc_class
+FROM c
+"""

@@ -128,3 +128,55 @@ def test_grouped_rank_matches_native_partitioned_row_number(spark):
     from collections import Counter
     sizes = Counter(r[1] for r in rows)
     assert all(r["n"] == sizes[r["g"]] for r in rows_got)
+
+
+def test_prefix_sum_matches_native_running_sum(spark):
+    """The distributed global prefix sum equals the native single-task
+    running-sum window bit-for-bit, both directions, on tie-heavy
+    values (every bucket boundary case) including NULL addends."""
+    from demo_etl_spark.functions.distrank import exact_global_prefix_sum
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(0, 10), None if i % 17 == 0 else rng.randrange(-50, 100))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, s long").repartition(7)
+    for asc in (True, False):
+        order = [F.asc("v") if asc else F.desc("v"), F.asc("id")]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        native = df.withColumn(
+            "p", F.coalesce(F.sum("s").over(w), F.lit(0)).cast("long")
+        )
+        got = exact_global_prefix_sum(
+            df, "v", ["id"], sum_col="s", ascending=asc, prefix_col="p",
+            n_buckets=4,
+        )
+        n = {r["id"]: r["p"] for r in native.collect()}
+        g = {r["id"]: r["p"] for r in got.collect()}
+        assert g == n, f"ascending={asc}"
+
+
+def test_part_abc_classes_and_crossing_convention(spark):
+    """ABC boundaries on a hand frame (cents 80/10/6/4, total 100):
+    the 80%-crossing part is still A at exactly the boundary, the next
+    falls to B, the tail to C; shares are exact HALF_UP 4dp."""
+    from demo_etl_spark.operators.product import part_revenue_abc
+
+    lineitem = spark.createDataFrame(
+        [
+            (1, 0.80, 0.0),
+            (2, 0.10, 0.0),
+            (3, 0.06, 0.0),
+            (4, 0.04, 0.0),
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    out = {r["part_id"]: r for r in part_revenue_abc(lineitem).collect()}
+    assert [out[k]["abc_class"] for k in (1, 2, 3, 4)] == ["A", "B", "C", "C"]
+    assert out[1]["cum_share"] == 0.8
+    assert out[2]["cum_share"] == 0.9
+    assert out[4]["cum_share"] == 1.0
+    assert out[1]["revenue"] == 0.8

@@ -86,6 +86,7 @@ def test_registry_is_large_and_window_covers_families():
         "multimodal_color",
         "corpus_pps_sample",
         "corpus_budget_take",
+        "part_revenue_abc",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 

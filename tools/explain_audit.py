@@ -47,6 +47,7 @@ INTENDED = {
     "key_skew_profile": "1-row global-totals (count/nonnull/distinct) broadcast × the top-10 heavy-hitter rows (optimal scalar attach)",
     "corpus_temperature_sample": "1-row (Σw, Σdocs) totals broadcast × the sources table (dozens of rows) (optimal scalar attach)",
     "orders_benford_audit": "1-row excluded-count scalar broadcast × the 9-digit grid (optimal scalar attach)",
+    "part_revenue_abc": "1-row min/max/total bounds attach for exact_global_prefix_sum — the same class as customer_rfm's exact_global_rank bounds (optimal scalar attach)",
     "similarity_pq_recall": "exact side is l2_topk's brute-force baseline: held-out query set (50 vectors) broadcast × candidates (same class as similarity_topk_cosine)",
 }
 
