@@ -119,7 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # systematic PPS token-budget sampling; disjunctive_revenue_sql
         # (r8) yields its seat and joins the r13 stalest pool head
         "corpus_pps_sample": _curation.build_pps_sample,
-        "doc_fingerprints": _fingerprint.build_fingerprints,
         "events_asof_join": _temporal.build_asof,
         # r12 first-time seat: corpus_budget_take (mixture EXECUTION,
         # shared water-fill arithmetic); events_gapfill (r8) yields its
@@ -192,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12-touched re-gate (late-landing clause): scd2_history's sort
         # went explicit NULLS LAST this round; top_supplier_sql (r8)
         # yields its seat and heads the r13 stalest pool
+        # r12 first-time seat (new queries gate within one round):
+        # open-order backlog timeline — interval stabbing by difference
+        # array + bounded date-grain running sum; scd2_history keeps
+        # its seat and doc_fingerprints (r8) yields instead, joining
+        # the r13 stalest pool head
+        "orders_backlog_timeline": _timeseries.build_backlog,
         "scd2_history": _cdc.build_scd2_history,
         # ================ driver window boundary (50) ================
         # Everything below is oracle-verified by the local sweep each
@@ -209,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _text.build_lang_id,
         "regional_sales": _star.build_regional,
         "shard_manifest": _packing.build_shard_manifest,
+        "doc_fingerprints": _fingerprint.build_fingerprints,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -440,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _events.ORACLE_SQL_VALUE_HISTOGRAM,
         "revenue_seasonality": _timeseries.ORACLE_SQL_SEASONALITY,
         "revenue_cusum": _timeseries.ORACLE_SQL_CUSUM,
+        "orders_backlog_timeline": _timeseries.ORACLE_SQL_BACKLOG,
         "revenue_decompose": _timeseries.ORACLE_SQL_DECOMPOSE,
         "revenue_forecast_backtest": _timeseries.ORACLE_SQL_FORECAST_BACKTEST,
         "lang_confusion": _text.ORACLE_SQL_LANG_CONFUSION,

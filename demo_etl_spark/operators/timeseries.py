@@ -670,3 +670,103 @@ SELECT CAST(isodow AS INTEGER) AS isodow,
 FROM scored
 GROUP BY isodow
 """
+
+
+# ----------------------------------- open-order backlog timeline -------
+def orders_backlog_timeline(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """Open-order BACKLOG per day — interval stabbing by DIFFERENCE
+    ARRAY: each order contributes +1 on its order date and −1 the day
+    after it fully ships (max line ship date), and the daily backlog is
+    the running sum of the deltas. The classic way to turn N intervals
+    into a timeline without an interval join: two exploded delta rows
+    per order, one date-grain aggregate, one bounded running-sum window
+    (rows = distinct days — the W2/W3 argument; the fact table is
+    touched exactly twice, map-side).
+
+    Semantics: orders with no ship events (no lines, or all-NULL ship
+    dates — hostile ghost orders) never close and sit in the backlog
+    forever — the correct reading. The generator draws ship dates
+    independently of order dates, so a line can "ship" BEFORE its
+    order; the close date is GREATEST(order, last ship) + 1 day so
+    every interval spans ≥ 1 day and the backlog never dips negative
+    for that class. Input is ``keyed_orders`` (the standard
+    quarantine); all counts are exact integers."""
+    o = keyed_orders(orders).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("_od")
+    )
+    ship = (
+        lineitem.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("_ls"))
+    )
+    j = o.join(ship, o["o_orderkey"] == ship["l_orderkey"], "left")
+    opens = j.select(F.col("_od").alias("date")).withColumn(
+        "_open", F.lit(1)
+    ).withColumn("_close", F.lit(0))
+    closes = (
+        j.filter(F.col("_ls").isNotNull())
+        .select(
+            F.date_add(F.greatest("_od", "_ls"), 1).alias("date"),
+            F.lit(0).alias("_open"),
+            F.lit(1).alias("_close"),
+        )
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("date")
+        .agg(
+            F.sum("_open").cast("long").alias("n_opened"),
+            F.sum("_close").cast("long").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy(F.asc_nulls_last("date")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "open_backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+    )
+
+
+def build_backlog(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    t = load_star(spark, sf_dir)
+    return orders_backlog_timeline(t["orders"], t["lineitem"], ctx)
+
+
+ORACLE_SQL_BACKLOG = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+  FROM {ORDERS_CLEAN_SQL}
+),
+ship AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ls
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1
+),
+j AS (SELECT o.od, ship.ls FROM o LEFT JOIN ship ON o.o_orderkey = ship.l_orderkey),
+deltas AS (
+  SELECT od AS date, 1 AS o_, 0 AS c_ FROM j
+  UNION ALL
+  SELECT GREATEST(od, ls) + INTERVAL 1 DAY, 0, 1 FROM j WHERE ls IS NOT NULL
+),
+daily AS (
+  SELECT CAST(date AS DATE) AS date,
+         CAST(SUM(o_) AS BIGINT) AS n_opened,
+         CAST(SUM(c_) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY 1
+)
+SELECT date, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY date ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_backlog
+FROM daily
+"""

@@ -106,6 +106,42 @@ def test_trend_moving_avg_calendar_frame(spark):
     assert out[datetime.date(2001, 1, 12)]["revenue_7day_avg"] == 400.0
 
 
+def test_backlog_difference_array_semantics(spark):
+    """Pins the interval semantics: close = GREATEST(order, last ship)
+    + 1 day (ship-before-order spans ≥ 1 day), unshipped orders never
+    close, and the timeline is the sparse delta-date set with an exact
+    running backlog."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.timeseries import orders_backlog_timeline
+
+    d = lambda n: dt.datetime(2024, 1, n)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            (1, 1, d(1), 10.0),  # ships Jan 3 → closes Jan 4
+            (2, 1, d(2), 10.0),  # no lines → never closes
+            (3, 1, d(5), 10.0),  # line "shipped" Jan 1 → closes Jan 6
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, d(2)), (1, d(3)), (3, d(1))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    rows = {
+        r["date"]: (r["n_opened"], r["n_closed"], r["open_backlog"])
+        for r in orders_backlog_timeline(orders, lineitem).collect()
+    }
+    assert rows == {
+        dt.date(2024, 1, 1): (1, 0, 1),
+        dt.date(2024, 1, 2): (1, 0, 2),
+        dt.date(2024, 1, 4): (0, 1, 1),
+        dt.date(2024, 1, 5): (1, 0, 2),
+        dt.date(2024, 1, 6): (0, 1, 1),
+    }
+
+
 def test_gapfill_interp_line_and_brackets(spark):
     """Pins the linear interpolation: gap hours land exactly on the
     time-weighted line between bracketing observations, a valueless

@@ -87,6 +87,7 @@ def test_registry_is_large_and_window_covers_families():
         "corpus_pps_sample",
         "corpus_budget_take",
         "part_revenue_abc",
+        "orders_backlog_timeline",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
