@@ -542,7 +542,10 @@ def part_revenue_abc(
     return c.select(
         "part_id",
         round_div("rev_cc", "100", 2).alias("revenue"),
-        F.when(F.col("_tot") != 0, round_div("_cum", "_tot", 4)).alias(
+        # _tot > 0 (not != 0): round_div's contract needs a positive
+        # denominator, and on a net-negative corpus the share is as
+        # meaningless as the class — NULL both (r12 ADVICE item)
+        F.when(F.col("_tot") > 0, round_div("_cum", "_tot", 4)).alias(
             "cum_share"
         ),
         cls.alias("abc_class"),
@@ -572,7 +575,7 @@ c AS (
 )
 SELECT part_id,
        {round_div_expr("rev_cc", "100", 2, "duckdb")} AS revenue,
-       CASE WHEN tot <> 0 THEN
+       CASE WHEN tot > 0 THEN
          {round_div_expr("cum", "tot", 4, "duckdb")} END AS cum_share,
        CASE WHEN tot > 0 THEN
          CASE WHEN cum * 10000 <= {ABC_A_BP} * tot THEN 'A'
