@@ -62,16 +62,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ================ r12 driver window (first 50 entries) ========
-        # Rotation policy (PERF_NOTES r10 + late-landing clause, r12):
-        # 8 seats re-gate the r11 commits that landed AFTER the r11
-        # window rotated (floor binning af8e889, streaming epoch domain
-        # + stateful seed bf0e13e, sign-safe round_div consumers) plus
-        # the r12 overflow-safe floor spelling; 8 seats pull the whole
-        # flagship set forward to the cadence (product/time_analytics
-        # were 4 rounds stale); the remaining 34 rotate through every
-        # r7- and r8-seated query (the stalest in the pool).
-        # ---- post-rotation r11/r12 re-gates
+        # ================ r13 driver window (first 50 entries) ========
+        # Rotation (r12 verdict item 1 + late-landing clause): 2 seats
+        # are the round's new image-dedup queries, 1 re-gates the
+        # ADVICE-touched part_revenue_abc, and the remaining 47 clear
+        # the ENTIRE stale tail: regional_sales (r7) + all 16 r8 seats
+        # + 30 of 33 r9 seats. The 12 r12 first-time seats and the r12
+        # flagship set rotate out (flagships re-gate by r15 per the
+        # <=3-round cadence; window plan for r14 noted in PERF_NOTES).
+        # ---- r13 first-time seats (new queries gate within one round):
+        # perceptual image dedup — dHash over the REAL decoded rasters,
+        # 4x16-bit Hamming-band candidates with the distinct-signature
+        # group-collapse fallback for over-cap buckets, exact grid-L1
+        # verification on candidates only (r12 verdict item 2)
+        "dedup_image_phash": _multimodal.build_image_phash,
+        # its two-axis audit vs the uncapped (pigeonhole-exact) pair set:
+        # pair_recall + member_recall, both oracle-gated
+        "dedup_image_band_recall": _multimodal.build_image_band_recall,
+        # ---- r13-touched re-gate (late-landing clause): cum_share's zero
+        # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
+        "part_revenue_abc": _product.build_part_abc,
+        # ---- stalest rotation: regional_sales (r7, oldest seat in the
+        # registry), then every remaining r8 seat, then 30 of the 33 r9
+        # seats — after this window no seat is older than r9 and only
+        # text_stats/text_redacted/waiting_suppliers_sql remain at r9
+        # (they head the r14 pool)
+        "regional_sales": _star.build_regional,
+        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
+        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
+        "doc_fingerprints": _fingerprint.build_fingerprints,
+        "events_gapfill": _events.build_gapfill,
+        "key_skew_profile": _skew.build_key_skew_profile,
+        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
+        "lang_id": _text.build_lang_id,
+        "last_shipment_sql": _suite.build_last_shipment,
+        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
+        "nation_market_share_sql": _suite.build_nation_market_share,
+        "packing_tokens_canary": _packing.build_packing_tokens_canary,
+        "salted_order_join": _skew.build_salted_order_join,
+        "shard_manifest": _packing.build_shard_manifest,
+        "shipping_priority_sql": _sql.build_shipping_priority,
+        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
+        "top_supplier_sql": _suite.build_top_supplier,
+        # ---- stalest rotation (last gated r9)
+        "corpus_train_split": _curation.build_train_split,
+        "csv_roundtrip": _formats.build_csv_roundtrip,
+        "dedup_exact": _dedup.build_exact,
+        "dedup_method_agreement": _dedup.build_method_agreement,
+        "dedup_ngram_containment": _dedup.build_containment,
+        "doc_top_terms": _text.build_top_terms,
+        "doc_typicality": _text.build_doc_typicality,
+        "embedding_dim_stats": _similarity.build_dim_stats,
+        "events_funnel": _events.build_funnel,
+        "events_hourly_anomaly": _events.build_hourly_anomaly,
+        "events_props_variant": _events.build_props_variant_audit,
+        "events_session": _events.build_session,
+        "important_parts_sql": _suite.build_important_parts,
+        "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
+        "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
+        "lang_confusion": _text.build_lang_confusion,
+        "multimodal_features": _multimodal.build_features_checked,
+        "orders_profile": _quality.build_orders_profile,
+        "packing_policy_compare": _packing.build_packing_policy_compare,
+        "part_closure": _graph.build_closure,
+        "part_communities": _graph.build_communities,
+        "part_hierarchy_sql": _suite.build_part_hierarchy,
+        "part_triangles": _graph.build_triangles,
+        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
+        "quarantine_audit": _quality.build_quarantine_audit,
+        "revenue_decompose": _timeseries.build_decompose,
+        "schema_evolution_read": _formats.build_schema_evolution_read,
+        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
+        "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
+        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
+        # ================ driver window boundary (50) ================
+        # Everything below is oracle-verified by the local sweep each
+        # session and has held a driver-green seat (union coverage
+        # 188/188 at r12; the two r13-new queries seat above). Order
+        # below the boundary ~= recency of last seat; the two
+        # rows-only approx twins stay at the BOTTOM permanently (no
+        # oracle can hash-match a sketch seat).
         "events_value_histogram": _events.build_value_histogram,
         "events_props_breakdown": _events.build_props_breakdown,
         "streaming_session": _streams.build_streaming_session,
@@ -80,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _similarity.build_centroids,
         "market_concentration": _product.build_market_concentration,
         "revenue_seasonality": _timeseries.build_seasonality,
-        # ---- flagship cadence (all 8, last seats r8-r11)
         "customer_analytics": _customer.build,
         "product_analytics": _product.build,
         "time_analytics": _timeseries.build_time,
@@ -89,25 +158,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_asset_union": _asset.build,
         "star_join_detail": _star.build_detail,
         "date_dim_join": _timeseries.build_date_dim_join,
-        # ---- stalest rotation (last gated r7)
         "dedup_span_scrub": _dedup.build_span_scrub,
         "doc_chunks": _text.build_chunks,
         "embedding_pq": _similarity.build_pq,
         "event_transitions": _temporal.build_transitions,
         "fingerprint_profile": _fingerprint.build_fingerprint_profile,
         "multimodal_frames": _multimodal.build_frames,
-        # r12 first-time seat (new queries gate within one round):
-        # the COLOR netpbm branch — real P6 decode, per-channel RGB
-        # stats in exact integers; regional_sales (r7) yields its seat
-        # and heads the r13 stalest pool
         "multimodal_color": _multimodal.build_color_channels,
-        # ---- stalest rotation (last gated r8)
         "bpe_merges_batched": _tokenizer.build_bpe_merges_batched,
         "bucketed_order_join": _bucketed.build_bucketed_join,
-        # r12-touched re-gate (late-landing clause): latest_state's sort
-        # extended through the payload columns (keyless-timestamp-tie
-        # determinism); customer_order_distribution_sql (r8) yields its
-        # seat and joins the r13 stalest pool head
         "cdc_latest_state": _cdc.build_latest_state,
         "customer_retention": _customer.build_retention,
         "customer_rfm": _customer.build_rfm,
@@ -115,106 +174,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup.build_clusters,
         "dedup_fuzzy_verify": _dedup.build_fuzzy,
         "detail_summary_union": _star.build_union,
-        # r12 first-time seat (new queries gate within one round):
-        # systematic PPS token-budget sampling; disjunctive_revenue_sql
-        # (r8) yields its seat and joins the r13 stalest pool head
         "corpus_pps_sample": _curation.build_pps_sample,
         "events_asof_join": _temporal.build_asof,
-        # r12 first-time seat: corpus_budget_take (mixture EXECUTION,
-        # shared water-fill arithmetic); events_gapfill (r8) yields its
-        # seat and joins the r13 stalest pool head
         "corpus_budget_take": _curation.build_budget_take,
-        # r12-touched re-gate (late-landing clause): the water-fill
-        # allocator was refactor-shared with corpus_budget_take
-        # (hash-verified identical); key_skew_profile (r8) yields its
-        # seat and joins the r13 stalest pool head
         "corpus_mixture_plan": _curation.build_mixture_plan,
-        # r12 first-time seat (new queries gate within one round):
-        # log-domain per-doc surprisal in whole bits (integer-exact
-        # ⌊log₂⌋ via length(bin(x)) — the hash-exact unigram-LM quality
-        # score); kmv_distinct_ngrams (r8) yields its seat and joins
-        # the r13 stalest pool head
         "doc_surprisal_bits": _text.build_doc_surprisal,
-        # r12 first-time seat (new queries gate within one round):
-        # Benford first-digit forensics over order amounts (integer
-        # leading digit from the BIGINT lift's decimal string, bp
-        # literals); lang_id (r8) yields its seat and joins the r13
-        # stalest pool head
         "orders_benford_audit": _quality.build_benford,
-        # r12-touched re-gate (late-landing clause): session_attribution
-        # went explicit NULLS LAST this round; last_shipment_sql (r8)
-        # yields its seat and joins top_supplier_sql at the head of the
-        # r13 stalest pool
         "session_attribution": _events.build_session_attribution,
-        # r12 first-time seat (new queries gate within one round):
-        # two-stage hybrid retrieval — shingle-inverted-index candidates
-        # → exact e6 integer-cosine rerank; lateral_order_topk_sql (r8)
-        # yields its seat and joins the r13 stalest pool head
         "similarity_hybrid_rerank": _similarity.build_hybrid,
-        # r12-touched re-gate (late-landing clause): snapshot_diff's
-        # oracle embeds the hardened merge SQL (NULL-key routing + dup-
-        # key tiebreak); nation_market_share_sql (r8) yields its seat
-        # and joins the r13 stalest pool head
         "orders_snapshot_diff": _cdc.build_snapshot_diff,
         "orders_merge_upsert": _cdc.build_merge_upsert,
-        # r12 first-time seat (new queries gate within one round): the
-        # hybrid path's recall audit on the shared _recall_at_k harness
-        # (fourth member: LSH, IVF, PQ, hybrid); packing_tokens_canary
-        # (r8) yields its seat — its twin offsets canary sat r11 — and
-        # joins the r13 stalest pool head
         "similarity_hybrid_recall": _similarity.build_hybrid_recall,
         "part_pagerank": _graph.build_pagerank,
-        # r12 first-time seat (new queries gate within one round):
-        # two-sided CUSUM revenue drift detection (prefix-min closed
-        # form — pure windows); salted_order_join (r8) yields its seat
-        # (its oracle twin bucketed_order_join stays seated this round)
-        # and joins the r13 stalest pool head
         "revenue_cusum": _timeseries.build_cusum,
-        # r12 first-time seat (new queries gate within one round):
-        # ABC/Pareto revenue classification over a DISTRIBUTED global
-        # prefix sum (distrank.exact_global_prefix_sum — no single-task
-        # window); shard_manifest (r8) yields its seat and joins the
-        # r13 stalest pool head
-        "part_revenue_abc": _product.build_part_abc,
-        # r12 first-time seat (new queries gate within one round):
-        # per-user token-bucket admission — the applyInPandas stateful
-        # recurrence class with a recursive-CTE oracle twin;
-        # shipping_priority_sql (r8) yields its seat and joins the r13
-        # stalest pool head
         "events_rate_limit": _temporal.build_rate_limit,
-        # r12 first-time seat (new queries gate within one round):
-        # linear-interpolation gapfill (interpolate() companion of the
-        # locf gapfill, exact cross-multiplied cents);
-        # streaming_enriched_rollup (r8) yields its seat and joins the
-        # r13 stalest pool head
         "events_gapfill_interp": _events.build_gapfill_interp,
-        # r12-touched re-gate (late-landing clause): scd2_history's sort
-        # went explicit NULLS LAST this round; top_supplier_sql (r8)
-        # yields its seat and heads the r13 stalest pool
-        # r12 first-time seat (new queries gate within one round):
-        # open-order backlog timeline — interval stabbing by difference
-        # array + bounded date-grain running sum; scd2_history keeps
-        # its seat and doc_fingerprints (r8) yields instead, joining
-        # the r13 stalest pool head
         "orders_backlog_timeline": _timeseries.build_backlog,
         "scd2_history": _cdc.build_scd2_history,
-        # ================ driver window boundary (50) ================
-        # Everything below is oracle-verified by the local sweep each
-        # session and has held a driver-green seat (union coverage
-        # 176/176 since r11). Order below the boundary is the rotation
-        # pool (current order ~= recency of last seat); the two
-        # rows-only approx twins stay at the BOTTOM permanently (no
-        # oracle can hash-match a sketch seat).
-        "lateral_order_topk_sql": _suite.build_lateral_order_topk,
-        "shipping_priority_sql": _sql.build_shipping_priority,
-        "packing_tokens_canary": _packing.build_packing_tokens_canary,
-        "salted_order_join": _skew.build_salted_order_join,
-        "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
-        "kmv_distinct_ngrams": _sketch.build_kmv_distinct,
-        "lang_id": _text.build_lang_id,
-        "regional_sales": _star.build_regional,
-        "shard_manifest": _packing.build_shard_manifest,
-        "doc_fingerprints": _fingerprint.build_fingerprints,
         "xml_roundtrip": _formats.build_xml_roundtrip,
         "doc_quality_gate": _text.build_quality_gate,
         "streaming_quality_gate": _streams.build_streaming_quality_gate,
@@ -301,46 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
         "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
         "orc_roundtrip": _formats.build_orc_roundtrip,
-        "top_supplier_sql": _suite.build_top_supplier,
-        "last_shipment_sql": _suite.build_last_shipment,
-        "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
-        "nation_market_share_sql": _suite.build_nation_market_share,
-        "customer_order_distribution_sql": _suite.build_customer_order_distribution,
-        "events_gapfill": _events.build_gapfill,
-        "key_skew_profile": _skew.build_key_skew_profile,
-        "dedup_exact": _dedup.build_exact,
         "text_stats": _text.build_stats,
-        "multimodal_features": _multimodal.build_features_checked,
-        "events_session": _events.build_session,
-        "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
-        "csv_roundtrip": _formats.build_csv_roundtrip,
-        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
-        "schema_evolution_read": _formats.build_schema_evolution_read,
-        "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
-        "part_triangles": _graph.build_triangles,
-        "part_communities": _graph.build_communities,
-        "part_hierarchy_sql": _suite.build_part_hierarchy,
-        "events_props_variant": _events.build_props_variant_audit,
-        "part_closure": _graph.build_closure,
-        "doc_typicality": _text.build_doc_typicality,
-        "packing_policy_compare": _packing.build_packing_policy_compare,
-        "orders_profile": _quality.build_orders_profile,
-        "quarantine_audit": _quality.build_quarantine_audit,
-        "revenue_decompose": _timeseries.build_decompose,
-        "events_funnel": _events.build_funnel,
-        "events_hourly_anomaly": _events.build_hourly_anomaly,
-        "doc_top_terms": _text.build_top_terms,
         "text_redacted": _text.build_redacted,
-        "lang_confusion": _text.build_lang_confusion,
-        "dedup_method_agreement": _dedup.build_method_agreement,
-        "dedup_ngram_containment": _dedup.build_containment,
-        "embedding_dim_stats": _similarity.build_dim_stats,
-        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
-        "important_parts_sql": _suite.build_important_parts,
         "waiting_suppliers_sql": _suite.build_waiting_suppliers,
-        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
-        "corpus_train_split": _curation.build_train_split,
         # rows-only approx twins: PERMANENTLY last (r9 verdict item 2)
         "customer_analytics_approx": _customer.build_approx,
         "source_profile_approx": _text.build_source_profile_approx,
@@ -398,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _multimodal.ORACLE_SQL_RESIZE,
         "multimodal_decode_audit": _multimodal.ORACLE_SQL_MEDIA_AUDIT,
         "multimodal_color": _multimodal.ORACLE_SQL_COLOR,
+        "dedup_image_phash": _multimodal.ORACLE_SQL_IMAGE_PHASH,
+        "dedup_image_band_recall": _multimodal.ORACLE_SQL_IMAGE_BAND_RECALL,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

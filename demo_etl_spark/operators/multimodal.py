@@ -34,6 +34,7 @@ documents). ``decode_pgm`` itself is byte-correct for any PGM input.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -50,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star
+from demo_etl_spark.io import load_star, register_cache_clearer
 
 #: media table schema: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType(
@@ -726,6 +728,12 @@ def color_channel_stats(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # identity-less or payload-less rows quarantine before
+                # the decoder sees them (NULL payload raises TypeError
+                # inside bytes(), which the decode catch never covered —
+                # found by the r13 symmetric P6 hostile wave)
+                if mid is None or pd.isna(mid) or payload is None:
+                    continue
                 try:
                     w, h, raster = decode_ppm(payload)
                 except (ValueError, IndexError):
@@ -798,3 +806,583 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        r_min, r_max, g_min, g_max, b_min, b_max
 FROM s
 """
+
+
+# ----------------------------------------- perceptual image dedup -------
+# dHash near-dup detection over the REAL decoded rasters (r12 verdict:
+# the one LLM-pipeline hole — text is deduped five ways, embeddings two,
+# but near-identical IMAGES — resizes, re-encodes, the dominant
+# multimodal dup class — had no content-level detector).
+#
+# Pipeline (everything integer-exact, so the DuckDB twin reproduces each
+# signature bit-for-bit in the multimodal_color char-walking style):
+#   1. decode (decode_pgm_safe — hostile payloads quarantine one ROW);
+#   2. nearest-neighbor sample to a 9x8 grid (the same (i*src)//dst
+#      integer math as _resize_nearest, so any resize of an image maps
+#      to near-identical grid pixels);
+#   3. dHash: bit(y,x) = grid[y][x] > grid[y][x+1] for x<8 -> 64 bits,
+#      stored as 4 x 16-bit band integers (the SimHash 4-band LSH
+#      pattern, dedup.simhash_pairs);
+#   4. candidates = equi-join on any shared (band, value) bucket. A
+#      bucket at or under IMG_BAND_BUCKET_CAP enumerates ALL its pairs.
+#      An over-full bucket — e.g. millions of blank frames hashing to
+#      0 — collapses to DISTINCT-SIGNATURE GROUPS: members with the
+#      same full 64-bit signature chain to each other (hamming-0 edges,
+#      always verified, so the group stays connected — which is what
+#      downstream connected-components dedup consumes), and one
+#      representative per signature (min id) carries the group into a
+#      rep-level pair join. The capped quantity is therefore signature
+#      DIVERSITY, not bucket population: the million-blank-frames
+#      bucket is one rep + a linear chain. Only when even the rep count
+#      exceeds the cap does the path degrade to a sorted predecessor
+#      chain over reps (the declared last-resort, measured by the
+#      recall audit). Cost: O(members) + O(min(sigs, cap)²) per bucket
+#      at any corpus size. (First cut dropped over-full buckets whole —
+#      member coverage of the dominant blank-image class collapsed to
+#      ~1%; second cut chained members in signature order — 57%; the
+#      group-collapse scheme covers every mega-bucket member whose
+#      bucket keeps rep count <= cap.)
+#   5. verify candidates only: Hamming <= 3 over the full 64 bits, plus
+#      an exact L1 distance over the 72 decoded grid pixels.
+#
+# HAMMING_IMG_MAX = IMG_BANDS - 1 is the pigeonhole threshold: <= 3 bit
+# flips across 4 disjoint 16-bit bands leave at least one band intact,
+# so the UNCAPPED band join finds EVERY qualifying pair — banding here
+# is exact candidate generation, not an approximation. The only
+# deliberate loss is pair ENUMERATION inside over-cap buckets (spanning
+# chain, not the full clique); dedup_image_band_recall measures both
+# honest numbers against the uncapped exact pair set — pair_recall (the
+# declared enumeration trade-off) and member_recall (the share of
+# images with a true near-dup that the scale path still surfaces — the
+# number that decides whether an image gets deduplicated at all). Both
+# are oracle-checked, so a cap/banding change that silently loses
+# coverage fails the hash gate.
+
+IMG_GRID_ROWS = 8
+IMG_GRID_COLS = 9  # 9 columns -> 8 horizontal comparisons per row
+IMG_BANDS = 4  # 16 bits per band
+HAMMING_IMG_MAX = IMG_BANDS - 1  # pigeonhole-complete under banding
+#: deterministic diversity cap (never sampled — sampling would be
+#: engine-divergent): buckets whose member count, and mega-bucket rep
+#: sets whose SIGNATURE diversity, stay at or under the cap enumerate
+#: all pairs; beyond it the path degrades to the rep chain. 1024 bounds
+#: worst-case per-bucket fan-out at ~cap²/2 ≈ 5·10⁵ four-XOR integer
+#: verifies — executor-milliseconds — while keeping enumeration
+#: complete for any bucket whose distinct-signature count fits the cap
+#: (the realistic mega-bucket class — identical blank frames — has
+#: diversity ~1).
+IMG_BAND_BUCKET_CAP = 1024
+#: exact-verify bound: mean abs pixel delta <= 16 gray levels over the
+#: 72-pixel grid
+IMG_VERIFY_L1_MAX = 16 * IMG_GRID_ROWS * IMG_GRID_COLS
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+        StructField("grid", ArrayType(IntegerType())),
+    ]
+)
+
+
+def dhash_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, b0..b3, grid): 64-bit dHash as 4 x 16-bit bands plus
+    the 72 sampled grid pixels, via the REAL ``decode_pgm`` parse.
+    Arrow-batched mapInPandas, no shuffle; undecodable or identity-less
+    rows quarantine (drop) exactly like the other media kernels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue
+                w, h, raster, err = decode_pgm_safe(payload)
+                if err is not None:
+                    continue
+                img = np.frombuffer(bytes(raster), dtype=np.uint8)[: w * h]
+                img = img.reshape(h, w)
+                ys = (np.arange(IMG_GRID_ROWS) * h) // IMG_GRID_ROWS
+                xs = (np.arange(IMG_GRID_COLS) * w) // IMG_GRID_COLS
+                g = img[np.ix_(ys, xs)].astype(np.int64)
+                bits = (g[:, :-1] > g[:, 1:]).ravel().astype(np.int64)
+                bands = [
+                    int((bits[b * 16 : (b + 1) * 16] * weights).sum())
+                    for b in range(IMG_BANDS)
+                ]
+                rows.append(
+                    [int(mid), *bands, [int(v) for v in g.ravel()]]
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def _hamming_col(xa: str, yb: str):
+    """Symmetric 64-bit Hamming distance between two 4-band signatures
+    held in columns ``{xa}0..3`` / ``{yb}0..3``."""
+    return sum(
+        F.bit_count(
+            F.col(f"{xa}{i}").bitwiseXOR(F.col(f"{yb}{i}")).cast("long")
+        )
+        for i in range(IMG_BANDS)
+    ).cast("int")
+
+
+def _band_pairs(sig: DataFrame, cap: int | None) -> DataFrame:
+    """(media_id_a, media_id_b, hamming): verified pairs (Hamming <= 3)
+    sharing at least one band bucket. ``cap=None`` is the EXACT
+    qualifying pair set (pigeonhole, module comment); with a cap,
+    buckets <= cap enumerate all pairs and over-cap buckets emit the
+    signature-sorted predecessor chain (sorted-neighborhood fallback)."""
+    from pyspark.sql.window import Window
+
+    buckets = sig.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
+    )
+
+    def all_pairs(b: DataFrame) -> DataFrame:
+        x, y = b.alias("x"), b.alias("y")
+        return x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        ).select(
+            F.col("x.media_id").alias("media_id_a"),
+            F.col("y.media_id").alias("media_id_b"),
+            *[F.col(f"x.b{i}").alias(f"_xa{i}") for i in range(IMG_BANDS)],
+            *[F.col(f"y.b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+        )
+
+    sig_cols = [f"b{i}" for i in range(IMG_BANDS)]
+
+    def chain_edges(df: DataFrame, order_cols: list[str]) -> DataFrame:
+        """Predecessor-chain edges within (band, val), both endpoints'
+        band sets carried for the hamming verify. Hamming is symmetric,
+        so the band sets need no swap alongside least/greatest."""
+        w = Window.partitionBy("band", "val").orderBy(*order_cols)
+        prev = [F.lag("media_id").over(w).alias("_pid")] + [
+            F.lag(c).over(w).alias(f"_p{c}") for c in sig_cols
+        ]
+        return (
+            df.select("media_id", *sig_cols, "band", "val")
+            .select("*", *prev)
+            .filter(F.col("_pid").isNotNull())
+            .select(
+                F.least("_pid", "media_id").alias("media_id_a"),
+                F.greatest("_pid", "media_id").alias("media_id_b"),
+                *[
+                    F.col(f"_pb{i}").alias(f"_xa{i}")
+                    for i in range(IMG_BANDS)
+                ],
+                *[F.col(f"b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+            )
+        )
+
+    if cap is None:
+        cand = all_pairs(buckets)
+    else:
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+        sized = buckets.withColumn("_bc", n)
+        small = all_pairs(sized.filter(F.col("_bc") <= cap).drop("_bc"))
+        mega = sized.filter(F.col("_bc") > cap).drop("_bc")
+        # identical-signature groups chain internally (hamming 0, so
+        # every edge survives the verify and the group stays connected)
+        intra_w = Window.partitionBy("band", "val", *sig_cols).orderBy(
+            "media_id"
+        )
+        intra = (
+            mega.select(
+                "media_id",
+                *sig_cols,
+                "band",
+                "val",
+                F.lag("media_id").over(intra_w).alias("_pid"),
+            )
+            .filter(F.col("_pid").isNotNull())
+            .select(
+                F.col("_pid").alias("media_id_a"),
+                F.col("media_id").alias("media_id_b"),
+                *[F.col(f"b{i}").alias(f"_xa{i}") for i in range(IMG_BANDS)],
+                *[F.col(f"b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+            )
+        )
+        # one representative (min id) per distinct signature: the capped
+        # quantity becomes signature DIVERSITY, not bucket population —
+        # a bucket of millions of identical blank frames collapses to
+        # one rep
+        reps = mega.groupBy("band", "val", *sig_cols).agg(
+            F.min("media_id").alias("media_id")
+        )
+        sc = F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+        reps = reps.withColumn("_sc", sc)
+        rep_small = all_pairs(reps.filter(F.col("_sc") <= cap).drop("_sc"))
+        rep_chain = chain_edges(
+            reps.filter(F.col("_sc") > cap).drop("_sc"),
+            sig_cols + ["media_id"],
+        )
+        cand = small.unionByName(intra).unionByName(rep_small).unionByName(
+            rep_chain
+        )
+    return (
+        cand.withColumn("hamming", _hamming_col("_xa", "_yb"))
+        .filter(F.col("hamming") <= HAMMING_IMG_MAX)
+        .select("media_id_a", "media_id_b", "hamming")
+        .distinct()
+    )
+
+
+def image_phash_pairs(sig: DataFrame) -> DataFrame:
+    """Registered perceptual-dedup pair set: capped-band candidates,
+    Hamming-verified, then EXACT grid-L1 verification joined in for the
+    surviving pairs only (verify-on-candidates — the grid arrays never
+    ride through the explode/join)."""
+    pairs = _band_pairs(sig, IMG_BAND_BUCKET_CAP)
+    ga = sig.select(
+        F.col("media_id").alias("media_id_a"), F.col("grid").alias("_ga")
+    )
+    gb = sig.select(
+        F.col("media_id").alias("media_id_b"), F.col("grid").alias("_gb")
+    )
+    l1 = F.aggregate(
+        F.zip_with("_ga", "_gb", lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(ga, "media_id_a")
+        .join(gb, "media_id_b")
+        .withColumn("grid_l1", l1.cast("int"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "hamming",
+            "grid_l1",
+            (F.col("grid_l1") <= IMG_VERIFY_L1_MAX).alias("verified"),
+        )
+    )
+
+
+def image_band_recall(sig: DataFrame) -> DataFrame:
+    """Single-row audit of the capped scale path vs the exact (uncapped,
+    pigeonhole-complete) pair set — the image twin of
+    similarity.ann_pair_recall, measuring the ONE approximation in the
+    path (the over-cap chain fallback) on both axes: pair_recall (how
+    much of the full clique enumeration the chain gives up — the
+    declared trade-off) and member_recall (the share of images with a
+    true near-dup that still surface in some found pair — what decides
+    whether an image gets deduplicated at all; found pairs all verify
+    Hamming <= 3, so found ⊆ truth and coverage is the honest axis).
+    One aggregation over a tagged union of pair rows and member rows —
+    no 1-row cross join to stitch the two grains together."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    truth = _band_pairs(sig, None).select("media_id_a", "media_id_b")
+    found = _band_pairs(sig, IMG_BAND_BUCKET_CAP).select(
+        "media_id_a", "media_id_b"
+    )
+    pair_rows = (
+        truth.join(
+            found.withColumn("_hit", F.lit(1)),
+            ["media_id_a", "media_id_b"],
+            "left",
+        )
+        .select(
+            F.lit("pair").alias("_kind"),
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"),
+        )
+    )
+
+    def ids(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select(F.col("media_id_a").alias("id"))
+            .unionByName(pairs.select(F.col("media_id_b").alias("id")))
+            .distinct()
+        )
+
+    member_rows = (
+        ids(truth)
+        .join(ids(found).withColumn("_hit", F.lit(1)), "id", "left")
+        .select(
+            F.lit("member").alias("_kind"),
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"),
+        )
+    )
+    tagged = pair_rows.unionByName(member_rows)
+
+    def n(kind: str):
+        # coalesce: agg over an EMPTY tagged union (pair-free corpus)
+        # yields NULL sums in Spark vs 0 in the oracle's COALESCE
+        return F.coalesce(
+            F.sum(F.when(F.col("_kind") == kind, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long")
+
+    def hits(kind: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("_kind") == kind, F.col("_hit")).otherwise(0)),
+            F.lit(0),
+        ).cast("long")
+    return (
+        tagged.agg(
+            n("pair").alias("n_exact_pairs"),
+            hits("pair").alias("n_found"),
+            n("member").alias("n_members"),
+            hits("member").alias("n_members_found"),
+        )
+        .select(
+            "n_exact_pairs",
+            "n_found",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                round_div("n_found", "n_exact_pairs", 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pair_recall"),
+            "n_members",
+            "n_members_found",
+            F.when(
+                F.col("n_members") > 0,
+                round_div("n_members_found", "n_members", 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("member_recall"),
+        )
+    )
+
+
+#: memoized dHash signature frames per (app, sf_dir): the pair query and
+#: the recall audit share the decode+signature stage (the _EMB_PAIRS_CACHE
+#: share-the-expensive-stage pattern)
+_DHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_DHASH_CACHE.clear)
+
+
+def _cached_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sig = _DHASH_CACHE.get(key)
+    if sig is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        media = synthesize_media(docs).filter(
+            F.col("media_type") == "image"
+        )
+        sig = dhash_signatures(media).localCheckpoint(eager=True)
+        _DHASH_CACHE[key] = sig
+    return sig
+
+
+def build_image_phash(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return image_phash_pairs(_cached_dhash(spark, sf_dir))
+
+
+def build_image_band_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return image_band_recall(_cached_dhash(spark, sf_dir))
+
+
+# DuckDB twins: the raster is rpad(text, w*h, ' ') by construction
+# (sanitized printable ASCII -> chars == bytes), the 9x8 grid pixel
+# (y, x) sits at 1-based raster position ((y*h)//8)*w + ((x*w)//9) + 1,
+# and each band is 16 unrolled grid comparisons.
+_IMG_GRID_SQL = (
+    "list_transform(range(0, {n}), i -> ascii(substr(raster, "
+    "CAST((((i // {c}) * h) // {r}) * w + ((((i % {c}) * w) // {c})) + 1 "
+    "AS BIGINT), 1)))"
+).format(n=IMG_GRID_ROWS * IMG_GRID_COLS, r=IMG_GRID_ROWS, c=IMG_GRID_COLS)
+
+
+def _img_band_sql(b: int) -> str:
+    terms = []
+    for j in range(16):
+        i = b * 16 + j
+        y, x = divmod(i, IMG_GRID_COLS - 1)
+        left = y * IMG_GRID_COLS + x + 1  # 1-based list index
+        terms.append(
+            f"(CASE WHEN grid[{left}] > grid[{left + 1}] "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def _img_pairs_sql(capped: bool) -> str:
+    bands = ", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))
+    # hamming over the cand CTE's flattened aliases (xa0..3 / yb0..3)
+    ham = " + ".join(
+        f"bit_count(xor(xa{i}, yb{i}))" for i in range(IMG_BANDS)
+    )
+    xa = ", ".join(f"x.b{i} AS xa{i}" for i in range(IMG_BANDS))
+    yb = ", ".join(f"y.b{i} AS yb{i}" for i in range(IMG_BANDS))
+    if capped:
+        pb = ", ".join(
+            f"lag(b{i}) OVER wch AS pb{i}" for i in range(IMG_BANDS)
+        )
+        pxa = ", ".join(f"pb{i} AS xa{i}" for i in range(IMG_BANDS))
+        cyb = ", ".join(f"b{i} AS yb{i}" for i in range(IMG_BANDS))
+        both = ", ".join(
+            f"b{i} AS xa{i}" for i in range(IMG_BANDS)
+        ) + ", " + cyb
+        sig = ", ".join(f"b{i}" for i in range(IMG_BANDS))
+        cand = f"""
+small AS (
+  SELECT x.media_id AS media_id_a, y.media_id AS media_id_b, {xa}, {yb}
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+  WHERE x.bc <= {IMG_BAND_BUCKET_CAP}
+),
+mega AS (
+  SELECT media_id, {sig}, band, val FROM buckets
+  WHERE bc > {IMG_BAND_BUCKET_CAP}
+),
+intra AS (
+  SELECT pid AS media_id_a, media_id AS media_id_b, {both}
+  FROM (
+    SELECT media_id, {sig},
+           lag(media_id) OVER (PARTITION BY band, val, {sig}
+                               ORDER BY media_id) AS pid
+    FROM mega
+  )
+  WHERE pid IS NOT NULL
+),
+reps AS (
+  SELECT band, val, {sig}, MIN(media_id) AS media_id,
+         COUNT(*) OVER (PARTITION BY band, val) AS sc
+  FROM mega GROUP BY band, val, {sig}
+),
+rep_small AS (
+  SELECT x.media_id AS media_id_a, y.media_id AS media_id_b, {xa}, {yb}
+  FROM reps x JOIN reps y
+    ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+  WHERE x.sc <= {IMG_BAND_BUCKET_CAP}
+),
+rep_chain AS (
+  SELECT least(pid, media_id) AS media_id_a,
+         greatest(pid, media_id) AS media_id_b,
+         {pxa}, {cyb}
+  FROM (
+    SELECT media_id, {sig},
+           lag(media_id) OVER wch AS pid, {pb}
+    FROM reps
+    WHERE sc > {IMG_BAND_BUCKET_CAP}
+    WINDOW wch AS (PARTITION BY band, val
+                   ORDER BY {sig}, media_id)
+  )
+  WHERE pid IS NOT NULL
+),
+cand AS (SELECT * FROM small UNION ALL SELECT * FROM intra
+         UNION ALL SELECT * FROM rep_small
+         UNION ALL SELECT * FROM rep_chain)"""
+    else:
+        cand = f"""
+cand AS (
+  SELECT x.media_id AS media_id_a, y.media_id AS media_id_b, {xa}, {yb}
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+)"""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST({_W_EXPR} AS INTEGER) AS w,
+         CAST({_H_EXPR} AS INTEGER) AS h,
+         rpad(text, CAST({_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+  WHERE doc_id % 3 = 0
+),
+g AS (SELECT media_id, {_IMG_GRID_SQL} AS grid FROM m),
+sig AS (
+  SELECT media_id, grid,
+         {_img_band_sql(0)} AS b0, {_img_band_sql(1)} AS b1,
+         {_img_band_sql(2)} AS b2, {_img_band_sql(3)} AS b3
+  FROM g
+),
+buckets AS (
+  SELECT media_id, b0, b1, b2, b3, bb.band, bb.val,
+         COUNT(*) OVER (PARTITION BY bb.band, bb.val) AS bc
+  FROM sig, LATERAL (VALUES {bands}) AS bb(band, val)
+),{cand}
+SELECT DISTINCT media_id_a, media_id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {HAMMING_IMG_MAX}
+"""
+
+
+def _img_phash_oracle() -> str:
+    l1 = (
+        "CAST(list_sum(list_transform(range(1, {n}), "
+        "k -> abs(ga.grid[k] - gb.grid[k]))) AS INTEGER)"
+    ).format(n=IMG_GRID_ROWS * IMG_GRID_COLS + 1)
+    return f"""
+WITH pairs AS ({_img_pairs_sql(capped=True)}),
+m AS (
+  SELECT doc_id AS media_id,
+         CAST({_W_EXPR} AS INTEGER) AS w,
+         CAST({_H_EXPR} AS INTEGER) AS h,
+         rpad(text, CAST({_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+  WHERE doc_id % 3 = 0
+),
+grids AS (SELECT media_id, {_IMG_GRID_SQL} AS grid FROM m)
+SELECT p.media_id_a, p.media_id_b, p.hamming,
+       {l1} AS grid_l1,
+       {l1} <= {IMG_VERIFY_L1_MAX} AS verified
+FROM pairs p
+JOIN grids ga ON ga.media_id = p.media_id_a
+JOIN grids gb ON gb.media_id = p.media_id_b
+"""
+
+
+ORACLE_SQL_IMAGE_PHASH = _img_phash_oracle()
+
+
+def _img_band_recall_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    def rec(hit: str, tot: str) -> str:
+        return (
+            f"CASE WHEN {tot} = 0 THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE {round_div_expr(hit, tot, 4, 'duckdb')} END"
+        )
+
+    return f"""
+WITH t AS ({_img_pairs_sql(capped=False)}),
+f AS ({_img_pairs_sql(capped=True)}),
+pj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         CAST(COALESCE(SUM(CASE WHEN f.media_id_a IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_found
+  FROM t LEFT JOIN f
+    ON f.media_id_a = t.media_id_a AND f.media_id_b = t.media_id_b
+),
+tid AS (SELECT media_id_a AS id FROM t UNION SELECT media_id_b FROM t),
+fid AS (SELECT media_id_a AS id FROM f UNION SELECT media_id_b FROM f),
+mj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(COALESCE(SUM(CASE WHEN fid.id IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_members_found
+  FROM tid LEFT JOIN fid ON fid.id = tid.id
+)
+SELECT pj.n_exact_pairs, pj.n_found,
+       {rec("pj.n_found", "pj.n_exact_pairs")} AS pair_recall,
+       mj.n_members, mj.n_members_found,
+       {rec("mj.n_members_found", "mj.n_members")} AS member_recall
+FROM pj, mj
+"""
+
+
+ORACLE_SQL_IMAGE_BAND_RECALL = _img_band_recall_oracle()

@@ -1171,3 +1171,92 @@ def test_budget_take_semantics(spark):
     # budget = 35, alloc = 35 → 5 whole docs (35 tokens) exactly
     assert r2["a"]["tokens_allocated"] == 35
     assert r2["a"]["n_docs_taken"] == 5 and r2["a"]["tokens_taken"] == 35
+
+
+def test_image_dhash_kernel_and_pair_semantics(spark):
+    """dHash signatures are exact on an identity-geometry raster, are
+    INVARIANT under nearest-neighbor 2x upscale (the resize dup class
+    the operator exists for), and hostile payloads quarantine one row.
+    The cap fallback branches (intra-signature chain / rep pairs) are
+    pinned with a tiny cap on a hand-built signature frame."""
+    import numpy as np
+
+    from demo_etl_spark.operators import multimodal
+
+    # identity geometry: w=9, h=8 makes the sampled grid the raster
+    rng = np.random.RandomState(7)
+    raster = rng.randint(0, 256, size=(8, 9), dtype=np.uint8)
+    p1 = b"P5 9 8 255\n" + raster.tobytes()
+    # 2x nearest-neighbor upscale: grid sampling lands on even indices,
+    # which hold exactly the original pixels -> identical signature
+    up = raster.repeat(2, axis=0).repeat(2, axis=1)
+    p2 = b"P5 18 16 255\n" + up.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(p1)),
+            (2, bytearray(p2)),
+            (3, bytearray(b"not a pgm")),  # wrong magic -> quarantine
+            (4, bytearray(b"P5 9 8 255\nshort")),  # short raster
+            (5, bytearray(b"P5 99999999 99999999 255\n")),  # mem bomb
+            (6, None),  # NULL payload
+            (None, bytearray(p1)),  # NULL identity
+        ],
+        "media_id long, payload binary",
+    )
+    sig = multimodal.dhash_signatures(media).collect()
+    assert sorted(r["media_id"] for r in sig) == [1, 2]
+    by_id = {r["media_id"]: r for r in sig}
+    # grid of the identity image IS the raster
+    assert by_id[1]["grid"] == [int(v) for v in raster.ravel()]
+    # hand-recompute the four bands from the raster
+    bits = (raster[:, :-1] > raster[:, 1:]).ravel().astype(int)
+    for b in range(4):
+        want = sum(int(bits[b * 16 + j]) << j for j in range(16))
+        assert by_id[1][f"b{b}"] == want
+    # upscale invariance: identical signature AND identical grid
+    for c in ("b0", "b1", "b2", "b3", "grid"):
+        assert by_id[1][c] == by_id[2][c]
+
+    pairs = multimodal.image_phash_pairs(
+        multimodal.dhash_signatures(media)
+    ).collect()
+    assert [(r["media_id_a"], r["media_id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] == 0
+    assert pairs[0]["grid_l1"] == 0 and pairs[0]["verified"]
+
+
+def test_image_band_cap_fallback_branches(spark):
+    """_band_pairs with a tiny cap: an over-cap bucket of identical
+    signatures connects through the intra-group chain (hamming-0
+    edges), and distinct-signature reps pair among themselves."""
+    from demo_etl_spark.operators import multimodal
+
+    # five identical signatures + one 1-bit-off neighbor: every member
+    # shares bucket (1, 7)/(2, 7)/(3, 7); bucket population 6 > cap 2,
+    # signature diversity 2 <= cap
+    rows = [(i, 5, 7, 7, 7, [0] * 72) for i in range(5)]
+    rows.append((9, 4, 7, 7, 7, [0] * 72))  # b0 differs by one bit
+    sig = spark.createDataFrame(
+        rows,
+        "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+    )
+    got = sorted(
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in multimodal._band_pairs(sig, cap=2).collect()
+    )
+    # rep pair (0, 9) survives at hamming 1, and the hamming-0 intra
+    # chain keeps the identical-signature group in one component
+    assert (0, 9, 1) in got
+    parent = {i: i for i in [0, 1, 2, 3, 4, 9]}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b, _ in got:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in [0, 1, 2, 3, 4, 9]}) == 1
+    # truth (uncapped) finds the full clique; capped found is a subset
+    truth = multimodal._band_pairs(sig, cap=None).collect()
+    assert len(truth) == 5 * 6 // 2  # all 15 pairs (max hamming 1)

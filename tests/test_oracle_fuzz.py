@@ -730,3 +730,35 @@ def test_json_extractor_parity_fuzz(spark):
         if got[rid] != exp[rid]
     }
     assert not bad, f"{len(bad)} diverging payloads: {dict(list(bad.items())[:5])}"
+
+
+def test_color_quarantine_on_hostile_p6_payloads(spark, hostile_dir):
+    """r13 hostile wave — the P6 color branch gets the same quarantine
+    coverage as the P5 wave (the decoders are deliberately separate, so
+    their pathology pins must be symmetric): 16-bit maxval, comment
+    welded inside a dimension token (deterministic REJECT under the
+    whitespace-token grammar), over-/under-length rasters, grayscale
+    magic, memory-bomb dims (slice-safe by construction — the 3*w*h
+    length check rejects before any allocation), NULL payload/id."""
+    from hostile_corpus import HOSTILE_COLOR_MEDIA
+    from demo_etl_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(
+        os.path.join(hostile_dir, "color_media.parquet")
+    )
+    expect_kept = {r[0] for r in HOSTILE_COLOR_MEDIA if r[2]}
+    stats = mm.color_channel_stats(media).collect()
+    assert {r["media_id"] for r in stats} == expect_kept
+    by_id = {r["media_id"]: r for r in stats}
+    # baseline raster bytes(range(12)): R=(0,3,6,9) G=(1,4,7,10)
+    # B=(2,5,8,11); mean x100 HALF_UP of R = 4.5*100 = 450
+    assert (by_id[1]["r_mean_x100"], by_id[1]["g_mean_x100"],
+            by_id[1]["b_mean_x100"]) == (450, 550, 650)
+    assert (by_id[1]["r_min"], by_id[1]["r_max"]) == (0, 9)
+    # the comment-laden header decodes to the SAME image
+    for c in ("r_mean_x100", "g_mean_x100", "b_mean_x100",
+              "r_min", "r_max", "b_min", "b_max"):
+        assert by_id[2][c] == by_id[1][c]
+    # over-length raster: first 12 bytes are 'A' (65) on every channel
+    assert by_id[3]["r_mean_x100"] == 6500
+    assert (by_id[3]["r_min"], by_id[3]["b_max"]) == (65, 65)

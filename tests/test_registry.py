@@ -35,59 +35,42 @@ def test_builders_are_callables_and_oracles_are_select_sql():
 def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
-    # spot-check the r12 window composition: the 8 post-rotation r11
-    # re-gates (floor binning / streaming epoch domain / sign-safe
-    # round_div consumers), the full 8-flagship cadence pull-forward,
-    # the r12-touched NULLS-LAST re-gates, and representatives of the
-    # stalest-rotation pool (every r7/r8 seat).
+    # spot-check the r13 window composition: the two r13 first-time
+    # image-dedup seats, the ADVICE-touched part_revenue_abc re-gate,
+    # and the stale-tail clear (regional_sales r7 + all 16 r8 seats +
+    # 30 r9 seats — representatives below).
     window = set(q[:50])
     for rep in (
-        # post-rotation r11/r12 re-gates
-        "events_value_histogram",
-        "events_props_breakdown",
-        "streaming_session",
-        "streaming_dedup",
-        "streaming_user_totals",
-        "embedding_centroids",
-        "market_concentration",
-        "revenue_seasonality",
-        # flagship cadence (all 8)
-        "customer_analytics",
-        "product_analytics",
-        "time_analytics",
-        "product_ranking",
-        "revenue_trend",
-        "sales_asset_union",
-        "star_join_detail",
-        "date_dim_join",
-        # r12-touched re-gates (NULLS-LAST tie class)
-        "event_transitions",
-        "session_attribution",
-        "scd2_history",
-        # stalest-rotation representatives (r7/r8 pool; three earlier
-        # representatives — regional_sales, kmv_distinct_ngrams,
-        # streaming_enriched_rollup — yielded their seats to the r12
-        # late first-time queries below, per the new-queries-gate-
-        # within-one-round rule, and head the r13 stalest pool)
-        "dedup_span_scrub",
-        "doc_chunks",
-        "embedding_pq",
-        "multimodal_frames",
-        "bpe_merges_batched",
-        "part_pagerank",
-        # r12 first-time seats (each must gate this round)
-        "similarity_hybrid_rerank",
-        "similarity_hybrid_recall",
-        "events_rate_limit",
-        "revenue_cusum",
-        "events_gapfill_interp",
-        "doc_surprisal_bits",
-        "orders_benford_audit",
-        "multimodal_color",
-        "corpus_pps_sample",
-        "corpus_budget_take",
+        # r13 first-time seats (each must gate this round)
+        "dedup_image_phash",
+        "dedup_image_band_recall",
+        # r13-touched re-gate (cum_share guard, r12 ADVICE)
         "part_revenue_abc",
-        "orders_backlog_timeline",
+        # the full r7/r8 stale tail
+        "regional_sales",
+        "customer_order_distribution_sql",
+        "disjunctive_revenue_sql",
+        "doc_fingerprints",
+        "events_gapfill",
+        "key_skew_profile",
+        "kmv_distinct_ngrams",
+        "lang_id",
+        "last_shipment_sql",
+        "lateral_order_topk_sql",
+        "nation_market_share_sql",
+        "packing_tokens_canary",
+        "salted_order_join",
+        "shard_manifest",
+        "shipping_priority_sql",
+        "streaming_enriched_rollup",
+        "top_supplier_sql",
+        # r9-pool representatives
+        "dedup_exact",
+        "multimodal_features",
+        "part_communities",
+        "streaming_daily_rollup",
+        "events_session",
+        "jsonl_malformed_ingest",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 

@@ -52,7 +52,27 @@ INTENDED = {
 }
 
 
+def plan_metrics(plan: str) -> dict[str, int]:
+    """Static operator counts for one formatted plan — the per-query
+    row of the PLANS.md metrics table, and the unit the snapshot gate
+    (tests/test_plan_metrics.py) pins registry-wide."""
+    return {
+        "exchange": plan.count("Exchange"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "window": plan.count("Window"),
+        "arrow": (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        ),
+        "red_flags": sorted(f for f in RED_FLAGS if f in plan),
+    }
+
+
 def main() -> int:
+    import os
+
     from demo_etl_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -88,6 +108,24 @@ def main() -> int:
     out_path = (
         "/root/repo/PLANS.md" if not only else "/tmp/PLANS_partial.md"
     )
+    out_path = os.environ.get("EXPLAIN_PLANS_OUT", out_path)
+    if not only:
+        # machine-readable metrics snapshot — the committed copy is the
+        # baseline tests/test_plan_metrics.py regresses against; an
+        # INTENDED plan change re-runs this tool and commits the diff
+        import json
+
+        metrics_path = os.environ.get(
+            "EXPLAIN_METRICS_OUT", "/root/repo/PLAN_METRICS.json"
+        )
+        with open(metrics_path, "w") as mf:
+            json.dump(
+                {name: plan_metrics(plan) for name, plan in sections},
+                mf,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {metrics_path}")
     with open(out_path, "w") as f:
         f.write(
             "# Physical plans of every registered query\n\n"

@@ -430,6 +430,61 @@ def build_media_table() -> pa.Table:
     )
 
 
+
+
+#: r13 hostile wave — COLOR (P6) payloads, mirroring the P5 wave's
+#: pathology classes so the deliberately-separate decode_ppm branch has
+#: symmetric quarantine coverage (r12 verdict item 7): two-byte-sample
+#: maxval rasters, a comment-inside-a-dimension-token (our grammar reads
+#: whitespace-delimited tokens, so '2#c' is a REJECT — '#' opens a
+#: comment only at token start; pinned as deterministic behavior),
+#: raster over-length (tolerated: the decoder slices), raster
+#: under-length, grayscale magic fed to the color decoder, memory-bomb
+#: dims (safe by construction in the color kernel: Python slicing never
+#: allocates w*h, and the 3*w*h length check fails first — pinned so a
+#: refactor cannot regress it). Consumed by tests/test_oracle_fuzz.py.
+HOSTILE_COLOR_MEDIA = [
+    # (media_id, payload, expect_kept)
+    # valid baseline: 2x2 RGB raster
+    (1, b"P6 2 2 255\n" + bytes(range(12)), True),
+    # valid with comments + whitespace mix BETWEEN tokens
+    (2, b"P6\n# c\n 2\t# mid\n2 # t\n255\n" + bytes(range(12)), True),
+    # over-length raster — tolerated (decoder slices 3*w*h)
+    (3, b"P6 2 2 255\n" + b"A" * 15, True),
+    # grayscale magic to the color decoder
+    (10, b"P5 2 2 255\n" + b"B" * 4, False),
+    # two-byte-sample maxval (16-bit P6) and maxval 0
+    (11, b"P6 2 2 65535\n" + b"C" * 24, False),
+    (12, b"P6 2 2 0\n" + b"D" * 12, False),
+    # truncated header / non-numeric dim / comment welded to a token
+    (13, b"P6 2 2", False),
+    (14, b"P6 two 2 255\n" + b"E" * 12, False),
+    (15, b"P6 2#c\n2 255\n" + b"F" * 12, False),
+    # zero dim
+    (16, b"P6 0 2 255\n", False),
+    # memory-bomb dims (slice-safe; length check rejects)
+    (17, b"P6 999999999 999999999 255\n" + b"G" * 8, False),
+    # raster one byte short of 3*w*h
+    (18, b"P6 2 2 255\n" + b"H" * 11, False),
+    # NULL payload / NULL media_id
+    (19, None, False),
+    (None, b"P6 2 2 255\n" + bytes(range(12)), False),
+]
+
+
+def build_color_media_table() -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array(
+                [r[0] for r in HOSTILE_COLOR_MEDIA], pa.int64()
+            ),
+            "payload": pa.array(
+                [r[1] for r in HOSTILE_COLOR_MEDIA], pa.binary()
+            ),
+        }
+    )
+
+
 def _append_rows(src_path: str, dst_path: str, rows: list[tuple]) -> None:
     """Copy a parquet table with hostile rows appended, coercing each
     value to the source column's arrow type (timestamps from ISO
@@ -473,6 +528,8 @@ def write_corpus(out_dir: str, src_sf: str = SRC_SF) -> str:
                    os.path.join(out_dir, "documents.parquet"))
     pq.write_table(build_media_table(),
                    os.path.join(out_dir, "media.parquet"))
+    pq.write_table(build_color_media_table(),
+                   os.path.join(out_dir, "color_media.parquet"))
     return out_dir
 
 
