@@ -65,11 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================ r13 driver window (first 50 entries) ========
         # Rotation (r12 verdict item 1 + late-landing clause): 2 seats
         # are the round's new image-dedup queries, 1 re-gates the
-        # ADVICE-touched part_revenue_abc, and the remaining 47 clear
-        # the ENTIRE stale tail: regional_sales (r7) + all 16 r8 seats
-        # + 30 of 33 r9 seats. The 12 r12 first-time seats and the r12
-        # flagship set rotate out (flagships re-gate by r15 per the
-        # <=3-round cadence; window plan for r14 noted in PERF_NOTES).
+        # ADVICE-touched part_revenue_abc, 5 re-gate the guard-review
+        # sweep (2 of them flagships — customer/product_analytics start
+        # the <=3-round flagship cadence early; the other 6 flagships
+        # re-gate r14/r15, plan in PERF_NOTES), and the remaining 42
+        # clear the stale tail: regional_sales (r7) + all 16 r8 seats +
+        # 25 of 33 r9 seats (the 8 left — text_stats, text_redacted,
+        # waiting_suppliers_sql + the 5 displaced below — head the r14
+        # pool). The 12 r12 first-time seats rotate out.
         # ---- r13 first-time seats (new queries gate within one round):
         # perceptual image dedup — dHash over the REAL decoded rasters,
         # 4x16-bit Hamming-band candidates with the distinct-signature
@@ -82,11 +85,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r13-touched re-gate (late-landing clause): cum_share's zero
         # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
         "part_revenue_abc": _product.build_part_abc,
+        # ---- r13 guard-review re-gates (late-landing clause): the
+        # positive-denominator sweep extended the r12 ADVICE fix to
+        # every signed-SUM round_div guard (cusum/seasonality shares,
+        # revenue_per_unit, weekend ratio, HHI share); five r9 seats
+        # (quarantine_audit, revenue_decompose, schema_evolution_read,
+        # small_quantity_revenue_sql, streaming_purchase_clicks) yield
+        # and head the r14 pool
+        "revenue_cusum": _timeseries.build_cusum,
+        "revenue_seasonality": _timeseries.build_seasonality,
+        "product_analytics": _product.build,
+        "customer_analytics": _customer.build,
+        "market_concentration": _product.build_market_concentration,
         # ---- stalest rotation: regional_sales (r7, oldest seat in the
-        # registry), then every remaining r8 seat, then 30 of the 33 r9
-        # seats — after this window no seat is older than r9 and only
-        # text_stats/text_redacted/waiting_suppliers_sql remain at r9
-        # (they head the r14 pool)
+        # registry), then every remaining r8 seat — after this window
+        # no seat is older than r9
         "regional_sales": _star.build_regional,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
@@ -129,12 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_hierarchy_sql": _suite.build_part_hierarchy,
         "part_triangles": _graph.build_triangles,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
-        "quarantine_audit": _quality.build_quarantine_audit,
-        "revenue_decompose": _timeseries.build_decompose,
-        "schema_evolution_read": _formats.build_schema_evolution_read,
-        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         # ================ driver window boundary (50) ================
         # Everything below is oracle-verified by the local sweep each
         # session and has held a driver-green seat (union coverage
@@ -142,16 +150,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below the boundary ~= recency of last seat; the two
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
+        # r13-displaced r9 seats — head of the r14 rotation pool
+        "quarantine_audit": _quality.build_quarantine_audit,
+        "revenue_decompose": _timeseries.build_decompose,
+        "schema_evolution_read": _formats.build_schema_evolution_read,
+        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
+        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "events_value_histogram": _events.build_value_histogram,
         "events_props_breakdown": _events.build_props_breakdown,
         "streaming_session": _streams.build_streaming_session,
         "streaming_dedup": _streams.build_streaming_dedup,
         "streaming_user_totals": _streams.build_streaming_user_totals,
         "embedding_centroids": _similarity.build_centroids,
-        "market_concentration": _product.build_market_concentration,
-        "revenue_seasonality": _timeseries.build_seasonality,
-        "customer_analytics": _customer.build,
-        "product_analytics": _product.build,
         "time_analytics": _timeseries.build_time,
         "product_ranking": _product.build_ranking,
         "revenue_trend": _timeseries.build_trend,
@@ -186,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _cdc.build_merge_upsert,
         "similarity_hybrid_recall": _similarity.build_hybrid_recall,
         "part_pagerank": _graph.build_pagerank,
-        "revenue_cusum": _timeseries.build_cusum,
         "events_rate_limit": _temporal.build_rate_limit,
         "events_gapfill_interp": _events.build_gapfill_interp,
         "orders_backlog_timeline": _timeseries.build_backlog,

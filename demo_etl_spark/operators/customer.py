@@ -109,8 +109,11 @@ def customer_analytics(
             + " END"
         ).alias("purchase_frequency_days"),
         round_div("_spent_c * _k1000", "1000000000", 2).alias("customer_value_score"),
+        # positive guard (r13 review; r12 ADVICE class): the cents sum
+        # can go negative on a returns-dominated corpus — round_div's
+        # magnitude formula needs a positive denominator
         F.expr(
-            "CASE WHEN _we_c + _wd_c <> 0 THEN "
+            "CASE WHEN _we_c + _wd_c > 0 THEN "
             + round_div_expr("_we_c", "_we_c + _wd_c", 6, "spark")
             + " END"
         ).alias("weekend_shopper_ratio"),
@@ -190,7 +193,7 @@ SELECT
   CASE WHEN total_orders > 1 THEN {rd("days_cust", "total_orders - 1", 2)} END
     AS purchase_frequency_days,
   {rd("spent_c * k1000", "1000000000", 2)} AS customer_value_score,
-  CASE WHEN we_c + wd_c <> 0 THEN {rd("we_c", "we_c + wd_c", 6)} END
+  CASE WHEN we_c + wd_c > 0 THEN {rd("we_c", "we_c + wd_c", 6)} END
     AS weekend_shopper_ratio
 FROM e
 """

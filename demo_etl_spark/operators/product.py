@@ -82,12 +82,13 @@ def product_analytics(
         round_div("unit_c", "n_lines * 10000", 2).alias("avg_price"),
         round_div("disc_c", "n_lines * 10000", 6).alias("avg_discount_rate"),
         F.col("unique_customers"),
-        # guard: total_quantity can be 0 (a part whose only lines carry
-        # zero quantity) — round_div's precondition is a nonzero
-        # denominator (Spark ANSI `div 0` raises, DuckDB `// 0` yields
-        # NULL). NULL-on-zero matches what the oracle computes.
+        # positive guard (r13 review, extending the r12 ADVICE
+        # part_revenue_abc fix): round_div needs a POSITIVE denominator.
+        # Zero stays the DIVIDE_BY_ZERO-vs-NULL class; a NEGATIVE
+        # quantity total (returns-dominated hostile corpus) fed the old
+        # != 0 spelling identical garbage on both engines — NULL now.
         F.when(
-            F.col("total_quantity") != 0,
+            F.col("total_quantity") > 0,
             round_div("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2),
         ).alias("revenue_per_unit"),
     )
@@ -152,7 +153,9 @@ SELECT
   {_rd("unit_c", "n_lines * 10000", 2)} AS avg_price,
   {_rd("disc_c", "n_lines * 10000", 6)} AS avg_discount_rate,
   unique_customers,
-  {_rd("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2)} AS revenue_per_unit
+  CASE WHEN total_quantity > 0 THEN
+    {_rd("rev_c", "CAST(total_quantity AS BIGINT) * 10000", 2)}
+  END AS revenue_per_unit
 FROM a
 """
 
@@ -435,7 +438,7 @@ def market_concentration(
         # revenue_per_unit above)
         "_share_bp",
         F.expr(
-            "CASE WHEN _tot_c <> 0 "
+            "CASE WHEN _tot_c > 0 "
             "THEN (_rev_c * 20000 + _tot_c) div (2 * _tot_c) END"
         ),
     )
@@ -479,7 +482,8 @@ shared AS (
 ),
 bp AS (
   SELECT nation, tot_c,
-         (rev_c * 20000 + tot_c) // (2 * tot_c) AS share_bp
+         CASE WHEN tot_c > 0
+           THEN (rev_c * 20000 + tot_c) // (2 * tot_c) END AS share_bp
   FROM shared
 )
 SELECT nation,

@@ -324,10 +324,12 @@ def revenue_seasonality(
         "month",
         "n_orders",
         round_div("_rev_c", "10000", 2).alias("total_revenue"),
-        # zero-total guard: same DIVIDE_BY_ZERO-vs-NULL class as
-        # revenue_per_customer (a corpus of all-zero prices)
+        # positive-total guard (r13 review, extending the r12 ADVICE
+        # part_revenue_abc fix): round_div needs a POSITIVE denominator —
+        # a net-negative corpus under the old != 0 spelling fed it a
+        # negative total and both engines computed identical garbage
         F.when(
-            F.expr("_total_c div 100") != 0,
+            F.expr("_total_c div 100") > 0,
             round_div("(_rev_c div 100) * 12", "_total_c div 100", 4),
         ).alias("seasonality_idx"),
     )
@@ -349,7 +351,9 @@ WITH m AS (
 )
 SELECT month, n_orders,
        {_rd("rev_c", "10000", 2)} AS total_revenue,
-       {_rd("(rev_c // 100) * 12", "CAST(SUM(rev_c) OVER () AS BIGINT) // 100", 4)} AS seasonality_idx
+       CASE WHEN CAST(SUM(rev_c) OVER () AS BIGINT) // 100 > 0 THEN
+         {_rd("(rev_c // 100) * 12", "CAST(SUM(rev_c) OVER () AS BIGINT) // 100", 4)}
+       END AS seasonality_idx
 FROM m
 """
 
@@ -415,11 +419,11 @@ def revenue_cusum(
         round_div("rev_c", "10000", 2).alias("total_revenue"),
         round_div("_dev", "_days * 100", 2).alias("dev_from_mean"),
         F.when(
-            F.col("_total_cc") != 0, round_div("_cu", "_total_cc", 4)
+            F.col("_total_cc") > 0, round_div("_cu", "_total_cc", 4)
         ).alias("cusum_up_mean_days"),
         F.expr(f"_cu > {thr} * _total_cc").alias("drift_up"),
         F.when(
-            F.col("_total_cc") != 0, round_div("_cd", "_total_cc", 4)
+            F.col("_total_cc") > 0, round_div("_cd", "_total_cc", 4)
         ).alias("cusum_down_mean_days"),
         F.expr(f"_cd > {thr} * _total_cc").alias("drift_down"),
     )
@@ -460,12 +464,12 @@ r AS (
 SELECT date,
        {_rd("rev_c", "10000", 2)} AS total_revenue,
        {_rd("dev", "days * 100", 2)} AS dev_from_mean,
-       CASE WHEN total_cc <> 0 THEN
+       CASE WHEN total_cc > 0 THEN
          {_rd("srun - LEAST(0, runmin)", "total_cc", 4)} END
          AS cusum_up_mean_days,
        srun - LEAST(0, runmin) > {CUSUM_ALARM_MEAN_DAYS} * total_cc
          AS drift_up,
-       CASE WHEN total_cc <> 0 THEN
+       CASE WHEN total_cc > 0 THEN
          {_rd("GREATEST(0, runmax) - srun", "total_cc", 4)} END
          AS cusum_down_mean_days,
        GREATEST(0, runmax) - srun > {CUSUM_ALARM_MEAN_DAYS} * total_cc

@@ -1260,3 +1260,51 @@ def test_image_band_cap_fallback_branches(spark):
     # truth (uncapped) finds the full clique; capped found is a subset
     truth = multimodal._band_pairs(sig, cap=None).collect()
     assert len(truth) == 5 * 6 // 2  # all 15 pairs (max hamming 1)
+
+
+def test_negative_total_denominators_null_ratios(spark):
+    """r13 review pin (extends the r12 ADVICE part_revenue_abc fix):
+    every ratio whose round_div denominator is a signed SUM must NULL
+    on a non-positive total — the old != 0 guards let a negative total
+    through and both engines computed identical garbage. Pinned on
+    hand-built returns-dominated (net-negative) inputs."""
+    from demo_etl_spark.operators import product as P
+    from demo_etl_spark.operators import timeseries as T
+
+    lineitem = spark.createDataFrame(
+        [
+            # one part, net-negative quantity, positive revenue
+            (1, 10, -5.0, 100.0, 0.0),
+            (2, 10, 2.0, 50.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 7, "1995-01-01"), (2, 7, "1995-01-02")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) o_orderdate"
+    )
+    part = spark.createDataFrame(
+        [(10, "widget", "TYPE A")], "p_partkey long, p_name string, p_type string"
+    )
+    row = P.product_analytics(lineitem, orders, part).collect()[0]
+    assert row["total_quantity"] == -3.0
+    assert row["revenue_per_unit"] is None  # was garbage under != 0
+
+    # net-negative revenue: cusum shares NULL, drift flags still exact
+    li_neg = spark.createDataFrame(
+        [
+            (1, 10, 1.0, -100.0, 0.0, "1995-01-01"),
+            (2, 10, 1.0, -50.0, 0.0, "1995-01-02"),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "CAST(l_shipdate AS DATE) l_shipdate",
+    )
+    cu = T.revenue_cusum(li_neg, orders).collect()
+    assert all(r["cusum_up_mean_days"] is None for r in cu)
+    assert all(r["cusum_down_mean_days"] is None for r in cu)
