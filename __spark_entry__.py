@@ -63,15 +63,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ================ r13 driver window (first 50 entries) ========
-        # Rotation (r12 verdict item 1 + late-landing clause): 2 seats
-        # are the round's new image-dedup queries, 1 re-gates the
-        # ADVICE-touched part_revenue_abc, 5 re-gate the guard-review
-        # sweep (2 of them flagships — customer/product_analytics start
-        # the <=3-round flagship cadence early; the other 6 flagships
-        # re-gate r14/r15, plan in PERF_NOTES), and the remaining 42
-        # clear the stale tail: regional_sales (r7) + all 16 r8 seats +
-        # 25 of 33 r9 seats (the 8 left — text_stats, text_redacted,
-        # waiting_suppliers_sql + the 5 displaced below — head the r14
+        # Rotation (r12 verdict item 1 + late-landing clause): 4 seats
+        # are the round's new media-dedup queries (image pair + audit,
+        # audio, video), 1 re-gates the ADVICE-touched part_revenue_abc,
+        # 5 re-gate the guard-review sweep (2 of them flagships —
+        # customer/product_analytics start the <=3-round flagship
+        # cadence early; the other 6 flagships re-gate r14/r15, plan in
+        # PERF_NOTES), and the remaining 40 clear the stale tail:
+        # regional_sales (r7) + all 16 r8 seats + 23 of 33 r9 seats
+        # (the 10 left — text_stats, text_redacted,
+        # waiting_suppliers_sql + the 7 displaced below — head the r14
         # pool). The 12 r12 first-time seats rotate out.
         # ---- r13 first-time seats (new queries gate within one round):
         # perceptual image dedup — dHash over the REAL decoded rasters,
@@ -82,6 +83,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its two-axis audit vs the uncapped (pigeonhole-exact) pair set:
         # pair_recall + member_recall, both oracle-gated
         "dedup_image_band_recall": _multimodal.build_image_band_recall,
+        # the audio twin: 32-bit energy-envelope delta-sign fingerprint
+        # over the decoded PCM, shared _band_pairs machinery + exact
+        # envelope-L1 verify; orders_profile (r9) yields its seat
+        "dedup_audio_fingerprint": _multimodal.build_audio_fingerprint,
+        # the video member: content-defined 1 KiB raster-chunk md5s,
+        # df-capped inverted-index candidates (chain fallback), EXACT
+        # per-pair containment on candidates only;
+        # partitioned_corpus_read (r9) yields its seat
+        "dedup_video_chunks": _multimodal.build_video_chunk_dedup,
         # ---- r13-touched re-gate (late-landing clause): cum_share's zero
         # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
         "part_revenue_abc": _product.build_part_abc,
@@ -135,13 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
         "lang_confusion": _text.build_lang_confusion,
         "multimodal_features": _multimodal.build_features_checked,
-        "orders_profile": _quality.build_orders_profile,
         "packing_policy_compare": _packing.build_packing_policy_compare,
         "part_closure": _graph.build_closure,
         "part_communities": _graph.build_communities,
         "part_hierarchy_sql": _suite.build_part_hierarchy,
         "part_triangles": _graph.build_triangles,
-        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
         # ================ driver window boundary (50) ================
         # Everything below is oracle-verified by the local sweep each
@@ -151,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
         # r13-displaced r9 seats — head of the r14 rotation pool
+        "orders_profile": _quality.build_orders_profile,
+        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
         "quarantine_audit": _quality.build_quarantine_audit,
         "revenue_decompose": _timeseries.build_decompose,
         "schema_evolution_read": _formats.build_schema_evolution_read,
@@ -348,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_color": _multimodal.ORACLE_SQL_COLOR,
         "dedup_image_phash": _multimodal.ORACLE_SQL_IMAGE_PHASH,
         "dedup_image_band_recall": _multimodal.ORACLE_SQL_IMAGE_BAND_RECALL,
+        "dedup_audio_fingerprint": _multimodal.ORACLE_SQL_AUDIO_FINGERPRINT,
+        "dedup_video_chunks": _multimodal.ORACLE_SQL_VIDEO_CHUNK_DEDUP,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

@@ -1219,7 +1219,13 @@ def _img_band_sql(b: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
 
 
-def _img_pairs_sql(capped: bool) -> str:
+def _band_pairs_sql(sig_ctes: str, capped: bool) -> str:
+    """DuckDB twin of ``_band_pairs`` over ANY 4-band signature source:
+    ``sig_ctes`` is a comma-separated CTE list whose last relation is
+    ``sig(media_id, b0..b3, ...)``. The bucket/candidate machinery
+    (small-bucket all-pairs, intra-signature chains, rep pairs, rep
+    chain) is shared verbatim between the image dHash and the audio
+    envelope fingerprint so the two twins cannot drift."""
     bands = ", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))
     # hamming over the cand CTE's flattened aliases (xa0..3 / yb0..3)
     ham = " + ".join(
@@ -1294,7 +1300,20 @@ cand AS (
     ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
 )"""
     return f"""
-WITH m AS (
+WITH {sig_ctes},
+buckets AS (
+  SELECT media_id, b0, b1, b2, b3, bb.band, bb.val,
+         COUNT(*) OVER (PARTITION BY bb.band, bb.val) AS bc
+  FROM sig, LATERAL (VALUES {bands}) AS bb(band, val)
+),{cand}
+SELECT DISTINCT media_id_a, media_id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {HAMMING_IMG_MAX}
+"""
+
+
+def _img_sig_ctes() -> str:
+    return f"""m AS (
   SELECT doc_id AS media_id,
          CAST({_W_EXPR} AS INTEGER) AS w,
          CAST({_H_EXPR} AS INTEGER) AS h,
@@ -1308,16 +1327,11 @@ sig AS (
          {_img_band_sql(0)} AS b0, {_img_band_sql(1)} AS b1,
          {_img_band_sql(2)} AS b2, {_img_band_sql(3)} AS b3
   FROM g
-),
-buckets AS (
-  SELECT media_id, b0, b1, b2, b3, bb.band, bb.val,
-         COUNT(*) OVER (PARTITION BY bb.band, bb.val) AS bc
-  FROM sig, LATERAL (VALUES {bands}) AS bb(band, val)
-),{cand}
-SELECT DISTINCT media_id_a, media_id_b, CAST({ham} AS INTEGER) AS hamming
-FROM cand
-WHERE {ham} <= {HAMMING_IMG_MAX}
-"""
+)"""
+
+
+def _img_pairs_sql(capped: bool) -> str:
+    return _band_pairs_sql(_img_sig_ctes(), capped)
 
 
 def _img_phash_oracle() -> str:
@@ -1386,3 +1400,407 @@ FROM pj, mj
 
 
 ORACLE_SQL_IMAGE_BAND_RECALL = _img_band_recall_oracle()
+
+
+# ----------------------------------------- audio envelope fingerprint ---
+# The audio twin of the image dHash: a 32-bit fingerprint from the sign
+# of consecutive ENERGY-ENVELOPE deltas — 33 equal sample windows over
+# the decoded 8-bit PCM (same (i*n)//W nearest-neighbor boundary math as
+# the image grid, so a time-stretch resample keeps window alignment),
+# window energy = exact integer sum of squares, bit i = e[i] > e[i+1].
+# Stored as 4x8-bit bands; candidate generation and the over-cap
+# group-collapse fallback are _band_pairs / _band_pairs_sql VERBATIM
+# (the machinery is signature-width-agnostic), with the same pigeonhole
+# exactness at HAMMING_IMG_MAX = 3. Verification joins the exact
+# 33-window envelopes back for an L1 distance on candidates only.
+AUDIO_FP_WINDOWS = 33  # 32 delta bits = 4 bands x 8 bits
+
+
+def audio_fingerprint_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, b0..b3, grid): 32-bit envelope fingerprint + the 33
+    exact window energies, via the REAL container decode. Arrow-batched
+    mapInPandas; identity-less/undecodable rows quarantine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(8, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if mid is None or pd.isna(mid) or payload is None:
+                    continue
+                w, h, raster, err = decode_pgm_safe(payload)
+                if err is not None:
+                    continue
+                n = w * h
+                s = (
+                    np.frombuffer(bytes(raster), dtype=np.uint8)[:n]
+                    .astype(np.int64)
+                    - 128
+                )
+                bounds = (np.arange(AUDIO_FP_WINDOWS + 1) * n) // AUDIO_FP_WINDOWS
+                sq = np.concatenate(([0], np.cumsum(s * s)))
+                e = sq[bounds[1:]] - sq[bounds[:-1]]  # exact window energies
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                bands = [
+                    int((bits[b * 8 : (b + 1) * 8] * weights).sum())
+                    for b in range(IMG_BANDS)
+                ]
+                rows.append([int(mid), *bands, [int(v) for v in e]])
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def audio_fingerprint_pairs(sig: DataFrame) -> DataFrame:
+    """Near-dup audio pairs: banded fingerprint candidates (Hamming <=
+    3, group-collapse cap fallback) + the exact envelope-L1 verify
+    joined for survivors only — the audio mirror of
+    ``image_phash_pairs``."""
+    pairs = _band_pairs(sig, IMG_BAND_BUCKET_CAP)
+    ga = sig.select(
+        F.col("media_id").alias("media_id_a"), F.col("grid").alias("_ga")
+    )
+    gb = sig.select(
+        F.col("media_id").alias("media_id_b"), F.col("grid").alias("_gb")
+    )
+    l1 = F.aggregate(
+        F.zip_with("_ga", "_gb", lambda a, b: F.abs(a - b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(ga, "media_id_a")
+        .join(gb, "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "hamming",
+            l1.cast("long").alias("envelope_l1"),
+        )
+    )
+
+
+_AUDIO_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_AUDIO_SIG_CACHE.clear)
+
+
+def _cached_audio_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sig = _AUDIO_SIG_CACHE.get(key)
+    if sig is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        media = synthesize_media(docs).filter(
+            F.col("media_type") == "audio"
+        )
+        sig = audio_fingerprint_signatures(media).localCheckpoint(eager=True)
+        _AUDIO_SIG_CACHE[key] = sig
+    return sig
+
+
+def build_audio_fingerprint(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return audio_fingerprint_pairs(_cached_audio_sig(spark, sf_dir))
+
+
+def _audio_band_sql(b: int) -> str:
+    terms = []
+    for j in range(8):
+        i = b * 8 + j
+        terms.append(
+            f"(CASE WHEN grid[{i + 1}] > grid[{i + 2}] "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def _audio_sig_ctes() -> str:
+    # window i covers 0-based samples [(i*n)//W, ((i+1)*n)//W);
+    # energies are exact integer sums of (sample-128)^2 over the raster
+    # chars (ASCII corpus: chars == bytes)
+    W = AUDIO_FP_WINDOWS
+    energy = (
+        "CAST(COALESCE(list_sum(list_transform("
+        f"range((i * n) // {W}, ((i + 1) * n) // {W}), "
+        "k -> (ascii(substr(raster, CAST(k + 1 AS BIGINT), 1)) - 128) "
+        "* (ascii(substr(raster, CAST(k + 1 AS BIGINT), 1)) - 128)"
+        ")), 0) AS INTEGER)"
+    )
+    return f"""m AS (
+  SELECT doc_id AS media_id,
+         CAST({_W_EXPR} * {_H_EXPR} AS BIGINT) AS n,
+         rpad(text, CAST({_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+  WHERE doc_id % 3 = 1
+),
+g AS (
+  SELECT media_id,
+         list_transform(range(0, {W}), i -> {energy}) AS grid
+  FROM m
+),
+sig AS (
+  SELECT media_id, grid,
+         {_audio_band_sql(0)} AS b0, {_audio_band_sql(1)} AS b1,
+         {_audio_band_sql(2)} AS b2, {_audio_band_sql(3)} AS b3
+  FROM g
+)"""
+
+
+def _audio_fp_oracle() -> str:
+    l1 = (
+        "CAST(list_sum(list_transform(range(1, {n}), "
+        "k -> abs(CAST(ga.grid[k] AS BIGINT) - CAST(gb.grid[k] AS BIGINT))"
+        ")) AS BIGINT)"
+    ).format(n=AUDIO_FP_WINDOWS + 1)
+    return f"""
+WITH pairs AS ({_band_pairs_sql(_audio_sig_ctes(), capped=True)}),
+{_audio_sig_ctes()}
+SELECT p.media_id_a, p.media_id_b, p.hamming, {l1} AS envelope_l1
+FROM pairs p
+JOIN sig ga ON ga.media_id = p.media_id_a
+JOIN sig gb ON gb.media_id = p.media_id_b
+"""
+
+
+ORACLE_SQL_AUDIO_FINGERPRINT = _audio_fp_oracle()
+
+
+# ------------------------------------------ video content-chunk dedup ---
+# Near-dup VIDEOS by content-defined chunk fingerprints: the raster (the
+# CONTENT, header stripped — so the same footage re-containered with
+# different geometry metadata still matches on its shared prefix) is cut
+# into fixed 1 KiB chunks, each md5-fingerprinted; candidate pairs come
+# from a df-capped inverted index on chunk hash (a chunk shared by more
+# than VIDEO_CHUNK_DF_CAP videos — the all-blank-frame boilerplate
+# class — stops enumerating pairs and emits the consecutive-posting
+# chain instead, the image operator's spanning fallback); containment is
+# then computed EXACTLY for candidates only (the full |A∩B| via a
+# per-pair chunk join — the cap bounds candidate generation, never the
+# reported number). is_dup: shared covers >= VIDEO_CONTAIN_BP of the
+# smaller video's distinct chunks, compared cross-multiplied in
+# integers.
+VIDEO_CHUNK_BYTES = 1024
+VIDEO_CHUNK_DF_CAP = 64
+#: majority-share threshold: the last chunk of a video is PARTIAL, so
+#: two same-content videos whose containers pad to different lengths
+#: always disagree on it — a k-chunk video can share at most k-1 chunks
+#: with its re-encode, i.e. 50% at k=2. >= 50% of the smaller side is
+#: the tightest threshold that still flags the re-encode class at small
+#: chunk counts; long videos (k >> 1) sit near 100% and clear it
+#: trivially.
+VIDEO_CONTAIN_BP = 5000  # >= 50% of the smaller side's chunks
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_index", IntegerType()),
+        StructField("chunk_hash", StringType()),
+    ]
+)
+
+
+def video_chunk_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, chunk_index, chunk_hash): md5 per 1 KiB raster chunk
+    via the REAL decode. Arrow-batched 1→N exploding mapInPandas;
+    quarantine as everywhere else."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "chunk_index": [], "chunk_hash": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if mid is None or pd.isna(mid) or payload is None:
+                    continue
+                w, h, raster, err = decode_pgm_safe(payload)
+                if err is not None:
+                    continue
+                raw = bytes(raster)[: w * h]
+                for i, off in enumerate(range(0, len(raw), VIDEO_CHUNK_BYTES)):
+                    out["media_id"].append(int(mid))
+                    out["chunk_index"].append(i)
+                    out["chunk_hash"].append(
+                        hashlib.md5(raw[off : off + VIDEO_CHUNK_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "chunk_index": "int32"}
+            )
+
+    return media.mapInPandas(batches, CHUNK_SCHEMA)
+
+
+def video_chunk_pairs(
+    chunks: DataFrame,
+    cap: int = VIDEO_CHUNK_DF_CAP,
+    contain_bp: int = VIDEO_CONTAIN_BP,
+) -> DataFrame:
+    """Candidate generation + exact containment verify over the chunk
+    table (see module comment above)."""
+    from pyspark.sql.window import Window
+
+    from demo_etl_spark.functions.fixedpoint import fixed_ratio
+
+    ch = chunks.select("media_id", F.col("chunk_hash").alias("h")).distinct()
+    sizes = ch.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+    dfc = ch.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    idx = ch.join(dfc, "h")
+    small = idx.filter((F.col("_df") >= 2) & (F.col("_df") <= cap))
+    cand_small = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_id_a"),
+            F.col("y.media_id").alias("media_id_b"),
+        )
+    )
+    chain = Window.partitionBy("h").orderBy("media_id")
+    cand_chain = (
+        idx.filter(F.col("_df") > cap)
+        .select("h", "media_id", F.lag("media_id").over(chain).alias("_pid"))
+        .filter(F.col("_pid").isNotNull())
+        .select(
+            F.col("_pid").alias("media_id_a"),
+            F.col("media_id").alias("media_id_b"),
+        )
+    )
+    cand = cand_small.unionByName(cand_chain).distinct()
+    # exact |A ∩ B| for candidates only: per-pair chunk equi-join
+    inter = (
+        cand.join(
+            ch.select(F.col("media_id").alias("media_id_a"), "h"),
+            "media_id_a",
+        )
+        .join(
+            ch.select(F.col("media_id").alias("media_id_b"), "h"),
+            ["media_id_b", "h"],
+        )
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+    na = sizes.select(
+        F.col("media_id").alias("media_id_a"), F.col("n").alias("n_chunks_a")
+    )
+    nb = sizes.select(
+        F.col("media_id").alias("media_id_b"), F.col("n").alias("n_chunks_b")
+    )
+    return (
+        inter.join(na, "media_id_a")
+        .join(nb, "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "shared_chunks",
+            "n_chunks_a",
+            "n_chunks_b",
+            fixed_ratio(
+                "shared_chunks", "least(n_chunks_a, n_chunks_b)", 4
+            ).alias("containment_bp"),
+            F.expr(
+                f"shared_chunks * 10000 >= {contain_bp} * "
+                "least(n_chunks_a, n_chunks_b)"
+            ).alias("is_dup"),
+        )
+    )
+
+
+_VIDEO_CHUNKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_VIDEO_CHUNKS_CACHE.clear)
+
+
+def _cached_video_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager checkpoint: the pair query fans the chunk table into ~8
+    # consumers (index x/y, chain, intersection a/b, sizes a/b) — left
+    # lazy, the static plan recomputed the decode+md5 MapInPandas stage
+    # once PER BRANCH (plan audit: 20 Arrow stages / 92 exchanges).
+    # Truncating the lineage decodes every payload exactly once.
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    ch = _VIDEO_CHUNKS_CACHE.get(key)
+    if ch is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        media = synthesize_media(docs).filter(
+            F.col("media_type") == "video"
+        )
+        ch = video_chunk_hashes(media).localCheckpoint(eager=True)
+        _VIDEO_CHUNKS_CACHE[key] = ch
+    return ch
+
+
+def build_video_chunk_dedup(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return video_chunk_pairs(_cached_video_chunks(spark, sf_dir))
+
+
+def _video_chunk_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import fixed_ratio_expr
+
+    bp = fixed_ratio_expr(
+        "shared_chunks", "least(n_chunks_a, n_chunks_b)", 4, "duckdb"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST({_W_EXPR} * {_H_EXPR} AS BIGINT) AS n,
+         rpad(text, CAST({_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+  WHERE doc_id % 3 = 2
+),
+ch AS (
+  SELECT DISTINCT media_id,
+         md5(substr(raster, CAST(off + 1 AS BIGINT), {VIDEO_CHUNK_BYTES}))
+           AS h
+  FROM (
+    SELECT media_id, raster,
+           unnest(generate_series(0, n - 1, {VIDEO_CHUNK_BYTES})) AS off
+    FROM m
+  )
+),
+sizes AS (SELECT media_id, CAST(COUNT(*) AS INTEGER) AS n FROM ch GROUP BY 1),
+dfc AS (SELECT h, COUNT(*) AS df FROM ch GROUP BY 1),
+idx AS (SELECT ch.media_id, ch.h, dfc.df FROM ch JOIN dfc USING (h)),
+cand_small AS (
+  SELECT x.media_id AS media_id_a, y.media_id AS media_id_b
+  FROM idx x JOIN idx y ON x.h = y.h AND x.media_id < y.media_id
+  WHERE x.df BETWEEN 2 AND {VIDEO_CHUNK_DF_CAP}
+),
+cand_chain AS (
+  SELECT pid AS media_id_a, media_id AS media_id_b
+  FROM (
+    SELECT media_id,
+           lag(media_id) OVER (PARTITION BY h ORDER BY media_id) AS pid
+    FROM idx WHERE df > {VIDEO_CHUNK_DF_CAP}
+  )
+  WHERE pid IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT * FROM
+    (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_chain)
+),
+inter AS (
+  SELECT c.media_id_a, c.media_id_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_chunks
+  FROM cand c
+  JOIN ch a ON a.media_id = c.media_id_a
+  JOIN ch b ON b.media_id = c.media_id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.media_id_a, i.media_id_b, i.shared_chunks,
+       sa.n AS n_chunks_a, sb.n AS n_chunks_b,
+       {bp} AS containment_bp,
+       i.shared_chunks * 10000 >= {VIDEO_CONTAIN_BP}
+         * least(sa.n, sb.n) AS is_dup
+FROM inter i
+JOIN sizes sa ON sa.media_id = i.media_id_a
+JOIN sizes sb ON sb.media_id = i.media_id_b
+"""
+
+
+ORACLE_SQL_VIDEO_CHUNK_DEDUP = _video_chunk_oracle()

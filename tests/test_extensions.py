@@ -1308,3 +1308,73 @@ def test_negative_total_denominators_null_ratios(spark):
     cu = T.revenue_cusum(li_neg, orders).collect()
     assert all(r["cusum_up_mean_days"] is None for r in cu)
     assert all(r["cusum_down_mean_days"] is None for r in cu)
+
+
+def test_audio_fingerprint_kernel_and_quarantine(spark):
+    """Envelope fingerprint: exact window energies on a hand raster,
+    identical payloads pair at hamming 0 / envelope_l1 0, hostile
+    payloads quarantine."""
+    import numpy as np
+
+    from demo_etl_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    raster = rng.randint(0, 256, size=33 * 4, dtype=np.uint8)  # w=33,h=4
+    p = b"P5 33 4 255\n" + raster.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(p)),
+            (2, bytearray(p)),  # exact duplicate payload
+            (3, bytearray(b"nope")),
+            (4, None),
+            (None, bytearray(p)),
+        ],
+        "media_id long, payload binary",
+    )
+    sig = mm.audio_fingerprint_signatures(media).collect()
+    assert sorted(r["media_id"] for r in sig) == [1, 2]
+    by_id = {r["media_id"]: r for r in sig}
+    # hand-recompute the 33 window energies
+    s = raster.astype(np.int64) - 128
+    n = len(s)
+    want = [
+        int((s[(i * n) // 33 : ((i + 1) * n) // 33] ** 2).sum())
+        for i in range(33)
+    ]
+    assert by_id[1]["grid"] == want
+    assert by_id[1]["grid"] == by_id[2]["grid"]
+
+    pairs = mm.audio_fingerprint_pairs(
+        mm.audio_fingerprint_signatures(media)
+    ).collect()
+    assert [(r["media_id_a"], r["media_id_b"], r["hamming"],
+             r["envelope_l1"]) for r in pairs] == [(1, 2, 0, 0)]
+
+
+def test_video_chunk_containment_and_chain_fallback(spark):
+    """Exact containment on hand-built chunk tables: shared full-prefix
+    chunks count, the partial tail differs, and an over-cap boilerplate
+    chunk falls back to the posting chain (candidates stay linear) while
+    containment stays EXACT for the candidates."""
+    from demo_etl_spark.operators import multimodal as mm
+
+    # videos 1/2 share chunks c0,c1; video 1 has tail t1, video 2 t2.
+    # chunk 'boiler' is shared by videos 10..14 (df 5 > cap 2).
+    rows = [
+        (1, 0, "c0"), (1, 1, "c1"), (1, 2, "t1"),
+        (2, 0, "c0"), (2, 1, "c1"), (2, 2, "t2"),
+    ] + [(10 + i, 0, "boiler") for i in range(5)]
+    chunks = spark.createDataFrame(
+        rows, "media_id long, chunk_index int, chunk_hash string"
+    )
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r
+        for r in mm.video_chunk_pairs(chunks, cap=2, contain_bp=5000).collect()
+    }
+    r12 = got[(1, 2)]
+    assert (r12["shared_chunks"], r12["n_chunks_a"], r12["n_chunks_b"]) == (2, 3, 3)
+    assert r12["containment_bp"] == 6667 and r12["is_dup"]
+    # boilerplate postings chain: consecutive ids only, each 100% contained
+    chain_pairs = {k for k in got if k[0] >= 10}
+    assert chain_pairs == {(10, 11), (11, 12), (12, 13), (13, 14)}
+    assert all(got[k]["containment_bp"] == 10000 for k in chain_pairs)

@@ -44,6 +44,8 @@ def test_registry_is_large_and_window_covers_families():
         # r13 first-time seats (each must gate this round)
         "dedup_image_phash",
         "dedup_image_band_recall",
+        "dedup_audio_fingerprint",
+        "dedup_video_chunks",
         # r13-touched re-gate (cum_share guard, r12 ADVICE)
         "part_revenue_abc",
         # the full r7/r8 stale tail
