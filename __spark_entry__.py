@@ -63,16 +63,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ================ r13 driver window (first 50 entries) ========
-        # Rotation (r12 verdict item 1 + late-landing clause): 4 seats
+        # Rotation (r12 verdict item 1 + late-landing clause): 5 seats
         # are the round's new media-dedup queries (image pair + audit,
-        # audio, video), 1 re-gates the ADVICE-touched part_revenue_abc,
-        # 5 re-gate the guard-review sweep (2 of them flagships —
-        # customer/product_analytics start the <=3-round flagship
-        # cadence early; the other 6 flagships re-gate r14/r15, plan in
-        # PERF_NOTES), and the remaining 40 clear the stale tail:
-        # regional_sales (r7) + all 16 r8 seats + 23 of 33 r9 seats
-        # (the 10 left — text_stats, text_redacted,
-        # waiting_suppliers_sql + the 7 displaced below — head the r14
+        # audio, video, cross-modal agreement), 1 re-gates the
+        # ADVICE-touched part_revenue_abc, 5 re-gate the guard-review
+        # sweep (2 of them flagships — customer/product_analytics start
+        # the <=3-round flagship cadence early; the other 6 flagships
+        # re-gate r14/r15, plan in PERF_NOTES), and the remaining 39
+        # clear the stale tail: regional_sales (r7) + all 16 r8 seats +
+        # 22 of 33 r9 seats (the 11 left — text_stats, text_redacted,
+        # waiting_suppliers_sql + the 8 displaced below — head the r14
         # pool). The 12 r12 first-time seats rotate out.
         # ---- r13 first-time seats (new queries gate within one round):
         # perceptual image dedup — dHash over the REAL decoded rasters,
@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-pair containment on candidates only;
         # partitioned_corpus_read (r9) yields its seat
         "dedup_video_chunks": _multimodal.build_video_chunk_dedup,
+        # the cross-modal governance row: text near-dup pairs vs each
+        # modality fingerprint — counts, overlap, set-Jaccard (the
+        # dedup_method_agreement shape); doc_top_terms (r9) yields
+        "media_dedup_agreement": _multimodal.build_media_dedup_agreement,
         # ---- r13-touched re-gate (late-landing clause): cum_share's zero
         # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
         "part_revenue_abc": _product.build_part_abc,
@@ -133,7 +137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.build_exact,
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ngram_containment": _dedup.build_containment,
-        "doc_top_terms": _text.build_top_terms,
         "doc_typicality": _text.build_doc_typicality,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "events_funnel": _events.build_funnel,
@@ -159,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
         # r13-displaced r9 seats — head of the r14 rotation pool
+        "doc_top_terms": _text.build_top_terms,
         "orders_profile": _quality.build_orders_profile,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
         "quarantine_audit": _quality.build_quarantine_audit,
@@ -360,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_image_band_recall": _multimodal.ORACLE_SQL_IMAGE_BAND_RECALL,
         "dedup_audio_fingerprint": _multimodal.ORACLE_SQL_AUDIO_FINGERPRINT,
         "dedup_video_chunks": _multimodal.ORACLE_SQL_VIDEO_CHUNK_DEDUP,
+        "media_dedup_agreement": _multimodal.ORACLE_SQL_MEDIA_AGREEMENT,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

@@ -52,7 +52,11 @@ from pyspark.sql.types import (
 )
 
 from demo_etl_spark.context import DEFAULT_CONTEXT, RunContext
-from demo_etl_spark.io import load_star, register_cache_clearer
+from demo_etl_spark.io import (
+    load_star,
+    register_cache_clearer,
+    register_memo_warmer,
+)
 
 #: media table schema: opaque payload + typed metadata
 MEDIA_SCHEMA = StructType(
@@ -1804,3 +1808,178 @@ JOIN sizes sb ON sb.media_id = i.media_id_b
 
 
 ORACLE_SQL_VIDEO_CHUNK_DEDUP = _video_chunk_oracle()
+
+
+# ------------------------------------------ cross-modal dedup agreement -
+# Governance audit tying the media-dedup family together: every media
+# row derives from a document, so the TEXT-level near-dup detector
+# (dedup.ngram_jaccard_pairs) and each modality's media fingerprint
+# see the same underlying duplicate structure from different angles.
+# Per modality (pairs restricted to ids sharing that modality class),
+# the audit reports both detectors' pair counts, their overlap, and
+# the set-Jaccard — the dedup_method_agreement shape. The measured
+# fact it pins: raster/envelope/chunk fingerprints are GEOMETRY-bound
+# (the synthesizer derives geometry from doc_id, so text-similar pairs
+# never share a layout and the populations are near-disjoint) — which
+# is exactly why a production curation stack runs text AND media
+# detectors side by side and dedups on the UNION. A detector change
+# that shifts any population silently fails the hash gate.
+def media_dedup_agreement(
+    text_pairs: DataFrame,
+    image_pairs: DataFrame,
+    audio_pairs: DataFrame,
+    video_pairs: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+) -> DataFrame:
+    """(modality, n_text_pairs, n_media_pairs, n_both, set_jaccard):
+    per-modality agreement between the text near-dup detector and the
+    media fingerprint detector."""
+    from demo_etl_spark.functions.fixedpoint import round_div
+
+    truth = (
+        text_pairs.select("doc_a", "doc_b")
+        .filter(F.col("doc_a") % 3 == F.col("doc_b") % 3)
+        .select(
+            (F.col("doc_a") % 3).cast("int").alias("_m"),
+            F.col("doc_a").alias("media_id_a"),
+            F.col("doc_b").alias("media_id_b"),
+        )
+    )
+    found = (
+        image_pairs.select("media_id_a", "media_id_b")
+        .withColumn("_m", F.lit(0))
+        .unionByName(
+            audio_pairs.select("media_id_a", "media_id_b").withColumn(
+                "_m", F.lit(1)
+            )
+        )
+        .unionByName(
+            video_pairs.filter(F.col("is_dup"))
+            .select("media_id_a", "media_id_b")
+            .withColumn("_m", F.lit(2))
+        )
+    )
+    keys = ["_m", "media_id_a", "media_id_b"]
+    t_cnt = truth.groupBy("_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_text_pairs")
+    )
+    f_cnt = found.groupBy("_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media_pairs")
+    )
+    b_cnt = truth.join(found, keys).groupBy("_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    merged = (
+        t_cnt.join(f_cnt, "_m", "full")
+        .join(b_cnt, "_m", "full")
+        .select(
+            "_m",
+            F.coalesce("n_text_pairs", F.lit(0)).cast("long").alias(
+                "n_text_pairs"
+            ),
+            F.coalesce("n_media_pairs", F.lit(0)).cast("long").alias(
+                "n_media_pairs"
+            ),
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+        )
+    )
+    union_n = "n_text_pairs + n_media_pairs - n_both"
+    return merged.select(
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            F.col("_m") + 1,
+        ).alias("modality"),
+        "n_text_pairs",
+        "n_media_pairs",
+        "n_both",
+        # vacuous agreement (both sets empty) is 1.0, not a div-by-zero
+        F.when(
+            F.expr(union_n) > 0, round_div("n_both", union_n, 4)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("set_jaccard"),
+    )
+
+
+def build_media_dedup_agreement(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.operators import dedup as _ddp
+
+    return media_dedup_agreement(
+        _ddp.build_ngram(spark, sf_dir),
+        image_phash_pairs(_cached_dhash(spark, sf_dir)),
+        audio_fingerprint_pairs(_cached_audio_sig(spark, sf_dir)),
+        video_chunk_pairs(_cached_video_chunks(spark, sf_dir)),
+        ctx,
+    )
+
+
+def _ngram_sql() -> str:
+    from demo_etl_spark.operators import dedup as _ddp
+
+    return _ddp.ORACLE_SQL_NGRAM
+
+
+def _media_agreement_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    union_n = "n_text_pairs + n_media_pairs - n_both"
+    return f"""
+WITH truth AS (
+  SELECT CAST(doc_a % 3 AS INT) AS m, doc_a AS a, doc_b AS b
+  FROM ({_ngram_sql()})
+  WHERE doc_a % 3 = doc_b % 3
+),
+found AS (
+  SELECT 0 AS m, media_id_a AS a, media_id_b AS b
+  FROM ({ORACLE_SQL_IMAGE_PHASH})
+  UNION ALL
+  SELECT 1, media_id_a, media_id_b FROM ({ORACLE_SQL_AUDIO_FINGERPRINT})
+  UNION ALL
+  SELECT 2, media_id_a, media_id_b
+  FROM ({ORACLE_SQL_VIDEO_CHUNK_DEDUP}) WHERE is_dup
+),
+t_cnt AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_text_pairs
+          FROM truth GROUP BY m),
+f_cnt AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_media_pairs
+          FROM found GROUP BY m),
+b_cnt AS (
+  SELECT t.m, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM truth t JOIN found f ON f.m = t.m AND f.a = t.a AND f.b = t.b
+  GROUP BY t.m
+),
+merged AS (
+  SELECT COALESCE(t.m, f.m) AS m,
+         CAST(COALESCE(n_text_pairs, 0) AS BIGINT) AS n_text_pairs,
+         CAST(COALESCE(n_media_pairs, 0) AS BIGINT) AS n_media_pairs,
+         CAST(COALESCE(n_both, 0) AS BIGINT) AS n_both
+  FROM t_cnt t
+  FULL OUTER JOIN f_cnt f ON f.m = t.m
+  LEFT JOIN b_cnt b ON b.m = COALESCE(t.m, f.m)
+)
+SELECT ['image', 'audio', 'video'][m + 1] AS modality,
+       n_text_pairs, n_media_pairs, n_both,
+       CASE WHEN {union_n} > 0 THEN
+         {round_div_expr("n_both", union_n, 4, "duckdb")}
+       ELSE CAST(1.0 AS DOUBLE) END AS set_jaccard
+FROM merged
+"""
+
+
+ORACLE_SQL_MEDIA_AGREEMENT = _media_agreement_oracle()
+
+
+def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Memo warmer (bench accounting contract, test_registry): the three
+    media signature/chunk checkpoints each feed TWO+ registered queries
+    (their own pair seat + the cross-modal agreement row; the dHash
+    frame also feeds the band-recall audit) — warm them in the declared
+    warm-up stage so bench per-query numbers never absorb a shared
+    decode."""
+    _cached_dhash(spark, sf_dir)  # eager localCheckpoint
+    _cached_audio_sig(spark, sf_dir)
+    _cached_video_chunks(spark, sf_dir)
+
+
+register_memo_warmer(_warm_shared_memos)

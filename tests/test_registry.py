@@ -46,6 +46,7 @@ def test_registry_is_large_and_window_covers_families():
         "dedup_image_band_recall",
         "dedup_audio_fingerprint",
         "dedup_video_chunks",
+        "media_dedup_agreement",
         # r13-touched re-gate (cum_share guard, r12 ADVICE)
         "part_revenue_abc",
         # the full r7/r8 stale tail
@@ -130,15 +131,17 @@ def test_memo_warmers_cover_every_shared_cache(spark):
     empty then populated — otherwise bench per-query numbers silently
     re-absorb shared builds after a clear."""
     from demo_etl_spark import io as io_mod
-    from demo_etl_spark.operators import dedup, graph, similarity
+    from demo_etl_spark.operators import dedup, graph, multimodal, similarity
 
     sf = "/root/testdata/sf0.001"
-    assert len(io_mod._MEMO_WARMERS) >= 3  # dedup, graph, similarity
+    assert len(io_mod._MEMO_WARMERS) >= 4  # dedup, graph, similarity, multimodal
     io_mod.warm_operator_memos(spark, sf)
     shared_caches = [
         dedup._INDEX_CACHE, dedup._PAIRS_CACHE, dedup._CLUSTERS_CACHE,
         dedup._SPANS_CACHE, graph._EDGE_CACHE, similarity._CENT_CACHE,
         similarity._TOPK_CACHE, similarity._EMB_PAIRS_CACHE,
+        multimodal._DHASH_CACHE, multimodal._AUDIO_SIG_CACHE,
+        multimodal._VIDEO_CHUNKS_CACHE,
     ]
     for c in shared_caches:
         assert c, "warmer left a shared cache empty"
