@@ -1079,7 +1079,9 @@ def image_phash_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def image_band_recall(sig: DataFrame) -> DataFrame:
+def image_band_recall(
+    sig: DataFrame, found_pairs: DataFrame | None = None
+) -> DataFrame:
     """Single-row audit of the capped scale path vs the exact (uncapped,
     pigeonhole-complete) pair set — the image twin of
     similarity.ann_pair_recall, measuring the ONE approximation in the
@@ -1094,9 +1096,9 @@ def image_band_recall(sig: DataFrame) -> DataFrame:
     from demo_etl_spark.functions.fixedpoint import round_div
 
     truth = _band_pairs(sig, None).select("media_id_a", "media_id_b")
-    found = _band_pairs(sig, IMG_BAND_BUCKET_CAP).select(
-        "media_id_a", "media_id_b"
-    )
+    if found_pairs is None:
+        found_pairs = _band_pairs(sig, IMG_BAND_BUCKET_CAP)
+    found = found_pairs.select("media_id_a", "media_id_b")
     pair_rows = (
         truth.join(
             found.withColumn("_hit", F.lit(1)),
@@ -1187,16 +1189,48 @@ def _cached_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+#: memoized PAIR sets per (app, sf_dir, modality): each feeds its own
+#: registered seat plus the cross-modal agreement row (and the image
+#: set also the recall audit's found side) — without the checkpoint the
+#: agreement plan recomputed all three pair pipelines in full (plan
+#: audit: 294 static exchanges)
+_MEDIA_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+register_cache_clearer(_MEDIA_PAIRS_CACHE.clear)
+
+
+def _cached_media_pairs(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), kind)
+    pairs = _MEDIA_PAIRS_CACHE.get(key)
+    if pairs is None:
+        if kind == "image":
+            pairs = image_phash_pairs(_cached_dhash(spark, sf_dir))
+        elif kind == "audio":
+            pairs = audio_fingerprint_pairs(_cached_audio_sig(spark, sf_dir))
+        else:
+            pairs = video_chunk_pairs(_cached_video_chunks(spark, sf_dir))
+        pairs = pairs.localCheckpoint(eager=True)
+        _MEDIA_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def build_image_phash(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return image_phash_pairs(_cached_dhash(spark, sf_dir))
+    return _cached_media_pairs(spark, sf_dir, "image")
 
 
 def build_image_band_recall(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return image_band_recall(_cached_dhash(spark, sf_dir))
+    # found side = the registered pair seat's checkpointed output (the
+    # pairs contain only id/hamming/l1 columns — the recall join needs
+    # just the ids); truth side is rebuilt uncapped from the signatures
+    return image_band_recall(
+        _cached_dhash(spark, sf_dir),
+        found_pairs=_cached_media_pairs(spark, sf_dir, "image"),
+    )
 
 
 # DuckDB twins: the raster is rpad(text, w*h, ' ') by construction
@@ -1506,7 +1540,7 @@ def _cached_audio_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_audio_fingerprint(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return audio_fingerprint_pairs(_cached_audio_sig(spark, sf_dir))
+    return _cached_media_pairs(spark, sf_dir, "audio")
 
 
 def _audio_band_sql(b: int) -> str:
@@ -1740,7 +1774,7 @@ def _cached_video_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_video_chunk_dedup(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return video_chunk_pairs(_cached_video_chunks(spark, sf_dir))
+    return _cached_media_pairs(spark, sf_dir, "video")
 
 
 def _video_chunk_oracle() -> str:
@@ -1908,9 +1942,9 @@ def build_media_dedup_agreement(
 
     return media_dedup_agreement(
         _ddp.build_ngram(spark, sf_dir),
-        image_phash_pairs(_cached_dhash(spark, sf_dir)),
-        audio_fingerprint_pairs(_cached_audio_sig(spark, sf_dir)),
-        video_chunk_pairs(_cached_video_chunks(spark, sf_dir)),
+        _cached_media_pairs(spark, sf_dir, "image"),
+        _cached_media_pairs(spark, sf_dir, "audio"),
+        _cached_media_pairs(spark, sf_dir, "video"),
         ctx,
     )
 
@@ -1980,6 +2014,8 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     _cached_dhash(spark, sf_dir)  # eager localCheckpoint
     _cached_audio_sig(spark, sf_dir)
     _cached_video_chunks(spark, sf_dir)
+    for kind in ("image", "audio", "video"):
+        _cached_media_pairs(spark, sf_dir, kind)
 
 
 register_memo_warmer(_warm_shared_memos)

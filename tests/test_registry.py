@@ -141,7 +141,7 @@ def test_memo_warmers_cover_every_shared_cache(spark):
         dedup._SPANS_CACHE, graph._EDGE_CACHE, similarity._CENT_CACHE,
         similarity._TOPK_CACHE, similarity._EMB_PAIRS_CACHE,
         multimodal._DHASH_CACHE, multimodal._AUDIO_SIG_CACHE,
-        multimodal._VIDEO_CHUNKS_CACHE,
+        multimodal._VIDEO_CHUNKS_CACHE, multimodal._MEDIA_PAIRS_CACHE,
     ]
     for c in shared_caches:
         assert c, "warmer left a shared cache empty"
