@@ -63,16 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ================ r13 driver window (first 50 entries) ========
-        # Rotation (r12 verdict item 1 + late-landing clause): 5 seats
-        # are the round's new media-dedup queries (image pair + audit,
-        # audio, video, cross-modal agreement), 1 re-gates the
-        # ADVICE-touched part_revenue_abc, 5 re-gate the guard-review
-        # sweep (2 of them flagships — customer/product_analytics start
-        # the <=3-round flagship cadence early; the other 6 flagships
-        # re-gate r14/r15, plan in PERF_NOTES), and the remaining 39
-        # clear the stale tail: regional_sales (r7) + all 16 r8 seats +
-        # 22 of 33 r9 seats (the 11 left — text_stats, text_redacted,
-        # waiting_suppliers_sql + the 8 displaced below — head the r14
+        # Rotation (r12 verdict item 1 + late-landing clause): 6 seats
+        # are the round's new media-dedup queries (image pair + audit +
+        # clusters, audio, video, cross-modal agreement), 1 re-gates
+        # the ADVICE-touched part_revenue_abc, 5 re-gate the
+        # guard-review sweep (2 of them flagships —
+        # customer/product_analytics start the <=3-round flagship
+        # cadence early; the other 6 flagships re-gate r14/r15, plan in
+        # PERF_NOTES), and the remaining 38 clear the stale tail:
+        # regional_sales (r7) + all 16 r8 seats + 21 of 33 r9 seats
+        # (the 12 left — text_stats, text_redacted,
+        # waiting_suppliers_sql + the 9 displaced below — head the r14
         # pool). The 12 r12 first-time seats rotate out.
         # ---- r13 first-time seats (new queries gate within one round):
         # perceptual image dedup — dHash over the REAL decoded rasters,
@@ -96,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modality fingerprint — counts, overlap, set-Jaccard (the
         # dedup_method_agreement shape); doc_top_terms (r9) yields
         "media_dedup_agreement": _multimodal.build_media_dedup_agreement,
+        # the keep-one decision: pointer-jumping connected components
+        # over the VERIFIED image pair graph (shared dedup_clusters
+        # machinery), canonical = component min id; doc_typicality
+        # (r9) yields its seat
+        "dedup_image_clusters": _multimodal.build_image_dedup_clusters,
         # ---- r13-touched re-gate (late-landing clause): cum_share's zero
         # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
         "part_revenue_abc": _product.build_part_abc,
@@ -137,7 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.build_exact,
         "dedup_method_agreement": _dedup.build_method_agreement,
         "dedup_ngram_containment": _dedup.build_containment,
-        "doc_typicality": _text.build_doc_typicality,
         "embedding_dim_stats": _similarity.build_dim_stats,
         "events_funnel": _events.build_funnel,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
@@ -162,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
         # r13-displaced r9 seats — head of the r14 rotation pool
+        "doc_typicality": _text.build_doc_typicality,
         "doc_top_terms": _text.build_top_terms,
         "orders_profile": _quality.build_orders_profile,
         "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
@@ -365,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_audio_fingerprint": _multimodal.ORACLE_SQL_AUDIO_FINGERPRINT,
         "dedup_video_chunks": _multimodal.ORACLE_SQL_VIDEO_CHUNK_DEDUP,
         "media_dedup_agreement": _multimodal.ORACLE_SQL_MEDIA_AGREEMENT,
+        "dedup_image_clusters": _multimodal.ORACLE_SQL_IMAGE_CLUSTERS,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

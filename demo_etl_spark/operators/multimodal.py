@@ -2019,3 +2019,56 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
 
 
 register_memo_warmer(_warm_shared_memos)
+
+
+# ---------------------------------------------- image dedup clusters ----
+# The keep-one decision for the image family: connected-component labels
+# over the VERIFIED image pair graph (hamming <= 3 AND grid-L1 within
+# bound), via dedup.dedup_clusters' pointer-jumping min-label
+# propagation — the same O(log diameter) machinery the text path uses,
+# fed a different pair set. Canonical = component min media_id, the
+# deterministic pick both engines agree on. Output mirrors
+# dedup_clusters: one row per image in a non-trivial cluster.
+def build_image_dedup_clusters(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = (
+        _cached_media_pairs(spark, sf_dir, "image")
+        .filter(F.col("verified"))
+        .select(
+            F.col("media_id_a").alias("doc_a"),
+            F.col("media_id_b").alias("doc_b"),
+        )
+    )
+    labels = dedup_clusters(None, ctx, pairs=pairs)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("cluster_id"),
+        F.col("is_canonical"),
+    )
+
+
+ORACLE_SQL_IMAGE_CLUSTERS = f"""
+WITH RECURSIVE ipairs AS (
+  SELECT media_id_a AS doc_a, media_id_b AS doc_b
+  FROM ({ORACLE_SQL_IMAGE_PHASH}) WHERE verified
+),
+edges AS (
+  SELECT doc_a, doc_b FROM ipairs
+  UNION
+  SELECT doc_b, doc_a FROM ipairs
+),
+reach (src, dst) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.dst
+  FROM edges e JOIN reach r ON e.doc_b = r.src
+),
+labels AS (
+  SELECT src AS media_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
+FROM labels
+"""

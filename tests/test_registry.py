@@ -47,6 +47,7 @@ def test_registry_is_large_and_window_covers_families():
         "dedup_audio_fingerprint",
         "dedup_video_chunks",
         "media_dedup_agreement",
+        "dedup_image_clusters",
         # r13-touched re-gate (cum_share guard, r12 ADVICE)
         "part_revenue_abc",
         # the full r7/r8 stale tail
