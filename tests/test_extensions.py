@@ -1378,3 +1378,56 @@ def test_video_chunk_containment_and_chain_fallback(spark):
     chain_pairs = {k for k in got if k[0] >= 10}
     assert chain_pairs == {(10, 11), (11, 12), (12, 13), (13, 14)}
     assert all(got[k]["containment_bp"] == 10000 for k in chain_pairs)
+
+
+def test_band_pairs_pigeonhole_exactness_random(spark):
+    """Empirical pin of the module's two structural claims on random
+    signature sets: (1) the UNCAPPED band join equals the O(n²)
+    brute-force Hamming-<=3 pair set exactly (pigeonhole: <=3 flips
+    across 4 disjoint bands leave one band intact); (2) the capped path
+    is a SUBSET of it (candidates are only ever dropped, never
+    fabricated), and equals it whenever every bucket fits the cap."""
+    import itertools
+    import random
+
+    from demo_etl_spark.operators import multimodal as mm
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        sigs = []
+        base = [rng.randrange(1 << 16) for _ in range(4)]
+        for i in range(30):
+            # half the sigs cluster near `base` (few bit flips), half
+            # are uniform — exercises both dense and sparse buckets
+            if i % 2 == 0:
+                s = list(base)
+                for _ in range(rng.randrange(0, 5)):
+                    b = rng.randrange(4)
+                    s[b] ^= 1 << rng.randrange(16)
+            else:
+                s = [rng.randrange(1 << 16) for _ in range(4)]
+            sigs.append((i, *s, [0] * 72))
+        sig_df = spark.createDataFrame(
+            sigs,
+            "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+        )
+        brute = set()
+        for (ia, *sa, _), (ib, *sb, _) in itertools.combinations(sigs, 2):
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sa, sb))
+            if ham <= mm.HAMMING_IMG_MAX:
+                brute.add((min(ia, ib), max(ia, ib), ham))
+        uncapped = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in mm._band_pairs(sig_df, None).collect()
+        }
+        assert uncapped == brute, f"seed {seed}: pigeonhole violated"
+        capped_loose = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in mm._band_pairs(sig_df, 64).collect()
+        }
+        assert capped_loose == brute  # every bucket fits: no loss
+        capped_tight = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in mm._band_pairs(sig_df, 2).collect()
+        }
+        assert capped_tight <= brute  # never fabricates
