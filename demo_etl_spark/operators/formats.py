@@ -79,8 +79,17 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 
 
 # ------------------------------------------------------ CSV roundtrip ---
+#: the CSV NULL sentinel — and therefore CSV's sentinel-collision
+#: class: quoteAll does NOT protect it (probed r13: the reader applies
+#: nullValue comparison after unquoting, so a text that is LITERALLY
+#: backslash-N comes back NULL). Same declared quarantine policy as
+#: the XML leg's __NULL__ collision.
+_CSV_NULL = "\\N"
+
+
 def csv_roundtrip(documents: DataFrame) -> DataFrame:
-    """documents → CSV files → back, hash-equal to the parquet truth.
+    """documents → CSV files → back, hash-equal to the parquet truth on
+    the sentinel-collision-free row set.
 
     CSV is where exchange pipelines actually lose data, so every option
     that guards a pathology is explicit on BOTH legs:
@@ -103,10 +112,20 @@ def csv_roundtrip(documents: DataFrame) -> DataFrame:
       intra-file splitting. This is exactly why JSONL beats CSV as the
       corpus format — see jsonl_roundtrip.)
     """
+    from pyspark.sql import functions as F
+
     spark = documents.sparkSession
     path = _staging_dir("csv")
+
+    def _ok(col: str):
+        # a string column whose value IS the null sentinel cannot
+        # survive the roundtrip (quoted or not) — quarantine on both
+        # engine sides instead of silently nulling (r13 review probe)
+        return F.col(col).isNull() | (F.col(col) != _CSV_NULL)
+
+    legal = documents.filter(_ok("text") & _ok("lang") & _ok("source"))
     (
-        documents.select(*_COLS)
+        legal.select(*_COLS)
         .write.mode("overwrite")
         .options(header=True, nullValue="\\N", quoteAll=True, escape='"',
                  ignoreLeadingWhiteSpace=False,
@@ -129,7 +148,15 @@ def build_csv_roundtrip(
     return csv_roundtrip(load_star(spark, sf_dir)["documents"])
 
 
-ORACLE_SQL_CSV_ROUNDTRIP = ORACLE_SQL_JSONL_ROUNDTRIP
+_CSV_OK_SQL = " AND ".join(
+    f"({c} IS NULL OR {c} <> '{_CSV_NULL}')"
+    for c in ("text", "lang", "source")
+)
+
+ORACLE_SQL_CSV_ROUNDTRIP = f'''
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE {_CSV_OK_SQL}
+'''
 
 
 # ------------------------------------------------------ ORC roundtrip ---

@@ -139,6 +139,14 @@ ROWS = [
     (4, "pi rho sigma tau omega", "en", "src_q"),    # query whose ONLY
     #   lexical match (doc 200) has no embedding → contributes no rows
     (5, " ", "en", "src_q"),                         # whitespace query
+    # r13 wave — exchange-format SENTINEL COLLISIONS: texts that are
+    # literally the CSV nullValue sentinel (backslash-N; quoteAll does
+    # not protect it — probed) and the XML one. The roundtrips
+    # quarantine these rows deterministically on both engines instead
+    # of silently nulling them; every other doc query treats them as
+    # ordinary 2-token/1-token texts.
+    (900, "\\N", "en", "src_j"),
+    (901, "__NULL__", "en", "src_j"),
 ]
 
 
