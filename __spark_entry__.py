@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_outliers": _text.build_length_outliers,
         "regional_rollup": _star.build_rollup,
         "sales_grouping_sets": _star.build_grouping_sets,
+        # LATE-LANDING (r13, clause option b): the within-SLA flag went
+        # coalesce-0 AFTER the r13 window rotated (all-NULL-date group
+        # divergence, r13 review) — shipping_sla MUST head the r14
+        # window alongside the displaced-seat pool
         "shipping_sla": _star.build_shipping_sla,
         "incremental_join_view": _star.build_incremental_join_view,
         "events_cohort_retention": _events.build_cohort_retention,

@@ -773,10 +773,18 @@ def shipping_sla(
         first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
     ).withColumn(
         "_within",
-        (
-            F.datediff(F.col("_first_ship"), F.to_date("o_orderdate"))
-            <= SLA_DAYS
-        ).cast("long"),
+        # coalesce 0: an order with a NULL effective date is NOT within
+        # SLA — the oracle's CASE ... ELSE 0 semantics. Without it the
+        # NULL rides into SUM, and a priority group whose EVERY order
+        # is NULL-dated sums to NULL in Spark vs 0 in DuckDB (r13
+        # review; latent — no current corpus has an all-NULL group).
+        F.coalesce(
+            (
+                F.datediff(F.col("_first_ship"), F.to_date("o_orderdate"))
+                <= SLA_DAYS
+            ).cast("long"),
+            F.lit(0),
+        ),
     )
     return (
         j.groupBy("o_orderpriority")

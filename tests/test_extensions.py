@@ -1431,3 +1431,31 @@ def test_band_pairs_pigeonhole_exactness_random(spark):
             for r in mm._band_pairs(sig_df, 2).collect()
         }
         assert capped_tight <= brute  # never fabricates
+
+
+def test_shipping_sla_all_null_date_group(spark):
+    """r13 review pin: a priority group whose EVERY order lacks an
+    effective date must report n_within_sla = 0 (the oracle's CASE ...
+    ELSE 0), not NULL (Spark's NULL-skipping SUM over an all-NULL
+    group) — the latent cross-engine divergence fixed by the per-row
+    coalesce."""
+    from demo_etl_spark.operators.star import shipping_sla
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", None),          # NULL order date
+            (2, "2-HIGH", "1995-01-01"),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) o_orderdate",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, None), (2, "1995-01-03")],
+        "l_orderkey long, l_shipdate string",
+    ).selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) l_shipdate")
+    rows = {r["o_orderpriority"]: r for r in shipping_sla(lineitem, orders).collect()}
+    assert rows["1-URGENT"]["n_within_sla"] == 0  # was NULL pre-fix
+    assert rows["1-URGENT"]["sla_share"] == 0.0
+    assert rows["2-HIGH"]["n_within_sla"] == 1
