@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events.build_unpivot,
         "signup_to_purchase": _events.build_signup_to_purchase,
         "user_rate_audit": _events.build_user_rate_audit,
+        # LATE-LANDING (r13, clause option b): the wins flag went
+        # per-row coalesce-0 after the r13 window rotated (NULL-revenue
+        # scored days, shipping_sla class) — heads the r14 window with
+        # shipping_sla
         "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_rules": _product.build_brand_rules,

@@ -625,7 +625,17 @@ def forecast_backtest(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("_e_s").alias("_se"),
             F.sum("_e_p").alias("_pe"),
-            F.sum((F.col("_e_s") < F.col("_e_p")).cast("long")).alias("_wins"),
+            # per-row coalesce 0: rev_c can be NULL (a date whose every
+            # order carries a NULL totalprice) even after the lag
+            # filter, making the comparison NULL — the oracle's CASE
+            # ... ELSE 0 adds 0 there, and an all-NULL isodow group
+            # would otherwise sum to NULL vs the oracle's 0 (r13
+            # review; same class as shipping_sla)
+            F.sum(
+                F.coalesce(
+                    (F.col("_e_s") < F.col("_e_p")).cast("long"), F.lit(0)
+                )
+            ).alias("_wins"),
         )
         .select(
             F.col("isodow").cast("int").alias("isodow"),

@@ -1459,3 +1459,28 @@ def test_shipping_sla_all_null_date_group(spark):
     assert rows["1-URGENT"]["n_within_sla"] == 0  # was NULL pre-fix
     assert rows["1-URGENT"]["sla_share"] == 0.0
     assert rows["2-HIGH"]["n_within_sla"] == 1
+
+
+def test_forecast_backtest_null_revenue_rows(spark):
+    """r13 review pin (shipping_sla class): scored days whose own
+    revenue is NULL (every order NULL-priced that date) make the
+    win comparison NULL — both engines must count them as non-wins
+    (0), and an all-NULL weekday group reports win_rate 0.0, not
+    NULL."""
+    from demo_etl_spark.operators.timeseries import forecast_backtest
+
+    rows = []
+    # 22 consecutive days of real revenue, then day 23 with NULL price
+    for i in range(1, 23):
+        rows.append((i, 100.0 + i, f"1995-01-{i:02d}"))
+    rows.append((23, None, "1995-01-23"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate string"
+    ).selectExpr(
+        "o_orderkey", "o_totalprice", "CAST(o_orderdate AS DATE) o_orderdate"
+    )
+    out = {r["isodow"]: r for r in forecast_backtest(orders).collect()}
+    # 1995-01-23 is a Monday (isodow 1); days 8..22 are scored too, so
+    # Monday's group holds day 9 (real) and day 23 (NULL revenue)
+    mon = out[1]
+    assert mon["win_rate"] is not None  # was NULL when the group was touched
