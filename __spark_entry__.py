@@ -117,6 +117,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_analytics": _product.build,
         "customer_analytics": _customer.build,
         "market_concentration": _product.build_market_concentration,
+        # ---- r13 NULL-flag-sum re-gates (late-landing clause, option
+        # a — window re-rotated): shipping_sla's within flag and the
+        # forecast backtest's wins flag went per-row coalesce-0 (the
+        # all-NULL-group Spark-NULL-vs-oracle-0 class, r13 review);
+        # events_props_variant and lang_confusion (r9) yield their
+        # seats and join the r14 pool head
+        "shipping_sla": _star.build_shipping_sla,
+        "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
         # ---- stalest rotation: regional_sales (r7, oldest seat in the
         # registry), then every remaining r8 seat — after this window
         # no seat is older than r9
@@ -146,12 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _similarity.build_dim_stats,
         "events_funnel": _events.build_funnel,
         "events_hourly_anomaly": _events.build_hourly_anomaly,
-        "events_props_variant": _events.build_props_variant_audit,
         "events_session": _events.build_session,
         "important_parts_sql": _suite.build_important_parts,
         "jsonl_malformed_ingest": _formats.build_jsonl_malformed_ingest,
         "jsonl_roundtrip": _formats.build_jsonl_roundtrip,
-        "lang_confusion": _text.build_lang_confusion,
         "multimodal_features": _multimodal.build_features_checked,
         "packing_policy_compare": _packing.build_packing_policy_compare,
         "part_closure": _graph.build_closure,
@@ -167,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only approx twins stay at the BOTTOM permanently (no
         # oracle can hash-match a sketch seat).
         # r13-displaced r9 seats — head of the r14 rotation pool
+        "events_props_variant": _events.build_props_variant_audit,
+        "lang_confusion": _text.build_lang_confusion,
         "doc_typicality": _text.build_doc_typicality,
         "doc_top_terms": _text.build_top_terms,
         "orders_profile": _quality.build_orders_profile,
@@ -286,11 +294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_outliers": _text.build_length_outliers,
         "regional_rollup": _star.build_rollup,
         "sales_grouping_sets": _star.build_grouping_sets,
-        # LATE-LANDING (r13, clause option b): the within-SLA flag went
-        # coalesce-0 AFTER the r13 window rotated (all-NULL-date group
-        # divergence, r13 review) — shipping_sla MUST head the r14
-        # window alongside the displaced-seat pool
-        "shipping_sla": _star.build_shipping_sla,
         "incremental_join_view": _star.build_incremental_join_view,
         "events_cohort_retention": _events.build_cohort_retention,
         "events_props_typed": _events.build_props_typed_audit,
@@ -299,11 +302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events.build_unpivot,
         "signup_to_purchase": _events.build_signup_to_purchase,
         "user_rate_audit": _events.build_user_rate_audit,
-        # LATE-LANDING (r13, clause option b): the wins flag went
-        # per-row coalesce-0 after the r13 window rotated (NULL-revenue
-        # scored days, shipping_sla class) — heads the r14 window with
-        # shipping_sla
-        "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
         "supplier_analytics": _product.build_supplier_analytics,
         "brand_rules": _product.build_brand_rules,
         "order_bookends": _customer.build_bookends,
