@@ -87,6 +87,11 @@ FUZZ_QUERIES = [
     "corpus_curation",
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     "multimodal_resize",
+    # r13 media-dedup family: the unicode/emoji edge docs exercise the
+    # sanitize→raster→fingerprint path of every modality
+    "dedup_image_phash", "dedup_image_band_recall",
+    "dedup_audio_fingerprint", "dedup_video_chunks",
+    "media_dedup_agreement", "dedup_image_clusters",
     "sequence_packing", "sequence_spans", "shard_manifest",
     "sequence_export",
     "pmi_collocations", "bpe_merges", "bpe_encode", "bpe_merges_batched",
