@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4x16-bit Hamming-band candidates with the distinct-signature
         # group-collapse fallback for over-cap buckets, exact grid-L1
         # verification on candidates only (r12 verdict item 2)
+        "dedup_media_incremental": _multimodal.build_media_incremental,
+        "media_dedup_profile": _multimodal.build_media_dedup_profile,
         "dedup_image_phash": _multimodal.build_image_phash,
         # its two-axis audit vs the uncapped (pigeonhole-exact) pair set:
         # pair_recall + member_recall, both oracle-gated
@@ -378,6 +380,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_video_chunks": _multimodal.ORACLE_SQL_VIDEO_CHUNK_DEDUP,
         "media_dedup_agreement": _multimodal.ORACLE_SQL_MEDIA_AGREEMENT,
         "dedup_image_clusters": _multimodal.ORACLE_SQL_IMAGE_CLUSTERS,
+        "dedup_media_incremental": _multimodal.ORACLE_SQL_MEDIA_INCREMENTAL,
+        "media_dedup_profile": _multimodal.ORACLE_SQL_MEDIA_PROFILE,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,
         "packing_tokens_canary": _packing.ORACLE_SQL_TOKENS_CANARY,

@@ -1089,64 +1089,155 @@ def image_band_recall(
     much of the full clique enumeration the chain gives up — the
     declared trade-off) and member_recall (the share of images with a
     true near-dup that still surface in some found pair — what decides
-    whether an image gets deduplicated at all; found pairs all verify
-    Hamming <= 3, so found ⊆ truth and coverage is the honest axis).
-    One aggregation over a tagged union of pair rows and member rows —
-    no 1-row cross join to stitch the two grains together."""
+    whether an image gets deduplicated at all).
+
+    The truth side is GROUP-COLLAPSED (r13 ADVICE): it never enumerates
+    id-level pairs. Identical-signature members contribute their full
+    cliques arithmetically (C(cnt, 2) per distinct signature), and
+    cross-signature pairs are counted at the distinct-signature level
+    (band join over distinct signatures — pigeonhole-exact at Hamming
+    <= 3 — weighted cnt_x * cnt_y, with an exact same-id correction for
+    duplicate-id corpora where one media_id carries several signatures:
+    minus |shared ids| self-pairs and C(|shared|, 2) double-ordered
+    pairs). A mega-bucket of near-identical images — exactly the class
+    IMG_BAND_BUCKET_CAP defends the found side against — costs the
+    truth side O(members) + O(distinct signatures²) instead of
+    O(bucket population²), so the audit survives the adversarial corpus
+    whose loss it measures. Remaining quadratic term: buckets with many
+    DISTINCT near-signatures, which is the exact baseline's inherent
+    candidate set, not an enumeration artifact. Found pairs all verify
+    Hamming <= 3, so found ⊆ truth structurally and the found-side
+    counts need no truth join. One aggregation over a tagged union of
+    weighted contribution rows — no 1-row cross join to stitch the
+    grains together."""
     from demo_etl_spark.functions.fixedpoint import round_div
 
-    truth = _band_pairs(sig, None).select("media_id_a", "media_id_b")
+    sig_cols = [f"b{i}" for i in range(IMG_BANDS)]
     if found_pairs is None:
         found_pairs = _band_pairs(sig, IMG_BAND_BUCKET_CAP)
-    found = found_pairs.select("media_id_a", "media_id_b")
-    pair_rows = (
-        truth.join(
-            found.withColumn("_hit", F.lit(1)),
-            ["media_id_a", "media_id_b"],
-            "left",
+    found = found_pairs.select("media_id_a", "media_id_b").distinct()
+    mem = sig.select("media_id", *sig_cols).distinct()
+    grp = mem.groupBy(*sig_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # qualifying cross-signature pairs: band join over DISTINCT
+    # signatures, canonical order = lexicographic on (b0..b3), DISTINCT
+    # to collapse multi-band collisions of the same signature pair
+    gb = grp.select(
+        *sig_cols,
+        "cnt",
+        F.posexplode(F.array(*sig_cols)).alias("band", "val"),
+    )
+    x, y = gb.alias("gx"), gb.alias("gy")
+    cross = (
+        x.join(
+            y,
+            (F.col("gx.band") == F.col("gy.band"))
+            & (F.col("gx.val") == F.col("gy.val"))
+            & (
+                F.struct(*[F.col(f"gx.b{i}") for i in range(IMG_BANDS)])
+                < F.struct(*[F.col(f"gy.b{i}") for i in range(IMG_BANDS)])
+            ),
         )
         .select(
-            F.lit("pair").alias("_kind"),
-            F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"),
+            *[F.col(f"gx.b{i}").alias(f"_xa{i}") for i in range(IMG_BANDS)],
+            *[F.col(f"gy.b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+            F.col("gx.cnt").alias("_cnt_x"),
+            F.col("gy.cnt").alias("_cnt_y"),
+        )
+        .distinct()
+        .withColumn("_ham", _hamming_col("_xa", "_yb"))
+        .filter(F.col("_ham").between(1, HAMMING_IMG_MAX))
+    )
+    # same-id correction: ids carrying BOTH signatures of a pair (only
+    # possible on duplicate-id corpora) — the cnt_x * cnt_y product
+    # would otherwise count i (a, a) self-pairs and double-count
+    # C(i, 2) both-ways pairs
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    shared = (
+        ma.join(
+            mb,
+            (F.col("ma.media_id") == F.col("mb.media_id"))
+            & (
+                F.struct(*[F.col(f"ma.b{i}") for i in range(IMG_BANDS)])
+                < F.struct(*[F.col(f"mb.b{i}") for i in range(IMG_BANDS)])
+            ),
+        )
+        .groupBy(
+            *[F.col(f"ma.b{i}").alias(f"_xa{i}") for i in range(IMG_BANDS)],
+            *[F.col(f"mb.b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    sig_keys = [f"_xa{i}" for i in range(IMG_BANDS)] + [
+        f"_yb{i}" for i in range(IMG_BANDS)
+    ]
+    contrib = (
+        cross.join(shared, sig_keys, "left")
+        .withColumn("_iv", F.coalesce(F.col("_i"), F.lit(0)))
+        .withColumn(
+            "_w",
+            F.expr(
+                "_cnt_x * _cnt_y - _iv - (_iv * (_iv - 1)) div 2"
+            ).cast("long"),
+        )
+    )
+    # member signatures: an id has SOME qualifying partner iff its
+    # signature group self-pairs (cnt >= 2) or sits on a cross pair
+    # with a positive pair count
+    member_sigs = (
+        grp.filter(F.col("cnt") >= 2)
+        .select(*sig_cols)
+        .unionByName(
+            contrib.filter(F.col("_w") > 0).select(
+                *[F.col(f"_xa{i}").alias(f"b{i}") for i in range(IMG_BANDS)]
+            )
+        )
+        .unionByName(
+            contrib.filter(F.col("_w") > 0).select(
+                *[F.col(f"_yb{i}").alias(f"b{i}") for i in range(IMG_BANDS)]
+            )
+        )
+        .distinct()
+    )
+    member_ids = (
+        mem.join(member_sigs, sig_cols).select("media_id").distinct()
+    )
+    found_ids = (
+        found.select(F.col("media_id_a").alias("id"))
+        .unionByName(found.select(F.col("media_id_b").alias("id")))
+        .distinct()
+    )
+    one = F.lit(1).cast("long")
+    tagged = (
+        grp.select(
+            F.lit("pt").alias("_kind"),
+            F.expr("(cnt * (cnt - 1)) div 2").cast("long").alias("_w"),
+        )
+        .unionByName(contrib.select(F.lit("pt").alias("_kind"), "_w"))
+        .unionByName(found.select(F.lit("pf").alias("_kind"), one.alias("_w")))
+        .unionByName(
+            member_ids.select(F.lit("mt").alias("_kind"), one.alias("_w"))
+        )
+        .unionByName(
+            found_ids.select(F.lit("mf").alias("_kind"), one.alias("_w"))
         )
     )
 
-    def ids(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.select(F.col("media_id_a").alias("id"))
-            .unionByName(pairs.select(F.col("media_id_b").alias("id")))
-            .distinct()
-        )
-
-    member_rows = (
-        ids(truth)
-        .join(ids(found).withColumn("_hit", F.lit(1)), "id", "left")
-        .select(
-            F.lit("member").alias("_kind"),
-            F.coalesce(F.col("_hit"), F.lit(0)).alias("_hit"),
-        )
-    )
-    tagged = pair_rows.unionByName(member_rows)
-
-    def n(kind: str):
+    def tot(kind: str):
         # coalesce: agg over an EMPTY tagged union (pair-free corpus)
         # yields NULL sums in Spark vs 0 in the oracle's COALESCE
         return F.coalesce(
-            F.sum(F.when(F.col("_kind") == kind, 1).otherwise(0)),
+            F.sum(F.when(F.col("_kind") == kind, F.col("_w")).otherwise(0)),
             F.lit(0),
         ).cast("long")
 
-    def hits(kind: str):
-        return F.coalesce(
-            F.sum(F.when(F.col("_kind") == kind, F.col("_hit")).otherwise(0)),
-            F.lit(0),
-        ).cast("long")
     return (
         tagged.agg(
-            n("pair").alias("n_exact_pairs"),
-            hits("pair").alias("n_found"),
-            n("member").alias("n_members"),
-            hits("member").alias("n_members_found"),
+            tot("pt").alias("n_exact_pairs"),
+            tot("pf").alias("n_found"),
+            tot("mt").alias("n_members"),
+            tot("mf").alias("n_members_found"),
         )
         .select(
             "n_exact_pairs",
@@ -1401,6 +1492,11 @@ ORACLE_SQL_IMAGE_PHASH = _img_phash_oracle()
 
 
 def _img_band_recall_oracle() -> str:
+    """DuckDB twin of the GROUP-COLLAPSED truth side (r13 ADVICE): same
+    distinct-signature arithmetic as the Spark path — C(cnt, 2) cliques
+    per signature, band-joined distinct-signature cross pairs weighted
+    cnt_x * cnt_y with the exact same-id correction — so the two
+    engines cannot drift on the collapse math."""
     from demo_etl_spark.functions.fixedpoint import round_div_expr
 
     def rec(hit: str, tot: str) -> str:
@@ -1409,31 +1505,81 @@ def _img_band_recall_oracle() -> str:
             f"ELSE {round_div_expr(hit, tot, 4, 'duckdb')} END"
         )
 
+    sig = ", ".join(f"b{i}" for i in range(IMG_BANDS))
+    xa = ", ".join(f"x.b{i} AS xa{i}" for i in range(IMG_BANDS))
+    yb = ", ".join(f"y.b{i} AS yb{i}" for i in range(IMG_BANDS))
+    axa = ", ".join(f"a.b{i} AS xa{i}" for i in range(IMG_BANDS))
+    byb = ", ".join(f"b.b{i} AS yb{i}" for i in range(IMG_BANDS))
+    xrow = "(" + ", ".join(f"x.b{i}" for i in range(IMG_BANDS)) + ")"
+    yrow = "(" + ", ".join(f"y.b{i}" for i in range(IMG_BANDS)) + ")"
+    arow = "(" + ", ".join(f"a.b{i}" for i in range(IMG_BANDS)) + ")"
+    brow = "(" + ", ".join(f"b.b{i}" for i in range(IMG_BANDS)) + ")"
+    ham = " + ".join(
+        f"bit_count(xor(xa{i}, yb{i}))" for i in range(IMG_BANDS)
+    )
+    keys = " AND ".join(
+        f"s.xa{i} = c.xa{i} AND s.yb{i} = c.yb{i}"
+        for i in range(IMG_BANDS)
+    )
+    bands = ", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))
     return f"""
-WITH t AS ({_img_pairs_sql(capped=False)}),
-f AS ({_img_pairs_sql(capped=True)}),
-pj AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-         CAST(COALESCE(SUM(CASE WHEN f.media_id_a IS NOT NULL
-                                THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_found
-  FROM t LEFT JOIN f
-    ON f.media_id_a = t.media_id_a AND f.media_id_b = t.media_id_b
+WITH {_img_sig_ctes()},
+mem AS (SELECT DISTINCT media_id, {sig} FROM sig),
+grp AS (
+  SELECT {sig}, CAST(COUNT(*) AS BIGINT) AS cnt FROM mem GROUP BY {sig}
 ),
-tid AS (SELECT media_id_a AS id FROM t UNION SELECT media_id_b FROM t),
+gb AS (
+  SELECT {sig}, cnt, bb.band, bb.val
+  FROM grp, LATERAL (VALUES {bands}) AS bb(band, val)
+),
+crossq AS (
+  SELECT DISTINCT {xa}, {yb}, x.cnt AS cnt_x, y.cnt AS cnt_y
+  FROM gb x JOIN gb y
+    ON x.band = y.band AND x.val = y.val AND {xrow} < {yrow}
+),
+qual AS (
+  SELECT * FROM crossq WHERE ({ham}) BETWEEN 1 AND {HAMMING_IMG_MAX}
+),
+shared AS (
+  SELECT {axa}, {byb}, CAST(COUNT(*) AS BIGINT) AS i
+  FROM mem a JOIN mem b
+    ON a.media_id = b.media_id AND {arow} < {brow}
+  GROUP BY ALL
+),
+contrib AS (
+  SELECT c.*, COALESCE(s.i, 0) AS iv,
+         CAST(c.cnt_x * c.cnt_y - COALESCE(s.i, 0)
+              - (COALESCE(s.i, 0) * (COALESCE(s.i, 0) - 1)) // 2
+              AS BIGINT) AS w
+  FROM qual c LEFT JOIN shared s ON {keys}
+),
+member_sigs AS (
+  SELECT {sig} FROM grp WHERE cnt >= 2
+  UNION SELECT xa0, xa1, xa2, xa3 FROM contrib WHERE w > 0
+  UNION SELECT yb0, yb1, yb2, yb3 FROM contrib WHERE w > 0
+),
+member_ids AS (
+  SELECT DISTINCT media_id FROM mem JOIN member_sigs USING ({sig})
+),
+f AS (
+  SELECT DISTINCT media_id_a, media_id_b
+  FROM ({_img_pairs_sql(capped=True)})
+),
 fid AS (SELECT media_id_a AS id FROM f UNION SELECT media_id_b FROM f),
-mj AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
-         CAST(COALESCE(SUM(CASE WHEN fid.id IS NOT NULL
-                                THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_members_found
-  FROM tid LEFT JOIN fid ON fid.id = tid.id
+tot AS (
+  SELECT
+    CAST(COALESCE((SELECT SUM((cnt * (cnt - 1)) // 2) FROM grp), 0)
+         + COALESCE((SELECT SUM(w) FROM contrib), 0) AS BIGINT)
+      AS n_exact_pairs,
+    CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_found,
+    CAST((SELECT COUNT(*) FROM member_ids) AS BIGINT) AS n_members,
+    CAST((SELECT COUNT(*) FROM fid) AS BIGINT) AS n_members_found
 )
-SELECT pj.n_exact_pairs, pj.n_found,
-       {rec("pj.n_found", "pj.n_exact_pairs")} AS pair_recall,
-       mj.n_members, mj.n_members_found,
-       {rec("mj.n_members_found", "mj.n_members")} AS member_recall
-FROM pj, mj
+SELECT n_exact_pairs, n_found,
+       {rec("n_found", "n_exact_pairs")} AS pair_recall,
+       n_members, n_members_found,
+       {rec("n_members_found", "n_members")} AS member_recall
+FROM tot
 """
 
 
@@ -1870,9 +2016,20 @@ def media_dedup_agreement(
     media fingerprint detector."""
     from demo_etl_spark.functions.fixedpoint import round_div
 
+    # Truth is restricted to the MEDIA domain: synthesize_media derives
+    # rows only from doc_id >= 0 (negative ids — the hostile corpus'
+    # sentinel class — have no media rows at all), and a negative doc_a
+    # would also poison the modality tag: Spark's % keeps the dividend
+    # sign, so doc_a ≡ -1 (mod 3) yields _m = -1 and element_at(..., 0)
+    # crashes with INVALID_INDEX_OF_ZERO while DuckDB's [0] returns NULL
+    # — a crash-vs-NULL cross-engine divergence (r13 ADVICE). Pairs are
+    # ordered doc_a <= doc_b, so doc_a >= 0 bounds both ends.
     truth = (
         text_pairs.select("doc_a", "doc_b")
-        .filter(F.col("doc_a") % 3 == F.col("doc_b") % 3)
+        .filter(
+            (F.col("doc_a") >= 0)
+            & (F.col("doc_a") % 3 == F.col("doc_b") % 3)
+        )
         .select(
             (F.col("doc_a") % 3).cast("int").alias("_m"),
             F.col("doc_a").alias("media_id_a"),
@@ -1963,7 +2120,7 @@ def _media_agreement_oracle() -> str:
 WITH truth AS (
   SELECT CAST(doc_a % 3 AS INT) AS m, doc_a AS a, doc_b AS b
   FROM ({_ngram_sql()})
-  WHERE doc_a % 3 = doc_b % 3
+  WHERE doc_a % 3 = doc_b % 3 AND doc_a >= 0
 ),
 found AS (
   SELECT 0 AS m, media_id_a AS a, media_id_b AS b
@@ -2072,3 +2229,304 @@ labels AS (
 SELECT media_id, cluster_id, media_id = cluster_id AS is_canonical
 FROM labels
 """
+
+
+# ------------------------------------------ incremental image dedup ----
+# The media twin of dedup.incremental_dedup (r13 verdict item 3): dedup
+# a NEW media shard against the EXISTING corpus — the production mode of
+# a continuously-fed multimodal crawl, where re-pairing the settled
+# corpus against itself each snapshot redoes quadratic work. Shard
+# membership reuses the text path's deterministic slot split
+# (dedup.INCR_MOD / INCR_SLOT) so the two registered exercises carve
+# the same corpus the same way.
+#
+# Only CROSS-BOUNDARY (new × corpus) band-bucket candidates are
+# generated — the corpus side never self-joins, so per-batch cost
+# scales with the INCREMENT times bucket width, not the corpus². The
+# corpus side of an over-cap bucket collapses to distinct-signature
+# representatives (min media_id per signature — the _band_pairs
+# group-collapse, applied one-sided): hamming is signature-determined,
+# so NO candidate signature is ever lost to the cap; what the cap
+# trades away is only the choice WITHIN an identical-signature corpus
+# group (the rep, lowest id, stands for the group — its grid decides
+# grid_l1). Verification is exact on candidates only, and the verdict
+# ranking is all-integer: is_dup DESC, hamming ASC, grid_l1 ASC,
+# corpus id ASC — never a float sort key.
+
+
+def incremental_image_dedup(
+    sig: DataFrame, cap: int = IMG_BAND_BUCKET_CAP
+) -> DataFrame:
+    """One verdict row per NEW image: best corpus match (integer-ranked),
+    the hamming/grid-L1 evidence, and ``is_new`` (no corpus image both
+    Hamming-close and grid-verified). New images whose bands collide
+    with nothing are trivially new."""
+    from pyspark.sql.window import Window
+
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    sig_cols = [f"b{i}" for i in range(IMG_BANDS)]
+    is_new_slot = F.col("media_id") % INCR_MOD == INCR_SLOT
+    new = sig.filter(is_new_slot)
+    cor = sig.filter(~is_new_slot)
+
+    def exploded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "media_id",
+            *sig_cols,
+            F.posexplode(F.array(*sig_cols)).alias("band", "val"),
+        )
+
+    nb = exploded(new).select(
+        F.col("media_id").alias("media_id_n"),
+        *[F.col(f"b{i}").alias(f"_xa{i}") for i in range(IMG_BANDS)],
+        "band",
+        "val",
+    )
+    cb = exploded(cor)
+    bc = F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+    cb = cb.withColumn("_bc", bc)
+    small = cb.filter(F.col("_bc") <= cap)
+    reps = (
+        cb.filter(F.col("_bc") > cap)
+        .groupBy("band", "val", *sig_cols)
+        .agg(F.min("media_id").alias("media_id"))
+    )
+    cor_cand = small.select(
+        "media_id", *sig_cols, "band", "val"
+    ).unionByName(reps.select("media_id", *sig_cols, "band", "val"))
+    cand = (
+        nb.join(cor_cand, ["band", "val"])
+        .select(
+            "media_id_n",
+            F.col("media_id").alias("media_id_c"),
+            *[F.col(f"_xa{i}") for i in range(IMG_BANDS)],
+            *[F.col(f"b{i}").alias(f"_yb{i}") for i in range(IMG_BANDS)],
+        )
+        .distinct()
+        .withColumn("hamming", _hamming_col("_xa", "_yb"))
+        .filter(F.col("hamming") <= HAMMING_IMG_MAX)
+    )
+    ga = sig.select(F.col("media_id").alias("media_id_n"), F.col("grid").alias("_ga"))
+    gb = sig.select(F.col("media_id").alias("media_id_c"), F.col("grid").alias("_gb"))
+    l1 = F.aggregate(
+        F.zip_with("_ga", "_gb", lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(ga, "media_id_n")
+        .join(gb, "media_id_c")
+        .withColumn("grid_l1", l1.cast("int"))
+        .withColumn("_is_dup", F.col("grid_l1") <= IMG_VERIFY_L1_MAX)
+    )
+    w = Window.partitionBy("media_id_n").orderBy(
+        F.desc("_is_dup"),
+        F.asc("hamming"),
+        F.asc("grid_l1"),
+        F.asc("media_id_c"),
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    incoming = new.select(F.col("media_id").alias("media_id_n")).distinct()
+    return incoming.join(best, "media_id_n", "left").select(
+        F.col("media_id_n").alias("media_id"),
+        F.col("media_id_c").alias("best_match"),
+        "hamming",
+        "grid_l1",
+        F.coalesce(~F.col("_is_dup"), F.lit(True)).alias("is_new"),
+    )
+
+
+def build_media_incremental(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return incremental_image_dedup(_cached_dhash(spark, sf_dir))
+
+
+def _media_incremental_oracle() -> str:
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    sig = ", ".join(f"b{i}" for i in range(IMG_BANDS))
+    xa = ", ".join(f"n.b{i} AS xa{i}" for i in range(IMG_BANDS))
+    yb = ", ".join(f"c.b{i} AS yb{i}" for i in range(IMG_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(xa{i}, yb{i}))" for i in range(IMG_BANDS)
+    )
+    l1 = (
+        "CAST(list_sum(list_transform(range(1, {n}), "
+        "k -> abs(ga.grid[k] - gb.grid[k]))) AS INTEGER)"
+    ).format(n=IMG_GRID_ROWS * IMG_GRID_COLS + 1)
+    return f"""
+WITH {_img_sig_ctes()},
+nb AS (
+  SELECT media_id, {sig}, bb.band, bb.val
+  FROM sig, LATERAL (VALUES {", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))}) AS bb(band, val)
+  WHERE media_id % {INCR_MOD} = {INCR_SLOT}
+),
+cb AS (
+  SELECT media_id, {sig}, bb.band, bb.val,
+         COUNT(*) OVER (PARTITION BY bb.band, bb.val) AS bc
+  FROM sig, LATERAL (VALUES {", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))}) AS bb(band, val)
+  WHERE media_id % {INCR_MOD} <> {INCR_SLOT}
+),
+cor_cand AS (
+  SELECT media_id, {sig}, band, val FROM cb WHERE bc <= {IMG_BAND_BUCKET_CAP}
+  UNION ALL
+  SELECT MIN(media_id), {sig}, band, val FROM cb
+  WHERE bc > {IMG_BAND_BUCKET_CAP} GROUP BY {sig}, band, val
+),
+cand AS (
+  SELECT DISTINCT n.media_id AS media_id_n, c.media_id AS media_id_c,
+         {xa}, {yb}
+  FROM nb n JOIN cor_cand c ON c.band = n.band AND c.val = n.val
+),
+ham_ok AS (
+  SELECT media_id_n, media_id_c, CAST({ham} AS INTEGER) AS hamming
+  FROM cand WHERE ({ham}) <= {HAMMING_IMG_MAX}
+),
+scored AS (
+  SELECT h.media_id_n, h.media_id_c, h.hamming,
+         {l1} AS grid_l1,
+         {l1} <= {IMG_VERIFY_L1_MAX} AS is_dup
+  FROM ham_ok h
+  JOIN sig ga ON ga.media_id = h.media_id_n
+  JOIN sig gb ON gb.media_id = h.media_id_c
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY media_id_n
+    ORDER BY is_dup DESC, hamming, grid_l1, media_id_c) AS rn
+  FROM scored
+)
+SELECT i.media_id, b.media_id_c AS best_match, b.hamming, b.grid_l1,
+       COALESCE(NOT b.is_dup, TRUE) AS is_new
+FROM (SELECT DISTINCT media_id FROM sig
+      WHERE media_id % {INCR_MOD} = {INCR_SLOT}) i
+LEFT JOIN best b ON b.media_id_n = i.media_id AND b.rn = 1
+"""
+
+
+ORACLE_SQL_MEDIA_INCREMENTAL = _media_incremental_oracle()
+
+
+# ------------------------------------------ media governance profile ----
+# The media twin of dedup.dedup_cluster_profile (r13 verdict item 6):
+# one dashboard row per modality — corpus size, rows in a non-trivial
+# dedup cluster, rows the keep-canonical policy drops, distinct
+# clusters, drop rate. Cluster labels come from ONE connected-components
+# pass (the shared pointer-jumping machinery) over the UNION of the
+# three verified pair graphs: modality classes partition the id space
+# (media_type = doc_id % 3) and edges never cross modalities, so a
+# single CC run labels all three families at once without components
+# bleeding across. Audio pairs are all near-dup by construction
+# (Hamming-verified); image pairs filter on the grid verify, video
+# pairs on the containment verdict — each family's own keep criterion.
+
+
+def build_media_dedup_profile(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    from demo_etl_spark.functions.fixedpoint import round_div
+    from demo_etl_spark.operators.dedup import dedup_clusters
+
+    img = (
+        _cached_media_pairs(spark, sf_dir, "image")
+        .filter(F.col("verified"))
+        .select("media_id_a", "media_id_b")
+    )
+    aud = _cached_media_pairs(spark, sf_dir, "audio").select(
+        "media_id_a", "media_id_b"
+    )
+    vid = (
+        _cached_media_pairs(spark, sf_dir, "video")
+        .filter(F.col("is_dup"))
+        .select("media_id_a", "media_id_b")
+    )
+    pairs = (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .select(
+            F.col("media_id_a").alias("doc_a"),
+            F.col("media_id_b").alias("doc_b"),
+        )
+    )
+    labels = dedup_clusters(None, ctx, pairs=pairs)
+    corpus = (
+        _cached_dhash(spark, sf_dir)
+        .select("media_id")
+        .withColumn("modality", F.lit("image"))
+        .unionByName(
+            _cached_audio_sig(spark, sf_dir)
+            .select("media_id")
+            .withColumn("modality", F.lit("audio"))
+        )
+        .unionByName(
+            _cached_video_chunks(spark, sf_dir)
+            .select("media_id")
+            .distinct()
+            .withColumn("modality", F.lit("video"))
+        )
+    )
+    j = corpus.join(
+        labels.withColumnRenamed("doc_id", "media_id"), "media_id", "left"
+    )
+    return (
+        j.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.count("cluster_id").cast("long").alias("n_in_clusters"),
+            F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .withColumn("dup_rate", round_div("n_dropped", "n_media", 4))
+    )
+
+
+def _media_profile_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import round_div_expr
+
+    dropped = (
+        "CAST(COALESCE(SUM(CASE WHEN l.cluster_id IS NOT NULL "
+        "AND l.cluster_id <> c.media_id THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE pall AS (
+  SELECT media_id_a AS a, media_id_b AS b
+  FROM ({ORACLE_SQL_IMAGE_PHASH}) WHERE verified
+  UNION ALL
+  SELECT media_id_a, media_id_b FROM ({ORACLE_SQL_AUDIO_FINGERPRINT})
+  UNION ALL
+  SELECT media_id_a, media_id_b
+  FROM ({ORACLE_SQL_VIDEO_CHUNK_DEDUP}) WHERE is_dup
+),
+edges AS (SELECT a, b FROM pall UNION SELECT b, a FROM pall),
+reach (src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.dst FROM edges e JOIN reach r ON e.b = r.src
+),
+labels AS (SELECT src AS media_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src),
+corpus AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS modality
+  FROM {_MEDIA_SRC} docs
+)
+SELECT c.modality,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(l.cluster_id) AS BIGINT) AS n_in_clusters,
+       {dropped} AS n_dropped,
+       CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+       {round_div_expr(dropped, "CAST(COUNT(*) AS BIGINT)", 4, "duckdb")}
+         AS dup_rate
+FROM corpus c LEFT JOIN labels l USING (media_id)
+GROUP BY c.modality
+"""
+
+
+ORACLE_SQL_MEDIA_PROFILE = _media_profile_oracle()

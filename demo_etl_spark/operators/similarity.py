@@ -2407,3 +2407,233 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
 
 
 register_memo_warmer(_warm_shared_memos)
+
+
+# ---------------------------------------------- BM25 lexical retrieval ----
+# Exact fixed-point BM25 over the 3-word-shingle term space (r13 verdict
+# item 4) — the public-standard lexical scorer (Robertson/Spärck Jones;
+# the k1/b defaults are the universal Lucene/Okapi setting), replacing
+# raw overlap count as the candidate scorer in the retrieval stack.
+# Everything is integer-exact so the DuckDB twin matches bit-for-bit:
+#
+# * k1 = 1.2 and b = 0.75 enter as the rationals 6/5 and 3/4 and are
+#   FOLDED into one integer fraction — with A = avgdl·100 (HALF_UP
+#   integer) the per-term tf factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+#   is exactly 22·A·tf / (10·A·tf + 3·A + 900·dl).
+# * The IDF log uses the repo's floor-log2 trick (doc_surprisal_bits):
+#   ⌊log₂((N+1)/(df+0.5))⌋ = length(bin((2N+2) div (2df+1))) − 1 — no
+#   transcendental float ln anywhere (declared hash-fragile in
+#   doc_typicality). Bit-quantized IDF keeps the rare-term dominance
+#   shape; ties that true-log IDF would split resolve by the exact
+#   integer tf factor and then the deterministic id tiebreak.
+# * Per-term contributions round HALF_UP into e6 fixed point and SUM as
+#   BIGINT. Overflow headroom: idf_bits ≤ 64, A ≤ 100·max dl, so the
+#   pre-division product stays under 2^63 for corpora up to ~10⁶-token
+#   documents — the same bound the packing family documents.
+#
+# Term statistics (tf WITH multiplicity, df, dl) come from one extra
+# aggregate over the SAME raw shingle stream the dedup family hashes —
+# df-capped like every other consumer (a boilerplate shingle shared by
+# more than MAX_SHINGLE_DF docs never floods the candidate join; at
+# 100 TB the vocabulary-sized tf/df tables broadcast).
+def _bm25_tf_index(documents: DataFrame) -> DataFrame:
+    """(doc_id, h, tf, df): hashed shingle index WITH term frequency."""
+    from demo_etl_spark.operators.dedup import (
+        HASH_HEX,
+        MAX_SHINGLE_DF,
+        _shingles,
+    )
+
+    h = F.conv(F.substring(F.md5("shingle"), 1, HASH_HEX), 16, 10).cast(
+        "long"
+    )
+    occ = _shingles(documents).select("doc_id", h.alias("h"))
+    tf = occ.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    return tf.join(dfreq, "h").select("doc_id", "h", "tf", "df")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    tf_index: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query BM25 top-k: (query_id, candidate_id, n_terms, rank,
+    bm25). Queries are the doc_id < n_queries documents (the retrieval
+    family's standing convention); candidates share ≥1 df-capped
+    shingle. Ranking key is the exact e6 integer score with the id
+    tiebreak — never a float."""
+    ctf = tf_index if tf_index is not None else _bm25_tf_index(documents)
+    dl = ctf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # A = HALF_UP(100·T/N); the n_docs > 0 filter makes the empty corpus
+    # yield an empty params frame (and so an empty result) instead of an
+    # ANSI divide-by-zero — mirrored by the oracle's HAVING
+    params = (
+        dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("_t_total"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .select(
+            "n_docs",
+            F.expr("(200 * _t_total + n_docs) div (2 * n_docs)").alias("a"),
+        )
+    )
+    q = ctf.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "h"
+    )
+    c = ctf.select(
+        F.col("doc_id").alias("candidate_id"), "h", "tf", "df"
+    )
+    terms = (
+        q.join(c, "h")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .join(
+            dl.withColumnsRenamed({"doc_id": "candidate_id"}),
+            "candidate_id",
+        )
+        .crossJoin(F.broadcast(params))
+        .withColumn(
+            "_c_e6",
+            F.expr(
+                "(CAST(length(bin((2 * n_docs + 2) div (2 * df + 1))) - 1"
+                " AS BIGINT) * 22 * a * tf * 1000000 * 2"
+                " + (10 * a * tf + 3 * a + 900 * dl))"
+                " div (2 * (10 * a * tf + 3 * a + 900 * dl))"
+            ),
+        )
+    )
+    scored = terms.groupBy("query_id", "candidate_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_c_e6").cast("long").alias("_score_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score_e6"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "candidate_id",
+            "n_terms",
+            "rank",
+            F.expr("CAST(_score_e6 / 1000000 AS DOUBLE)").alias("bm25"),
+        )
+    )
+
+
+#: memoized BM25 top-k per (app, sf_dir): feeds the standalone seat AND
+#: the recall audit (the _cached_topk share-the-stage pattern)
+_BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_BM25_CACHE.clear)
+
+
+def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    out = _BM25_CACHE.get(key)
+    if out is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        out = bm25_scores(docs).localCheckpoint(eager=True)
+        _BM25_CACHE[key] = out
+    return out
+
+
+def build_bm25(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return _cached_bm25(spark, sf_dir)
+
+
+def build_bm25_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Recall@k of BM25's lexical top-k against the exact cosine top-k —
+    the retrieval stack's standing lexical/semantic alignment gate (the
+    hybrid_recall construction with BM25 as the approx side)."""
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_raw"),
+        _cached_bm25(spark, sf_dir),
+    )
+
+
+def _bm25_oracle() -> str:
+    from demo_etl_spark.operators.dedup import (
+        HASH_HEX,
+        MAX_SHINGLE_DF,
+        _SHINGLE_SQL,
+    )
+
+    den = "(10 * a * tf + 3 * a + 900 * dl)"
+    return f"""
+WITH occ AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, {HASH_HEX}) AS BIGINT) AS h
+  FROM ({_SHINGLE_SQL})
+),
+tft AS (
+  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tft GROUP BY h HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+ctf AS (SELECT tft.doc_id, tft.h, tft.tf, dfreq.df
+        FROM tft JOIN dfreq USING (h)),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         FROM ctf GROUP BY doc_id),
+params AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (200 * CAST(SUM(dl) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS a
+  FROM dlen HAVING COUNT(*) > 0
+),
+terms AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS candidate_id,
+         c.tf, c.df, d.dl, p.n_docs, p.a
+  FROM ctf q
+  JOIN ctf c ON c.h = q.h AND c.doc_id <> q.doc_id
+  JOIN dlen d ON d.doc_id = c.doc_id
+  CROSS JOIN params p
+  WHERE q.doc_id < {N_QUERIES}
+),
+contrib AS (
+  SELECT query_id, candidate_id,
+         (CAST(length(bin((2 * n_docs + 2) // (2 * df + 1))) - 1 AS BIGINT)
+          * 22 * a * tf * 1000000 * 2 + {den}) // (2 * {den}) AS c_e6
+  FROM terms
+),
+scored AS (
+  SELECT query_id, candidate_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(c_e6) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_e6 DESC, candidate_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, candidate_id, n_terms, rank,
+       CAST(score_e6 / 1000000 AS DOUBLE) AS bm25
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE_SQL_BM25 = _bm25_oracle()
+ORACLE_SQL_BM25_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_BM25)
+
+
+def _warm_bm25_memo(spark: SparkSession, sf_dir: str) -> None:
+    """BM25 top-k feeds two registered seats (standalone + recall)."""
+    _cached_bm25(spark, sf_dir)
+
+
+register_memo_warmer(_warm_bm25_memo)

@@ -1484,3 +1484,105 @@ def test_forecast_backtest_null_revenue_rows(spark):
     # Monday's group holds day 9 (real) and day 23 (NULL revenue)
     mon = out[1]
     assert mon["win_rate"] is not None  # was NULL when the group was touched
+
+
+def test_band_recall_group_collapse_exactness(spark):
+    """r14 (r13 ADVICE): the recall audit's truth side is now
+    GROUP-COLLAPSED — C(cnt, 2) per distinct signature plus
+    rep-level cross pairs weighted cnt_x * cnt_y — and must still
+    equal the O(n²) brute-force Hamming-<=3 pair/member counts
+    exactly, including on a mega-bucket of identical signatures
+    (the adversarial class that used to make the audit itself
+    quadratic in bucket population)."""
+    import itertools
+    import random
+
+    from demo_etl_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    sigs = []
+    base = [rng.randrange(1 << 16) for _ in range(4)]
+    for i in range(24):
+        if i % 2 == 0:
+            s = list(base)
+            for _ in range(rng.randrange(0, 5)):
+                b = rng.randrange(4)
+                s[b] ^= 1 << rng.randrange(16)
+        else:
+            s = [rng.randrange(1 << 16) for _ in range(4)]
+        sigs.append((i, *s, [0] * 72))
+    # mega identical-signature group: 25 ids, one signature, bucket
+    # population far over IMG_BAND_BUCKET_CAP — contributes C(25, 2)
+    # truth pairs arithmetically
+    mega_sig = [rng.randrange(1 << 16) | (1 << 15) for _ in range(4)]
+    for i in range(100, 125):
+        sigs.append((i, *mega_sig, [0] * 72))
+    sig_df = spark.createDataFrame(
+        sigs,
+        "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+    )
+    brute = set()
+    for (ia, *sa, _), (ib, *sb, _) in itertools.combinations(sigs, 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(sa, sb))
+        if ham <= mm.HAMMING_IMG_MAX:
+            brute.add((min(ia, ib), max(ia, ib)))
+    members = {i for p in brute for i in p}
+    row = mm.image_band_recall(sig_df).collect()[0]
+    assert row["n_exact_pairs"] == len(brute)
+    assert row["n_members"] == len(members)
+    assert row["n_found"] <= row["n_exact_pairs"]
+    assert row["n_members_found"] <= row["n_members"]
+    # an uncapped found side recovers everything: both recalls 1.0
+    full = mm.image_band_recall(
+        sig_df, found_pairs=mm._band_pairs(sig_df, 10_000)
+    ).collect()[0]
+    assert full["n_found"] == len(brute)
+    assert full["pair_recall"] == 1.0 and full["member_recall"] == 1.0
+
+
+def test_band_recall_duplicate_id_correction(spark):
+    """r14: the cnt_x * cnt_y cross-signature product subtracts the
+    same-id intersection — a duplicate media_id carrying two
+    1-bit-apart signatures must NOT count a phantom (id, id)
+    self-pair (the id-level enumeration excluded it via a < b)."""
+    from demo_etl_spark.operators import multimodal as mm
+
+    sig_df = spark.createDataFrame(
+        [(5, 8, 1, 1, 1, [0] * 72), (5, 9, 1, 1, 1, [0] * 72)],
+        "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+    )
+    row = mm.image_band_recall(sig_df).collect()[0]
+    assert row["n_exact_pairs"] == 0
+    assert row["n_members"] == 0
+    assert row["pair_recall"] == 1.0 and row["member_recall"] == 1.0
+
+
+def test_media_agreement_negative_id_truth_domain(spark):
+    """r14 (r13 ADVICE): text near-dup pairs with NEGATIVE doc ids sit
+    outside the media domain (synthesize_media derives nothing for
+    doc_id < 0) and must be excluded from the agreement truth side —
+    pre-fix a pair ≡ -1 mod 3 crashed Spark (sign-of-dividend % makes
+    element_at index 0) and a pair ≡ 0 mod 3 counted as a phantom
+    'image' text pair."""
+    from demo_etl_spark.operators import multimodal as mm
+
+    text_pairs = spark.createDataFrame(
+        [(-13, -10), (-12, -9), (0, 3)], "doc_a long, doc_b long"
+    )
+    empty = spark.createDataFrame([], "media_id_a long, media_id_b long")
+    video = spark.createDataFrame(
+        [], "media_id_a long, media_id_b long, is_dup boolean"
+    )
+    rows = {
+        r["modality"]: r
+        for r in mm.media_dedup_agreement(
+            text_pairs, empty, empty, video
+        ).collect()
+    }
+    # only the non-negative image-class pair survives; the -12/-9 pair
+    # (≡ 0 mod 3) no longer inflates the image row and the -13/-10 pair
+    # no longer crashes the modality lookup
+    assert set(rows) == {"image"}
+    assert rows["image"]["n_text_pairs"] == 1
+    assert rows["image"]["n_media_pairs"] == 0
+    assert rows["image"]["set_jaccard"] == 0.0

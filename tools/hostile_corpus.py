@@ -147,6 +147,22 @@ ROWS = [
     # ordinary 2-token/1-token texts.
     (900, "\\N", "en", "src_j"),
     (901, "__NULL__", "en", "src_j"),
+    # r14 wave — NEGATIVE-ID NEAR-DUP pairs (media_dedup_agreement's
+    # truth filter, r13 ADVICE): text-identical twins whose ids are both
+    # negative. The -13/-10 pair is the crash class (sign-of-dividend %
+    # gives doc_id % 3 = -1 → element_at(..., 0) INVALID_INDEX_OF_ZERO
+    # on Spark vs NULL-modality on DuckDB before the doc_a >= 0 domain
+    # filter); the -12/-9 pair is the phantom class (≡ 0 mod 3 — would
+    # have counted as an 'image' text pair even though synthesize_media
+    # derives no media rows for doc_id < 0).
+    (-10, "negative twin words repeat across this whole shared body",
+     "en", "src_g"),
+    (-13, "negative twin words repeat across this whole shared body",
+     "en", "src_g"),
+    (-9, "another negative duplicate body with many shared tokens here",
+     "en", "src_g"),
+    (-12, "another negative duplicate body with many shared tokens here",
+     "en", "src_g"),
 ]
 
 
