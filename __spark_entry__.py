@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4x16-bit Hamming-band candidates with the distinct-signature
         # group-collapse fallback for over-cap buckets, exact grid-L1
         # verification on candidates only (r12 verdict item 2)
+        "retrieval_bm25": _similarity.build_bm25,
+        "retrieval_bm25_recall": _similarity.build_bm25_recall,
+        "similarity_hybrid_bm25": _similarity.build_hybrid_bm25,
+        "similarity_hybrid_bm25_recall": _similarity.build_hybrid_bm25_recall,
         "dedup_media_incremental": _multimodal.build_media_incremental,
         "media_dedup_profile": _multimodal.build_media_dedup_profile,
         "dedup_image_phash": _multimodal.build_image_phash,
@@ -381,6 +385,10 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup_agreement": _multimodal.ORACLE_SQL_MEDIA_AGREEMENT,
         "dedup_image_clusters": _multimodal.ORACLE_SQL_IMAGE_CLUSTERS,
         "dedup_media_incremental": _multimodal.ORACLE_SQL_MEDIA_INCREMENTAL,
+        "retrieval_bm25": _similarity.ORACLE_SQL_BM25,
+        "retrieval_bm25_recall": _similarity.ORACLE_SQL_BM25_RECALL,
+        "similarity_hybrid_bm25": _similarity.ORACLE_SQL_HYBRID_BM25,
+        "similarity_hybrid_bm25_recall": _similarity.ORACLE_SQL_HYBRID_BM25_RECALL,
         "media_dedup_profile": _multimodal.ORACLE_SQL_MEDIA_PROFILE,
         "events_pivot": _events.ORACLE_SQL_PIVOT,
         "packing_policy_compare": _packing.ORACLE_SQL_PACKING_POLICY,

@@ -2531,8 +2531,19 @@ def bm25_scores(
     )
 
 
-#: memoized BM25 top-k per (app, sf_dir): feeds the standalone seat AND
-#: the recall audit (the _cached_topk share-the-stage pattern)
+#: stage-1 prune width for the BM25→vector hybrid: the rerank touches at
+#: most M candidates per query — THE cost bound that keeps the vector
+#: stage O(queries · M) at any corpus size. At the test corpora every
+#: query has < M lexical candidates, so the prune is a no-op and the
+#: recall gate pins hybrid_bm25 recall == plain hybrid recall; on a
+#: corpus where pruning bites, BM25 ordering decides WHICH M survive —
+#: the point of scoring the candidate stage properly.
+BM25_PRUNE_M = 128
+
+#: memoized BM25 top-M per (app, sf_dir): ONE ranking frame feeds the
+#: standalone top-k seat (rank <= TOP_K head), the lexical recall audit,
+#: and the hybrid rerank's candidate stage (the _cached_topk
+#: share-the-stage pattern)
 _BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
 register_cache_clearer(_BM25_CACHE.clear)
 
@@ -2542,7 +2553,7 @@ def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _BM25_CACHE.get(key)
     if out is None:
         docs = load_star(spark, sf_dir)["documents"]
-        out = bm25_scores(docs).localCheckpoint(eager=True)
+        out = bm25_scores(docs, k=BM25_PRUNE_M).localCheckpoint(eager=True)
         _BM25_CACHE[key] = out
     return out
 
@@ -2550,7 +2561,8 @@ def _cached_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_bm25(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return _cached_bm25(spark, sf_dir)
+    # the top-k head of the memoized top-M frame (identical ranking key)
+    return _cached_bm25(spark, sf_dir).filter(F.col("rank") <= TOP_K)
 
 
 def build_bm25_recall(
@@ -2558,14 +2570,92 @@ def build_bm25_recall(
 ) -> DataFrame:
     """Recall@k of BM25's lexical top-k against the exact cosine top-k —
     the retrieval stack's standing lexical/semantic alignment gate (the
-    hybrid_recall construction with BM25 as the approx side)."""
+    hybrid_recall construction with BM25 as the approx side). Reads LOW
+    by construction (a pure lexical ranker scored against vector truth);
+    its value is drift detection, not a quality bar — the quality bar is
+    hybrid_bm25_recall."""
     return _recall_at_k(
         _cached_topk(spark, sf_dir, "cos_raw"),
-        _cached_bm25(spark, sf_dir),
+        _cached_bm25(spark, sf_dir).filter(F.col("rank") <= TOP_K),
     )
 
 
-def _bm25_oracle() -> str:
+def hybrid_bm25_rerank(
+    bm25_candidates: DataFrame,
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """BM25-staged hybrid retrieval — the production two-stage shape
+    with a PROPER stage-1 scorer: BM25 top-M lexical candidates (not
+    raw overlap count) → exact e6 integer-cosine rerank → per-query
+    top-k. ``lex_rank`` carries the stage-1 position so a consumer can
+    audit how far down the lexical list the vector winners sat. The
+    rerank cost is bounded by BM25_PRUNE_M per query at any corpus
+    size; candidates without a valid embedding drop silently on both
+    engines (the hybrid_rerank convention)."""
+    cand = bm25_candidates.select(
+        "query_id", "candidate_id", F.col("rank").alias("lex_rank")
+    )
+    emb = _e6_frame(embeddings)
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("v").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(qe.filter(F.col("query_id") < n_queries)),
+            "query_id",
+        )
+        .join(ce, "candidate_id")
+        .withColumn("_cos_e6", _e6_cos("_qv", "_cv", "_qn", "_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos_e6"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "candidate_id",
+            "lex_rank",
+            "rank",
+            F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+        )
+    )
+
+
+def build_hybrid_bm25(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return hybrid_bm25_rerank(
+        _cached_bm25(spark, sf_dir),
+        load_star(spark, sf_dir)["embeddings"],
+        ctx,
+    )
+
+
+def build_hybrid_bm25_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Recall@k of the BM25-staged hybrid against exact cosine — the
+    quality bar the r13 ADVICE set: >= the overlap-staged hybrid's
+    recall (equality whenever the M-prune is a no-op; tested)."""
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_raw"),
+        build_hybrid_bm25(spark, sf_dir, ctx),
+    )
+
+
+def _bm25_oracle(k: int = TOP_K) -> str:
     from demo_etl_spark.operators.dedup import (
         HASH_HEX,
         MAX_SHINGLE_DF,
@@ -2623,16 +2713,48 @@ ranked AS (
 )
 SELECT query_id, candidate_id, n_terms, rank,
        CAST(score_e6 / 1000000 AS DOUBLE) AS bm25
-FROM ranked WHERE rank <= {TOP_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
 ORACLE_SQL_BM25 = _bm25_oracle()
+
+
+def _hybrid_bm25_oracle() -> str:
+    return f"""
+WITH bm AS ({_bm25_oracle(BM25_PRUNE_M)}),
+{_e6_norm_cte()},
+cand AS (
+  SELECT query_id, candidate_id, rank AS lex_rank FROM bm
+),
+scored AS (
+  SELECT cand.query_id, cand.candidate_id, cand.lex_rank,
+         {_e6_cos_sql("qe", "ce")} AS cos_e6
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.candidate_id
+),
+reranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e6 DESC, candidate_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, candidate_id, lex_rank, rank,
+       CAST(cos_e6 / 1000000 AS DOUBLE) AS cosine
+FROM reranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE_SQL_HYBRID_BM25 = _hybrid_bm25_oracle()
 ORACLE_SQL_BM25_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_BM25)
+ORACLE_SQL_HYBRID_BM25_RECALL = _recall_oracle_sql(
+    ORACLE_SQL_TOPK, ORACLE_SQL_HYBRID_BM25
+)
 
 
 def _warm_bm25_memo(spark: SparkSession, sf_dir: str) -> None:
-    """BM25 top-k feeds two registered seats (standalone + recall)."""
+    """The BM25 top-M frame feeds four registered seats (standalone
+    top-k, lexical recall, hybrid rerank, hybrid recall)."""
     _cached_bm25(spark, sf_dir)
 
 

@@ -1586,3 +1586,89 @@ def test_media_agreement_negative_id_truth_domain(spark):
     assert rows["image"]["n_text_pairs"] == 1
     assert rows["image"]["n_media_pairs"] == 0
     assert rows["image"]["set_jaccard"] == 0.0
+
+
+def test_bm25_exact_fixed_point_scoring(spark):
+    """r14: BM25 scores must equal an independent Python
+    re-implementation of the integer formula (folded k1=6/5, b=3/4,
+    floor-log2 IDF, HALF_UP e6 contributions) on a hand-built corpus —
+    and the ranking must break score ties by candidate_id."""
+    import hashlib
+
+    from demo_etl_spark.operators.similarity import bm25_scores
+
+    texts = {
+        0: "red fox jumps over the lazy dog tonight",      # query
+        20: "red fox jumps over the lazy dog today",       # near-dup
+        21: "red fox jumps far away from here now",        # partial
+        22: "the lazy dog sleeps under a red tree",        # weak
+        23: "completely unrelated text about spark plans", # none
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["query_id"], r["candidate_id"]): r
+        for r in bm25_scores(docs, n_queries=10, k=10).collect()
+    }
+
+    # independent reference
+    def shingles(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+    def h40(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    tf = {}
+    for d, t in texts.items():
+        for s in shingles(t):
+            k = (d, h40(s))
+            tf[k] = tf.get(k, 0) + 1
+    df = {}
+    for (d, hh) in tf:
+        df[hh] = df.get(hh, 0) + 1
+    dl = {}
+    for (d, hh), v in tf.items():
+        dl[d] = dl.get(d, 0) + v
+    n = len(dl)
+    t_total = sum(dl.values())
+    a = (200 * t_total + n) // (2 * n)
+    exp = {}
+    for (d, hh), v in tf.items():
+        if d == 0 or (0, hh) not in tf:
+            continue
+        idf = ((2 * n + 2) // (2 * df[hh] + 1)).bit_length() - 1
+        den = 10 * a * v + 3 * a + 900 * dl[d]
+        c = (idf * 22 * a * v * 1000000 * 2 + den) // (2 * den)
+        key = (0, d)
+        s, nt = exp.get(key, (0, 0))
+        exp[key] = (s + c, nt + 1)
+    assert set(got) == set(exp)
+    for key, (score_e6, n_terms) in exp.items():
+        assert got[key]["n_terms"] == n_terms
+        assert got[key]["bm25"] == score_e6 / 1_000_000
+    # near-dup outranks partial outranks weak
+    ranks = {k[1]: got[k]["rank"] for k in got}
+    assert ranks[20] < ranks[21] < ranks[22]
+    assert 23 not in ranks  # no shared shingle → not a candidate
+
+
+def test_hybrid_bm25_recall_at_least_plain_hybrid(spark):
+    """r14 (ADVICE quality bar): the BM25-staged hybrid's recall vs
+    exact cosine is >= the overlap-staged hybrid's on the test corpus
+    (the M-prune is a no-op there, so equality holds exactly)."""
+    from demo_etl_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        r["query_id"]: r["recall_at_k"]
+        for r in S.build_hybrid_recall(spark, sf).collect()
+    }
+    staged = {
+        r["query_id"]: r["recall_at_k"]
+        for r in S.build_hybrid_bm25_recall(spark, sf).collect()
+    }
+    assert set(staged) == set(plain)
+    for q in plain:
+        assert staged[q] >= plain[q]
