@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hybrid_bm25_recall": _similarity.build_hybrid_bm25_recall,
         "dedup_media_incremental": _multimodal.build_media_incremental,
         "media_dedup_profile": _multimodal.build_media_dedup_profile,
+        "sequence_shuffle": _packing.build_sequence_shuffle,
         "dedup_image_phash": _multimodal.build_image_phash,
         # its two-axis audit vs the uncapped (pigeonhole-exact) pair set:
         # pair_recall + member_recall, both oracle-gated
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _packing.ORACLE_SQL_SHARD_MANIFEST,
         "sequence_spans": _packing.ORACLE_SQL_SEQUENCE_SPANS,
         "sequence_export": _packing.ORACLE_SQL_PACKED_SEQUENCES,
+        "sequence_shuffle": _packing.ORACLE_SQL_SEQUENCE_SHUFFLE,
         "bpe_merges": _tokenizer.ORACLE_SQL_BPE_MERGES,
         "bpe_roundtrip": _tokenizer.ORACLE_SQL_BPE_ROUNDTRIP,
         "bpe_encode": _tokenizer.ORACLE_SQL_BPE_ENCODE,

@@ -728,3 +728,92 @@ SELECT source, seq_id,
 FROM parts
 GROUP BY source, seq_id
 """
+
+
+# ------------------------------------------ deterministic epoch shuffle --
+#: epoch label folded into every shuffle key: a training run derives one
+#: deterministic global permutation per epoch by changing this seed —
+#: same corpus + same seed = bit-identical order on any cluster layout
+SHUFFLE_SEED = "epoch-0"
+
+
+def sequence_shuffle(
+    documents: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    cap: int = SEQ_CAP,
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """Seeded global permutation of the packed-sequence export — the
+    last step between packing and a real dataloader manifest (training
+    reads sequences in ``shuffle_pos`` order; r13 verdict item 5).
+
+    The permutation is a pure function of (seed, source, seq_id):
+    ``shuffle_key = md5(seed:source:seq_id)`` and ``shuffle_pos`` is the
+    exact 0-based global rank under (key, source NULLS LAST, seq_id) —
+    no RNG state, no partition-order dependence, reproducible across
+    engines and cluster layouts. The global rank is
+    ``distrank.exact_global_rank`` over the key's leading 48 bits as
+    the integral bucket value (md5 is uniform, so the arithmetic range
+    split stays balanced) — per-bucket windows in parallel plus the
+    triangular offset join over the ≤33-row count table; NO single-task
+    global Sort at any corpus size, which is the whole point (a naive
+    ``row_number().over(Window.orderBy(key))`` funnels the full corpus
+    through one task)."""
+    from demo_etl_spark.functions.distrank import exact_global_rank
+
+    seqs = packed_sequences(documents, ctx, cap)
+    keyed = seqs.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(seed),
+                F.coalesce(F.col("source"), F.lit("")),
+                F.col("seq_id"),
+            )
+        ),
+    ).withColumn(
+        "_kv",
+        F.conv(F.substring("shuffle_key", 1, 12), 16, 10).cast("long"),
+    )
+    ranked = exact_global_rank(
+        keyed,
+        "_kv",
+        tiebreak=["shuffle_key", "source", "seq_id"],
+        rank_col="_rk",
+    )
+    return ranked.select(
+        (F.col("_rk") - 1).cast("long").alias("shuffle_pos"),
+        "source",
+        "seq_id",
+        "n_spans",
+        "seq_tokens",
+        "seq_text",
+        "shuffle_key",
+    )
+
+
+def build_sequence_shuffle(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return sequence_shuffle(load_star(spark, sf_dir)["documents"], ctx)
+
+
+# the oracle's global ROW_NUMBER orders by the full key; the engine path
+# orders by (48-bit key prefix, full key, ...) — identical order, since
+# the prefix is a monotone function of the key (lowercase hex sorts
+# lexicographically = numerically)
+ORACLE_SQL_SEQUENCE_SHUFFLE = f"""
+WITH seqs AS ({ORACLE_SQL_PACKED_SEQUENCES}),
+keyed AS (
+  SELECT *,
+         md5(concat_ws(':', '{SHUFFLE_SEED}', COALESCE(source, ''),
+                       seq_id)) AS shuffle_key
+  FROM seqs
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY shuffle_key, source NULLS LAST, seq_id) - 1 AS BIGINT)
+         AS shuffle_pos,
+       source, seq_id, n_spans, seq_tokens, seq_text, shuffle_key
+FROM keyed
+"""

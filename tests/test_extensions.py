@@ -1672,3 +1672,57 @@ def test_hybrid_bm25_recall_at_least_plain_hybrid(spark):
     assert set(staged) == set(plain)
     for q in plain:
         assert staged[q] >= plain[q]
+
+
+def test_sequence_shuffle_permutation_and_plan(spark):
+    """r14: sequence_shuffle emits an exact 0..n-1 permutation of the
+    export rows, deterministically (same seed → same order; different
+    seed → different order), and its plan never funnels the corpus
+    through a single-task global Sort — the rank is the distributed
+    exact_global_rank decomposition (>= 2 output partitions)."""
+    from demo_etl_spark.operators.packing import (
+        packed_sequences,
+        sequence_shuffle,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"s{src}w{i}t{j}" for j in range(40)), f"src_{src}")
+            for src in range(3)
+            for i in range(src * 100, src * 100 + 8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = sequence_shuffle(docs).collect()
+    n = len(out)
+    assert n == packed_sequences(docs).count()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(n))
+    # deterministic: a second evaluation gives the identical order
+    again = sequence_shuffle(docs).collect()
+    assert {r["shuffle_pos"]: (r["source"], r["seq_id"]) for r in out} == {
+        r["shuffle_pos"]: (r["source"], r["seq_id"]) for r in again
+    }
+    # a different epoch seed permutes differently (md5 avalanche: with
+    # n >= 6 rows an identical order would be a ~1/n! fluke)
+    other = sequence_shuffle(docs, seed="epoch-1").collect()
+    order_a = [r["shuffle_pos"] for r in sorted(out, key=lambda r: (r["source"], r["seq_id"]))]
+    order_b = [r["shuffle_pos"] for r in sorted(other, key=lambda r: (r["source"], r["seq_id"]))]
+    assert order_a != order_b
+    # shuffled vs natural order: the permutation is not the identity
+    assert order_a != sorted(order_a)
+    import re
+
+    plan = (
+        sequence_shuffle(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no GLOBAL sort anywhere: every Sort node in the plan is local
+    # (`Sort [...], false, 0` — window-local under a hash-partitioned
+    # exchange); a single-task global ordering would appear as
+    # `Sort [...], true, 0` or a rangepartitioning exchange. (AQE may
+    # still coalesce this tiny test frame to one partition — that is
+    # output sizing, not a sort funnel.)
+    assert "rangepartitioning" not in plan.lower()
+    assert not re.search(r"Sort \[[^\]]*\], true, 0", plan)
