@@ -62,79 +62,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ================ r13 driver window (first 50 entries) ========
-        # Rotation (r12 verdict item 1 + late-landing clause): 6 seats
-        # are the round's new media-dedup queries (image pair + audit +
-        # clusters, audio, video, cross-modal agreement), 1 re-gates
-        # the ADVICE-touched part_revenue_abc, 5 re-gate the
-        # guard-review sweep (2 of them flagships —
-        # customer/product_analytics start the <=3-round flagship
-        # cadence early; the other 6 flagships re-gate r14/r15, plan in
-        # PERF_NOTES), and the remaining 38 clear the stale tail:
-        # regional_sales (r7) + all 16 r8 seats + 21 of 33 r9 seats
-        # (the 12 left — text_stats, text_redacted,
-        # waiting_suppliers_sql + the 9 displaced below — head the r14
-        # pool). The 12 r12 first-time seats rotate out.
-        # ---- r13 first-time seats (new queries gate within one round):
-        # perceptual image dedup — dHash over the REAL decoded rasters,
-        # 4x16-bit Hamming-band candidates with the distinct-signature
-        # group-collapse fallback for over-cap buckets, exact grid-L1
-        # verification on candidates only (r12 verdict item 2)
+        # ================ r14 driver window (first 50 entries) ========
+        # Rotation (r13 verdict item 1 + PERF_NOTES flagship plan):
+        # HEAD: shipping_sla + revenue_forecast_backtest re-gate first —
+        # their semantics changed post-rotation in r13 (NULL-flag-sum
+        # coalesce, commits b37537c/606c0a3; late-landing clause option b).
+        "shipping_sla": _star.build_shipping_sla,
+        "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
+        # ---- r14 ADVICE re-gates (late-landing clause): the band-recall
+        # truth side is now group-collapsed (mega-bucket-safe audit) and
+        # the agreement truth domain excludes negative doc ids
+        "dedup_image_band_recall": _multimodal.build_image_band_recall,
+        "media_dedup_agreement": _multimodal.build_media_dedup_agreement,
+        # ---- r14 first-time seats (new queries gate within one round):
+        # incremental new-shard-vs-corpus image dedup (cross-boundary
+        # band candidates only, one-sided rep collapse)
+        "dedup_media_incremental": _multimodal.build_media_incremental,
+        # per-modality governance row over one shared CC pass
+        "media_dedup_profile": _multimodal.build_media_dedup_profile,
+        # exact fixed-point BM25 (folded 6/5 & 3/4 rationals, floor-log2
+        # IDF) + its lexical drift gate vs exact cosine
         "retrieval_bm25": _similarity.build_bm25,
         "retrieval_bm25_recall": _similarity.build_bm25_recall,
+        # BM25-staged hybrid (top-M prune bounds the vector rerank) +
+        # the quality bar: recall >= the overlap-staged hybrid
         "similarity_hybrid_bm25": _similarity.build_hybrid_bm25,
         "similarity_hybrid_bm25_recall": _similarity.build_hybrid_bm25_recall,
-        "dedup_media_incremental": _multimodal.build_media_incremental,
-        "media_dedup_profile": _multimodal.build_media_dedup_profile,
+        # seeded deterministic epoch shuffle of the packed export
         "sequence_shuffle": _packing.build_sequence_shuffle,
+        # ---- flagship cadence (PERF_NOTES plan: 3 of the six r12-seated
+        # flagships re-gate here, the other 3 — sales_asset_union,
+        # star_join_detail, date_dim_join — head the r15 window)
+        "time_analytics": _timeseries.build_time,
+        "product_ranking": _product.build_ranking,
+        "revenue_trend": _timeseries.build_trend,
+        # ---- stale-tail rotation: ALL 14 remaining r9 seats (after this
+        # window no seat is older than r10)
+        "text_stats": _text.build_stats,
+        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
+        "schema_evolution_read": _formats.build_schema_evolution_read,
+        "events_props_variant": _events.build_props_variant_audit,
+        "doc_typicality": _text.build_doc_typicality,
+        "orders_profile": _quality.build_orders_profile,
+        "quarantine_audit": _quality.build_quarantine_audit,
+        "revenue_decompose": _timeseries.build_decompose,
+        "doc_top_terms": _text.build_top_terms,
+        "text_redacted": _text.build_redacted,
+        "lang_confusion": _text.build_lang_confusion,
+        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
+        "waiting_suppliers_sql": _suite.build_waiting_suppliers,
+        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
+        # ---- stalest rotation (last gated r10; the 13 r10 seats left —
+        # order_bookends through user_rate_audit alphabetically — join
+        # the r15 pool)
+        "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
+        "bpe_encode": _tokenizer.build_bpe_encode,
+        "bpe_pair_counts": _text.build_bpe_pairs,
+        "bpe_vocab_coverage": _tokenizer.build_bpe_vocab_coverage,
+        "brand_rules": _product.build_brand_rules,
+        "corpus_curation": _curation.build,
+        "dedup_cluster_profile": _dedup.build_cluster_profile,
+        "dedup_incremental": _dedup.build_incremental,
+        "dedup_minhash_lsh": _dedup.build_minhash,
+        "dedup_repeated_spans": _dedup.build_repeated_spans,
+        "dedup_semantic_clusters": _similarity.build_semantic_dedup,
+        "doc_length_outliers": _text.build_length_outliers,
+        "events_cohort_retention": _events.build_cohort_retention,
+        "events_incremental_rollup": _events.build_incremental_rollup,
+        "events_lateness_audit": _events.build_lateness_audit,
+        "events_props_typed": _events.build_props_typed_audit,
+        "events_unpivot": _events.build_unpivot,
+        "idle_customers_sql": _suite.build_idle_customers,
+        "incremental_join_view": _star.build_incremental_join_view,
+        "multimodal_resize": _multimodal.build_resize,
+        "ngram_novelty": _dedup.build_novelty,
+        "orc_roundtrip": _formats.build_orc_roundtrip,
+        # ================ driver window boundary (50) ================
+        # Everything below is oracle-verified by the local sweep each
+        # session and has held a driver-green seat (union coverage
+        # 194/194 at r13; the seven r14-new queries seat above). Order
+        # below the boundary ~= recency of last seat; the two rows-only
+        # approx twins stay at the BOTTOM permanently.
+        # r14-displaced r13 seats — head of the r15 rotation pool is the
+        # r10 remainder, then these rotate naturally
         "dedup_image_phash": _multimodal.build_image_phash,
-        # its two-axis audit vs the uncapped (pigeonhole-exact) pair set:
-        # pair_recall + member_recall, both oracle-gated
-        "dedup_image_band_recall": _multimodal.build_image_band_recall,
-        # the audio twin: 32-bit energy-envelope delta-sign fingerprint
-        # over the decoded PCM, shared _band_pairs machinery + exact
-        # envelope-L1 verify; orders_profile (r9) yields its seat
         "dedup_audio_fingerprint": _multimodal.build_audio_fingerprint,
-        # the video member: content-defined 1 KiB raster-chunk md5s,
-        # df-capped inverted-index candidates (chain fallback), EXACT
-        # per-pair containment on candidates only;
-        # partitioned_corpus_read (r9) yields its seat
         "dedup_video_chunks": _multimodal.build_video_chunk_dedup,
-        # the cross-modal governance row: text near-dup pairs vs each
-        # modality fingerprint — counts, overlap, set-Jaccard (the
-        # dedup_method_agreement shape); doc_top_terms (r9) yields
-        "media_dedup_agreement": _multimodal.build_media_dedup_agreement,
-        # the keep-one decision: pointer-jumping connected components
-        # over the VERIFIED image pair graph (shared dedup_clusters
-        # machinery), canonical = component min id; doc_typicality
-        # (r9) yields its seat
         "dedup_image_clusters": _multimodal.build_image_dedup_clusters,
-        # ---- r13-touched re-gate (late-landing clause): cum_share's zero
-        # guard tightened to _tot > 0 on both engines (r12 ADVICE item)
         "part_revenue_abc": _product.build_part_abc,
-        # ---- r13 guard-review re-gates (late-landing clause): the
-        # positive-denominator sweep extended the r12 ADVICE fix to
-        # every signed-SUM round_div guard (cusum/seasonality shares,
-        # revenue_per_unit, weekend ratio, HHI share); five r9 seats
-        # (quarantine_audit, revenue_decompose, schema_evolution_read,
-        # small_quantity_revenue_sql, streaming_purchase_clicks) yield
-        # and head the r14 pool
         "revenue_cusum": _timeseries.build_cusum,
         "revenue_seasonality": _timeseries.build_seasonality,
         "product_analytics": _product.build,
         "customer_analytics": _customer.build,
         "market_concentration": _product.build_market_concentration,
-        # ---- r13 NULL-flag-sum re-gates (late-landing clause, option
-        # a — window re-rotated): shipping_sla's within flag and the
-        # forecast backtest's wins flag went per-row coalesce-0 (the
-        # all-NULL-group Spark-NULL-vs-oracle-0 class, r13 review);
-        # events_props_variant and lang_confusion (r9) yield their
-        # seats and join the r14 pool head
-        "shipping_sla": _star.build_shipping_sla,
-        "revenue_forecast_backtest": _timeseries.build_forecast_backtest,
-        # ---- stalest rotation: regional_sales (r7, oldest seat in the
-        # registry), then every remaining r8 seat — after this window
-        # no seat is older than r9
         "regional_sales": _star.build_regional,
         "customer_order_distribution_sql": _suite.build_customer_order_distribution,
         "disjunctive_revenue_sql": _suite.build_disjunctive_revenue,
@@ -152,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_sql": _sql.build_shipping_priority,
         "streaming_enriched_rollup": _streams.build_streaming_enriched_rollup,
         "top_supplier_sql": _suite.build_top_supplier,
-        # ---- stalest rotation (last gated r9)
         "corpus_train_split": _curation.build_train_split,
         "csv_roundtrip": _formats.build_csv_roundtrip,
         "dedup_exact": _dedup.build_exact,
@@ -172,34 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_hierarchy_sql": _suite.build_part_hierarchy,
         "part_triangles": _graph.build_triangles,
         "streaming_daily_rollup": _streams.build_streaming_daily_rollup,
-        # ================ driver window boundary (50) ================
-        # Everything below is oracle-verified by the local sweep each
-        # session and has held a driver-green seat (union coverage
-        # 188/188 at r12; the two r13-new queries seat above). Order
-        # below the boundary ~= recency of last seat; the two
-        # rows-only approx twins stay at the BOTTOM permanently (no
-        # oracle can hash-match a sketch seat).
-        # r13-displaced r9 seats — head of the r14 rotation pool
-        "events_props_variant": _events.build_props_variant_audit,
-        "lang_confusion": _text.build_lang_confusion,
-        "doc_typicality": _text.build_doc_typicality,
-        "doc_top_terms": _text.build_top_terms,
-        "orders_profile": _quality.build_orders_profile,
-        "partitioned_corpus_read": _formats.build_partitioned_corpus_read,
-        "quarantine_audit": _quality.build_quarantine_audit,
-        "revenue_decompose": _timeseries.build_decompose,
-        "schema_evolution_read": _formats.build_schema_evolution_read,
-        "small_quantity_revenue_sql": _suite.build_small_quantity_revenue,
-        "streaming_purchase_clicks": _streams.build_streaming_purchase_clicks,
         "events_value_histogram": _events.build_value_histogram,
         "events_props_breakdown": _events.build_props_breakdown,
         "streaming_session": _streams.build_streaming_session,
         "streaming_dedup": _streams.build_streaming_dedup,
         "streaming_user_totals": _streams.build_streaming_user_totals,
         "embedding_centroids": _similarity.build_centroids,
-        "time_analytics": _timeseries.build_time,
-        "product_ranking": _product.build_ranking,
-        "revenue_trend": _timeseries.build_trend,
         "sales_asset_union": _asset.build,
         "star_join_detail": _star.build_detail,
         "date_dim_join": _timeseries.build_date_dim_join,
@@ -285,43 +282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_profile": _text.build_source_profile,
         "dedup_simhash": _dedup.build_simhash,
         "pricing_summary_sql": _sql.build,
-        "dedup_minhash_lsh": _dedup.build_minhash,
-        "corpus_curation": _curation.build,
-        "dedup_semantic_clusters": _similarity.build_semantic_dedup,
-        "dedup_cluster_profile": _dedup.build_cluster_profile,
-        "dedup_repeated_spans": _dedup.build_repeated_spans,
-        "dedup_incremental": _dedup.build_incremental,
-        "ngram_novelty": _dedup.build_novelty,
-        "multimodal_resize": _multimodal.build_resize,
-        "bpe_encode": _tokenizer.build_bpe_encode,
-        "bpe_vocab_coverage": _tokenizer.build_bpe_vocab_coverage,
-        "bpe_pair_counts": _text.build_bpe_pairs,
         "pmi_collocations": _text.build_pmi_collocations,
         "text_noise_scan": _text.build_noise_scan,
-        "doc_length_outliers": _text.build_length_outliers,
         "regional_rollup": _star.build_rollup,
         "sales_grouping_sets": _star.build_grouping_sets,
-        "incremental_join_view": _star.build_incremental_join_view,
-        "events_cohort_retention": _events.build_cohort_retention,
-        "events_props_typed": _events.build_props_typed_audit,
-        "events_incremental_rollup": _events.build_incremental_rollup,
-        "events_lateness_audit": _events.build_lateness_audit,
-        "events_unpivot": _events.build_unpivot,
         "signup_to_purchase": _events.build_signup_to_purchase,
         "user_rate_audit": _events.build_user_rate_audit,
         "supplier_analytics": _product.build_supplier_analytics,
-        "brand_rules": _product.build_brand_rules,
         "order_bookends": _customer.build_bookends,
         "part_similarity": _graph.build_part_similarity,
         "product_profit_sql": _suite.build_product_profit,
         "priority_shipping_split_sql": _suite.build_priority_shipping_split,
-        "idle_customers_sql": _suite.build_idle_customers,
         "part_supplier_variety_sql": _suite.build_part_supplier_variety,
-        "bolt_volume_suppliers_sql": _suite.build_bolt_volume_suppliers,
-        "orc_roundtrip": _formats.build_orc_roundtrip,
-        "text_stats": _text.build_stats,
-        "text_redacted": _text.build_redacted,
-        "waiting_suppliers_sql": _suite.build_waiting_suppliers,
         # rows-only approx twins: PERMANENTLY last (r9 verdict item 2)
         "customer_analytics_approx": _customer.build_approx,
         "source_profile_approx": _text.build_source_profile_approx,

@@ -35,46 +35,49 @@ def test_builders_are_callables_and_oracles_are_select_sql():
 def test_registry_is_large_and_window_covers_families():
     q = list(entry.queries())
     assert len(q) >= 110
-    # spot-check the r13 window composition: the two r13 first-time
-    # image-dedup seats, the ADVICE-touched part_revenue_abc re-gate,
-    # and the stale-tail clear (regional_sales r7 + all 16 r8 seats +
-    # 30 r9 seats — representatives below).
+    # spot-check the r14 window composition: the two r13-touched
+    # NULL-flag-sum re-gates at the HEAD (late-landing option b), the
+    # two r14 ADVICE re-gates, all seven r14 first-time seats, the
+    # 3-of-6 flagship cadence picks, and the stale-tail clear (all 14
+    # r9 seats — representatives below — plus 22 r10 seats).
     window = set(q[:50])
+    assert q[0] == "shipping_sla" and q[1] == "revenue_forecast_backtest"
     for rep in (
-        # r13 first-time seats (each must gate this round)
-        "dedup_image_phash",
+        # r14 ADVICE re-gates (truth-domain + group-collapse)
         "dedup_image_band_recall",
-        "dedup_audio_fingerprint",
-        "dedup_video_chunks",
         "media_dedup_agreement",
-        "dedup_image_clusters",
-        # r13-touched re-gate (cum_share guard, r12 ADVICE)
-        "part_revenue_abc",
-        # the full r7/r8 stale tail
-        "regional_sales",
-        "customer_order_distribution_sql",
-        "disjunctive_revenue_sql",
-        "doc_fingerprints",
-        "events_gapfill",
-        "key_skew_profile",
-        "kmv_distinct_ngrams",
-        "lang_id",
-        "last_shipment_sql",
-        "lateral_order_topk_sql",
-        "nation_market_share_sql",
-        "packing_tokens_canary",
-        "salted_order_join",
-        "shard_manifest",
-        "shipping_priority_sql",
-        "streaming_enriched_rollup",
-        "top_supplier_sql",
-        # r9-pool representatives
-        "dedup_exact",
-        "multimodal_features",
-        "part_communities",
-        "streaming_daily_rollup",
-        "events_session",
-        "jsonl_malformed_ingest",
+        # r14 first-time seats (each must gate this round)
+        "dedup_media_incremental",
+        "media_dedup_profile",
+        "retrieval_bm25",
+        "retrieval_bm25_recall",
+        "similarity_hybrid_bm25",
+        "similarity_hybrid_bm25_recall",
+        "sequence_shuffle",
+        # flagship cadence (3 of the six due by r15)
+        "time_analytics",
+        "product_ranking",
+        "revenue_trend",
+        # the full r9 stale tail
+        "text_stats",
+        "partitioned_corpus_read",
+        "schema_evolution_read",
+        "events_props_variant",
+        "doc_typicality",
+        "orders_profile",
+        "quarantine_audit",
+        "revenue_decompose",
+        "doc_top_terms",
+        "text_redacted",
+        "lang_confusion",
+        "streaming_purchase_clicks",
+        "waiting_suppliers_sql",
+        "small_quantity_revenue_sql",
+        # r10-pool representatives
+        "corpus_curation",
+        "dedup_minhash_lsh",
+        "multimodal_resize",
+        "orc_roundtrip",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
