@@ -48,6 +48,7 @@ INTENDED = {
     "corpus_temperature_sample": "1-row (Σw, Σdocs) totals broadcast × the sources table (dozens of rows) (optimal scalar attach)",
     "orders_benford_audit": "1-row excluded-count scalar broadcast × the 9-digit grid (optimal scalar attach)",
     "part_revenue_abc": "1-row min/max/total bounds attach for exact_global_prefix_sum — the same class as customer_rfm's exact_global_rank bounds (optimal scalar attach)",
+    "sequence_shuffle": "1-row (lo, hi, n) bounds attach for exact_global_rank over the shuffle-key prefix — the part_revenue_abc class (optimal scalar attach)",
     "similarity_pq_recall": "exact side is l2_topk's brute-force baseline: held-out query set (50 vectors) broadcast × candidates (same class as similarity_topk_cosine)",
 }
 
