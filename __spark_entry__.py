@@ -90,6 +90,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hybrid_bm25_recall": _similarity.build_hybrid_bm25_recall,
         # seeded deterministic epoch shuffle of the packed export
         "sequence_shuffle": _packing.build_sequence_shuffle,
+        # reciprocal-rank fusion of the BM25 and exact-cosine lists
+        # (score-free hybrid, e9 fixed-point contributions) + its
+        # family-rule recall seat
+        "retrieval_rrf_fusion": _similarity.build_rrf_fusion,
+        "retrieval_rrf_recall": _similarity.build_rrf_recall,
         # ---- flagship cadence (PERF_NOTES plan: 3 of the six r12-seated
         # flagships re-gate here, the other 3 — sales_asset_union,
         # star_join_detail, date_dim_join — head the r15 window)
@@ -135,9 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers_sql": _suite.build_idle_customers,
         "incremental_join_view": _star.build_incremental_join_view,
         "multimodal_resize": _multimodal.build_resize,
+        # ================ driver window boundary (50) ================
+        # (ngram_novelty + orc_roundtrip yielded their drafted r14 seats
+        # to the two RRF first-time seats — they join the 13 other r10
+        # seats at the head of the r15 pool)
         "ngram_novelty": _dedup.build_novelty,
         "orc_roundtrip": _formats.build_orc_roundtrip,
-        # ================ driver window boundary (50) ================
         # Everything below is oracle-verified by the local sweep each
         # session and has held a driver-green seat (union coverage
         # 194/194 at r13; the seven r14-new queries seat above). Order
@@ -360,6 +368,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_media_incremental": _multimodal.ORACLE_SQL_MEDIA_INCREMENTAL,
         "retrieval_bm25": _similarity.ORACLE_SQL_BM25,
         "retrieval_bm25_recall": _similarity.ORACLE_SQL_BM25_RECALL,
+        "retrieval_rrf_fusion": _similarity.ORACLE_SQL_RRF,
+        "retrieval_rrf_recall": _similarity.ORACLE_SQL_RRF_RECALL,
         "similarity_hybrid_bm25": _similarity.ORACLE_SQL_HYBRID_BM25,
         "similarity_hybrid_bm25_recall": _similarity.ORACLE_SQL_HYBRID_BM25_RECALL,
         "media_dedup_profile": _multimodal.ORACLE_SQL_MEDIA_PROFILE,

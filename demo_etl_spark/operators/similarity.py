@@ -2759,3 +2759,120 @@ def _warm_bm25_memo(spark: SparkSession, sf_dir: str) -> None:
 
 
 register_memo_warmer(_warm_bm25_memo)
+
+
+# ---------------------------------------------- reciprocal-rank fusion ----
+#: the standard RRF constant (Cormack/Clarke/Buettcher 2009): dampens
+#: the head so one system's #1 cannot drown the other's consensus
+RRF_K = 60
+
+
+def rrf_fusion(
+    lex: DataFrame, vec: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical ranking and the exact
+    cosine ranking — the public-standard score-free hybrid (RRF: score =
+    Σ 1/(K + rank) over the lists a candidate appears in). Score-free
+    matters: BM25 and cosine live on incomparable scales, and RRF never
+    compares them — only their ranks.
+
+    Exactness: each 1/(K + rank) contribution is HALF_UP e9 fixed point
+    ((2e9 + d) div (2d), d = K + rank) summed as BIGINT — no float
+    addition order anywhere; final order (rrf_e9 DESC, candidate_id)
+    is a pure integer sort. A candidate on one list only contributes
+    that list's term (the outer-join COALESCE 0 convention). Both input
+    lists are session-memoized frames, so the fusion itself is one
+    outer join + one bounded per-query window."""
+    from pyspark.sql.window import Window as _W
+
+    def contr(rank_col: str):
+        d = f"({RRF_K} + {rank_col})"
+        return F.expr(f"(2000000000 + {d}) div (2 * {d})")
+
+    l_side = lex.select(
+        "query_id", "candidate_id", F.col("rank").alias("lex_rank")
+    )
+    v_side = vec.select(
+        "query_id", "candidate_id", F.col("rank").alias("vec_rank")
+    )
+    j = l_side.join(v_side, ["query_id", "candidate_id"], "full_outer")
+    scored = j.withColumn(
+        "rrf_e9",
+        (
+            F.coalesce(contr("lex_rank"), F.lit(0))
+            + F.coalesce(contr("vec_rank"), F.lit(0))
+        ).cast("long"),
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("rrf_e9"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "candidate_id",
+            "lex_rank",
+            "vec_rank",
+            "rank",
+            F.expr("CAST(rrf_e9 / 1000000000 AS DOUBLE)").alias("rrf"),
+        )
+    )
+
+
+def build_rrf_fusion(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return rrf_fusion(
+        _cached_bm25(spark, sf_dir),
+        _cached_topk(spark, sf_dir, "cos_raw"),
+    )
+
+
+def build_rrf_recall(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Recall@k of the RRF-fused list vs exact cosine — the family rule
+    (every approximate ranker carries a recall seat under the hash
+    gate). RRF mixes lexical evidence into the order, so this reads
+    below 1.0 by design; the gate's value is that a fusion change
+    fails correctness, not a dashboard."""
+    return _recall_at_k(
+        _cached_topk(spark, sf_dir, "cos_raw"),
+        build_rrf_fusion(spark, sf_dir, ctx),
+    )
+
+
+def _rrf_oracle() -> str:
+    def contr(rank_col: str) -> str:
+        d = f"({RRF_K} + {rank_col})"
+        return f"COALESCE((2000000000 + {d}) // (2 * {d}), 0)"
+
+    return f"""
+WITH lex AS ({_bm25_oracle(BM25_PRUNE_M)}),
+vec AS ({ORACLE_SQL_TOPK}),
+j AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.candidate_id, v.candidate_id) AS candidate_id,
+         l.rank AS lex_rank, v.rank AS vec_rank
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.query_id = l.query_id AND v.candidate_id = l.candidate_id
+),
+scored AS (
+  SELECT *, CAST({contr("lex_rank")} + {contr("vec_rank")} AS BIGINT)
+            AS rrf_e9
+  FROM j
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_e9 DESC, candidate_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, candidate_id, lex_rank, vec_rank, rank,
+       CAST(rrf_e9 / 1000000000 AS DOUBLE) AS rrf
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE_SQL_RRF = _rrf_oracle()
+ORACLE_SQL_RRF_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_RRF)

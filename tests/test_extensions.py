@@ -1726,3 +1726,38 @@ def test_sequence_shuffle_permutation_and_plan(spark):
     # output sizing, not a sort funnel.)
     assert "rangepartitioning" not in plan.lower()
     assert not re.search(r"Sort \[[^\]]*\], true, 0", plan)
+
+
+def test_rrf_fusion_exact_arithmetic(spark):
+    """r14: RRF fusion must equal the hand-computed e9 fixed-point
+    sum of 1/(60+rank) contributions, including one-list-only
+    candidates (COALESCE 0) and the id tiebreak on exact score ties."""
+    from demo_etl_spark.operators.similarity import rrf_fusion
+
+    lex = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2), (0, 13, 3)],
+        "query_id long, candidate_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [(0, 12, 1), (0, 14, 2)],
+        "query_id long, candidate_id long, rank int",
+    )
+    got = {r["candidate_id"]: r for r in rrf_fusion(lex, vec, k=10).collect()}
+
+    def c(rank):
+        d = 60 + rank
+        return (2_000_000_000 + d) // (2 * d)
+
+    exp = {
+        11: c(1),
+        12: c(2) + c(1),   # both lists
+        13: c(3),
+        14: c(2),
+    }
+    assert set(got) == set(exp)
+    for cid, e9 in exp.items():
+        assert got[cid]["rrf"] == e9 / 1_000_000_000
+    # consensus candidate 12 wins; 11 (lex #1) beats 14 (vec #2) beats 13
+    order = sorted(got, key=lambda cid: got[cid]["rank"])
+    assert order == [12, 11, 14, 13]
+    assert got[11]["vec_rank"] is None and got[14]["lex_rank"] is None

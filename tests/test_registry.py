@@ -54,6 +54,8 @@ def test_registry_is_large_and_window_covers_families():
         "similarity_hybrid_bm25",
         "similarity_hybrid_bm25_recall",
         "sequence_shuffle",
+        "retrieval_rrf_fusion",
+        "retrieval_rrf_recall",
         # flagship cadence (3 of the six due by r15)
         "time_analytics",
         "product_ranking",
@@ -77,7 +79,6 @@ def test_registry_is_large_and_window_covers_families():
         "corpus_curation",
         "dedup_minhash_lsh",
         "multimodal_resize",
-        "orc_roundtrip",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
