@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family-rule recall seat
         "retrieval_rrf_fusion": _similarity.build_rrf_fusion,
         "retrieval_rrf_recall": _similarity.build_rrf_recall,
+        # the embedding family's new-shard-vs-corpus path (incremental
+        # symmetry: text / image / embedding all carve by INCR_MOD)
+        "dedup_embedding_incremental": _similarity.build_embedding_incremental,
         # ---- flagship cadence (PERF_NOTES plan: 3 of the six r12-seated
         # flagships re-gate here, the other 3 — sales_asset_union,
         # star_join_detail, date_dim_join — head the r15 window)
@@ -139,11 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events.build_unpivot,
         "idle_customers_sql": _suite.build_idle_customers,
         "incremental_join_view": _star.build_incremental_join_view,
-        "multimodal_resize": _multimodal.build_resize,
         # ================ driver window boundary (50) ================
-        # (ngram_novelty + orc_roundtrip yielded their drafted r14 seats
-        # to the two RRF first-time seats — they join the 13 other r10
-        # seats at the head of the r15 pool)
+        # (ngram_novelty, orc_roundtrip and multimodal_resize yielded
+        # their drafted r14 seats to the RRF pair and the embedding
+        # incremental — they join the 13 other r10 seats at the head of
+        # the r15 pool)
+        "multimodal_resize": _multimodal.build_resize,
         "ngram_novelty": _dedup.build_novelty,
         "orc_roundtrip": _formats.build_orc_roundtrip,
         # Everything below is oracle-verified by the local sweep each
@@ -370,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_bm25_recall": _similarity.ORACLE_SQL_BM25_RECALL,
         "retrieval_rrf_fusion": _similarity.ORACLE_SQL_RRF,
         "retrieval_rrf_recall": _similarity.ORACLE_SQL_RRF_RECALL,
+        "dedup_embedding_incremental": _similarity.ORACLE_SQL_EMBEDDING_INCREMENTAL,
         "similarity_hybrid_bm25": _similarity.ORACLE_SQL_HYBRID_BM25,
         "similarity_hybrid_bm25_recall": _similarity.ORACLE_SQL_HYBRID_BM25_RECALL,
         "media_dedup_profile": _multimodal.ORACLE_SQL_MEDIA_PROFILE,

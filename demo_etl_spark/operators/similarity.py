@@ -2876,3 +2876,130 @@ FROM ranked WHERE rank <= {TOP_K}
 
 ORACLE_SQL_RRF = _rrf_oracle()
 ORACLE_SQL_RRF_RECALL = _recall_oracle_sql(ORACLE_SQL_TOPK, ORACLE_SQL_RRF)
+
+
+# ------------------------------------ incremental embedding dedup -------
+def embedding_incremental_dedup(
+    embeddings: DataFrame,
+    ctx: RunContext = DEFAULT_CONTEXT,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bands: int = ANN_BANDS,
+    ppb: int = ANN_BAND_PLANES,
+) -> DataFrame:
+    """Dedup a NEW embedding shard against the EXISTING corpus — the
+    vector-space member of the incremental family (text:
+    dedup.incremental_dedup; image: multimodal.incremental_image_dedup;
+    same deterministic INCR_MOD/INCR_SLOT shard split so the three
+    registered exercises carve the corpus identically).
+
+    One verdict row per incoming vector: best corpus match (exact e6
+    integer cosine on banded hyperplane-LSH candidates), the cosine
+    evidence, and ``is_new`` (no corpus vector reaches the near-dup
+    threshold). Only CROSS-BOUNDARY (new × corpus) bucket pairs are
+    generated — the corpus never self-joins, so per-batch cost scales
+    with the increment times bucket width. Ranking is integer-exact:
+    is_dup DESC, cos_e6 DESC (a BIGINT, never a float sort key),
+    corpus id ASC. Candidate recall is governed by the same bands/ppb
+    dial the registered ANN path audits via dedup_ann_pair_recall."""
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    t_e6 = int(round(threshold * 1_000_000))
+    emb = _e6_frame(embeddings)
+    sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
+    in_slot = F.col("vec_id") % INCR_MOD == INCR_SLOT
+    ns = sigs.filter(in_slot).select(
+        F.col("vec_id").alias("vec_new"), "band", "sig"
+    )
+    cs = sigs.filter(~in_slot).select(
+        F.col("vec_id").alias("vec_old"), "band", "sig"
+    )
+    cand = ns.join(cs, ["band", "sig"]).select("vec_new", "vec_old").distinct()
+    ea = emb.select(
+        F.col("vec_id").alias("vec_new"),
+        F.col("v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_old"),
+        F.col("v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    scored = (
+        cand.join(ea, "vec_new")
+        .join(eb, "vec_old")
+        .withColumn("_cos_e6", _e6_cos("_va", "_vb", "_na", "_nb"))
+        .withColumn("_is_dup", F.col("_cos_e6") >= t_e6)
+    )
+    w = Window.partitionBy("vec_new").orderBy(
+        F.desc("_is_dup"), F.desc("_cos_e6"), F.asc("vec_old")
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    incoming = emb.filter(in_slot).select(F.col("vec_id").alias("vec_new"))
+    return incoming.join(best, "vec_new", "left").select(
+        F.col("vec_new").alias("vec_id"),
+        F.col("vec_old").alias("best_match"),
+        F.expr("CAST(_cos_e6 / 1000000 AS DOUBLE)").alias("cosine"),
+        F.coalesce(~F.col("_is_dup"), F.lit(True)).alias("is_new"),
+    )
+
+
+def build_embedding_incremental(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return embedding_incremental_dedup(
+        load_star(spark, sf_dir)["embeddings"], ctx
+    )
+
+
+def _embedding_incremental_oracle(
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bands: int = ANN_BANDS,
+    ppb: int = ANN_BAND_PLANES,
+) -> str:
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    sig_cols = ", ".join(
+        f"({_band_sign_sql(b, ppb)}) AS s{b}" for b in range(bands)
+    )
+    sig_list = ", ".join(f"s{b}" for b in range(bands))
+    return f"""
+WITH {_e6_norm_cte()},
+sigw AS (SELECT vec_id, {sig_cols} FROM e),
+sig AS (
+  SELECT vec_id,
+         unnest(range(0, {bands})) AS band,
+         unnest([{sig_list}]) AS sig
+  FROM sigw
+),
+cand AS (
+  SELECT DISTINCT n.vec_id AS vec_new, c.vec_id AS vec_old
+  FROM sig n JOIN sig c ON c.band = n.band AND c.sig = n.sig
+  WHERE n.vec_id % {INCR_MOD} = {INCR_SLOT}
+    AND c.vec_id % {INCR_MOD} <> {INCR_SLOT}
+),
+scored AS (
+  SELECT cand.vec_new, cand.vec_old,
+         {_e6_cos_sql("x", "y")} AS cos_e6,
+         {_e6_cos_sql("x", "y")} >= {int(round(threshold * 1_000_000))}
+           AS is_dup
+  FROM cand
+  JOIN e x ON x.vec_id = cand.vec_new
+  JOIN e y ON y.vec_id = cand.vec_old
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_new
+    ORDER BY is_dup DESC, cos_e6 DESC, vec_old) AS rn
+  FROM scored
+)
+SELECT i.vec_id, b.vec_old AS best_match,
+       CAST(b.cos_e6 / 1000000 AS DOUBLE) AS cosine,
+       COALESCE(NOT b.is_dup, TRUE) AS is_new
+FROM (SELECT vec_id FROM e WHERE vec_id % {INCR_MOD} = {INCR_SLOT}) i
+LEFT JOIN best b ON b.vec_new = i.vec_id AND b.rn = 1
+"""
+
+
+ORACLE_SQL_EMBEDDING_INCREMENTAL = _embedding_incremental_oracle()

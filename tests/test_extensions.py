@@ -1761,3 +1761,40 @@ def test_rrf_fusion_exact_arithmetic(spark):
     order = sorted(got, key=lambda cid: got[cid]["rank"])
     assert order == [12, 11, 14, 13]
     assert got[11]["vec_rank"] is None and got[14]["lex_rank"] is None
+
+
+def test_embedding_incremental_semantics(spark):
+    """r14: the embedding new-shard-vs-corpus path reports one verdict
+    row per incoming (slot) vector — a near-identical corpus twin
+    flags is_new=False with the right best_match, an isolated incoming
+    vector is trivially new, and corpus×corpus pairs never appear."""
+    from demo_etl_spark.operators.similarity import (
+        embedding_incremental_dedup,
+    )
+
+    dims = 64
+    base = [((i * 7) % 13 - 6) / 10.0 for i in range(dims)]
+    near = list(base)
+    near[0] += 0.01                      # cosine ~0.999 → duplicate
+    ortho = [0.0] * dims
+    ortho[1] = 1.0                       # cosine ~0 → not a duplicate
+    rows = [
+        (7, base, 1),                    # slot 7 → incoming
+        (17, ortho, 1),                  # incoming, isolated
+        (3, near, 2),                    # corpus near-dup of vec 7
+        (4, ortho, 2),                   # corpus twin of vec 17? no —
+        #   identical direction → cosine 1.0 with 17 IF they share a
+        #   bucket; that's the banded-LSH recall dial, so don't assert
+        #   on it — assert only on the guaranteed-bucket pair (7, 3)
+        (5, [(-x) for x in base], 2),    # anti-parallel (cos -1)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in embedding_incremental_dedup(emb).collect()}
+    assert set(out) == {7, 17}           # one row per incoming vector
+    assert out[7]["is_new"] is False and out[7]["best_match"] == 3
+    assert out[7]["cosine"] > 0.99
+    # identical-direction vectors share every hyperplane bucket, so 17
+    # finds its corpus twin 4 at cosine 1.0
+    assert out[17]["is_new"] is False and out[17]["best_match"] == 4

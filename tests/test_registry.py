@@ -56,6 +56,7 @@ def test_registry_is_large_and_window_covers_families():
         "sequence_shuffle",
         "retrieval_rrf_fusion",
         "retrieval_rrf_recall",
+        "dedup_embedding_incremental",
         # flagship cadence (3 of the six due by r15)
         "time_analytics",
         "product_ranking",
@@ -78,7 +79,7 @@ def test_registry_is_large_and_window_covers_families():
         # r10-pool representatives
         "corpus_curation",
         "dedup_minhash_lsh",
-        "multimodal_resize",
+        "incremental_join_view",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 
