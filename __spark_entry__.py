@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the embedding family's new-shard-vs-corpus path (incremental
         # symmetry: text / image / embedding all carve by INCR_MOD)
         "dedup_embedding_incremental": _similarity.build_embedding_incremental,
+        # audio + video members of the same family (shared band-
+        # incremental machinery / one-sided df-capped chunk index)
+        "dedup_audio_incremental": _multimodal.build_audio_incremental,
+        "dedup_video_incremental": _multimodal.build_video_incremental,
         # ---- flagship cadence (PERF_NOTES plan: 3 of the six r12-seated
         # flagships re-gate here, the other 3 — sales_asset_union,
         # star_join_detail, date_dim_join — head the r15 window)
@@ -140,13 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lateness_audit": _events.build_lateness_audit,
         "events_props_typed": _events.build_props_typed_audit,
         "events_unpivot": _events.build_unpivot,
+        # ================ driver window boundary (50) ================
+        # (ngram_novelty, orc_roundtrip, multimodal_resize,
+        # idle_customers_sql and incremental_join_view yielded their
+        # drafted r14 seats to the five late first-time seats — they
+        # join the 13 other r10 seats at the head of the r15 pool)
         "idle_customers_sql": _suite.build_idle_customers,
         "incremental_join_view": _star.build_incremental_join_view,
-        # ================ driver window boundary (50) ================
-        # (ngram_novelty, orc_roundtrip and multimodal_resize yielded
-        # their drafted r14 seats to the RRF pair and the embedding
-        # incremental — they join the 13 other r10 seats at the head of
-        # the r15 pool)
         "multimodal_resize": _multimodal.build_resize,
         "ngram_novelty": _dedup.build_novelty,
         "orc_roundtrip": _formats.build_orc_roundtrip,
@@ -375,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_rrf_fusion": _similarity.ORACLE_SQL_RRF,
         "retrieval_rrf_recall": _similarity.ORACLE_SQL_RRF_RECALL,
         "dedup_embedding_incremental": _similarity.ORACLE_SQL_EMBEDDING_INCREMENTAL,
+        "dedup_audio_incremental": _multimodal.ORACLE_SQL_AUDIO_INCREMENTAL,
+        "dedup_video_incremental": _multimodal.ORACLE_SQL_VIDEO_INCREMENTAL,
         "similarity_hybrid_bm25": _similarity.ORACLE_SQL_HYBRID_BM25,
         "similarity_hybrid_bm25_recall": _similarity.ORACLE_SQL_HYBRID_BM25_RECALL,
         "media_dedup_profile": _multimodal.ORACLE_SQL_MEDIA_PROFILE,

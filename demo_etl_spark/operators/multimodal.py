@@ -2254,13 +2254,21 @@ FROM labels
 # corpus id ASC — never a float sort key.
 
 
-def incremental_image_dedup(
-    sig: DataFrame, cap: int = IMG_BAND_BUCKET_CAP
+def incremental_band_dedup(
+    sig: DataFrame,
+    cap: int = IMG_BAND_BUCKET_CAP,
+    l1_max: int | None = IMG_VERIFY_L1_MAX,
+    l1_name: str = "grid_l1",
 ) -> DataFrame:
-    """One verdict row per NEW image: best corpus match (integer-ranked),
-    the hamming/grid-L1 evidence, and ``is_new`` (no corpus image both
-    Hamming-close and grid-verified). New images whose bands collide
-    with nothing are trivially new."""
+    """One verdict row per NEW media row over ANY 4-band signature frame
+    (media_id, b0..b3, grid): best corpus match (integer-ranked), the
+    hamming/exact-L1 evidence, and ``is_new``. Shared by the image
+    (dHash grid, L1-verified at ``l1_max``) and audio (envelope
+    fingerprint, every Hamming-verified candidate is a duplicate —
+    ``l1_max=None`` — matching audio_fingerprint_pairs' semantics, with
+    the L1 kept as ranking evidence) incremental paths, the same
+    signature-width-agnostic sharing as ``_band_pairs``. New rows whose
+    bands collide with nothing are trivially new."""
     from pyspark.sql.window import Window
 
     from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
@@ -2309,21 +2317,25 @@ def incremental_image_dedup(
     )
     ga = sig.select(F.col("media_id").alias("media_id_n"), F.col("grid").alias("_ga"))
     gb = sig.select(F.col("media_id").alias("media_id_c"), F.col("grid").alias("_gb"))
+    l1_type = "int" if l1_max is not None else "long"
     l1 = F.aggregate(
-        F.zip_with("_ga", "_gb", lambda a, b: F.abs(a - b)),
-        F.lit(0),
+        F.zip_with("_ga", "_gb", lambda a, b: F.abs(a - b).cast(l1_type)),
+        F.lit(0).cast(l1_type),
         lambda acc, v: acc + v,
+    )
+    verdict = (
+        F.lit(True) if l1_max is None else F.col(l1_name) <= l1_max
     )
     scored = (
         cand.join(ga, "media_id_n")
         .join(gb, "media_id_c")
-        .withColumn("grid_l1", l1.cast("int"))
-        .withColumn("_is_dup", F.col("grid_l1") <= IMG_VERIFY_L1_MAX)
+        .withColumn(l1_name, l1.cast(l1_type))
+        .withColumn("_is_dup", verdict)
     )
     w = Window.partitionBy("media_id_n").orderBy(
         F.desc("_is_dup"),
         F.asc("hamming"),
-        F.asc("grid_l1"),
+        F.asc(l1_name),
         F.asc("media_id_c"),
     )
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(
@@ -2334,7 +2346,7 @@ def incremental_image_dedup(
         F.col("media_id_n").alias("media_id"),
         F.col("media_id_c").alias("best_match"),
         "hamming",
-        "grid_l1",
+        l1_name,
         F.coalesce(~F.col("_is_dup"), F.lit(True)).alias("is_new"),
     )
 
@@ -2342,10 +2354,31 @@ def incremental_image_dedup(
 def build_media_incremental(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return incremental_image_dedup(_cached_dhash(spark, sf_dir))
+    return incremental_band_dedup(_cached_dhash(spark, sf_dir))
 
 
-def _media_incremental_oracle() -> str:
+def build_audio_incremental(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    """Audio new-shard-vs-corpus: the envelope-fingerprint frame through
+    the shared band-incremental machinery — every Hamming-verified
+    candidate is a duplicate (the audio pair seat's semantics), the
+    exact envelope L1 is ranking evidence only."""
+    return incremental_band_dedup(
+        _cached_audio_sig(spark, sf_dir), l1_max=None, l1_name="envelope_l1"
+    )
+
+
+def _media_incremental_oracle(
+    sig_ctes: str | None = None,
+    l1: str | None = None,
+    l1_name: str = "grid_l1",
+    verdict: str | None = None,
+) -> str:
+    """DuckDB twin of ``incremental_band_dedup`` over ANY 4-band
+    signature CTE chain (image dHash default; audio envelope via the
+    parameters) — the one-sided capped candidate machinery is shared
+    verbatim so the family twins cannot drift."""
     from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
 
     sig = ", ".join(f"b{i}" for i in range(IMG_BANDS))
@@ -2354,12 +2387,17 @@ def _media_incremental_oracle() -> str:
     ham = " + ".join(
         f"bit_count(xor(xa{i}, yb{i}))" for i in range(IMG_BANDS)
     )
-    l1 = (
-        "CAST(list_sum(list_transform(range(1, {n}), "
-        "k -> abs(ga.grid[k] - gb.grid[k]))) AS INTEGER)"
-    ).format(n=IMG_GRID_ROWS * IMG_GRID_COLS + 1)
+    if sig_ctes is None:
+        sig_ctes = _img_sig_ctes()
+    if l1 is None:
+        l1 = (
+            "CAST(list_sum(list_transform(range(1, {n}), "
+            "k -> abs(ga.grid[k] - gb.grid[k]))) AS INTEGER)"
+        ).format(n=IMG_GRID_ROWS * IMG_GRID_COLS + 1)
+    if verdict is None:
+        verdict = f"{l1} <= {IMG_VERIFY_L1_MAX}"
     return f"""
-WITH {_img_sig_ctes()},
+WITH {sig_ctes},
 nb AS (
   SELECT media_id, {sig}, bb.band, bb.val
   FROM sig, LATERAL (VALUES {", ".join(f"({b}, b{b})" for b in range(IMG_BANDS))}) AS bb(band, val)
@@ -2388,8 +2426,8 @@ ham_ok AS (
 ),
 scored AS (
   SELECT h.media_id_n, h.media_id_c, h.hamming,
-         {l1} AS grid_l1,
-         {l1} <= {IMG_VERIFY_L1_MAX} AS is_dup
+         {l1} AS {l1_name},
+         {verdict} AS is_dup
   FROM ham_ok h
   JOIN sig ga ON ga.media_id = h.media_id_n
   JOIN sig gb ON gb.media_id = h.media_id_c
@@ -2397,10 +2435,10 @@ scored AS (
 best AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY media_id_n
-    ORDER BY is_dup DESC, hamming, grid_l1, media_id_c) AS rn
+    ORDER BY is_dup DESC, hamming, {l1_name}, media_id_c) AS rn
   FROM scored
 )
-SELECT i.media_id, b.media_id_c AS best_match, b.hamming, b.grid_l1,
+SELECT i.media_id, b.media_id_c AS best_match, b.hamming, b.{l1_name},
        COALESCE(NOT b.is_dup, TRUE) AS is_new
 FROM (SELECT DISTINCT media_id FROM sig
       WHERE media_id % {INCR_MOD} = {INCR_SLOT}) i
@@ -2409,6 +2447,19 @@ LEFT JOIN best b ON b.media_id_n = i.media_id AND b.rn = 1
 
 
 ORACLE_SQL_MEDIA_INCREMENTAL = _media_incremental_oracle()
+
+_AUDIO_INCR_L1 = (
+    "CAST(list_sum(list_transform(range(1, {n}), "
+    "k -> abs(CAST(ga.grid[k] AS BIGINT) - CAST(gb.grid[k] AS BIGINT))"
+    ")) AS BIGINT)"
+).format(n=AUDIO_FP_WINDOWS + 1)
+
+ORACLE_SQL_AUDIO_INCREMENTAL = _media_incremental_oracle(
+    sig_ctes=_audio_sig_ctes(),
+    l1=_AUDIO_INCR_L1,
+    l1_name="envelope_l1",
+    verdict="TRUE",
+)
 
 
 # ------------------------------------------ media governance profile ----
@@ -2530,3 +2581,197 @@ GROUP BY c.modality
 
 
 ORACLE_SQL_MEDIA_PROFILE = _media_profile_oracle()
+
+
+# ------------------------------------------ incremental video dedup ----
+def incremental_video_dedup(
+    chunks: DataFrame,
+    cap: int = VIDEO_CHUNK_DF_CAP,
+    contain_bp: int = VIDEO_CONTAIN_BP,
+) -> DataFrame:
+    """Video new-shard-vs-corpus: cross-boundary candidates from the
+    df-capped chunk inverted index (a chunk's df is computed over the
+    WHOLE corpus — boilerplate chunks stay governed regardless of which
+    side they sit on), exact containment on candidates only, integer
+    best-match ranking (is_dup DESC, containment_bp DESC, corpus id
+    ASC). Over-cap chunks link each new posting to the corpus MIN-id
+    posting only (the one-sided spanning fallback — bounded, never
+    new × over-cap-population)."""
+    from pyspark.sql.window import Window
+
+    from demo_etl_spark.functions.fixedpoint import fixed_ratio
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    ch = chunks.select("media_id", F.col("chunk_hash").alias("h")).distinct()
+    sizes = ch.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+    dfc = ch.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    idx = ch.join(dfc, "h")
+    in_slot = F.col("media_id") % INCR_MOD == INCR_SLOT
+    nidx = idx.filter(in_slot).select(
+        F.col("media_id").alias("media_id_n"), "h", "_df"
+    )
+    cidx = idx.filter(~in_slot).select(
+        F.col("media_id").alias("media_id_c"), "h", "_df"
+    )
+    small = (
+        nidx.filter(F.col("_df") <= cap)
+        .join(cidx.drop("_df"), "h")
+        .select("media_id_n", "media_id_c")
+    )
+    reps = (
+        cidx.filter(F.col("_df") > cap)
+        .groupBy("h")
+        .agg(F.min("media_id_c").alias("media_id_c"))
+    )
+    over = (
+        nidx.filter(F.col("_df") > cap)
+        .join(reps, "h")
+        .select("media_id_n", "media_id_c")
+    )
+    cand = small.unionByName(over).distinct()
+    inter = (
+        cand.join(
+            ch.select(F.col("media_id").alias("media_id_n"), "h"),
+            "media_id_n",
+        )
+        .join(
+            ch.select(F.col("media_id").alias("media_id_c"), "h"),
+            ["media_id_c", "h"],
+        )
+        .groupBy("media_id_n", "media_id_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+    na = sizes.select(
+        F.col("media_id").alias("media_id_n"), F.col("n").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("media_id").alias("media_id_c"), F.col("n").alias("_nb")
+    )
+    scored = (
+        inter.join(na, "media_id_n")
+        .join(nb, "media_id_c")
+        .withColumn(
+            "containment_bp",
+            fixed_ratio("shared_chunks", "least(_na, _nb)", 4),
+        )
+        .withColumn(
+            "_is_dup",
+            F.expr(
+                f"shared_chunks * 10000 >= {contain_bp} * least(_na, _nb)"
+            ),
+        )
+    )
+    w = Window.partitionBy("media_id_n").orderBy(
+        F.desc("_is_dup"),
+        F.desc("containment_bp"),
+        F.desc("shared_chunks"),
+        F.asc("media_id_c"),
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    incoming = ch.filter(in_slot).select(
+        F.col("media_id").alias("media_id_n")
+    ).distinct()
+    return incoming.join(best, "media_id_n", "left").select(
+        F.col("media_id_n").alias("media_id"),
+        F.col("media_id_c").alias("best_match"),
+        "shared_chunks",
+        "containment_bp",
+        F.coalesce(~F.col("_is_dup"), F.lit(True)).alias("is_new"),
+    )
+
+
+def build_video_incremental(
+    spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
+) -> DataFrame:
+    return incremental_video_dedup(_cached_video_chunks(spark, sf_dir))
+
+
+def _video_incremental_oracle() -> str:
+    from demo_etl_spark.functions.fixedpoint import fixed_ratio_expr
+    from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
+
+    bp = fixed_ratio_expr(
+        "i.shared_chunks", "least(sa.n, sb.n)", 4, "duckdb"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST({_W_EXPR} AS INTEGER) AS w,
+         CAST({_H_EXPR} AS INTEGER) AS h,
+         rpad(text, CAST({_W_EXPR} * {_H_EXPR} AS INT), ' ') AS raster
+  FROM {_MEDIA_SRC} docs
+  WHERE doc_id % 3 = 2
+),
+ch AS (
+  SELECT DISTINCT media_id,
+         md5(substr(raster, CAST(off + 1 AS BIGINT), {VIDEO_CHUNK_BYTES}))
+           AS h
+  FROM (
+    SELECT media_id, raster,
+           unnest(generate_series(0, n - 1, {VIDEO_CHUNK_BYTES})) AS off
+    FROM (SELECT media_id, raster, w * h AS n FROM m)
+  )
+),
+sizes AS (SELECT media_id, CAST(COUNT(*) AS INTEGER) AS n
+          FROM ch GROUP BY 1),
+dfc AS (SELECT h, COUNT(*) AS df FROM ch GROUP BY 1),
+idx AS (SELECT ch.media_id, ch.h, dfc.df FROM ch JOIN dfc USING (h)),
+small AS (
+  SELECT n.media_id AS media_id_n, c.media_id AS media_id_c
+  FROM idx n JOIN idx c ON c.h = n.h
+  WHERE n.media_id % {INCR_MOD} = {INCR_SLOT}
+    AND c.media_id % {INCR_MOD} <> {INCR_SLOT}
+    AND n.df <= {VIDEO_CHUNK_DF_CAP}
+),
+reps AS (
+  SELECT h, MIN(media_id) AS media_id_c FROM idx
+  WHERE media_id % {INCR_MOD} <> {INCR_SLOT} AND df > {VIDEO_CHUNK_DF_CAP}
+  GROUP BY h
+),
+over_cap AS (
+  SELECT n.media_id AS media_id_n, r.media_id_c
+  FROM idx n JOIN reps r ON r.h = n.h
+  WHERE n.media_id % {INCR_MOD} = {INCR_SLOT}
+    AND n.df > {VIDEO_CHUNK_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT * FROM
+    (SELECT * FROM small UNION ALL SELECT * FROM over_cap)
+),
+inter AS (
+  SELECT c.media_id_n, c.media_id_c,
+         CAST(COUNT(*) AS BIGINT) AS shared_chunks
+  FROM cand c
+  JOIN ch a ON a.media_id = c.media_id_n
+  JOIN ch b ON b.media_id = c.media_id_c AND b.h = a.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.media_id_n, i.media_id_c, i.shared_chunks,
+         {bp} AS containment_bp,
+         i.shared_chunks * 10000 >= {VIDEO_CONTAIN_BP}
+           * least(sa.n, sb.n) AS is_dup
+  FROM inter i
+  JOIN sizes sa ON sa.media_id = i.media_id_n
+  JOIN sizes sb ON sb.media_id = i.media_id_c
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY media_id_n
+    ORDER BY is_dup DESC, containment_bp DESC, shared_chunks DESC,
+             media_id_c) AS rn
+  FROM scored
+)
+SELECT i.media_id, b.media_id_c AS best_match, b.shared_chunks,
+       b.containment_bp, COALESCE(NOT b.is_dup, TRUE) AS is_new
+FROM (SELECT DISTINCT media_id FROM ch
+      WHERE media_id % {INCR_MOD} = {INCR_SLOT}) i
+LEFT JOIN best b ON b.media_id_n = i.media_id AND b.rn = 1
+"""
+
+
+ORACLE_SQL_VIDEO_INCREMENTAL = _video_incremental_oracle()

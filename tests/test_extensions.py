@@ -1798,3 +1798,36 @@ def test_embedding_incremental_semantics(spark):
     # identical-direction vectors share every hyperplane bucket, so 17
     # finds its corpus twin 4 at cosine 1.0
     assert out[17]["is_new"] is False and out[17]["best_match"] == 4
+
+
+def test_incremental_band_dedup_audio_semantics(spark):
+    """r14: the shared band-incremental machinery under audio semantics
+    (l1_max=None) — every Hamming-verified candidate is a duplicate,
+    the L1 is ranking evidence only (closest envelope wins), and a
+    new-shard row with no band collision is trivially new."""
+    from demo_etl_spark.operators import multimodal as mm
+
+    rows = [
+        # new shard (id % 10 == 7): one matched, one isolated
+        (7, 5, 9, 9, 9, [100, 200, 300]),
+        (17, 1000, 2000, 3000, 4000, [1, 2, 3]),       # no collisions
+        # corpus: same-signature twin (hamming 0) and a 1-bit neighbor
+        # with a closer envelope — hamming ASC outranks L1, so the twin
+        # (hamming 0) must win despite its larger L1
+        (3, 5, 9, 9, 9, [110, 210, 310]),              # ham 0, L1 30
+        (4, 4, 9, 9, 9, [100, 200, 301]),              # ham 1, L1 1
+    ]
+    sig = spark.createDataFrame(
+        rows,
+        "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+    )
+    out = {
+        r["media_id"]: r
+        for r in mm.incremental_band_dedup(
+            sig, l1_max=None, l1_name="envelope_l1"
+        ).collect()
+    }
+    assert set(out) == {7, 17}
+    assert out[7]["is_new"] is False and out[7]["best_match"] == 3
+    assert out[7]["hamming"] == 0 and out[7]["envelope_l1"] == 30
+    assert out[17]["is_new"] is True and out[17]["best_match"] is None

@@ -57,6 +57,8 @@ def test_registry_is_large_and_window_covers_families():
         "retrieval_rrf_fusion",
         "retrieval_rrf_recall",
         "dedup_embedding_incremental",
+        "dedup_audio_incremental",
+        "dedup_video_incremental",
         # flagship cadence (3 of the six due by r15)
         "time_analytics",
         "product_ranking",
@@ -79,7 +81,7 @@ def test_registry_is_large_and_window_covers_families():
         # r10-pool representatives
         "corpus_curation",
         "dedup_minhash_lsh",
-        "incremental_join_view",
+        "events_unpivot",
     ):
         assert rep in window, f"{rep} fell out of the driver window"
 

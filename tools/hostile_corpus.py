@@ -163,6 +163,20 @@ ROWS = [
      "en", "src_g"),
     (-12, "another negative duplicate body with many shared tokens here",
      "en", "src_g"),
+    # r14 wave 2 — INCREMENTAL MEDIA pairs: without these, no hostile
+    # doc sits in the INCR_SLOT shard for the image/audio modality at
+    # all and the three media new-shard paths return 0 rows (a green
+    # that exercises nothing). Each pair is (new-shard id ≡ 7 mod 10,
+    # corpus id ≢ 7 mod 10) with ids ≡ each other mod 56 — identical
+    # synthesized geometry — and identical text, so the pair is a
+    # guaranteed duplicate: the verdict row must report is_new = FALSE
+    # with the twin as best_match on both engines.
+    (1047, "incremental image twin raster body", "en", "src_k"),   # %30=27
+    (1215, "incremental image twin raster body", "en", "src_k"),   # corpus
+    (1057, "incremental audio twin sample body", "en", "src_k"),   # %30=7
+    (1225, "incremental audio twin sample body", "en", "src_k"),   # corpus
+    (1067, "incremental video twin chunk body", "en", "src_k"),    # %30=17
+    (1235, "incremental video twin chunk body", "en", "src_k"),    # corpus
 ]
 
 
