@@ -36,8 +36,16 @@ def curate_corpus(
     min_stopword_pct: int = MIN_STOPWORD_PCT,
     keep_langs: tuple[str, ...] = KEEP_LANGS,
     minhash_index: DataFrame | None = None,
+    near_dup_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """The kept (curated) documents with their gate statistics."""
+    """The kept (curated) documents with their gate statistics.
+
+    ``near_dup_pairs`` lets a caller hand in an already-computed
+    default-parameter verified MinHash-LSH pair set (doc_a < doc_b) —
+    the registered build passes dedup's session memo so the signatures →
+    band join → exact-verify pipeline runs once per session instead of
+    once more inside this plan (r14 optimization; the pair set is
+    bit-identical by construction, so the oracle is untouched)."""
     tokens = F.split(F.col("text"), " ")
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -51,11 +59,12 @@ def curate_corpus(
 
     # stage 2 — near-dup removal: keep-first (doc_b of every verified
     # MinHash-LSH pair is dropped; pairs are a<b so the min id survives)
-    near_dups = (
-        _dedup.minhash_lsh_pairs(documents, ctx, index=minhash_index)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    pair_set = (
+        near_dup_pairs
+        if near_dup_pairs is not None
+        else _dedup.minhash_lsh_pairs(documents, ctx, index=minhash_index)
     )
+    near_dups = pair_set.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = canonical.join(near_dups, "doc_id", "left_anti")
 
     # stages 3+4 — quality gate (integer-space) + language policy
@@ -79,7 +88,7 @@ def curate_corpus(
 def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return curate_corpus(
         load_star(spark, sf_dir)["documents"], ctx,
-        minhash_index=_dedup._cached_index(spark, sf_dir, _dedup.MAX_SHINGLE_DF),
+        near_dup_pairs=_dedup._cached_minhash_pairs(spark, sf_dir),
     )
 
 

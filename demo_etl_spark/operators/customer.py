@@ -426,15 +426,16 @@ def customer_rfm(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(money_fixed(F.col("o_totalprice"))).alias("_spend_c"),
     )
-    # the per-customer frame feeds 3 rank pipelines + the final join;
-    # the orders aggregation recomputes per branch (cheap map-side
-    # partials) — measured faster here than a persist, whose cache
-    # materialization barrier costs more than 4 recomputes at this
-    # dimension size; a production caller with a huge fact can persist
-    # the returned frame's input once at the session level instead
+    # the per-customer frame feeds the melted rank pipeline's three
+    # branches plus the final join — 4 recomputes of the orders
+    # aggregation without reuse. r6 measured a .persist() SLOWER than
+    # the recomputes (cache-materialization barrier); the r14
+    # localCheckpoint has no such barrier (one eager job, then every
+    # branch scans ~|customers| rows) and measured faster — see
+    # OPTIMIZATION_r14.md
     d = per_cust.withColumn(
         "recency_days", F.datediff(anchor, F.col("_last_order")).cast("long")
-    )
+    ).localCheckpoint(eager=True)
     # melt → one grouped rank → pivot back. stack() is a no-shuffle 3×
     # row expansion of the 4-column projection; the single rank plan
     # replaces three (each over its own 2-column projection — NOT

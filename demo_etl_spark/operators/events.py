@@ -1026,10 +1026,14 @@ def signup_to_purchase(
     )
     from demo_etl_spark.functions.distrank import exact_percentiles_grouped
 
+    # |users| narrow rows, consumed by the cohort totals plus the
+    # grouped-percentile's rank + count branches — checkpoint so the
+    # events aggregation runs ONCE instead of 3x (r14; no static
+    # exchange reuse across the branches)
     pu = per_user.withColumn(
         "cohort_week",
         F.to_date(F.date_trunc("week", F.col("signup_ts"))),
-    )
+    ).localCheckpoint(eager=True)
     tot = pu.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_signups"),
         F.count("delay_s").cast("long").alias("n_converted"),

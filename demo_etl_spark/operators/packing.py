@@ -280,9 +280,13 @@ def shard_manifest(
     ck = (
         F.conv(F.substring(F.md5(_text()), 1, _CK_HEX), 16, 10).cast("long")
     )
+    # 3 longs/row, consumed by three rank branches (bounds, bucket
+    # counts, main window) — checkpoint so the text-derived columns
+    # (split-count + md5 over the full text) compute ONCE instead of
+    # once per branch (r14; the static planner reuses no exchange here)
     meta = documents.select(
         "doc_id", n_tok.alias("n_tokens"), ck.alias("_ck")
-    )
+    ).localCheckpoint(eager=True)
     ranked = exact_global_rank(
         meta,
         "n_tokens",
@@ -761,7 +765,12 @@ def sequence_shuffle(
     through one task)."""
     from demo_etl_spark.functions.distrank import exact_global_rank
 
-    seqs = packed_sequences(documents, ctx, cap)
+    # the rank decomposition consumes its input in three branches
+    # (bounds, bucket counts, main window) and the static planner
+    # reuses no exchange across them — checkpoint the packed sequences
+    # so the packing pipeline (running offsets + seq_text assembly)
+    # runs ONCE instead of once per branch (r14)
+    seqs = packed_sequences(documents, ctx, cap).localCheckpoint(eager=True)
     keyed = seqs.withColumn(
         "shuffle_key",
         F.md5(

@@ -266,20 +266,24 @@ def brand_affinity(
     association-analysis family (the first mining step before
     confidence/lift rules).
 
-    Scale shape: project to the DISTINCT (order, brand) grid first —
-    the self-join fanout is then bounded by brands-per-order choose 2
-    (single digits), NOT lines-per-order²; the join key is the order
-    key both sides already share, and the brand dim broadcasts into
-    the grid build."""
-    ob = (
+    Scale shape (r14: same rewrite the graph family's _edges uses):
+    group the order's brand set and explode the pair grid — ONE shuffle
+    (groupBy order, with map-side partial collect_set) instead of the
+    distinct-grid + self-join's three (distinct exchange + re-exchange
+    of both join sides on the order key). collect_set holds only
+    brands-per-order in memory (single digits; bounded by basket size
+    at any scale), and the pair fanout is still brands-per-order choose
+    2, NOT lines-per-order². Result-identical to the distinct+self-join
+    spelling: collect_set dedups exactly like the DISTINCT grid and the
+    exploded a<b grid enumerates the same unordered pairs per order."""
+    grp = (
         lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
     pairs = (
-        a.join(b, "ok")
+        grp.select(F.explode("bs").alias("brand_a"), "bs")
+        .select("brand_a", F.explode("bs").alias("brand_b"))
         .filter(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
@@ -339,21 +343,27 @@ def brand_rules(
     grid, and N stays in-plan as a broadcast scalar. Overflow bound:
     n(A∧B)·N·2·10⁴ ≲ 8·10¹⁷·(orders/10⁹)² — BIGINT-safe far beyond
     any per-pair group."""
-    ob = (
+    # r14: pair-grid explode over the per-order brand set (one shuffle)
+    # replaces the distinct-grid + self-join (three exchanges) — see
+    # brand_affinity's docstring for the equivalence argument; ordered
+    # x≠y pairs here instead of a<b. per_brand counts come from a single
+    # explode of the same grouped sets (|ob| rows), not a second scan.
+    grp = (
         lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("x"))
-    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("y"))
     both = (
-        a.join(b, "ok")
+        grp.select(F.explode("bs").alias("x"), "bs")
+        .select("x", F.explode("bs").alias("y"))
         .filter(F.col("x") != F.col("y"))  # ordered pairs, both directions
         .groupBy(F.col("x").alias("antecedent"), F.col("y").alias("consequent"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
-    per_brand = ob.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n_brand")
+    per_brand = (
+        grp.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
     )
     total = lineitem.select(
         F.countDistinct("l_orderkey").alias("_n_orders")
@@ -523,11 +533,17 @@ def part_revenue_abc(
     from demo_etl_spark.functions.distrank import exact_global_prefix_sum
 
     fp = final_price(F.col("l_extendedprice"), F.col("l_discount"))
+    # part-grain rows (2 longs each), consumed by the prefix-sum
+    # decomposition's three branches (bounds, bucket totals, main
+    # window) — checkpoint so the lineitem money aggregation runs ONCE
+    # instead of once per branch (r14; the static planner reuses no
+    # exchange across the branches)
     per_part = (
         lineitem.groupBy(F.col("l_partkey").alias("part_id"))
         .agg(F.sum(money_fixed(fp)).alias("_rev_fx"))
         .withColumn("rev_cc", F.expr("CAST(_rev_fx div 100 AS BIGINT)"))
         .drop("_rev_fx")
+        .localCheckpoint(eager=True)
     )
     c = exact_global_prefix_sum(
         per_part,

@@ -2904,6 +2904,12 @@ def embedding_incremental_dedup(
     from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
 
     t_e6 = int(round(threshold * 1_000_000))
+    # NOTE (r14 optimization round): checkpointing emb and/or sigs here
+    # was tried and MEASURED SLOWER or neutral at sf0.1 (emb+sigs:
+    # 2.47 s → 3.17 s — the wide int-array materialization dwarfs the
+    # branch recomputes off the cached scan; sigs-only: no gain). The
+    # multi-branch recompute shape is deliberate — see
+    # OPTIMIZATION_r14.md.
     emb = _e6_frame(embeddings)
     sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
     in_slot = F.col("vec_id") % INCR_MOD == INCR_SLOT

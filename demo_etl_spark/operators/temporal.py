@@ -335,31 +335,41 @@ def rate_limit_events(
     (identity, admitted, bucket) tuples is order-invariant within the
     tie group.
 
-    At 100 TB: one shuffle on user_id (window + grouped kernel share
-    the partitioning), kernel state is one integer per user, groups are
-    per-user event counts — bounded; the reattach join is a co-keyed
-    equi-join on (user_id, rn)."""
+    At 100 TB: ONE shuffle on user_id total — the ordering window and
+    the grouped kernel share the partitioning, and the event identity
+    rides THROUGH the kernel instead of joining back afterwards (r14:
+    the former reattach equi-join on (user_id, rn) cost two more
+    exchanges plus a persist of the whole window output). Exactness of
+    the pass-through columns: ``ts`` travels as its own unix_micros
+    long (bijective with the µs-precision TimestampType on both ends),
+    and ``event_id`` as a decimal STRING — a nullable int64 column
+    would round-trip through a float64 pandas block and silently lose
+    precision past 2^53 on hostile ids; string→long is exact for every
+    long and preserves NULL. Kernel state is one integer per user,
+    groups are per-user event counts — bounded."""
     import pandas as pd
 
-    from demo_etl_spark.io import register_persist
-
-    # base fans out to two consumers (the kernel input and the identity
-    # reattach join) — persist so the ordering window runs once (C1
-    # discipline; without it the static plan duplicates the whole
-    # window subtree)
-    base = register_persist(
+    base = (
         events.select(
             "user_id",
-            "ts",
             "event_id",
             F.unix_micros(F.col("ts")).alias("_ts_us"),
-        ).withColumn(
+        )
+        .withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy("user_id").orderBy(
-                    F.col("ts").asc(), F.asc_nulls_last("event_id")
+                    # _ts_us orders identically to ts (unix_micros is
+                    # strictly monotone); tie-break on the NUMERIC id
+                    F.col("_ts_us").asc(), F.asc_nulls_last("event_id")
                 )
             ),
+        )
+        .select(
+            "user_id",
+            "_ts_us",
+            F.col("event_id").cast("string").alias("_eid"),
+            "_rn",
         )
     )
 
@@ -386,17 +396,24 @@ def rate_limit_events(
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
-                "_rn": pdf["_rn"],
+                "_ts_us": pdf["_ts_us"],
+                "_eid": pdf["_eid"],
                 "admitted": admitted,
                 "bucket_mtok": levels,
             }
         )
 
-    decided = base.select("user_id", "_rn", "_ts_us").groupBy("user_id").applyInPandas(
-        _kernel, "user_id long, _rn int, admitted boolean, bucket_mtok long"
+    decided = base.groupBy("user_id").applyInPandas(
+        _kernel,
+        "user_id long, _ts_us long, _eid string, admitted boolean, "
+        "bucket_mtok long",
     )
-    return base.join(decided, ["user_id", "_rn"]).select(
-        "user_id", "ts", "event_id", "admitted", "bucket_mtok"
+    return decided.select(
+        "user_id",
+        F.timestamp_micros(F.col("_ts_us")).alias("ts"),
+        F.col("_eid").cast("long").alias("event_id"),
+        "admitted",
+        "bucket_mtok",
     )
 
 

@@ -391,6 +391,10 @@ def source_profile(documents: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> D
     from demo_etl_spark.functions.distrank import exact_percentiles_grouped
 
     n_tokens = F.size(F.split(F.col("text"), " "))
+    # NOTE (r14): checkpointing this projection was tried and measured
+    # SLOWER (1.01 s → 1.35 s) — the subtree below the fan-out is
+    # map-only off the cached scan, so it fuses into each consumer's
+    # first stage for free while the checkpoint pays a write barrier.
     base = documents.select(
         "source", n_tokens.cast("long").alias("_nt"), F.col("n_chars")
     )
@@ -842,6 +846,9 @@ def length_outliers(
     from demo_etl_spark.functions.distrank import exact_percentiles_global
 
     n_tokens = F.size(F.split(F.col("text"), " "))
+    # NOTE (r14): checkpointing this projection was tried and measured
+    # neutral-to-slower (map-only subtree off the cached scan — fuses
+    # into each consumer's first stage for free; see source_profile).
     d = documents.select(
         "doc_id", "source", n_tokens.cast("long").alias("n_tokens")
     )

@@ -445,6 +445,45 @@ def test_rate_limit_burst_refill_clamp(spark):
     assert out[8]["admitted"] and out[8]["bucket_mtok"] == RL_CAP_MTOK - 1_000_000
 
 
+def test_rate_limit_identity_passthrough_exact(spark):
+    """Pins the r14 single-pass kernel's identity pass-through: event_id
+    rides through the Arrow kernel as a decimal string (a nullable int64
+    pandas column would degrade to float64 and corrupt ids past 2^53),
+    so hostile ids — 2^62-scale, negative, NULL — and µs-precision
+    timestamps must round-trip bit-exactly, including timestamp ties
+    where the numeric event_id order decides admission."""
+    import datetime as dt
+
+    from demo_etl_spark.operators.temporal import rate_limit_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)  # µs precision
+    big = (1 << 62) + 3  # not representable in float64
+    rows = [
+        (big, t0, 7, "click", 1.0, None),
+        (-5, t0, 7, "click", 1.0, None),  # tied ts: numeric order decides
+        (2, t0, 7, "click", 1.0, None),
+        (None, t0 + dt.timedelta(seconds=1), 7, "click", 1.0, None),
+        (9, t0 + dt.timedelta(seconds=2), 7, "click", 1.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = rate_limit_events(events).collect()
+    assert sorted(
+        (r["event_id"] for r in out), key=lambda v: (v is None, v or 0)
+    ) == [-5, 2, 9, big, None]
+    by_id = {r["event_id"]: r for r in out}
+    assert by_id[big]["ts"] == t0  # µs preserved through unix_micros
+    # 3-token burst at one instant: the three tied rows all admit
+    # (numeric order -5 < 2 < big, bucket 3 → 0), the NULL-id 4th
+    # rejects, the 5th refills 2s worth (22 µtok) — still rejected
+    assert by_id[-5]["admitted"] and by_id[2]["admitted"] and by_id[big]["admitted"]
+    assert not by_id[None]["admitted"]
+    assert not by_id[9]["admitted"] and by_id[9]["bucket_mtok"] == 22
+
+
 def test_rate_limit_matches_reference_on_random_streams(spark):
     """Property pin: the distributed applyInPandas kernel equals an
     independent driver-side implementation of the same recurrence on
