@@ -104,20 +104,26 @@ def exact_global_rank(
         order = [F.desc_nulls_last(value_col)]
     order += [F.asc_nulls_last(c) for c in tiebreak]
     b = df.join(F.broadcast(bounds)).withColumn("_egr_pid", F.expr(pid))
-    cnt = b.groupBy("_egr_pid").agg(F.count(F.lit(1)).alias("_egr_cnt"))
-    off = (
-        cnt.alias("a")
-        .join(
-            cnt.alias("b"),
-            F.col("b._egr_pid") < F.col("a._egr_pid"),
-            "left",
-        )
-        .groupBy(F.col("a._egr_pid").alias("_egr_pid"))
-        .agg(
-            F.coalesce(F.sum("b._egr_cnt"), F.lit(0))
-            .cast("long")
-            .alias("_egr_off")
-        )
+    # r14: checkpoint the ≤(n_buckets+1)-row bucket counts — the former
+    # triangular self-join referenced cnt twice, so the static planner
+    # re-ran the FULL input scan + aggregation once per side — and fold
+    # the carry-in as a running sum over the tiny table (frame ending
+    # at -1 PRECEDING ⇒ 0-coalesced for the first bucket, exactly the
+    # old left join's empty match set). Single-task, but bounded by the
+    # CONSTANT bucket count, never by data volume.
+    cnt = (
+        b.groupBy("_egr_pid")
+        .agg(F.count(F.lit(1)).alias("_egr_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("_egr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cnt.select(
+        "_egr_pid",
+        F.coalesce(F.sum("_egr_cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_egr_off"),
     )
     w = Window.partitionBy("_egr_pid").orderBy(*order)
     out = b.join(F.broadcast(off), "_egr_pid").withColumn(
@@ -170,22 +176,20 @@ def exact_global_prefix_sum(
         order = [F.desc_nulls_last(value_col)]
     order += [F.asc_nulls_last(c) for c in tiebreak]
     b = df.join(F.broadcast(bounds)).withColumn("_egr_pid", F.expr(pid))
-    tot = b.groupBy("_egr_pid").agg(
-        F.sum(sum_col).cast("long").alias("_egr_s")
+    # r14: same carry rewrite as exact_global_rank (see the note there)
+    tot = (
+        b.groupBy("_egr_pid")
+        .agg(F.sum(sum_col).cast("long").alias("_egr_s"))
+        .localCheckpoint(eager=True)
     )
-    off = (
-        tot.alias("a")
-        .join(
-            tot.alias("b"),
-            F.col("b._egr_pid") < F.col("a._egr_pid"),
-            "left",
-        )
-        .groupBy(F.col("a._egr_pid").alias("_egr_pid"))
-        .agg(
-            F.coalesce(F.sum("b._egr_s"), F.lit(0))
-            .cast("long")
-            .alias("_egr_off")
-        )
+    w_off = Window.orderBy("_egr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_egr_pid",
+        F.coalesce(F.sum("_egr_s").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_egr_off"),
     )
     w = (
         Window.partitionBy("_egr_pid")
@@ -238,26 +242,28 @@ def exact_grouped_rank(
     b = df.join(F.broadcast(bounds), group_col).withColumn(
         "_egr_pid", F.expr(pid)
     )
-    cnt = b.groupBy(group_col, "_egr_pid").agg(
-        F.count(F.lit(1)).alias("_egr_cnt")
+    # r14: same carry rewrite as exact_global_rank — checkpoint the
+    # (groups × ≤n_buckets+1)-row count table (the triangular join
+    # referenced it twice ⇒ two full input scans) and fold the carry-in
+    # as a per-group running sum over the tiny table; the window is
+    # partitioned by group, each partition bounded by the CONSTANT
+    # bucket count.
+    cnt = (
+        b.groupBy(group_col, "_egr_pid")
+        .agg(F.count(F.lit(1)).alias("_egr_cnt"))
+        .localCheckpoint(eager=True)
     )
-    off = (
-        cnt.alias("a")
-        .join(
-            cnt.alias("b"),
-            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-            & (F.col("b._egr_pid") < F.col("a._egr_pid")),
-            "left",
-        )
-        .groupBy(
-            F.col(f"a.{group_col}").alias(group_col),
-            F.col("a._egr_pid").alias("_egr_pid"),
-        )
-        .agg(
-            F.coalesce(F.sum("b._egr_cnt"), F.lit(0))
-            .cast("long")
-            .alias("_egr_off")
-        )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_egr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        group_col,
+        "_egr_pid",
+        F.coalesce(F.sum("_egr_cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_egr_off"),
     )
     w = Window.partitionBy(group_col, "_egr_pid").orderBy(*order)
     out = b.join(F.broadcast(off), [group_col, "_egr_pid"]).withColumn(

@@ -455,7 +455,15 @@ def _water_fill(src: DataFrame) -> DataFrame:
     (source, tokens_available) frame, returns it with ``alloc`` and the
     carried ``_budget`` after MIX_ROUNDS deterministic cap-raising
     rounds. All integer; each round is a 1-row scalar agg broadcast
-    back onto the sources frame."""
+    back onto the sources frame.
+
+    r14: ``src`` is checkpointed — the unrolled cap-raising lineage
+    references each round's frame twice (the scalar agg + the join
+    back), so the CORPUS-wide token aggregation feeding ``src``
+    re-executed ~2^MIX_ROUNDS times in the static plan; the checkpoint
+    is dozens of rows (one per source) and bounds the corpus work to
+    one pass for both consumers (mixture_plan, corpus_budget_take)."""
+    src = src.localCheckpoint(eager=True)
     totals = src.agg(
         F.sum("tokens_available").alias("_total"),
         F.count(F.lit(1)).alias("_n_src"),

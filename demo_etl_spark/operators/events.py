@@ -268,10 +268,16 @@ def daily_funnel(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
         "event_type",
         "ts",
     )
+    # r14: checkpoint the two staged (user, day) tables — v feeds three
+    # consumers (c's join, p's chain through c, the per-day count) and
+    # c two, so the static planner re-ran their full events
+    # aggregations once per consumer; each checkpoint is one narrow row
+    # per active (user, day), far smaller than the events pass it saves
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", "day")
         .agg(F.min("ts").alias("_tv"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -279,6 +285,7 @@ def daily_funnel(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
         .filter(F.col("ts") >= F.col("_tv"))
         .groupBy("user_id", "day")
         .agg(F.min("ts").alias("_tc"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1583,12 +1590,25 @@ def lateness_audit(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pmax = ranged.groupBy("_pid").agg(F.max("ts").alias("_pmax"))
-    carry = (
-        pmax.alias("a")
-        .join(pmax.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.max("b._pmax").alias("_carry"))
+    # r14: checkpoint the 32-row per-bucket max (the agg scans every
+    # event) and fold the carry-in with a running max over the TINY
+    # bucket table instead of the former triangular self-join — the
+    # join referenced pmax twice, so the static planner re-ran the
+    # full-corpus agg once per side. The single-task window is bounded
+    # by the CONSTANT bucket count (32), never by data volume.
+    # carry_i = max over earlier buckets = running max shifted one row;
+    # the frame ending at -1 PRECEDING yields NULL for bucket 0 exactly
+    # like the old left join's empty match set.
+    pmax = (
+        ranged.groupBy("_pid")
+        .agg(F.max("ts").alias("_pmax"))
+        .localCheckpoint(eager=True)
+    )
+    wcarry = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = pmax.select(
+        "_pid", F.max("_pmax").over(wcarry).alias("_carry")
     )
     lat = (
         ranged.withColumn("_locmax", F.max("ts").over(wloc))
@@ -1606,10 +1626,14 @@ def lateness_audit(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> Data
     for i, f in enumerate(fences[1:], start=1):
         bucket = bucket.when(F.col("late_s") <= f, F.lit(i))
     bucket = bucket.otherwise(F.lit(len(fences)))
+    # r14: the histogram (≤ 6 rows) feeds BOTH the total aggregate and
+    # the final select — un-checkpointed, the static planner re-ran the
+    # entire per-event window pipeline once per consumer
     hist = (
         lat.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
     total = hist.agg(F.sum("n_events").alias("_t"))
     wc = Window.orderBy("bucket").rowsBetween(

@@ -153,7 +153,19 @@ def _cached_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     edges = _EDGE_CACHE.get(key)
     if edges is None:
-        edges = register_persist(_edges(load_star(spark, sf_dir)["lineitem"]))
+        # r14: persist the edge set PRE-PARTITIONED on dst (guide-§2.4
+        # "two operations keyed the same way share one exchange"): every
+        # iterative consumer joins a broadcast node table onto the edges
+        # and then aggregates BY dst — label propagation 3×/run,
+        # pagerank's contribution sum 2×/run. A broadcast join preserves
+        # the streamed side's partitioning, so those aggregations now
+        # run exchange-free against the cached layout; the one
+        # dst-shuffle moves into the declared memo build. Consumers
+        # keyed on src (triangles' degree, closure's frontier join)
+        # shuffled before and still do — unchanged.
+        edges = register_persist(
+            _edges(load_star(spark, sf_dir)["lineitem"]).repartition("dst")
+        )
         _EDGE_CACHE[key] = edges
     return edges
 
@@ -271,13 +283,21 @@ def copurchase_triangles(edges: DataFrame) -> DataFrame:
     # along the explode instead of joining it back; the inner join on v
     # drops edges whose head has no out-neighbors — those close no
     # triangle, and the final left join restores every part
+    # EXPLICIT broadcasts (r14; same no-stats fallback as pagerank /
+    # closure, r11 byte-slope audit): adj_v and per_part are node-sized
+    # but derive from checkpoints (LogicalRDD — no stats), so the
+    # planner fell back to SortMergeJoin and SHUFFLED the edge-sized
+    # exploded side / the full degree table. With the hints the
+    # oriented-edge explode never moves. At a scale where the adjacency
+    # table outgrows broadcast, drop the hint and pre-partition the
+    # explode by v — still one shuffle, never the Σdeg² wedge set.
     tri = (
         adj.select(
             "u",
             F.col("nbrs").alias("nbrs_u"),
             F.explode("nbrs").alias("v"),
         )
-        .join(adj_v, "v")
+        .join(F.broadcast(adj_v), "v")
         .select(
             "u",
             "v",
@@ -290,7 +310,7 @@ def copurchase_triangles(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
     return (
-        deg.join(per_part, "part", "left")
+        deg.join(F.broadcast(per_part), "part", "left")
         .withColumn("triangles", F.coalesce("triangles", F.lit(0).cast("long")))
         .select(
             "part",
@@ -478,19 +498,18 @@ def part_communities(edges: DataFrame) -> DataFrame:
         # EXPLICIT broadcast of the node-sized checkpointed label table —
         # same no-stats fallback as pagerank/closure (r11 byte-slope
         # audit); the edge set stays put, only the (dst,lbl) agg shuffles
+        # r14: deterministic mode() — "most frequent value, ties to the
+        # LOWEST" — is exactly the former two-level (dst,lbl)-count →
+        # min(struct(-count, lbl)) argmax, but as ONE hash aggregate
+        # with map-side partial merge: one exchange per round instead
+        # of two (the (dst,lbl) partitioning could not serve the dst
+        # aggregation). Per-group partial state is a lbl→count map,
+        # bounded by the neighbor label diversity of one node.
         labels = (
             edges.join(F.broadcast(labels), edges.src == labels.part)
-            .groupBy("dst", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("dst")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("_nc"), F.col("lbl").alias("lbl")
-                    )
-                ).alias("_m")
-            )
-            .select(F.col("dst").alias("part"), F.col("_m.lbl").alias("lbl"))
+            .agg(F.mode("lbl", True).alias("lbl"))
+            .select(F.col("dst").alias("part"), "lbl")
             .localCheckpoint(eager=True)
         )
     return (
@@ -556,7 +575,11 @@ def part_closure(edges: DataFrame, d_max: int = CLOSURE_DEPTH) -> DataFrame:
             .withColumn("dist", F.lit(d).cast("int"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # r14: visited is a UNION of already-checkpointed frames — the
+        # lineage is flat without materializing the union itself, so the
+        # former per-round eager checkpoint here only paid a third
+        # node-sized job per round (measured: removing it is the win)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select(F.col("node").alias("src"))
     return visited.select(
         F.col("node").alias("p_partkey"), F.col("dist").alias("min_dist")

@@ -2050,6 +2050,11 @@ def media_dedup_agreement(
             F.col("doc_a").alias("media_id_a"),
             F.col("doc_b").alias("media_id_b"),
         )
+        # r14: text_pairs now arrives as dedup's checkpointed
+        # _cached_ngram_pairs memo, so the double consumption (count +
+        # intersection join) re-filters a pair-sized checkpoint instead
+        # of re-running the band-join pipeline — no further
+        # materialization needed here (map-only off a checkpoint)
     )
     found = (
         image_pairs.select("media_id_a", "media_id_b")
@@ -2394,20 +2399,39 @@ def incremental_band_dedup(
     verdict = (
         F.lit(True) if l1_max is None else F.col(l1_name) <= l1_max
     )
+    # r14 (guide §2.3): the grids are projected OFF right after the L1
+    # is computed — only (ids, hamming, l1, flag) ever reach an
+    # exchange — and the best-match pick is a hash AGGREGATE
+    # min(struct(NOT is_dup, hamming, l1, media_id_c)) ≡ the former
+    # row_number() over (is_dup DESC, hamming ASC, l1 ASC, id ASC) = 1
+    # (booleans order false < true), with map-side partial merge
+    # instead of a sort window over grid-carrying rows.
     scored = (
         cand.join(ga, "media_id_n")
         .join(gb, "media_id_c")
         .withColumn(l1_name, l1.cast(l1_type))
         .withColumn("_is_dup", verdict)
+        .select("media_id_n", "media_id_c", "hamming", l1_name, "_is_dup")
     )
-    w = Window.partitionBy("media_id_n").orderBy(
-        F.desc("_is_dup"),
-        F.asc("hamming"),
-        F.asc(l1_name),
-        F.asc("media_id_c"),
-    )
-    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    best = (
+        scored.groupBy("media_id_n")
+        .agg(
+            F.min(
+                F.struct(
+                    (~F.col("_is_dup")).alias("_nd"),
+                    F.col("hamming").alias("hamming"),
+                    F.col(l1_name).alias(l1_name),
+                    F.col("media_id_c").alias("media_id_c"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "media_id_n",
+            F.col("_b.media_id_c").alias("media_id_c"),
+            F.col("_b.hamming").alias("hamming"),
+            F.col(f"_b.{l1_name}").alias(l1_name),
+            (~F.col("_b._nd")).alias("_is_dup"),
+        )
     )
     incoming = new.select(F.col("media_id").alias("media_id_n")).distinct()
     return incoming.join(best, "media_id_n", "left").select(
@@ -2711,14 +2735,30 @@ def incremental_video_dedup(
             ),
         )
     )
-    w = Window.partitionBy("media_id_n").orderBy(
-        F.desc("_is_dup"),
-        F.desc("containment_bp"),
-        F.desc("shared_chunks"),
-        F.asc("media_id_c"),
-    )
-    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    # r14: same argmin-as-aggregate rewrite as incremental_band_dedup
+    # (see the note there): min(struct(NOT is_dup, -bp, -shared, id)) ≡
+    # row_number() over (is_dup DESC, bp DESC, shared DESC, id ASC) = 1
+    # — negations are overflow-safe (bp ≤ 10⁴, shared ≤ chunk count),
+    # and the hash agg partial-merges map-side instead of sorting.
+    best = (
+        scored.groupBy("media_id_n")
+        .agg(
+            F.min(
+                F.struct(
+                    (~F.col("_is_dup")).alias("_nd"),
+                    (-F.col("containment_bp")).alias("_nbp"),
+                    (-F.col("shared_chunks")).alias("_nsc"),
+                    F.col("media_id_c").alias("media_id_c"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "media_id_n",
+            F.col("_b.media_id_c").alias("media_id_c"),
+            (-F.col("_b._nsc")).alias("shared_chunks"),
+            (-F.col("_b._nbp")).alias("containment_bp"),
+            (~F.col("_b._nd")).alias("_is_dup"),
+        )
     )
     incoming = ch.filter(in_slot).select(
         F.col("media_id").alias("media_id_n")

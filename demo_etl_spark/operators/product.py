@@ -352,6 +352,10 @@ def brand_rules(
         lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("bs"))
+        # r14: grp feeds BOTH the ordered-pair grid and the per-brand
+        # counts — checkpoint the order-sized set table so the
+        # join + collect_set shuffle runs once, not per consumer
+        .localCheckpoint(eager=True)
     )
     both = (
         grp.select(F.explode("bs").alias("x"), "bs")

@@ -527,11 +527,29 @@ def _lloyd_centroids(emb6: DataFrame, stride: int, iters: int) -> DataFrame:
                 ).cast("long"),
             )
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("_c_e6"), F.asc("cent_id"))
+        # r14: argmax-as-aggregate — min(struct(-cos, cent_id)) is the
+        # former row_number() over (ORDER BY _c_e6 DESC, cent_id ASC)
+        # = 1 (negation is safe: |_c_e6| ≤ 1e6), computed as a hash agg
+        # whose map-side partials collapse the |vectors|·|centroids|
+        # fanout before the exchange instead of sort-shuffling it all.
+        # The group key is the SCALAR vec_id and v rides through as
+        # max(v) — v is constant per vec_id, so max is its value, and a
+        # scalar key keeps the agg HASH-based (an array group key forces
+        # SortAggregate, and its plan shape additionally re-ordered the
+        # quarantine predicates into the e6 cast on the hostile corpus
+        # — fuzz-caught CAST_OVERFLOW).
         assign = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(F.col("cent_id").alias("cell"), "v")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c_e6")).alias("_nc"),
+                        F.col("cent_id").alias("cent_id"),
+                    )
+                ).alias("_b"),
+                F.max("v").alias("v"),
+            )
+            .select(F.col("_b.cent_id").alias("cell"), "v")
         )
         sums = (
             assign.select("cell", F.posexplode("v").alias("pos", "val"))
@@ -1759,14 +1777,30 @@ def _pq_book(sub: DataFrame, stride: int, iters: int) -> DataFrame:
     book = sub.filter(F.col("vec_id") % stride == 0).select(
         "m", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("_d"), F.asc("code_id"))
+    # r14: the argmin per (vec_id, m) is a hash AGGREGATE
+    # min(struct(_d, code_id)) — lexicographic struct min ≡ the former
+    # row_number() over (ORDER BY _d, code_id) = 1 — instead of a sort
+    # window: map-side partials collapse the |vectors|·|codes| distance
+    # fanout to one row per subvector BEFORE the exchange (the window
+    # shuffled and sorted every distance row). Group keys stay SCALAR
+    # ((vec_id, m) is unique in sub) and sv rides through as max(sv) —
+    # an array group key would force SortAggregate (see
+    # _lloyd_centroids' note).
     for _ in range(iters):
         assign = (
             sub.join(F.broadcast(book), "m")
             .withColumn("_d", _int_l2("sv", "cv"))
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("m", F.col("code_id").alias("cell"), "sv")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_d").alias("_d"),
+                        F.col("code_id").alias("code_id"),
+                    )
+                ).alias("_b"),
+                F.max("sv").alias("sv"),
+            )
+            .select("m", F.col("_b.code_id").alias("cell"), "sv")
         )
         book = (
             assign.select("m", "cell", F.posexplode("sv").alias("pos", "val"))
@@ -1808,12 +1842,28 @@ def product_quantize(
     )
     sub = _pq_subvectors(emb6).localCheckpoint(eager=True)
     book = _pq_book(sub, stride, iters)
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("_d"), F.asc("code_id"))
+    # r14: same argmin-as-aggregate rewrite as _pq_book's assign stage
+    # (see the note there) — the encode pass no longer sorts the full
+    # distance fanout through a window
     coded = (
         sub.join(F.broadcast(book), "m")
         .withColumn("_d", _int_l2("sv", "cv"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .groupBy("vec_id", "label", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_d").alias("_d"),
+                    F.col("code_id").alias("code_id"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "m",
+            F.col("_b.code_id").alias("code_id"),
+            F.col("_b._d").alias("_d"),
+        )
     )
     return (
         coded.groupBy("vec_id", "label")
@@ -2930,17 +2980,42 @@ def embedding_incremental_dedup(
         F.col("v").alias("_vb"),
         F.col("_nrm").alias("_nb"),
     )
+    # r14 (guide §2.3): project the two 64-long vectors OFF before any
+    # exchange — only (ids, cos, flag) leave the scoring stage — and
+    # compute the best-match argmin as a hash AGGREGATE
+    # min(struct(NOT is_dup, -cos, vec_old)) ≡ the former row_number()
+    # over (is_dup DESC, cos DESC, vec_old ASC) = 1: booleans order
+    # false < true so NOT is_dup puts duplicates first, and |cos| ≤ 1e6
+    # makes the negation overflow-safe. Map-side partials collapse the
+    # candidate fanout before the shuffle; no sort.
     scored = (
         cand.join(ea, "vec_new")
         .join(eb, "vec_old")
         .withColumn("_cos_e6", _e6_cos("_va", "_vb", "_na", "_nb"))
-        .withColumn("_is_dup", F.col("_cos_e6") >= t_e6)
+        .select(
+            "vec_new",
+            "vec_old",
+            "_cos_e6",
+            (F.col("_cos_e6") >= t_e6).alias("_is_dup"),
+        )
     )
-    w = Window.partitionBy("vec_new").orderBy(
-        F.desc("_is_dup"), F.desc("_cos_e6"), F.asc("vec_old")
-    )
-    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    best = (
+        scored.groupBy("vec_new")
+        .agg(
+            F.min(
+                F.struct(
+                    (~F.col("_is_dup")).alias("_nd"),
+                    (-F.col("_cos_e6")).alias("_nc"),
+                    F.col("vec_old").alias("vec_old"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "vec_new",
+            F.col("_b.vec_old").alias("vec_old"),
+            (-F.col("_b._nc")).alias("_cos_e6"),
+            (~F.col("_b._nd")).alias("_is_dup"),
+        )
     )
     incoming = emb.filter(in_slot).select(F.col("vec_id").alias("vec_new"))
     return incoming.join(best, "vec_new", "left").select(

@@ -719,6 +719,10 @@ def orders_backlog_timeline(
         .groupBy("l_orderkey")
         .agg(F.max(F.to_date("l_shipdate")).alias("_ls"))
     )
+    # NOTE (r14): checkpointing this twice-referenced join was tried
+    # and MEASURED slightly slower at sf0.1 (1.49 s → 1.64 s min) —
+    # both join inputs come off the cached star scans, so the recompute
+    # is cheaper than the eager materialization barrier.
     j = o.join(ship, o["o_orderkey"] == ship["l_orderkey"], "left")
     opens = j.select(F.col("_od").alias("date")).withColumn(
         "_open", F.lit(1)
