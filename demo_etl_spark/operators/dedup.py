@@ -881,8 +881,26 @@ def simhash_pairs(
     )
 
 
+#: default-parameters-only memo of the SimHash pair set (r14) — two
+#: registered consumers (dedup_simhash, method_agreement's simhash
+#: side); same contract/caveats as _cached_minhash_pairs
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_SIMHASH_PAIRS_CACHE.clear)
+
+
+def _cached_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    pairs = _SIMHASH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = simhash_pairs(
+            load_star(spark, sf_dir)["documents"]
+        ).localCheckpoint(eager=True)
+        _SIMHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def build_simhash(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
-    return simhash_pairs(load_star(spark, sf_dir)["documents"], ctx)
+    return _cached_simhash_pairs(spark, sf_dir)
 
 
 def _simhash_sql() -> str:
@@ -1602,6 +1620,7 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     _cached_index(spark, sf_dir, MAX_SHINGLE_DF).count()
     _cached_minhash_pairs(spark, sf_dir)  # eager localCheckpoint
     _cached_ngram_pairs(spark, sf_dir)  # r14: jaccard seat + media truth
+    _cached_simhash_pairs(spark, sf_dir)  # r14: simhash seat + agreement
     _cached_clusters(spark, sf_dir).count()
     _cached_repeated_spans(spark, sf_dir).count()
 
