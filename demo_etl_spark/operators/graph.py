@@ -389,6 +389,11 @@ def part_similarity(lineitem: DataFrame) -> DataFrame:
     Ranking key is the BIGINT fixed-point score (ties → lower partner
     id) — engine-exact, like the rest of the family.
     """
+    # NOTE (r14): checkpointing this twice-consumed distinct grid was
+    # tried and MEASURED slower at sf0.1 (2.59 s → 2.99 s min of 2) —
+    # the grid is fact-sized (~|distinct order-part|), so the eager
+    # materialization barrier outweighs re-running the distinct off the
+    # cached scan. Same class as dedup_incremental's size table.
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
     cnt = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
