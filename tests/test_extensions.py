@@ -1831,3 +1831,65 @@ def test_incremental_band_dedup_audio_semantics(spark):
     assert out[7]["is_new"] is False and out[7]["best_match"] == 3
     assert out[7]["hamming"] == 0 and out[7]["envelope_l1"] == 30
     assert out[17]["is_new"] is True and out[17]["best_match"] is None
+
+
+def test_incremental_best_match_tie_breaks(spark):
+    """r14 optimization guard: the best-match pick is now an aggregate
+    min(struct(NOT is_dup, hamming, l1, id)) instead of a row_number
+    window — pin the full ordering on constructed ties: (a) exact ties
+    on (is_dup, hamming, l1) resolve to the LOWEST corpus id, and (b)
+    is_dup dominates — an above-threshold candidate with WORSE hamming
+    must outrank a below-threshold one with perfect hamming."""
+    from demo_etl_spark.operators import multimodal as mm
+
+    big = mm.IMG_VERIFY_L1_MAX + 1
+    rows = [
+        # incoming (id % 10 == 7): one for each scenario
+        (7, 5, 9, 9, 9, [100, 200, 300]),
+        (27, 6, 8, 8, 8, [50, 60, 70]),
+        # (a) two corpus twins of 7, IDENTICAL evidence (ham 0, L1 0):
+        # the aggregate's id tiebreak must crown the lower id
+        (13, 5, 9, 9, 9, [100, 200, 300]),
+        (3, 5, 9, 9, 9, [100, 200, 300]),
+        # (b) for 27: a same-signature twin whose grid L1 exceeds the
+        # verify cap (is_dup False, hamming 0) vs a 1-bit neighbor that
+        # PASSES verify (is_dup True, hamming 1) — is_dup leads the
+        # ranking, so 26 must win despite the worse hamming
+        (24, 6, 8, 8, 8, [50, 60, 70 + big]),
+        (26, 7, 8, 8, 8, [50, 60, 71]),
+    ]
+    sig = spark.createDataFrame(
+        rows,
+        "media_id long, b0 int, b1 int, b2 int, b3 int, grid array<int>",
+    )
+    out = {
+        r["media_id"]: r for r in mm.incremental_band_dedup(sig).collect()
+    }
+    assert out[7]["best_match"] == 3 and out[7]["is_new"] is False
+    assert out[7]["hamming"] == 0 and out[7]["grid_l1"] == 0
+    assert out[27]["best_match"] == 26 and out[27]["is_new"] is False
+    assert out[27]["hamming"] == 1
+
+
+def test_embedding_incremental_cosine_tie_lowest_id(spark):
+    """r14 optimization guard for the embedding path's aggregate
+    ranking: two corpus vectors IDENTICAL to the incoming one (cosine
+    1.0 each) — the tie must resolve to the lowest corpus id."""
+    from demo_etl_spark.operators.similarity import (
+        embedding_incremental_dedup,
+    )
+
+    dims = 64
+    base = [((i * 11) % 17 - 8) / 10.0 for i in range(dims)]
+    rows = [
+        (7, base, 1),       # incoming (slot 7)
+        (23, list(base), 2),
+        (3, list(base), 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in embedding_incremental_dedup(emb).collect()}
+    assert set(out) == {7}
+    assert out[7]["best_match"] == 3 and out[7]["is_new"] is False
+    assert out[7]["cosine"] == 1.0
