@@ -676,6 +676,10 @@ def active_users(events: DataFrame, ctx: RunContext = DEFAULT_CONTEXT) -> DataFr
         events.filter(F.col("user_id").isNotNull())
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
+        # r14: du feeds BOTH the WAU fanout and the DAU count — the
+        # checkpoint (2 narrow cols, one row per active user-day) stops
+        # the events distinct from running once per consumer
+        .localCheckpoint(eager=True)
     )
     wau = (
         du.select(
