@@ -1105,8 +1105,17 @@ def _cached_emb_pairs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     pairs = _EMB_PAIRS_CACHE.get(key)
     if pairs is None:
         emb = load_star(spark, sf_dir)["embeddings"]
-        fn = embedding_near_dup if kind == "exact" else embedding_ann_pairs
-        pairs = fn(emb).localCheckpoint(eager=True)
+        if kind == "exact":
+            pairs = embedding_near_dup(emb)
+        else:
+            # r14: the banded build consumes the shared signature memo —
+            # the same (vec_id, band, sig) frame the incremental seat
+            # needs, so the posexplode→join→agg signature pipeline runs
+            # once per session instead of once per consumer
+            pairs = embedding_ann_pairs(
+                emb, sigs=_cached_band_sigs(spark, sf_dir)
+            )
+        pairs = pairs.localCheckpoint(eager=True)
         _EMB_PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -1176,12 +1185,38 @@ def _band_signatures(
     )
 
 
+#: memoized (vec_id, band, sig) hyperplane-LSH signatures at the DEFAULT
+#: (ANN_BANDS, ANN_BAND_PLANES) dial, per (app, sf_dir). Two registered
+#: consumers compute this identical frame: the banded ann-pair memo
+#: build (feeding dedup_embedding_ann + dedup_ann_pair_recall) and
+#: dedup_embedding_incremental's cross-boundary candidate stage — the
+#: signature pipeline (posexplode of N×dims rows → broadcast weights
+#: join → ppb-way partial agg) is the expensive stage of both, and it
+#: appeared TWICE in each consumer's static plan (both join sides
+#: reference it). One eager localCheckpoint serves all four references.
+_BAND_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_BAND_SIGS_CACHE.clear)
+
+
+def _cached_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sigs = _BAND_SIGS_CACHE.get(key)
+    if sigs is None:
+        emb = _e6_frame(load_star(spark, sf_dir)["embeddings"])
+        sigs = _band_signatures(
+            emb.select("vec_id", "embedding"), ANN_BANDS, ANN_BAND_PLANES
+        ).localCheckpoint(eager=True)
+        _BAND_SIGS_CACHE[key] = sigs
+    return sigs
+
+
 def embedding_ann_pairs(
     embeddings: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
     threshold: float = NEAR_DUP_THRESHOLD,
     bands: int = ANN_BANDS,
     ppb: int = ANN_BAND_PLANES,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Sub-quadratic semantic near-dup: banded hyperplane-LSH candidate
     generation + exact cosine verify — the registered 100 TB default
@@ -1202,8 +1237,11 @@ def embedding_ann_pairs(
     emb = _e6_frame(embeddings)
     # reuse the SAME screened frame for candidates and verify — two
     # independent _nonzero() subtrees could silently desynchronize the
-    # two populations under a future edit (r10 review)
-    sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
+    # two populations under a future edit (r10 review). An injected
+    # ``sigs`` memo (the registered build) is this exact frame's
+    # signatures computed from the same deterministic expression.
+    if sigs is None:
+        sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), "band", "sig"
     )
@@ -2452,6 +2490,10 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     _cached_lloyd(spark, sf_dir)  # eager localCheckpoint
     for kind in ("cos_raw", "lsh_raw", "cos_valid", "ivf_valid", "pq_valid"):
         _cached_topk(spark, sf_dir, kind)  # eager localCheckpoint
+    # the band-signature memo feeds the "ann" pair build below AND the
+    # registered incremental seat — warm it first on this thread so the
+    # pair build consumes the checkpoint
+    _cached_band_sigs(spark, sf_dir)
     for kind in ("exact", "ann"):
         _cached_emb_pairs(spark, sf_dir, kind)  # eager localCheckpoint
 
@@ -2935,6 +2977,7 @@ def embedding_incremental_dedup(
     threshold: float = NEAR_DUP_THRESHOLD,
     bands: int = ANN_BANDS,
     ppb: int = ANN_BAND_PLANES,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW embedding shard against the EXISTING corpus — the
     vector-space member of the incremental family (text:
@@ -2954,14 +2997,20 @@ def embedding_incremental_dedup(
     from demo_etl_spark.operators.dedup import INCR_MOD, INCR_SLOT
 
     t_e6 = int(round(threshold * 1_000_000))
-    # NOTE (r14 optimization round): checkpointing emb and/or sigs here
-    # was tried and MEASURED SLOWER or neutral at sf0.1 (emb+sigs:
-    # 2.47 s → 3.17 s — the wide int-array materialization dwarfs the
-    # branch recomputes off the cached scan; sigs-only: no gain). The
-    # multi-branch recompute shape is deliberate — see
-    # OPTIMIZATION_r14.md.
+    # NOTE (r14 optimization round): a PER-QUERY checkpoint of emb
+    # and/or sigs here was tried and MEASURED SLOWER or neutral at
+    # sf0.1 (emb+sigs: 2.47 s → 3.17 s — the wide int-array
+    # materialization dwarfs the branch recomputes off the cached scan;
+    # per-query sigs-only: no gain, the barrier is charged to this one
+    # query). What DOES pay is the shared SESSION memo: the identical
+    # default-dial signature frame is also the ann-pair memo's candidate
+    # input, so the registered build injects ``_cached_band_sigs`` and
+    # the signature pipeline runs once per session instead of twice
+    # (ann build) + twice (here). emb stays un-checkpointed — map-only
+    # off the cached scan. See OPTIMIZATION_r14.md.
     emb = _e6_frame(embeddings)
-    sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
+    if sigs is None:
+        sigs = _band_signatures(emb.select("vec_id", "embedding"), bands, ppb)
     in_slot = F.col("vec_id") % INCR_MOD == INCR_SLOT
     ns = sigs.filter(in_slot).select(
         F.col("vec_id").alias("vec_new"), "band", "sig"
@@ -3030,7 +3079,8 @@ def build_embedding_incremental(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
     return embedding_incremental_dedup(
-        load_star(spark, sf_dir)["embeddings"], ctx
+        load_star(spark, sf_dir)["embeddings"], ctx,
+        sigs=_cached_band_sigs(spark, sf_dir),
     )
 
 

@@ -528,6 +528,41 @@ def test_embedding_ann_pairs_recall_and_subquadratic(spark):
     assert n_cand < 0.25 * (n * (n - 1) // 2)
 
 
+def test_injected_band_sigs_bit_identical(spark):
+    """r14 shared-memo contract: injecting a precomputed (checkpointed)
+    signature frame into the ann-pair and incremental builds yields
+    bit-identical results to the self-computed path — the invariant the
+    _cached_band_sigs session memo rides on."""
+    import numpy as np
+
+    from demo_etl_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(23)
+    rows, vid = [], 0
+    for i in range(120):
+        v = rng.normal(0, 1, 64)
+        rows.append((vid, [float(np.float32(x)) for x in v], 0))
+        vid += 1
+        if i % 4 == 0:
+            d = v + rng.normal(0, 0.15, 64)
+            rows.append((vid, [float(np.float32(x)) for x in d], 1))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sigs = sim._band_signatures(
+        sim._e6_frame(df).select("vec_id", "embedding")
+    ).localCheckpoint(eager=True)
+
+    def rows_of(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert rows_of(sim.embedding_ann_pairs(df, threshold=0.9)) == rows_of(
+        sim.embedding_ann_pairs(df, threshold=0.9, sigs=sigs)
+    )
+    assert rows_of(sim.embedding_incremental_dedup(df)) == rows_of(
+        sim.embedding_incremental_dedup(df, sigs=sigs)
+    )
+
+
 def test_pgm_decoder_is_a_real_decoder():
     """decode_pgm handles the full netpbm P5 header grammar — comments,
     arbitrary whitespace — not just the synthesizer's output."""
