@@ -191,11 +191,21 @@ def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
     """Property test for the load-bearing primitive: the integer-space
     formula must equal Python decimal's ROUND_HALF_UP (half away from
     zero for either sign — round_div is sign-safe as of r11) in BOTH
-    dialect spellings, for any (p, q, scale) within the documented
-    overflow bound."""
+    dialect spellings.
+
+    Two-tier contract (module docstring, r12; hypothesis re-found the
+    gap HERE in r14 with p=281664136256, q=3, s=5): ENGINE parity is
+    unconditional — both dialects divide the same scaled integer by the
+    same power of ten — but exact-decimal equality additionally needs
+    the scaled integer |round(p·10^s/q)| within double's integer-exact
+    range 2^53; past it the final ÷10^s itself rounds, identically on
+    both engines but one ulp off the true decimal. The signed-variant
+    test below has carried this split since r12; this test predated it
+    and asserted tier 2 unconditionally."""
     import decimal
 
     import duckdb
+    import pytest
     from hypothesis import given, settings, strategies as st
 
     from demo_etl_spark.functions.fixedpoint import round_div_expr
@@ -208,18 +218,25 @@ def test_round_div_matches_decimal_half_up_in_both_dialects(spark):
     )
     def check(p, q, s):
         # decimal ROUND_HALF_UP is half-away-from-zero for either sign
-        exp = float(
-            (decimal.Decimal(p) / decimal.Decimal(q)).quantize(
-                decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
-            )
+        mag = (decimal.Decimal(abs(p)) / decimal.Decimal(q)).quantize(
+            decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
         )
+        exp = float(mag if p >= 0 else -mag)
         got_spark = spark.sql(
             f"SELECT {round_div_expr(str(p), str(q), s, 'spark')} AS v"
         ).first()["v"]
         got_duck = duckdb.sql(
             f"SELECT {round_div_expr(str(p), str(q), s, 'duckdb')} AS v"
         ).fetchone()[0]
-        assert got_spark == exp == got_duck, (p, q, s, got_spark, got_duck, exp)
+        # tier 1 — engine parity, unconditional (what the oracle hash
+        # gate stands on)
+        assert got_spark == got_duck, (p, q, s, got_spark, got_duck)
+        # tier 2 — exact-decimal equality, guaranteed only within
+        # double's integer-exact range of the scaled result
+        if abs(int(mag.scaleb(s))) <= 2**53:
+            assert got_spark == exp, (p, q, s, got_spark, exp)
+        else:
+            assert got_spark == pytest.approx(exp, rel=1e-12)
 
     check()
 
