@@ -181,11 +181,33 @@ def _jaccard_from_common(
 
 
 def _cached_index(spark: SparkSession, sf_dir: str, max_df: int | None) -> DataFrame:
+    """Session memo of the hashed inverted shingle index.
+
+    r14: ONE persisted base — the UNCAPPED index — serves every cap.
+    ``_indexed_shingles`` computes df over ALL shingles and applies the
+    cap as a post-filter on df, so the capped index is exactly
+    ``uncapped.filter(df <= max_df)`` row for row; a capped ask returns
+    that filter VIEW over the persisted base instead of persisting a
+    second full shingle-explode + distinct + df pipeline. Before this,
+    a session running both the df-capped family (warmed) and
+    ``ngram_novelty`` (uncapped) built the index twice; now the one
+    warmed build serves both and novelty is an aggregate over the
+    persisted frame. Trade-off, documented: the persisted frame keeps
+    the df > max_df boilerplate rows the capped persist used to drop —
+    MEMORY_AND_DISK absorbs the delta, and capped consumers pay a
+    trivial in-memory filter per scan."""
+    base_key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), None)
+    base = _INDEX_CACHE.get(base_key)
+    if base is None:
+        docs = load_star(spark, sf_dir)["documents"]
+        base = register_persist(_indexed_shingles(docs, None))
+        _INDEX_CACHE[base_key] = base
+    if max_df is None:
+        return base
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), max_df)
     sh = _INDEX_CACHE.get(key)
     if sh is None:
-        docs = load_star(spark, sf_dir)["documents"]
-        sh = register_persist(_indexed_shingles(docs, max_df))
+        sh = base.filter(F.col("df") <= max_df)
         _INDEX_CACHE[key] = sh
     return sh
 
@@ -196,6 +218,8 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
+    common: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: 3-shingle Jaccard ≥ threshold (df-capped set).
 
@@ -206,13 +230,20 @@ def ngram_jaccard_pairs(
     LSH → exact verify on the candidate set) — which is what
     ``corpus_curation`` routes through exclusively; this operator exists
     as the ground-truth twin recall is audited against.
+
+    ``common`` optionally injects a precomputed ``_common_counts(sh)``
+    frame (the session memo, r14) — it MUST have been built from the
+    same index or the pair set silently diverges.
     """
     # the shingle index feeds three consumers (sizes, join-left, join-right):
     # persist so the split/explode runs once (C1 discipline, the reference's
     # fan-out persist — generate-asset.scala:47)
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _jaccard_from_common(_common_counts(sh), sizes, threshold, with_union=True)
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if common is None:
+        common = _common_counts(sh)
+    return _jaccard_from_common(common, sizes, threshold, with_union=True)
 
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -224,6 +255,8 @@ def ngram_containment_pairs(
     threshold: float = CONTAINMENT_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
+    common: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: shingle containment common/min(|A|,|B|) ≥ τ.
 
@@ -244,9 +277,12 @@ def ngram_containment_pairs(
     """
     t_e6 = int(round(threshold * 1_000_000))  # 1e-6 resolution, see _jaccard_from_common
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if common is None:
+        common = _common_counts(sh)
     return (
-        _common_counts(sh).join(
+        common.join(
             sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a"
         )
         .join(
@@ -283,6 +319,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates (8 bands × 4 rows) verified with exact Jaccard."""
     sh = index if index is not None else register_persist(_indexed_shingles(documents, max_df))
@@ -314,7 +351,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # verify candidates with the exact Jaccard — the intersection join runs
     # on the 8-byte hashed index (df-capped), not raw shingle strings
     common = (
@@ -328,6 +366,56 @@ def minhash_lsh_pairs(
 
 def build_exact(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     return exact_dedup(load_star(spark, sf_dir)["documents"], ctx)
+
+
+#: default-parameters-only memo of the per-doc distinct-shingle COUNTS
+#: over the df-capped index (r14) — the (doc_id, n_shingles) aggregate
+#: is recomputed TWICE per consumer plan (it joins both pair sides) in
+#: the jaccard/minhash pair builds (warm stage), the containment seat
+#: and the incremental seat. Doc-count rows, eager checkpoint. The r14
+#: "tried and reverted" note on incremental_dedup's per-query sizes
+#: checkpoint stands for the PER-QUERY barrier; this is the session
+#: memo with four registered consumers (the item-26 distinction).
+_SIZES_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_SIZES_CACHE.clear)
+
+
+def _cached_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sizes = _SIZES_CACHE.get(key)
+    if sizes is None:
+        sizes = (
+            _cached_index(spark, sf_dir, MAX_SHINGLE_DF)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+            .localCheckpoint(eager=True)
+        )
+        _SIZES_CACHE[key] = sizes
+    return sizes
+
+
+#: default-parameters-only memo of the per-pair shared-shingle COUNTS
+#: over the df-capped index (r14) — the ``_common_counts`` self-join is
+#: the expensive stage shared verbatim by the exact-Jaccard pair build
+#: (feeding _cached_ngram_pairs during warm-up) and the containment
+#: seat, which re-ran the full index self-join per query. Same
+#: multi-consumer contract and default-parameters-only caveat as
+#: _cached_minhash_pairs below. Scale note: this table is the declared
+#: O(Σ df²) exact-baseline candidate volume — memoizing it changes
+#: nothing asymptotically, it just stops computing it twice per session.
+_COMMON_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_cache_clearer(_COMMON_CACHE.clear)
+
+
+def _cached_common_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    common = _COMMON_CACHE.get(key)
+    if common is None:
+        common = _common_counts(
+            _cached_index(spark, sf_dir, MAX_SHINGLE_DF)
+        ).localCheckpoint(eager=True)
+        _COMMON_CACHE[key] = common
+    return common
 
 
 #: default-parameters-only memo of the verified ngram-Jaccard pair set
@@ -346,6 +434,8 @@ def _cached_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = ngram_jaccard_pairs(
             load_star(spark, sf_dir)["documents"],
             index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+            common=_cached_common_counts(spark, sf_dir),
+            sizes=_cached_sizes(spark, sf_dir),
         ).localCheckpoint(eager=True)
         _NGRAM_PAIRS_CACHE[key] = pairs
     return pairs
@@ -361,6 +451,8 @@ def build_containment(
     return ngram_containment_pairs(
         load_star(spark, sf_dir)["documents"], ctx,
         index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        common=_cached_common_counts(spark, sf_dir),
+        sizes=_cached_sizes(spark, sf_dir),
     )
 
 
@@ -389,6 +481,7 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = minhash_lsh_pairs(
             load_star(spark, sf_dir)["documents"],
             index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+            sizes=_cached_sizes(spark, sf_dir),
         ).localCheckpoint(eager=True)
         _PAIRS_CACHE[key] = pairs
     return pairs
@@ -1132,6 +1225,7 @@ def incremental_dedup(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
     index: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW shard against the EXISTING corpus — the production
     mode of every continuously-fed training pipeline (daily crawl
@@ -1159,11 +1253,16 @@ def incremental_dedup(
     sh = index if index is not None else register_persist(
         _indexed_shingles(documents, max_df)
     )
-    # NOTE (r14): checkpointing this twice-referenced size table was
-    # tried and MEASURED flat-to-slower at sf0.1 (1.63 s → 1.86 s min):
-    # the agg re-runs off the PERSISTED index, so the second compute is
-    # one in-memory scan + partial agg, cheaper than the eager barrier.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # NOTE (r14): checkpointing this twice-referenced size table PER
+    # QUERY was tried and MEASURED flat-to-slower at sf0.1 (1.63 s →
+    # 1.86 s min) — the barrier charged to one query costs more than the
+    # in-memory re-agg it saves. The SESSION memo (``_cached_sizes``,
+    # four registered consumers, warm-charged) has the opposite
+    # economics and is what the registered build injects.
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sizes.withColumnRenamed("n_shingles", "n")
     inc = sh.filter(F.col("doc_id") % INCR_MOD == INCR_SLOT).select(
         F.col("doc_id").alias("doc_new"), "h"
     )
@@ -1226,6 +1325,7 @@ def build_incremental(
     return incremental_dedup(
         load_star(spark, sf_dir)["documents"], ctx,
         index=_cached_index(spark, sf_dir, MAX_SHINGLE_DF),
+        sizes=_cached_sizes(spark, sf_dir),
     )
 
 
@@ -1615,10 +1715,14 @@ def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     MinHash-LSH pair set, the cluster labels (clusters/profile/keep_best)
     and the repeated-span set (detector + scrub) — so a bench harness can
     charge them to a declared warm-up stage instead of the rotation-
-    dependent first family seat. The uncapped index (kmv profile) is
-    single-consumer and deliberately NOT warmed."""
+    dependent first family seat. r14: the index base is the UNCAPPED
+    frame (capped asks are a filter view over it, see _cached_index), so
+    the one warmed build also serves ngram_novelty's uncapped consumer —
+    counting through the capped view materializes every base partition."""
     _cached_index(spark, sf_dir, MAX_SHINGLE_DF).count()
+    _cached_sizes(spark, sf_dir)  # r14: pair builds + containment + incremental
     _cached_minhash_pairs(spark, sf_dir)  # eager localCheckpoint
+    _cached_common_counts(spark, sf_dir)  # r14: jaccard build + containment
     _cached_ngram_pairs(spark, sf_dir)  # r14: jaccard seat + media truth
     _cached_simhash_pairs(spark, sf_dir)  # r14: simhash seat + agreement
     _cached_clusters(spark, sf_dir).count()

@@ -988,6 +988,10 @@ def pmi_collocations(
         d.select(F.explode("_toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c_tok"))
+        # r14: vocab-sized and referenced by BOTH broadcast joins below —
+        # the static planner re-ran the token explode+count pass once per
+        # reference; the eager checkpoint bounds it to one pass
+        .localCheckpoint(eager=True)
     )
     a_part = F.slice(F.col("_toks"), F.lit(1), F.size("_toks") - 1)
     b_part = F.slice(F.col("_toks"), F.lit(2), F.size("_toks") - 1)
@@ -1008,9 +1012,26 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
     )
-    totals = bg.agg(
-        F.count(F.lit(1)).alias("_nb")
-    ).crossJoin(uni.agg(F.sum("c_tok").alias("_nt")))
+    # r14: the grand totals are derivable from the token-array SIZES in
+    # one row-level agg over the persisted scan — Nt = Σ size(_toks)
+    # (explode emits one row per array element, NULL arrays emit none)
+    # and Nb = Σ (size(_toks) − 1) (one adjacent pair per element after
+    # the first; split() never yields an empty array, so size ≥ 1). The
+    # former bg.count() × uni.sum() spelling re-ran BOTH explode+count
+    # pipelines a second time just to read their row counts. Values are
+    # identical on any non-degenerate corpus; on an all-NULL/empty one
+    # the totals differ only as NULL-vs-0, where bgc is empty and the
+    # output is empty either way.
+    totals = d.agg(
+        F.sum(
+            F.when(F.col("_toks").isNull(), F.lit(0))
+            .otherwise(F.size("_toks") - 1)
+        ).alias("_nb"),
+        F.sum(
+            F.when(F.col("_toks").isNull(), F.lit(0))
+            .otherwise(F.size("_toks"))
+        ).alias("_nt"),
+    )
     scored = (
         bgc.join(
             F.broadcast(uni.withColumnRenamed("c_tok", "c_a")),

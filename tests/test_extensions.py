@@ -62,6 +62,42 @@ def test_shingle_df_cap_bounds_hot_shingles(spark):
     assert got_minhash == {(100, 101)}
 
 
+def test_derived_capped_index_and_injected_memos_bit_identical(spark, sf_dir):
+    """r14 memo plumbing: (a) the df-capped index served as a filter VIEW
+    over the persisted uncapped base is row-identical to building the
+    capped index directly; (b) the jaccard/containment/incremental paths
+    with the injected sizes/common-counts session memos return exactly
+    what the self-computing paths return."""
+    from demo_etl_spark.io import load_star
+    from demo_etl_spark.operators import dedup
+
+    docs = load_star(spark, sf_dir)["documents"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (a) derived capped view ≡ direct capped build
+    view = dedup._cached_index(spark, sf_dir, dedup.MAX_SHINGLE_DF)
+    direct = dedup._indexed_shingles(docs, dedup.MAX_SHINGLE_DF)
+    assert rows(view) == rows(direct)
+
+    # (b) injected memos ≡ self-computed, for every consumer shape
+    sizes = dedup._cached_sizes(spark, sf_dir)
+    common = dedup._cached_common_counts(spark, sf_dir)
+    assert rows(
+        dedup.ngram_jaccard_pairs(docs, index=view, common=common, sizes=sizes)
+    ) == rows(dedup.ngram_jaccard_pairs(docs))
+    assert rows(
+        dedup.ngram_containment_pairs(docs, index=view, common=common, sizes=sizes)
+    ) == rows(dedup.ngram_containment_pairs(docs))
+    assert rows(
+        dedup.incremental_dedup(docs, index=view, sizes=sizes)
+    ) == rows(dedup.incremental_dedup(docs))
+    assert rows(
+        dedup.minhash_lsh_pairs(docs, index=view, sizes=sizes)
+    ) == rows(dedup.minhash_lsh_pairs(docs))
+
+
 def test_dedup_clusters_chain_and_convergence_guard(spark):
     """A transitive near-dup chain collapses to ONE cluster; a too-small
     iteration bound raises instead of returning stale labels."""
