@@ -251,6 +251,19 @@ def build_merge_upsert(
     quarantine). Duplicate base keys (dup-PK violation, surfaced by
     data_quality_audit) survive deterministically via the full payload
     tiebreak — both engines keep the same row."""
+    merged, keyless = _merge_upsert_parts(spark, sf_dir)
+    return merged.unionByName(keyless)
+
+
+def _merge_upsert_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(keyed merge result, quarantined keyless rows) — split out so
+    consumers that provably drop the keyless rows anyway (snapshot_diff's
+    NULL-rejecting key filter) can take the merged side alone: the union
+    node above the latest-wins window otherwise erases the window's
+    o_orderkey hash-partitioning and costs the downstream full-outer
+    join a whole re-exchange of the snapshot (r14, guide §2.1)."""
     orders = load_star(spark, sf_dir)["orders"]
     keyed = orders.filter(F.col("o_orderkey").isNotNull())
     keyless = orders.filter(F.col("o_orderkey").isNull())
@@ -260,7 +273,7 @@ def build_merge_upsert(
     merged = merge_latest_wins(
         keyed, updates, ["o_orderkey"], tiebreak_cols=_MERGE_TIEBREAK
     )
-    return merged.unionByName(keyless)
+    return merged, keyless
 
 
 # tiebreak columns ascending NULLS LAST (DuckDB's default) mirror the
@@ -367,9 +380,13 @@ def build_snapshot_diff(
 ) -> DataFrame:
     orders = load_star(spark, sf_dir)["orders"]
     old = orders.filter(F.col("o_orderkey") % _DIFF_OLD_MOD != 0)
-    new = build_merge_upsert(spark, sf_dir, ctx).filter(
-        F.col("o_orderkey") % _DIFF_NEW_MOD != 0
-    )
+    # The keyed merge WITHOUT the keyless union (_merge_upsert_parts):
+    # the % filter is NULL-rejecting, so (merged ∪ keyless).filter(...)
+    # ≡ merged.filter(...) — identical rows, and the full-outer join
+    # below inherits the latest-wins window's key partitioning instead
+    # of re-exchanging the whole snapshot above the union.
+    merged, _keyless = _merge_upsert_parts(spark, sf_dir)
+    new = merged.filter(F.col("o_orderkey") % _DIFF_NEW_MOD != 0)
     d = snapshot_diff(
         old,
         new,

@@ -33,6 +33,30 @@ def _check(name: str, df: DataFrame) -> DataFrame:
     )
 
 
+def _checks(df: DataFrame, **named_conds) -> DataFrame:
+    """Several conditional counts over ONE pass of ``df``, unpivoted to
+    the same (check, n_violations) rows ``_check`` emits one by one.
+    count(when(cond, 1)) counts exactly the rows a filter(cond) keeps
+    (NULL conditions count as false), so each row is bit-identical to
+    its standalone-branch spelling — the fact table is scanned once
+    instead of once per check (guide §2.1: remove whole passes)."""
+    agg = df.agg(
+        *[
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(name)
+            for name, cond in named_conds.items()
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"), F.col(name).alias("n_violations")
+            )
+            for name in named_conds
+        ]
+    )
+    return agg.select(F.inline(rows))
+
+
 def data_quality_audit(
     t: dict[str, DataFrame], ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
@@ -44,40 +68,62 @@ def data_quality_audit(
     the counts rather than assuming zeros."""
     orders, lineitem, customer = t["orders"], t["lineitem"], t["customer"]
     nation, supplier, part = t["nation"], t["supplier"], t["part"]
+    # r14: checks over the SAME (joined) table are computed in one pass
+    # each (_checks) instead of one branch per check — the before plan
+    # scanned lineitem 5× and orders 6× (incl. broadcast sides) across
+    # 12 branch aggregates; this shape scans lineitem 3× and orders 4×
+    # for the identical 12 output rows. Equivalences, each exact:
+    #   * left_anti count ≡ count(dim_key IS NULL) over the LEFT join —
+    #     an unmatched fact row surfaces exactly once in a left join,
+    #     and a matched row's equi-key is necessarily non-NULL;
+    #   * inner-join filter count ≡ count(pred) over the same LEFT join —
+    #     matched multiplicity is identical and an unmatched row's
+    #     NULL-valued predicate counts as false;
+    #   * filter counts over one table fuse into conditional counts in
+    #     one aggregate (count(when(cond,1)) ≡ filter(cond).count()).
+    # NOT fused: the dup-pk checks (they group, not filter) and checks
+    # on different join shapes — fusing e.g. orders_null_pk into the
+    # orders⋈customer pass would multiply counts under duplicate dim
+    # keys, exactly the class the audit exists to catch.
+    lo = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left"
+    )
+    lp = lineitem.join(
+        part, lineitem["l_partkey"] == part["p_partkey"], "left"
+    )
     checks = [
-        # referential integrity: every fact key resolves to a dim row
-        _check(
-            "lineitem_orphan_orderkey",
-            lineitem.join(
-                orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
-            ),
+        # referential integrity + fact-vs-dim domain checks, one pass
+        # per join shape
+        _checks(
+            lo,
+            lineitem_orphan_orderkey=F.col("o_orderkey").isNull(),
+            lineitem_ship_before_order=F.col("l_shipdate") < F.col("o_orderdate"),
         ),
-        _check(
-            "orders_orphan_custkey",
+        _checks(
             orders.join(
-                customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+                customer, orders["o_custkey"] == customer["c_custkey"], "left"
             ),
+            orders_orphan_custkey=F.col("c_custkey").isNull(),
         ),
-        _check(
-            "customer_orphan_nationkey",
+        _checks(
             customer.join(
-                nation, customer["c_nationkey"] == nation["n_nationkey"], "left_anti"
+                nation, customer["c_nationkey"] == nation["n_nationkey"], "left"
             ),
+            customer_orphan_nationkey=F.col("n_nationkey").isNull(),
         ),
-        _check(
-            "supplier_orphan_nationkey",
+        _checks(
             supplier.join(
-                nation, supplier["s_nationkey"] == nation["n_nationkey"], "left_anti"
+                nation, supplier["s_nationkey"] == nation["n_nationkey"], "left"
             ),
+            supplier_orphan_nationkey=F.col("n_nationkey").isNull(),
         ),
-        _check(
-            "lineitem_orphan_partkey",
-            lineitem.join(
-                part, lineitem["l_partkey"] == part["p_partkey"], "left_anti"
-            ),
-        ),
+        _checks(lp, lineitem_orphan_partkey=F.col("p_partkey").isNull()),
         # key integrity: primary keys non-null and unique
-        _check("orders_null_pk", orders.filter(F.col("o_orderkey").isNull())),
+        _checks(
+            orders,
+            orders_null_pk=F.col("o_orderkey").isNull(),
+            orders_negative_totalprice=F.col("o_totalprice") < 0,
+        ),
         _check(
             "orders_dup_pk",
             orders.groupBy("o_orderkey")
@@ -90,25 +136,12 @@ def data_quality_audit(
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1),
         ),
-        # domain constraints
-        _check(
-            "lineitem_nonpositive_quantity",
-            lineitem.filter(F.col("l_quantity") <= 0),
-        ),
-        _check(
-            "lineitem_discount_out_of_range",
-            lineitem.filter(
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-            ),
-        ),
-        _check(
-            "orders_negative_totalprice",
-            orders.filter(F.col("o_totalprice") < 0),
-        ),
-        _check(
-            "lineitem_ship_before_order",
-            lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-            .filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        # domain constraints over the bare fact, one pass
+        _checks(
+            lineitem,
+            lineitem_nonpositive_quantity=F.col("l_quantity") <= 0,
+            lineitem_discount_out_of_range=(F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), checks)

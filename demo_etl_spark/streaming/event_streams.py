@@ -18,6 +18,7 @@ Streaming-specific deltas vs the batch builders:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -273,6 +274,28 @@ def purchase_click_stream_join(events: DataFrame) -> DataFrame:
     )
 
 
+def ephemeral_checkpoint_dir() -> str:
+    """Fresh checkpoint dir for a single availableNow drain.
+
+    These checkpoints are THROWAWAY by design — every drain starts one
+    and deletes it afterwards (the sink is a memory table; nothing
+    resumes from the offset/commit/state files) — yet the
+    HDFSBackedStateStore and the offset/commit logs fsync every
+    micro-batch, so placing them on a spinning/ext4 tmpdir charges real
+    disk syncs to ephemeral bookkeeping (guide §6: I/O layout follows
+    the data's lifetime). Default: the RAM-backed /dev/shm when
+    present, else the system tmpdir. A RESTARTABLE production stream
+    must instead point DEMO_ETL_STREAM_CKPT_DIR at durable storage —
+    checkpoint durability is exactly what a resumable stream pays for;
+    an availableNow drain whose result is re-derived from the source
+    each run does not need it.
+    """
+    base = os.environ.get("DEMO_ETL_STREAM_CKPT_DIR")
+    if not base:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix="demo_etl_stream_ckpt_", dir=base)
+
+
 def run_available_now(
     stream_df: DataFrame,
     table_name: str,
@@ -293,11 +316,13 @@ def run_available_now(
     prev = conf.get("spark.sql.shuffle.partitions")
     drain_parts = min(8, int(prev)) if prev and prev.isdigit() else 8
     conf.set("spark.sql.shuffle.partitions", str(drain_parts))
+    ckpt = ephemeral_checkpoint_dir()
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(table_name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -313,6 +338,7 @@ def run_available_now(
     finally:
         if prev is not None:
             conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table_name)
 
 

@@ -27,11 +27,15 @@ maintenance.merge_upsert.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_etl_spark.streaming.event_streams import read_events_stream
+from demo_etl_spark.streaming.event_streams import (
+    ephemeral_checkpoint_dir,
+    read_events_stream,
+)
 
 
 def _compact_batch(batch: DataFrame) -> DataFrame:
@@ -113,6 +117,19 @@ def stream_compact_to_serving(
             merged = latest
         merged.write.mode("overwrite").parquet(target_path)
 
-    q = ev.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    # Same ephemeral-checkpoint discipline as run_available_now: the
+    # drain's offset/commit logs are throwaway (the serving TABLE at
+    # target_path is the durable artifact), so they go on the RAM-backed
+    # dir instead of charging fsyncs to disk.
+    ckpt = ephemeral_checkpoint_dir()
+    try:
+        q = (
+            ev.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(target_path)
