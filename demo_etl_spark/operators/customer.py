@@ -230,8 +230,8 @@ def customer_retention(
     distinct custkey sets are orders-of-magnitude smaller than the fact
     table, so the union of the two labeled branches is dimension-sized.
     """
-    a = _active_custkeys(orders, RETENTION_YEAR_A)
-    b = _active_custkeys(orders, RETENTION_YEAR_B)
+    a = _active_custkeys(orders, RETENTION_YEAR_A).localCheckpoint(eager=True)
+    b = _active_custkeys(orders, RETENTION_YEAR_B).localCheckpoint(eager=True)
     retained = a.intersect(b).withColumn("status", F.lit("retained"))
     churned = a.subtract(b).withColumn("status", F.lit("churned"))
     return retained.unionByName(churned)

@@ -679,10 +679,17 @@ def doc_top_terms(
     WindowGroupLimit keeps only k rows per doc below the final sort."""
     from pyspark.sql import Window
 
+    # tf feeds BOTH the join's left side and the document-frequency
+    # aggregate — without the eager checkpoint the explode → (doc,
+    # token) partial+final count pipeline (the expensive subtree: a
+    # full corpus explode plus a shuffle) ran once per consumer (r14;
+    # the shared subtree contains a shuffle+agg, the class where the
+    # checkpoint barrier wins — see OPTIMIZATION_r14.md).
     tf = (
         documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
