@@ -83,13 +83,22 @@ def key_skew_profile(
     other audits. Nothing scales with the number of distinct keys
     except the groupBy itself.
     """
-    freq = orders.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("freq")
+    # totals derive from freq, not a second pass over orders (r14,
+    # guide §2.1): COUNT(*) = Σ freq, COUNT(key) = Σ freq over non-NULL
+    # key groups, COUNT(DISTINCT key) = number of non-NULL key groups —
+    # exact by the groupBy's own definition, and the countDistinct
+    # expand disappears. freq (key-cardinality rows) is eagerly
+    # checkpointed because it now feeds both the top-N and the totals.
+    freq = (
+        orders.groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
-    totals = orders.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.count(key).alias("_nonnull_rows"),
-        F.count_distinct(F.col(key)).alias("n_keys"),
+    keyed = F.col("key").isNotNull()
+    totals = freq.agg(
+        F.sum("freq").alias("total_rows"),
+        F.sum(F.when(keyed, F.col("freq"))).alias("_nonnull_rows"),
+        F.count(F.when(keyed, F.lit(1))).alias("n_keys"),
     )
     top = (
         freq.orderBy(F.desc("freq"), F.asc_nulls_last("key"))
