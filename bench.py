@@ -147,6 +147,14 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     failures = sorted(k for k, v in timings.items() if v < 0)
+    # End-to-end cost (r14 verdict item 1): the timed total EXCLUDES the
+    # separately-timed warm-up stages, so moving work into a shared memo
+    # lowers `value` without lowering real cost. end_to_end_sec adds the
+    # scan warm-up plus the PER-PASS average memo warm-up (one pass is
+    # what a single full run of the registry pays) so optimization claims
+    # are graded on total work, not on where the stage boundary sits.
+    memo_per_pass = round(sum(memo_warm_s) / max(len(memo_warm_s), 1), 3)
+    end_to_end = round(total + warm_s + memo_per_pass, 3)
     full = {
         "metric": "total_query_seconds",
         "value": total,
@@ -155,6 +163,8 @@ def main() -> None:
         "samples": {k: v for k, v in samples.items() if len(v) > 1},
         "scan_warmup_sec": warm_s,
         "memo_warmup_sec": memo_warm_s,
+        "memo_warmup_per_pass_sec": memo_per_pass,
+        "end_to_end_sec": end_to_end,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query map goes to a FILE: at 140 queries the one-line JSON
@@ -185,6 +195,8 @@ def main() -> None:
                 "queries": slowest,
                 "scan_warmup_sec": warm_s,
                 "memo_warmup_sec": round(sum(memo_warm_s), 3),
+                "memo_warmup_per_pass_sec": memo_per_pass,
+                "end_to_end_sec": end_to_end,
                 "sf": full["sf"],
                 "full_results": "BENCH_local.json",
             }

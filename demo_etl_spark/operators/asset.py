@@ -43,7 +43,15 @@ def sales_asset_union(
     customer: DataFrame,
     part: DataFrame,
     ctx: RunContext = DEFAULT_CONTEXT,
+    cust_agg: DataFrame | None = None,
+    prod_agg: DataFrame | None = None,
+    daily: DataFrame | None = None,
 ) -> DataFrame:
+    """The three branch aggregates are injectable (r14 verdict item 3):
+    the registered build passes the session-memoized customer/product/
+    daily frames, so one query no longer runs three independent fact
+    passes — identical results (the branches select subsets of the same
+    aggregates they formerly computed inline)."""
     meta = {
         "asset_created_date": F.lit(ctx.anchor_date),
         "asset_job_id": F.lit(ctx.job_id),
@@ -51,7 +59,7 @@ def sales_asset_union(
         "asset_lineage_job": F.lit(ctx.job_id),
     }
 
-    cust = _customer.customer_analytics(lineitem, orders, customer, ctx)
+    cust = _customer.customer_analytics(lineitem, orders, customer, ctx, agg=cust_agg)
     cust_branch = cust.withColumns(
         {
             "asset_type": F.lit("customer"),
@@ -61,7 +69,7 @@ def sales_asset_union(
         }
     )
 
-    prod = _product.product_ranking(lineitem, orders, part, ctx)
+    prod = _product.product_ranking(lineitem, orders, part, ctx, agg=prod_agg)
     prod_branch = prod.withColumns(
         {
             "asset_type": F.lit("product"),
@@ -71,7 +79,7 @@ def sales_asset_union(
         }
     )
 
-    trend = _timeseries.revenue_trend(lineitem, orders, ctx)
+    trend = _timeseries.revenue_trend(lineitem, orders, ctx, daily=daily)
     dim = _timeseries.date_dimension(
         spark,
         start=ctx.anchor_date.replace(year=ctx.anchor_date.year - 1),
@@ -102,7 +110,10 @@ def sales_asset_union(
 def build(spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT) -> DataFrame:
     t = load_star(spark, sf_dir)
     return sales_asset_union(
-        spark, t["lineitem"], t["orders"], t["customer"], t["part"], ctx
+        spark, t["lineitem"], t["orders"], t["customer"], t["part"], ctx,
+        cust_agg=_customer._cached_customer_agg(spark, sf_dir),
+        prod_agg=_product._cached_product_agg(spark, sf_dir),
+        daily=_timeseries._cached_daily_agg(spark, sf_dir),
     )
 
 

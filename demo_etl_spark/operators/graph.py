@@ -56,17 +56,20 @@ BASE_NUM = 150_000  # 0.15 in score units
 N_ITER = 2
 
 
-def _edges(lineitem: DataFrame) -> DataFrame:
-    """Distinct directed co-purchase edges (src ≠ dst), no degree column.
+def _pair_counts(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase pairs (src ≠ dst) with their distinct-order
+    co-occurrence count.
 
     Built by grouping the order's part set and exploding the pair grid —
-    one shuffle (groupBy order) + one distinct, instead of the
+    one shuffle (groupBy order) + one pair aggregate, instead of the
     distinct + self-join + distinct of the naive shape. collect_set
     holds only parts-per-order in memory (single digits here; bounded
-    by basket size at any scale). Out-degree deliberately stays OFF the
-    edge table: it lives on the ~|parts| node table instead, so the
-    persisted edge set is 2 longs/row and the degree join never
-    re-shuffles the edges."""
+    by basket size at any scale). ``ps`` is a SET, so each order
+    contributes each ordered pair exactly once and the row count per
+    (src, dst) is |orders containing both| — the same co_orders
+    part_similarity formerly derived from its own distinct grid; the
+    distinct EDGE set the graph family consumes is the same rows minus
+    the count column (r15: one shared build serves both families)."""
     grp = lineitem.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
@@ -74,8 +77,21 @@ def _edges(lineitem: DataFrame) -> DataFrame:
         grp.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
     )
+
+
+def _edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges (src ≠ dst), no degree column.
+
+    A projection of ``_pair_counts`` — the pair aggregate dedupes exactly
+    like the former ``.distinct()`` (same hash aggregate on (src, dst),
+    the count is a free extra long). Out-degree deliberately stays OFF
+    the edge table: it lives on the ~|parts| node table instead, so the
+    persisted edge set is 2 longs/row and the degree join never
+    re-shuffles the edges."""
+    return _pair_counts(lineitem).select("src", "dst")
 
 
 def part_pagerank(
@@ -149,10 +165,10 @@ def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
     return pr.select("part", "outdeg", F.col("pr").alias("pagerank_e6"))
 
 
-def _cached_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    edges = _EDGE_CACHE.get(key)
-    if edges is None:
+    pc = _EDGE_CACHE.get(key)
+    if pc is None:
         # r14: persist the edge set PRE-PARTITIONED on dst (guide-§2.4
         # "two operations keyed the same way share one exchange"): every
         # iterative consumer joins a broadcast node table onto the edges
@@ -163,11 +179,21 @@ def _cached_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dst-shuffle moves into the declared memo build. Consumers
         # keyed on src (triangles' degree, closure's frontier join)
         # shuffled before and still do — unchanged.
-        edges = register_persist(
-            _edges(load_star(spark, sf_dir)["lineitem"]).repartition("dst")
+        # r15: the persisted frame carries co_orders (one extra long,
+        # same build cost — groupBy replaces distinct), so the memo also
+        # serves part_similarity's pair pipeline; the graph consumers
+        # read it through the _cached_edges projection, whose column
+        # pruning reaches the InMemoryTableScan.
+        pc = register_persist(
+            _pair_counts(load_star(spark, sf_dir)["lineitem"]).repartition("dst")
         )
-        _EDGE_CACHE[key] = edges
-    return edges
+        _EDGE_CACHE[key] = pc
+    return pc
+
+
+def _cached_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection preserves the persisted dst-partitioning
+    return _cached_pair_counts(spark, sf_dir).select("src", "dst")
 
 
 def build_pagerank(
@@ -373,7 +399,9 @@ SIM_MIN_CO = 2  # minimum co-occurrence support for a recommendation
 SIM_TOP_K = 5  # related items kept per part
 
 
-def part_similarity(lineitem: DataFrame) -> DataFrame:
+def part_similarity(
+    lineitem: DataFrame, pair_counts: DataFrame | None = None
+) -> DataFrame:
     """"Customers who bought X also bought Y": top-k related parts per
     part, scored by exact co-purchase Jaccard |orders(a)∩orders(b)| /
     |orders(a)∪orders(b)| in 1e-6 fixed point — the classic item-item
@@ -389,26 +417,27 @@ def part_similarity(lineitem: DataFrame) -> DataFrame:
     Ranking key is the BIGINT fixed-point score (ties → lower partner
     id) — engine-exact, like the rest of the family.
     """
-    # NOTE (r14): checkpointing this twice-consumed distinct grid was
+    # NOTE (r14): checkpointing the twice-consumed distinct grid was
     # tried and MEASURED slower at sf0.1 (2.59 s → 2.99 s min of 2) —
     # the grid is fact-sized (~|distinct order-part|), so the eager
     # materialization barrier outweighs re-running the distinct off the
-    # cached scan. Same class as dedup_incremental's size table.
+    # cached scan. r15: the grid now feeds ONLY the per-part order
+    # counts (the pair pipeline reads the shared co-purchase pair-count
+    # memo — formerly this query re-derived the same pairs the graph
+    # edge memo already enumerates), and `cnt` itself is part-grain, so
+    # checkpointing IT for its two join consumers is cheap.
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    cnt = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
+    cnt = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .localCheckpoint(eager=True)
     )
-    grp = op.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        grp.select(F.explode("ps").alias("part_a"), "ps")
-        .select("part_a", F.explode("ps").alias("part_b"))
-        .filter(F.col("part_a") != F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
-        .filter(F.col("co_orders") >= SIM_MIN_CO)
-    )
+    pc = pair_counts if pair_counts is not None else _pair_counts(lineitem)
+    pairs = pc.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        "co_orders",
+    ).filter(F.col("co_orders") >= SIM_MIN_CO)
     ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
     scored = (
@@ -433,7 +462,10 @@ def part_similarity(lineitem: DataFrame) -> DataFrame:
 def build_part_similarity(
     spark: SparkSession, sf_dir: str, ctx: RunContext = DEFAULT_CONTEXT
 ) -> DataFrame:
-    return part_similarity(load_star(spark, sf_dir)["lineitem"])
+    return part_similarity(
+        load_star(spark, sf_dir)["lineitem"],
+        pair_counts=_cached_pair_counts(spark, sf_dir),
+    )
 
 
 ORACLE_SQL_PART_SIMILARITY = f"""
@@ -666,10 +698,11 @@ ORACLE_SQL_COMMUNITIES = _communities_oracle()
 
 def _warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     """Shared-memo warmer (io.register_memo_warmer contract): the
-    co-purchase edge set feeds pagerank, triangles, communities and
-    closure — materialize its persist once so per-query bench figures
-    measure the graph algorithms, not the edge derivation."""
-    _cached_edges(spark, sf_dir).count()
+    co-purchase pair-count set feeds pagerank, triangles, communities,
+    closure (as the distinct edge projection) and part_similarity (with
+    the count column) — materialize its persist once so per-query bench
+    figures measure the graph algorithms, not the pair derivation."""
+    _cached_pair_counts(spark, sf_dir).count()
 
 
 register_memo_warmer(_warm_shared_memos)

@@ -309,13 +309,29 @@ def run_available_now(
     # Fresh checkpoint per drain ⇒ the state-store partition count is
     # chosen HERE (it is frozen into a real checkpoint for the query's
     # lifetime). Micro-batch state at test scale is tiny, so 32-way
-    # state shuffles are pure task overhead — drain on 8. A production
-    # stream sizes this to its state volume up front, for exactly the
-    # same reason: it cannot be changed without a state rebuild.
+    # state shuffles are pure task overhead — drain on 8 by default. A
+    # production stream sizes this to its state volume up front, for
+    # exactly the same reason: it cannot be changed without a state
+    # rebuild. DEMO_ETL_STREAM_SHUFFLE overrides (scale-adaptive knob:
+    # a real deployment sets it to its state volume / target partition
+    # size; the r15 profiling harness A/Bs it).
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
-    drain_parts = min(8, int(prev)) if prev and prev.isdigit() else 8
+    env_parts = os.environ.get("DEMO_ETL_STREAM_SHUFFLE")
+    if env_parts and env_parts.isdigit():
+        drain_parts = int(env_parts)
+    else:
+        drain_parts = min(8, int(prev)) if prev and prev.isdigit() else 8
     conf.set("spark.sql.shuffle.partitions", str(drain_parts))
+    # State-store provider knob (r14 verdict item 5): default stays
+    # Spark's HDFSBackedStateStoreProvider (tiny per-drain state on the
+    # RAM-backed checkpoint dir); DEMO_ETL_STREAM_STATE_PROVIDER selects
+    # e.g. RocksDB for stateful streams whose working set outgrows heap.
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = conf.get(provider_conf, None)
+    env_provider = os.environ.get("DEMO_ETL_STREAM_STATE_PROVIDER")
+    if env_provider:
+        conf.set(provider_conf, env_provider)
     ckpt = ephemeral_checkpoint_dir()
     try:
         q = (
@@ -338,6 +354,11 @@ def run_available_now(
     finally:
         if prev is not None:
             conf.set("spark.sql.shuffle.partitions", prev)
+        if env_provider:
+            if prev_provider is not None:
+                conf.set(provider_conf, prev_provider)
+            else:
+                conf.unset(provider_conf)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table_name)
 

@@ -83,6 +83,18 @@ def main() -> int:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Plans are captured LAZILY in registry order, with NO up-front
+    # warm-up — the same conditions every prior snapshot used. Caveat
+    # (r15, observed): an eager session memo executing at DataFrame-
+    # construction time materializes the shared scan cache, and a
+    # MATERIALIZED InMemoryRelation prints its final AQE subplan
+    # (Initial + Final = two extra counted "Exchange" strings) where a
+    # lazy one prints one. So when a code change moves the FIRST eager
+    # memo earlier in registry order, queries after it drift +2 per
+    # cached relation with no real plan change — check the PLANS.md diff
+    # before treating such a delta as a regression. (Warming everything
+    # up front was tried and is worse: every memoized consumer then
+    # prints its memo's full build lineage twice.)
     sections: list[tuple[str, str]] = []
     flags: dict[str, list[str]] = {}
     for name, fn in entrymod.queries().items():
