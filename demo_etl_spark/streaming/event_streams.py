@@ -308,20 +308,24 @@ def run_available_now(
     spark = stream_df.sparkSession
     # Fresh checkpoint per drain ⇒ the state-store partition count is
     # chosen HERE (it is frozen into a real checkpoint for the query's
-    # lifetime). Micro-batch state at test scale is tiny, so 32-way
-    # state shuffles are pure task overhead — drain on 8 by default. A
-    # production stream sizes this to its state volume up front, for
-    # exactly the same reason: it cannot be changed without a state
-    # rebuild. DEMO_ETL_STREAM_SHUFFLE overrides (scale-adaptive knob:
-    # a real deployment sets it to its state volume / target partition
-    # size; the r15 profiling harness A/Bs it).
+    # lifetime). Micro-batch state at test scale is tiny, so every state
+    # partition is pure per-batch overhead (store commit + task) — the
+    # r15 A/B (tools/stream_profile.py, sf0.1, reps=2 min) measured
+    # parts=4 better than the former 8 on every JVM drain at BOTH 32 and
+    # 8 cores (e.g. daily_rollup 2.36→1.43 s, purchase_clicks 3.26→2.09 s
+    # at 32c; 2.12→1.51 s and 9.2→2.6 s at 8c) and flat on the Python
+    # stateful drain; parts=2 regressed the Python drain. A production
+    # stream sizes this to its state volume up front, for exactly the
+    # same reason: it cannot be changed without a state rebuild.
+    # DEMO_ETL_STREAM_SHUFFLE overrides (scale-adaptive knob: a real
+    # deployment sets it to state volume / target partition size).
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
     env_parts = os.environ.get("DEMO_ETL_STREAM_SHUFFLE")
     if env_parts and env_parts.isdigit():
         drain_parts = int(env_parts)
     else:
-        drain_parts = min(8, int(prev)) if prev and prev.isdigit() else 8
+        drain_parts = min(4, int(prev)) if prev and prev.isdigit() else 4
     conf.set("spark.sql.shuffle.partitions", str(drain_parts))
     # State-store provider knob (r14 verdict item 5): default stays
     # Spark's HDFSBackedStateStoreProvider (tiny per-drain state on the
