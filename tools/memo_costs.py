@@ -52,14 +52,15 @@ def main() -> None:
             t = time.perf_counter() - t0
             rows.append((pass_no, mod, round(t, 3)))
             print(f"[pass {pass_no}] {mod}: {t:.3f}s", flush=True)
-    print("\n| module warmer | pass 1 (cold) s | pass 2 (re-warm) s |")
-    print("|---|---|---|")
-    p1 = {m: t for p, m, t in rows if p == 1}
-    p2 = {m: t for p, m, t in rows if p == 2}
-    for m in p1:
-        print(f"| {m} | {p1[m]} | {p2.get(m, '-')} |")
-    print(f"| TOTAL | {round(sum(p1.values()), 3)} "
-          f"| {round(sum(p2.values()), 3)} |")
+    print("\n| # | module warmer | pass 1 (cold) s | pass 2 (re-warm) s |")
+    print("|---|---|---|---|")
+    p1 = [(m, t) for p, m, t in rows if p == 1]
+    p2 = [t for p, _m, t in rows if p == 2]
+    for i, (m, t1) in enumerate(p1):
+        t2 = p2[i] if i < len(p2) else "-"
+        print(f"| {i + 1} | {m} | {t1} | {t2} |")
+    print(f"| | TOTAL | {round(sum(t for _, t in p1), 3)} "
+          f"| {round(sum(p2), 3)} |")
 
 
 if __name__ == "__main__":

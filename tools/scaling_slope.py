@@ -54,7 +54,7 @@ def _stage_totals(spark) -> dict[str, int]:
     return tot
 
 
-def measure(sf_dir: str, names: list[str], out: str) -> int:
+def measure(sf_dir: str, names: list[str], out: str, warm: bool = False) -> int:
     os.environ["SPARK_GRAFT_UI"] = "true"
     import sys
     import time
@@ -68,6 +68,19 @@ def measure(sf_dir: str, names: list[str], out: str) -> int:
             "Spark UI is off — --measure must run in a fresh process "
             "(an existing session was joined with spark.ui.enabled=false)"
         )
+    if warm:
+        # r15: mirror bench.py's stage accounting — materialize the scan
+        # cache and every registered session memo BEFORE measuring, so a
+        # query's recorded bytes are the query's own work, not whichever
+        # family memo it happened to build first (the unwarmed sweep
+        # charged e.g. the union-CC fixpoint build to dedup_image_clusters
+        # at one SF and not proportionally at the other, producing fake
+        # super-linear flags).
+        from demo_etl_spark.io import load_star, warm_operator_memos
+
+        for df in load_star(spark, sf_dir).values():
+            df.count()
+        warm_operator_memos(spark, sf_dir)
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -149,12 +162,17 @@ def main() -> int:
     ap.add_argument("--out", help="output json (--measure)")
     ap.add_argument("--bytes", nargs=2, metavar=("SMALL", "LARGE"),
                     help="compare two --measure recordings")
+    ap.add_argument("--warm", action="store_true",
+                    help="warm scan cache + session memos before --measure "
+                         "(bench-stage accounting: per-query bytes exclude "
+                         "shared memo builds)")
     args = ap.parse_args()
 
     if args.measure:
         if not (args.queries and args.out):
             raise SystemExit("--measure requires --queries and --out")
-        return measure(args.measure, args.queries.split(","), args.out)
+        return measure(args.measure, args.queries.split(","), args.out,
+                       warm=args.warm)
     if args.bytes:
         return bytes_table(args.bytes[0], args.bytes[1], args.data_ratio)
     if not (args.small and args.large):
