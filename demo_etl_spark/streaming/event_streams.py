@@ -26,10 +26,27 @@ from pyspark.sql import functions as F
 
 from demo_etl_spark.functions.fixedpoint import round_div
 from demo_etl_spark.functions.scalars import money_fixed
+from demo_etl_spark.io import register_cache_clearer
 from demo_etl_spark.schemas import EVENTS
 
 WATERMARK = "2 hours"
 SESSION_GAP = "30 minutes"
+
+#: per-(application, file) memo of the footer schema probe — every drain
+#: builder ran its own batch read just to learn the stream schema (a
+#: ~0.2-0.6 s driver job × 7 streaming seats per pass); the footer is
+#: immutable for a given file path within a session. Metadata-only (the
+#: same class as io's scan cache), cleared with the operator memos.
+_SCHEMA_MEMO: dict = {}
+register_cache_clearer(_SCHEMA_MEMO.clear)
+
+
+def _probed_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, os.path.realpath(path))
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return schema
 
 
 def read_events_stream(
@@ -50,7 +67,7 @@ def read_events_stream(
     # the ÷1000 truncation; naive µs infers TIMESTAMP_NTZ and needs a
     # cast to TIMESTAMP — value-preserving under the UTC session tz).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = _probed_schema(spark, os.path.join(sf_dir, "events.parquet"))
     ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts")
     # The file-stream source requires its path to be a directory (its
     # basePath check rejects bare files); stage a symlink dir pointing at
@@ -714,9 +731,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a continuously-crawled corpus (new shards arrive as files). Same
     directory-staging idiom as read_events_stream; no timestamp
     munging needed (documents carry no event time)."""
-    batch_schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    batch_schema = _probed_schema(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
     src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
     stream_dir = os.path.join(
         tempfile.gettempdir(),
