@@ -68,22 +68,21 @@ def measure(sf_dir: str, names: list[str], out: str, warm: bool = False) -> int:
             "Spark UI is off — --measure must run in a fresh process "
             "(an existing session was joined with spark.ui.enabled=false)"
         )
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
     if warm:
         # r15: mirror bench.py's stage accounting — materialize the scan
         # cache and every registered session memo BEFORE measuring, so a
-        # query's recorded bytes are the query's own work, not whichever
-        # family memo it happened to build first (the unwarmed sweep
-        # charged e.g. the union-CC fixpoint build to dedup_image_clusters
-        # at one SF and not proportionally at the other, producing fake
-        # super-linear flags).
+        # query's recorded bytes are the query's own work, not the shared
+        # memo build it happened to trigger first. MUST run after the
+        # __spark_entry__ import above: warmers register at operator-module
+        # import time, so warming before the import is a silent no-op.
         from demo_etl_spark.io import load_star, warm_operator_memos
 
         for df in load_star(spark, sf_dir).values():
             df.count()
         warm_operator_memos(spark, sf_dir)
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
